@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
+extension operators (dedup / similarity / text analysis). Each callable takes
+(spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for every
+SQL-expressible query (same column names; computed columns aliased on both
+sides). Non-SQL-expressible ops (minhash-LSH, simhash, ANN-LSH) intentionally
+have no oracle entry -> driver records the weaker rows-only check.
+
+Float-parity strategy (SURVEY.md Appendix A.2/A.3): every derived double is
+rounded with the engine-independent floor trick ``floor(x*10^s + 0.5)/10^s``
+on BOTH sides, so the integer division produces bit-identical doubles in
+Spark and DuckDB regardless of each engine's ROUND tie behavior.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
+from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
+from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
+from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
+from etl_pipeline_last_fm_spark.operators import dedup as dedup_ops
+from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
+from etl_pipeline_last_fm_spark.operators import text as text_ops
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+SF001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the royalties mart re-expressed over the TPC-H-ish star
+    (reference dags/from_dds_to_dm_pg.py:73-79) — 3-way join + groupBy +
+    sum*rate + round + order. Exercises every layer of the engine."""
+    return q_flagship_royalties(spark, SF001)
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries (SURVEY.md §2 inventory)
+# ---------------------------------------------------------------------------
+
+
+def _star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — the fact-build join
+    shape (J1-J3, reference dags/from_ods_to_dds_pg.py:96-99). nation/region
+    are broadcast (tiny dims); customer-orders and orders-lineitem shuffle on
+    their keys, the scale-honest strategy for fact-to-fact joins."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def q_flagship_royalties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F2/F3/O1: ROUND(SUM(revenue) * 0.003, 2) per (date, nation),
+    ordered date asc royalties desc (reference dags/from_dds_to_dm_pg.py:73-79)."""
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        _star(spark, sf_dir)
+        .groupBy(F.col("o_orderdate").alias("date"), F.col("n_name").alias("nation"))
+        .agg(half_up_round(F.sum(revenue) * F.lit(0.003), 2).alias("royalties"))
+        .orderBy(F.col("date"), F.col("royalties").desc())
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2-style wide aggregate (TPC-H Q1 shape) over lineitem: partial+final
+    hash aggregate, no joins — the pure-aggregation headline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            half_up_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            half_up_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            half_up_round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            half_up_round(F.sum(charge), 2).alias("sum_charge"),
+            half_up_round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            half_up_round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            half_up_round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_distinct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: SELECT DISTINCT projection dedupe (reference
+    dags/from_ods_to_dds_pg.py:47-48,60-61) — group-by-all-cols hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_case_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/F1: sentinel imputation with the per-partition mean of
+    non-sentinel rows, AVG::INT with Postgres rounding (reference
+    dags/from_ods_to_dds_pg.py:74-77). Sentinel here: l_quantity <= 5 plays
+    the role of duration_sec = 0; partition = ship day."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_day", F.to_date("l_shipdate")
+    )
+    w = Window.partitionBy("ship_day")
+    qty = F.col("l_quantity")
+    mean_ok = F.avg(F.when(qty > 5, qty)).over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(qty <= 5, half_up_round(mean_ok).cast("int"))
+        .otherwise(qty.cast("int"))
+        .alias("qty_filled"),
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/A4: uncorrelated scalar subquery — customers above the global mean
+    balance. Compiled as agg -> broadcast cross-join, evaluating the scalar
+    once (the reference gets the same via a Postgres InitPlan)."""
+    customer = load_table(spark, sf_dir, "customer")
+    threshold = customer.agg(half_up_round(F.avg("c_acctbal"), 2).alias("__thr"))
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 fact build: full star join, key + measure projection
+    (reference dags/from_ods_to_dds_pg.py:85-104)."""
+    return _star(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderdate",
+        "c_custkey",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 serial emulation: deterministic dense surrogate ids over a
+    DISTINCT dim projection (row_number over natural key)."""
+    part = load_table(spark, sf_dir, "part")
+    dim = part.select("p_brand").distinct()
+    return assign_surrogate_keys(dim, "brand_id", ["p_brand"]).select("brand_id", "p_brand")
+
+
+def q_surrogate_keys_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 stability across increments: batch 1 (p_size <= 25) keeps its ids
+    when batch 2 (p_size > 25) arrives; new rows number from max(id)+1
+    (serial semantics, reference scripts/ddl_dds.sql:3,9,15,24)."""
+    part = load_table(spark, sf_dir, "part")
+    dim1 = part.filter(F.col("p_size") <= 25).select("p_type").distinct()
+    keyed1 = assign_surrogate_keys(dim1, "type_id", ["p_type"])
+    dim2 = (
+        part.filter(F.col("p_size") > 25)
+        .select("p_type")
+        .distinct()
+        .join(keyed1.select("p_type"), "p_type", "left_anti")
+    )
+    keyed2 = assign_surrogate_keys(dim2, "type_id", ["p_type"], existing=keyed1)
+    return keyed1.unionByName(keyed2).select("type_id", "p_type")
+
+
+def q_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 ON CONFLICT DO NOTHING: re-ingest an overlapping window
+    (1996-1997) against already-loaded history (< 1997). Conflict key
+    (o_custkey, o_orderdate); in-batch first-writer-wins keeps min
+    o_orderkey (Appendix A.7 deterministic tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    batch = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    existing = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    keys = ["o_custkey", "o_orderdate"]
+    deduped = first_writer_wins(batch, keys, tiebreaker=["o_orderkey"])
+    return deduped.join(existing.select(*keys), keys, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+
+
+def q_windowed_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: the chart operator — top 3 events per (day, event_type) by value
+    desc, event_id tiebreak (SURVEY.md §2.8)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = windowed_top_k(
+        ev,
+        ["day", "event_type"],
+        [F.col("value").desc(), F.col("event_id")],
+        k=3,
+        rank_col="rnk",
+    )
+    return out.select("day", "event_type", "event_id", "value", "rnk")
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 analytic windows: partition mean (the window form of the
+    reference's scalar-subquery imputation) + running per-user sum with an
+    explicit rows frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w_type = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        half_up_round(F.avg("value").over(w_type), 2).alias("type_avg"),
+        half_up_round(F.sum("value").over(w_run), 2).alias("user_running_sum"),
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 implicit UNION ALL (the reference's per-country append loop,
+    dags/transformed_from_s3_to_pg.py:61-67) as unionByName."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("buy").alias("kind")
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.lit("join").alias("kind")
+    )
+    return a.unionByName(b)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/P1: JSON parse + nested field projection (the reference's
+    json.loads + dict access, dags/transformed_from_s3_to_pg.py:31-45) via
+    native get_json_object — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_date_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F4: date-formatted partition key + per-day aggregate (the daily
+    partition unit of the whole reference pipeline, SURVEY.md §1.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            half_up_round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_mart_daily_appearances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 mart analog: COUNT(*) per (day, user) — artist appearances by date
+    (reference dags/from_dds_to_dm_pg.py:61-65)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt_appearance"))
+    )
+
+
+def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 mart analog: AVG per (day, type) — avg duration by country
+    (reference dags/from_dds_to_dm_pg.py:47-52)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(half_up_round(F.avg("value"), 2).alias("avg_value"))
+    )
+
+
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + LIMIT: global sort + top-n (TakeOrderedAndProject physical op —
+    no full global sort materialization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators (BASELINE.json north-star: LLM-data-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup_groups(docs)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.word_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs, shingle_len=3, num_hashes=32, bands=8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_dups(docs, max_hamming=12)
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(emb, n_queries=10, k=5)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 6 planes -> 64 buckets for a 500-vector corpus (~8 occupants each):
+    # enough collisions for meaningful approximate neighbors. Scale the plane
+    # count with log2(corpus/target_bucket_size) in production.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6)
+
+
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture embeddings are near-random (max pairwise cosine ~0.51), so
+    # a production dedup threshold (0.95) would make the check vacuous; 0.4
+    # exercises the operator's filter+round path with non-empty output.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_near_dups(emb, threshold=0.4)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.binary_meta(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # core relational (SURVEY.md §2)
+        "flagship_royalties": q_flagship_royalties,
+        "pricing_summary": q_pricing_summary,
+        "distinct_project": q_distinct_project,
+        "case_impute": q_case_impute,
+        "scalar_subquery": q_scalar_subquery,
+        "star_join": q_star_join,
+        "surrogate_keys": q_surrogate_keys,
+        "surrogate_keys_incremental": q_surrogate_keys_incremental,
+        "idempotent_append": q_idempotent_append,
+        "windowed_top_k": q_windowed_top_k,
+        "window_analytic": q_window_analytic,
+        "union_all": q_union_all,
+        "json_extract": q_json_extract,
+        "date_partition_agg": q_date_partition_agg,
+        "mart_daily_appearances": q_mart_daily_appearances,
+        "mart_daily_avg": q_mart_daily_avg,
+        "order_limit": q_order_limit,
+        # extensions
+        "dedup_exact": q_dedup_exact,
+        "text_fingerprint": q_text_fingerprint,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_bruteforce": q_sim_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STAR_SQL = """
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etl_pipeline_last_fm_spark.operators.text import (
+        EN_STOPWORDS,
+        LANG_STOPWORDS,
+        lang_id_oracle_sql,
+        quality_oracle_sql,
+    )
+
+    en_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return {
+        "flagship_royalties": f"""
+            SELECT o_orderdate AS date, n_name AS nation,
+                   FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) * 0.003 * 100.0 + 0.5) / 100.0
+                       AS royalties
+            {_STAR_SQL}
+            GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                   FLOOR(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 100.0 + 0.5) / 100.0 AS sum_charge,
+                   FLOOR(AVG(l_quantity) * 100.0 + 0.5) / 100.0 AS avg_qty,
+                   FLOOR(AVG(l_extendedprice) * 100.0 + 0.5) / 100.0 AS avg_price,
+                   FLOOR(AVG(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "distinct_project": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "case_impute": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CASE WHEN l_quantity <= 5
+                             THEN FLOOR(AVG(CASE WHEN l_quantity > 5 THEN l_quantity END)
+                                        OVER (PARTITION BY CAST(l_shipdate AS DATE)) + 0.5)
+                             ELSE l_quantity END AS INTEGER) AS qty_filled
+            FROM lineitem
+        """,
+        "scalar_subquery": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT FLOOR(AVG(c_acctbal) * 100.0 + 0.5) / 100.0 FROM customer)
+        """,
+        "star_join": f"""
+            SELECT l_orderkey, l_linenumber, o_orderdate, c_custkey,
+                   n_name AS nation, r_name AS region, l_quantity, l_extendedprice
+            {_STAR_SQL}
+        """,
+        "surrogate_keys": """
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id, p_brand
+            FROM (SELECT DISTINCT p_brand FROM part)
+        """,
+        "surrogate_keys_incremental": """
+            WITH b1 AS (SELECT DISTINCT p_type FROM part WHERE p_size <= 25),
+                 b2 AS (SELECT DISTINCT p_type FROM part WHERE p_size > 25
+                        AND p_type NOT IN (SELECT p_type FROM b1)),
+                 u AS (SELECT p_type, 0 AS batch FROM b1
+                       UNION ALL SELECT p_type, 1 AS batch FROM b2)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY batch, p_type) AS BIGINT) AS type_id, p_type
+            FROM u
+        """,
+        "idempotent_append": """
+            WITH batch AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey) AS rn
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT o_orderkey, o_custkey, o_orderdate
+            FROM batch b
+            WHERE rn = 1
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders e
+                  WHERE e.o_orderdate < TIMESTAMP '1997-01-01'
+                    AND e.o_custkey = b.o_custkey
+                    AND e.o_orderdate = b.o_orderdate
+              )
+        """,
+        "windowed_top_k": """
+            SELECT day, event_type, event_id, value, rnk FROM (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id, value,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), event_type
+                                               ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+                FROM events
+            ) WHERE rnk <= 3
+        """,
+        "window_analytic": """
+            SELECT event_id, event_type,
+                   FLOOR(AVG(value) OVER (PARTITION BY event_type) * 100.0 + 0.5) / 100.0 AS type_avg,
+                   FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         * 100.0 + 0.5) / 100.0 AS user_running_sum
+            FROM events
+        """,
+        "union_all": """
+            SELECT event_id, user_id, 'buy' AS kind FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id, user_id, 'join' AS kind FROM events WHERE event_type = 'signup'
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "date_partition_agg": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+            FROM events GROUP BY 1
+        """,
+        "mart_daily_appearances": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, COUNT(*) AS cnt_appearance
+            FROM events GROUP BY 1, 2
+        """,
+        "mart_daily_avg": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   FLOOR(AVG(value) * 100.0 + 0.5) / 100.0 AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "order_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        # extensions (SQL-expressible subset)
+        "dedup_exact": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed
+            FROM documents
+        """,
+        "text_quality": quality_oracle_sql(),
+        "lang_id": lang_id_oracle_sql(),
+        "dedup_ngram_jaccard": """
+            WITH words AS (
+                SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                FROM documents
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+                FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   FLOOR(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) * 10000.0 + 0.5) / 10000.0
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+        """,
+        "sim_bruteforce": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+                 scored AS (
+                     SELECT q_id, v.vec_id AS cand_id,
+                            list_dot_product(qe, e)
+                              / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+                              AS sim
+                     FROM q JOIN v ON v.vec_id <> q.q_id
+                 ),
+                 ranked AS (
+                     SELECT q_id, cand_id,
+                            FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
+                            ROW_NUMBER() OVER (
+                                PARTITION BY q_id
+                                ORDER BY FLOOR(sim * 1000000.0 + 0.5) DESC, cand_id
+                            ) AS rn
+                     FROM scored
+                 )
+            SELECT q_id, cand_id, sim_r AS sim, CAST(rn AS INTEGER) AS rnk
+            FROM ranked WHERE rn <= 5
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash, sim_ann_lsh,
+        # embedding_cosine_dedup — hash-function/plane choices are not
+        # reproducible in portable ANSI SQL.
+    }

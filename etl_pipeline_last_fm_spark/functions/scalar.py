@@ -1,0 +1,52 @@
+"""Scalar Column helpers.
+
+Rounding parity (SURVEY.md Appendix A.2/A.3): Postgres ``numeric -> int``
+casts round half-away-from-zero; Spark's ``cast(double as int)`` truncates
+and its ``round()`` is HALF_UP on the decimal path but round-half-even quirks
+can appear on doubles; DuckDB's ``round`` differs again on ties. To make the
+semantics *identical on every engine*, ties are pinned with the floor trick:
+``floor(x + 0.5)`` == round-half-up for non-negative x, expressible verbatim
+in Spark, DuckDB and Postgres.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def half_up_round(col: Column, scale: int = 0) -> Column:
+    """Round half-up (ties away from zero for non-negative inputs) at any
+    scale, with engine-independent tie behavior: floor(x * 10^s + 0.5) / 10^s.
+    Stays a pure Column expression -> whole-stage codegen."""
+    if scale == 0:
+        return F.floor(col + F.lit(0.5))
+    factor = F.lit(float(10**scale))
+    return F.floor(col * factor + F.lit(0.5)) / factor
+
+
+def pg_avg_int(col: Column) -> Column:
+    """``AVG(x)::INT`` with Postgres semantics (round, don't truncate) —
+    reference dags/from_ods_to_dds_pg.py:75; SURVEY.md Appendix A.2."""
+    return half_up_round(F.avg(col)).cast("int")
+
+
+def round2(col: Column) -> Column:
+    """``ROUND(x, 2)`` as used by the royalties mart (reference
+    dags/from_dds_to_dm_pg.py:74, scripts/ddl_dm.sql:19), tie-pinned."""
+    return half_up_round(col, 2)
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<float/double>`` columns as a pure
+    higher-order-function expression — JVM-side, no UDF, no data movement to
+    Python. dot = sum(zip_with(a,b,*)); norms likewise.
+
+    At 100 TB this is the expression you want inlined in codegen rather than
+    an Arrow round-trip; for very wide vectors a pandas_udf variant exists in
+    operators.similarity.
+    """
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    norm_a = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    norm_b = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (norm_a * norm_b)

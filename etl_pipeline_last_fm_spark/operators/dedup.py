@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the LLM-training-data cleanup family.
+
+Scale design notes (these run over *documents*, the table that is 100 TB in
+production):
+
+- exact: one hash-groupBy shuffle on the fingerprint — optimal.
+- word/ngram Jaccard: explode -> self-join on the token. The join key's
+  document frequency drives the blow-up, so ``max_doc_freq`` drops
+  ultra-common tokens (stop-shingles) before the join — the standard trick
+  that keeps the candidate set near-linear. AQE skew-join splitting handles
+  residual hot shingles.
+- MinHash+LSH: the scale path for pairwise similarity — candidate pairs come
+  from banded signature buckets (shuffle on (band, band_hash), output
+  proportional to true-duplicate density), then only candidates pay the
+  exact-Jaccard verification.
+- SimHash: one 64-bit signature per doc, near-dup = small Hamming distance.
+- embedding cosine: thresholded pairwise over an (optionally LSH-bucketed)
+  candidate set.
+
+Everything below is pure Column expressions (xxhash64 / higher-order array
+functions) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import cosine_similarity_expr, half_up_round
+
+
+def _distinct_words(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("w"),
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: each group keeps its minimum id
+    (deterministic first-writer, cf. the ON CONFLICT arbiter §2.7)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for all pairs sharing >= 1 token.
+
+    n=1 member of the n-gram-Jaccard family, chosen for the oracle pair
+    because it is portably SQL-expressible; ``minhash_lsh_pairs`` is the
+    n=3 + approximate scale path.
+    """
+    words = _distinct_words(docs)
+    if max_doc_freq is not None:
+        rare = (
+            words.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("w")
+        )
+        words = words.join(F.broadcast(rare), "w", "left_semi")
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("shared").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", half_up_round(jac, 4).alias("jaccard"))
+    )
+
+
+def _shingles(text_col: str, shingle_len: int) -> Column:
+    """Word n-gram shingles as a distinct array<string>, pure expression."""
+    return F.expr(
+        f"""array_distinct(transform(
+                sequence(0, greatest(size(split(trim({text_col}), ' ')) - {shingle_len}, 0)),
+                i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i + 1, {shingle_len}))
+            ))"""
+    )
+
+
+def minhash_signature(docs: DataFrame, shingle_len: int = 3, num_hashes: int = 32) -> DataFrame:
+    """doc_id, shingles, sig: sig[j] = min over shingles of xxhash64(j, s).
+
+    Hash family: xxhash64 salted with the permutation index — 64-bit, JVM
+    intrinsic, no Python. One narrow map stage; no shuffle.
+    """
+    sig = F.expr(
+        f"""transform(sequence(0, {num_hashes - 1}),
+                      j -> array_min(transform(shingles, s -> xxhash64(j, s))))"""
+    )
+    return (
+        docs.select("doc_id", _shingles("text", shingle_len).alias("shingles"))
+        .withColumn("sig", sig)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation + exact-Jaccard verification.
+
+    rows-per-band r = num_hashes/bands; a pair collides in a band iff that
+    band's r signature slots all match, so the candidate probability curve is
+    the classic (1 - (1 - j^r)^b). Candidates then pay an exact shingle-set
+    Jaccard check; output only verified pairs.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signature(docs, shingle_len, num_hashes).cache()
+
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {bands - 1}),
+                              b -> named_struct('band', b,
+                                                'bkey', xxhash64(b, slice(sig, b * {r} + 1, {r}))))"""
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= F.lit(verify_threshold))
+        .select("doc_a", "doc_b", half_up_round(F.col("jaccard_raw"), 4).alias("jaccard"))
+    )
+
+
+def simhash_signature(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over tokens: bit j of the signature is the sign of
+    sum over tokens of ±1 according to bit j of xxhash64(token)."""
+    sim = F.expr(
+        """aggregate(
+               transform(sequence(0, 63),
+                         j -> CASE WHEN aggregate(
+                                       split(trim(text), ' '), 0L,
+                                       (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1
+                                                              THEN 1L ELSE -1L END) > 0
+                                   THEN shiftleft(1L, j) ELSE 0L END),
+               0L, (acc, b) -> acc | b)"""
+    )
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Pairwise here (fine for the fixture corpus); the scale path blocks on
+    signature chunks first (split the 64 bits into (max_hamming+1) chunks —
+    pigeonhole: any pair within max_hamming shares at least one exact chunk)
+    so the join is equi- on the chunk, not a cross-join.
+    """
+    sigs = simhash_signature(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity (pairwise; compose
+    with similarity.lsh_buckets for the blocked scale path)."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"))
+    sim = cosine_similarity_expr(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= F.lit(threshold))
+        .select("id_a", "id_b", half_up_round(F.col("sim_raw"), 4).alias("sim"))
+    )

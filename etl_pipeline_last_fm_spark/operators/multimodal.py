@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: opaque binary content + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct (modality, mime, width/height/duration...). The Spark-side
+plumbing — schema, partition-friendly layout, Arrow-batched UDF signatures,
+batch shapes — is real and tested; the actual codec step is STUBBED because
+decode libraries (PIL/ffmpeg/etc.) are not in this container:
+
+- ``decode_stub_features`` raises NotImplementedError by default, or emits a
+  DETERMINISTIC FAKE feature vector (seeded by content hash) when
+  ``fake=True`` so downstream plumbing (similarity search over the features)
+  is exercisable end-to-end.
+
+At scale this is the canonical ``mapInPandas`` pattern: Arrow batches of
+binary payloads flow to Python once, the UDF is the only Python hop, and the
+output schema is declared so Catalyst keeps optimizing around it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, content binary, "
+    "meta struct<modality: string, mime: string, width: int, height: int, duration_ms: int>"
+)
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = f"media_id long, feature array<float>, n_bytes long"
+
+
+def attach_binary(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
+    """Build a media table from any source column by treating its bytes as
+    opaque content (stand-in for real image/audio payloads)."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(payload_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(content: bytes) -> list[float]:
+    """Deterministic fake 'decoded' features: seeded by the content digest,
+    so results are stable across runs/executors. CLEARLY A STUB."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(FEATURE_DIM).astype("float32").tolist()
+
+
+def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow-batched; the one legitimate
+    Python hop). With ``fake=False`` this raises NotImplementedError at
+    execution time — the real decoder belongs here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [_fake_features(bytes(c)) for c in pdf["content"]],
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the candidate corpus; each executor scores its slice of candidates
+  and the per-group top-k is taken with the rank-limit window (no global
+  sort, no collect). This is the correctness baseline and is the right plan
+  whenever |queries| is small — it reads the corpus exactly once.
+- ``lsh_buckets`` / ``lsh_ann_topk`` — random-hyperplane LSH: each vector
+  maps to a bucket id from the signs of ``n_planes`` fixed hyperplane dot
+  products; queries only score candidates in their own bucket. The shuffle
+  is on the bucket id, so work scales with bucket occupancy, not corpus
+  size. Planes are generated from a fixed seed -> deterministic across runs.
+
+Scoring is the pure-expression cosine (functions.scalar) — JVM codegen, no
+Python. For very wide vectors (>4k dims) a pandas_udf dot would amortize
+better; at 64-1024 dims the expression form wins by skipping Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import cosine_similarity_expr, half_up_round
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` ids.
+
+    Ranking happens on the similarity *rounded to 1e-6* (then id tiebreak) so
+    the ordering is reproducible bit-for-bit against the DuckDB oracle.
+    """
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    q = v.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("cand_id"),
+            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+        )
+        .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("sim_exact") * 1e6 + F.lit(0.5)).desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "cand_id", "sim", "rnk")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed, host-independent)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of plane·vec, pure expression."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """id, e (double vector), bucket — the blocked representation."""
+    if dim is None:
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).head()
+        dim = int(first["d"]) if first else 0
+    planes = hyperplanes(dim, n_planes, seed)
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    return v.withColumn("bucket", lsh_bucket_expr(F.col("e"), planes))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Recall depends on n_planes vs corpus size (fewer planes = bigger buckets
+    = higher recall & cost). Tested against brute_force_topk for recall in
+    tests/test_similarity.py.
+    """
+    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed)
+    q = bucketed.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), on=["bucket"])
+        .filter(F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("cand_id"),
+            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+        )
+        .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("sim_exact") * 1e6 + F.lit(0.5)).desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "cand_id", "sim", "rnk")
+    )

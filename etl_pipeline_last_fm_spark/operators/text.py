@@ -1,0 +1,159 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is native Column expressions (split / array ops /
+hash functions) — JVM-side, codegen-friendly, no Python in the loop. Each
+operator ships with a DuckDB-oracle SQL twin built from the same constants so
+the two can never drift.
+
+Tokenization contract (shared with the oracles): tokens = single-space split
+of ``trim(text)``; stopword hits are counted over *distinct* tokens
+(set-intersection semantics — identical in Spark ``array_intersect`` and
+DuckDB ``list_intersect``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+
+EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+LANG_STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"],
+}
+# Deterministic tie-break priority for lang prediction.
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+
+def _tokens() -> Column:
+    return F.split(F.trim(F.col("text")), " ")
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the case/whitespace-normalized text.
+
+    (The rolling-hash fingerprint family lives in dedup.simhash/minhash; md5
+    is the exact-content fingerprint both engines compute identically.)"""
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + char count, the cheapest corpus statistics."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: stopword ratio (fluent text has some) and
+    distinct-token ratio (degenerate repetition has few). Score = mean of the
+    two, composed from the already-rounded components so the Spark and DuckDB
+    results are bit-identical."""
+    toks = _tokens()
+    dtoks = F.array_distinct(toks)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(dtoks)
+    stop_hits = F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    stop_ratio = half_up_round(stop_hits.cast("double") / n_distinct, 4)
+    uniq_ratio = half_up_round(n_distinct.cast("double") / n_tokens, 4)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        half_up_round((stop_ratio + uniq_ratio) / F.lit(2.0), 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-free language ID heuristic: count distinct-token hits against
+    per-language stopword lists; predict the highest-hit language with a
+    fixed priority tie-break; 'und' (undetermined) when all zero."""
+    dtoks = F.array_distinct(_tokens())
+    hits = {
+        lang: F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    cols = [F.col("doc_id")]
+    cols += [hits[lang].alias(f"{lang}_hits") for lang in LANG_PRIORITY]
+    cols += [pred.alias("lang_pred")]
+    return docs.select(*cols)
+
+
+def binary_meta(docs: DataFrame) -> DataFrame:
+    """Opaque-content metadata: byte length + sha256 — the multimodal-column
+    pattern (content treated as bytes, typed metadata alongside)."""
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (built from the same constants)
+# ---------------------------------------------------------------------------
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def quality_oracle_sql() -> str:
+    en = _sql_list(EN_STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(text), ' ') AS toks,
+                   list_distinct(string_split(trim(text), ' ')) AS dtoks
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   FLOOR(CAST(len(list_intersect(dtoks, {en})) AS DOUBLE)
+                         / len(dtoks) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   FLOOR(CAST(len(dtoks) AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0
+                       AS uniq_ratio
+            FROM t
+        )
+        SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
+               FLOOR((stop_ratio + uniq_ratio) / 2.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM r
+    """
+
+
+def lang_id_oracle_sql() -> str:
+    hit_exprs = ",\n".join(
+        f"CAST(len(list_intersect(dtoks, {_sql_list(LANG_STOPWORDS[lang])})) AS INTEGER)"
+        f" AS {lang}_hits"
+        for lang in LANG_PRIORITY
+    )
+    best = "GREATEST(" + ", ".join(f"{lang}_hits" for lang in LANG_PRIORITY) + ")"
+    case_arms = "\n".join(
+        f"WHEN {lang}_hits = {best} THEN '{lang}'" for lang in LANG_PRIORITY
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS dtoks
+            FROM documents
+        ), h AS (
+            SELECT doc_id, {hit_exprs} FROM t
+        )
+        SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+               CASE WHEN {best} <= 0 THEN 'und'
+                    {case_arms}
+               END AS lang_pred
+        FROM h
+    """

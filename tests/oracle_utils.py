@@ -1,0 +1,67 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+The driver (TESTDATA.md / __spark_entry__.py contract) runs each Spark query
+and its oracle SQL side-by-side and compares row count + schema +
+order-insensitive value hash. This module reproduces that check strictly
+(exact values after canonicalization) so any parity bug is caught in pytest
+before a driver round.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from etl_pipeline_last_fm_spark.schemas import TESTDATA_TABLES
+
+
+def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).fetchdf()
+
+
+def _canon_value(v: Any) -> Any:
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):  # date / datetime
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_value(x) for x in v)
+    return v
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_value(df.iloc[i][c]) for c in cols) for i in range(len(df))
+    ]
+    return sorted(rows, key=repr)
+
+
+def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "") -> None:
+    sp = spark_df.toPandas()
+    du = duck_run(oracle, sf_dir)
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"{name}: column mismatch spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"{name}: row count spark={len(sp)} duck={len(du)}"
+    rs, rd = canon_rows(sp), canon_rows(du)
+    mismatches = [(a, b) for a, b in zip(rs, rd) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
