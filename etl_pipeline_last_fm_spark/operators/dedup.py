@@ -99,19 +99,46 @@ def _shingles(text_col: str, shingle_len: int) -> Column:
     )
 
 
-def minhash_signature(docs: DataFrame, shingle_len: int = 3, num_hashes: int = 32) -> DataFrame:
-    """doc_id, shingles, sig: sig[j] = min over shingles of xxhash64(j, s).
+_MERSENNE_P = 2147483647  # 2^31 - 1
 
-    Hash family: xxhash64 salted with the permutation index — 64-bit, JVM
-    intrinsic, no Python. One narrow map stage; no shuffle.
+
+def _cw_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic Carter-Wegman permutation coefficients a_j, b_j in
+    [1, p) / [0, p). Products a*h stay < 2^62 — no long overflow, so the
+    expressions are safe under ANSI mode (the driver's session may have it
+    on; overflow would raise there)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, _MERSENNE_P, num_hashes)).tolist()
+    b = (rng.integers(0, _MERSENNE_P, num_hashes)).tolist()
+    return a, b
+
+
+def minhash_signature(docs: DataFrame, shingle_len: int = 3, num_hashes: int = 32) -> DataFrame:
+    """doc_id, shingles, sig: minhash via one xxhash64 per shingle + cheap
+    modular permutations.
+
+    Each shingle string is hashed ONCE (xxhash64, JVM intrinsic), folded into
+    [0, 2^31-1), then each of the ``num_hashes`` permutations is two integer
+    ops: sig[j] = min over shingles of (a_j * h + b_j) mod p. This is ~H x
+    cheaper than re-hashing strings per permutation and stays a narrow map
+    stage — no shuffle, no Python.
     """
+    a, b = _cw_params(num_hashes)
+    a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
+    b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
     sig = F.expr(
         f"""transform(sequence(0, {num_hashes - 1}),
-                      j -> array_min(transform(shingles, s -> xxhash64(j, s))))"""
+                      j -> array_min(transform(hvals,
+                             h -> pmod(element_at({a_lit}, j + 1) * h
+                                       + element_at({b_lit}, j + 1), {_MERSENNE_P}L))))"""
     )
     return (
         docs.select("doc_id", _shingles("text", shingle_len).alias("shingles"))
+        .withColumn("hvals", F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE_P}L))"))
         .withColumn("sig", sig)
+        .drop("hvals")
     )
 
 
@@ -173,18 +200,27 @@ def minhash_lsh_pairs(
 
 def simhash_signature(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: bit j of the signature is the sign of
-    sum over tokens of ±1 according to bit j of xxhash64(token)."""
+    sum over tokens of ±1 according to bit j of xxhash64(token).
+
+    Each token is hashed ONCE; the 64 bit-sums then read bits off the cached
+    hash array — 64x fewer string hashes than the naive form."""
     sim = F.expr(
         """aggregate(
                transform(sequence(0, 63),
                          j -> CASE WHEN aggregate(
-                                       split(trim(text), ' '), 0L,
-                                       (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1
+                                       thash, 0L,
+                                       (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
                                                               THEN 1L ELSE -1L END) > 0
                                    THEN shiftleft(1L, j) ELSE 0L END),
                0L, (acc, b) -> acc | b)"""
     )
-    return docs.select("doc_id", sim.alias("simhash"))
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("transform(split(trim(text), ' '), t -> xxhash64(t))").alias("thash"),
+        )
+        .select("doc_id", sim.alias("simhash"))
+    )
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
