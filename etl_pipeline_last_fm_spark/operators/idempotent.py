@@ -71,4 +71,15 @@ def idempotent_append(
         existing_keys = existing_keys.join(F.broadcast(batch_parts), prune_on, "left_semi")
     if broadcast_existing:
         existing_keys = F.broadcast(existing_keys)
-    return deduped.join(existing_keys, keys, "left_anti")
+    # Null-safe key equality: a UNIQUE key containing NULL (e.g. an imputed
+    # duration on an all-sentinel day, FIXTURES.md A5.2) must still match its
+    # own prior insert, or every re-run would duplicate the row. (Postgres
+    # treats NULLs as distinct in plain UNIQUE constraints; first-writer-wins
+    # + null-safe match is the saner semantic and is documented as a
+    # deviation.)
+    aliased = existing_keys.select(*[F.col(k).alias(f"__ex_{k}") for k in keys])
+    cond = None
+    for k in keys:
+        c = deduped[k].eqNullSafe(aliased[f"__ex_{k}"])
+        cond = c if cond is None else (cond & c)
+    return deduped.join(aliased, cond, "left_anti")

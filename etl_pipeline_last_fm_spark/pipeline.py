@@ -102,44 +102,57 @@ def run_ods(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
 
 
 def run_dds(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
-    """ODS date slice -> star build -> append deltas (dims before fact,
-    reference dags/from_ods_to_dds_pg.py:110)."""
+    """ODS date slice -> star build -> append fact delta, overwrite dims
+    (dims before fact in the reference, dags/from_ods_to_dds_pg.py:110; here
+    the fact *write* happens first because the dim overwrite replaces files —
+    the dims returned by load_dds are driver-materialized, so no plan still
+    depends on the replaced paths)."""
     ods = spark.read.parquet(wh.ods).filter(F.col("source_date") == F.lit(str(run_date)))
     existing = load_dds(spark, wh)
     result = build_dds(ods, existing=existing)
 
-    # Persist: overwrite dims with full contents (small), append fact delta.
-    for name, full, ex in [
-        ("dim_country", result.dim_country, existing.dim_country if existing else None),
-        ("dim_artist", result.dim_artist, existing.dim_artist if existing else None),
-        ("dim_song", result.dim_song, existing.dim_song if existing else None),
+    # Fact delta first (append — touches no existing file).
+    fact_path = wh.dds("fact_daily_top_100")
+    (
+        result.new_fact.repartition("date")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(fact_path)
+    )
+
+    # Dims: tiny (SURVEY.md §2.4) — materialize on the driver, then overwrite
+    # as a single broadcast-friendly file each.
+    for name, full in [
+        ("dim_country", result.dim_country),
+        ("dim_artist", result.dim_artist),
+        ("dim_song", result.dim_song),
     ]:
-        # Dims are tiny (SURVEY.md §2.4) — coalesce(1) keeps them
-        # one-file/broadcast-friendly. Materialize before overwrite since the
-        # plan reads the path being replaced.
-        rows = full.coalesce(1).collect()
+        rows = full.collect()
         spark.createDataFrame(rows, full.schema).coalesce(1).write.mode("overwrite").parquet(
             wh.dds(name)
         )
 
-    fact_path = wh.dds("fact_daily_top_100")
-    if existing is None:
-        result.fact.repartition("date").write.mode("append").partitionBy("date").parquet(fact_path)
-    else:
-        delta = result.fact.join(
-            existing.fact.select("fact_id"), "fact_id", "left_anti"
-        )
-        delta.repartition("date").write.mode("append").partitionBy("date").parquet(fact_path)
-
 
 def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
+    """Load the DDS star. Dims are driver-materialized (collect +
+    createDataFrame): they are broadcast-sized by design, and cutting their
+    lineage from the parquet paths lets run_dds overwrite those paths without
+    stale-file-index failures. The fact table stays file-backed."""
     dim_country = _read_or_empty(spark, wh.dds("dim_country"), DIM_COUNTRY_SCHEMA)
     if dim_country is None:
         return None
+
+    def materialize(df: DataFrame, schema) -> DataFrame:
+        return spark.createDataFrame(df.collect(), schema)
+
     return DdsTables(
-        dim_country=dim_country,
-        dim_artist=_read_or_empty(spark, wh.dds("dim_artist"), DIM_ARTIST_SCHEMA),
-        dim_song=_read_or_empty(spark, wh.dds("dim_song"), DIM_SONG_SCHEMA),
+        dim_country=materialize(dim_country, DIM_COUNTRY_SCHEMA),
+        dim_artist=materialize(
+            _read_or_empty(spark, wh.dds("dim_artist"), DIM_ARTIST_SCHEMA), DIM_ARTIST_SCHEMA
+        ),
+        dim_song=materialize(
+            _read_or_empty(spark, wh.dds("dim_song"), DIM_SONG_SCHEMA), DIM_SONG_SCHEMA
+        ),
         fact=_read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA),
     )
 

@@ -35,6 +35,10 @@ class DdsTables:
     dim_artist: DataFrame
     dim_song: DataFrame
     fact: DataFrame
+    # Per-run appended deltas (None on a from-scratch build where delta ==
+    # full). The pipeline appends fact deltas and overwrites dims, so both
+    # views are returned explicitly rather than recomputed by anti-join.
+    new_fact: DataFrame | None = None
 
 
 def build_dds(
@@ -109,16 +113,23 @@ def build_dds(
     else:
         fact_src = ods_imputed.withColumn("join_duration", F.col("duration_imputed"))
 
+    song_side = dim_song.select(
+        "song_id",
+        F.col("song_name").alias("__song_name"),
+        F.col("duration_sec").alias("__song_duration"),
+    )
     joined = star_join(
         fact_src,
-        [
-            (dim_artist, "artist_name"),
-            (
-                dim_song.withColumnRenamed("duration_sec", "join_duration"),
-                ["song_name", "join_duration"],
-            ),
-        ],
+        [(dim_artist, "artist_name")],
     ).join(
+        # J2 composite key; null-safe on duration so an all-sentinel day
+        # (imputed duration NULL, FIXTURES.md A5.2) still reaches the fact —
+        # the engine's documented fix over the reference's row loss.
+        F.broadcast(song_side),
+        (F.col("song_name") == F.col("__song_name"))
+        & F.col("join_duration").eqNullSafe(F.col("__song_duration")),
+        "inner",
+    ).drop("__song_name", "__song_duration").join(
         # J3 has mismatched key names (dc.country_name = dr.country,
         # reference dags/from_ods_to_dds_pg.py:99) -> explicit join Column.
         F.broadcast(dim_country),
@@ -147,7 +158,13 @@ def build_dds(
     )
     fact = _union(ex_fact, new_fact)
 
-    return DdsTables(dim_country=dim_country, dim_artist=dim_artist, dim_song=dim_song, fact=fact)
+    return DdsTables(
+        dim_country=dim_country,
+        dim_artist=dim_artist,
+        dim_song=dim_song,
+        fact=fact,
+        new_fact=new_fact,
+    )
 
 
 def _union(existing: DataFrame | None, delta: DataFrame) -> DataFrame:

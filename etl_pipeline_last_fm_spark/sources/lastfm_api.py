@@ -67,15 +67,12 @@ def fetch_charts(
     Mirrors the reference loop (dags/raw_from_api_to_s3.py:33-55) but lands
     rows straight into a DataFrame instead of S3 strings.
     """
-    from etl_pipeline_last_fm_spark.schemas import RAW_SCHEMA
-
     fetch = fetch_fn or _default_fetch(api_key or "")
     rows = []
     for country in countries:
         doc = fetch(country)
         rows.append(Row(tracks=_tracks_struct(doc), ingest_date=str(ingest_date), country=country))
-    schema = RAW_SCHEMA.add("ingest_date", "string").add("country", "string")
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, _raw_plus_partition_schema())
 
 
 def fetch_charts_distributed(
@@ -91,10 +88,7 @@ def fetch_charts_distributed(
     HTTP round-trips — the scan parallelism scales with the shard count, and
     the driver never materializes payloads. ``fetch_fn`` must be picklable.
     """
-    from etl_pipeline_last_fm_spark.schemas import RAW_SCHEMA
-
     date_s = str(ingest_date)
-    schema = RAW_SCHEMA.add("ingest_date", "string").add("country", "string")
 
     def fetch_partition(it: Iterator[str]) -> Iterator[tuple]:
         for country in it:
@@ -102,7 +96,21 @@ def fetch_charts_distributed(
             yield (_tracks_struct(doc), date_s, country)
 
     rdd = spark.sparkContext.parallelize(countries, slices or min(len(countries), 64))
-    return spark.createDataFrame(rdd.mapPartitions(fetch_partition), schema)
+    return spark.createDataFrame(rdd.mapPartitions(fetch_partition), _raw_plus_partition_schema())
+
+
+def _raw_plus_partition_schema():
+    """RAW_SCHEMA + (ingest_date, country), built as a COPY — StructType.add
+    mutates in place, so extending the shared constant would corrupt it for
+    every later caller."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_pipeline_last_fm_spark.schemas import RAW_SCHEMA
+
+    return StructType(
+        list(RAW_SCHEMA.fields)
+        + [StructField("ingest_date", StringType()), StructField("country", StringType())]
+    )
 
 
 def _tracks_struct(doc: dict):

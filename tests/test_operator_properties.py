@@ -1,0 +1,120 @@
+"""Property-based operator laws (SURVEY.md §5.2 item 4):
+
+- idempotent_append: append twice ≡ append once (set semantics on keys)
+- first_writer_wins: deterministic minimum-by-tiebreaker per key group
+- assign_surrogate_keys: dense 1..N ids; incremental loads never renumber
+  previously assigned rows
+- impute: sentinel never survives when a non-sentinel partner exists in the
+  partition; all-sentinel partitions yield NULL
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins, idempotent_append
+from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
+from etl_pipeline_last_fm_spark.operators.surrogate import (
+    assign_surrogate_keys,
+    assign_surrogate_keys_distributed,
+)
+
+SETTINGS = dict(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(0, 3),  # subkey
+        st.text(alphabet="abcde", min_size=1, max_size=3),  # payload/tiebreak
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_append_twice_equals_once(spark, rows):
+    df = spark.createDataFrame(rows, "k int, s int, v string")
+    keys = ["k", "s"]
+    first = idempotent_append(df, None, keys, tiebreaker=["v"])
+    materialized = spark.createDataFrame(first.collect(), first.schema)
+    second = idempotent_append(df, materialized, keys, tiebreaker=["v"])
+    assert second.count() == 0
+    # keys of the first append = distinct keys of the batch
+    assert first.select(*keys).distinct().count() == first.count()
+    assert first.count() == df.select(*keys).distinct().count()
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_first_writer_wins_is_min_by_tiebreaker(spark, rows):
+    df = spark.createDataFrame(rows, "k int, s int, v string")
+    got = {(r.k, r.s): r.v for r in first_writer_wins(df, ["k", "s"], ["v"]).collect()}
+    want: dict = {}
+    for k, s, v in rows:
+        if (k, s) not in want or v < want[(k, s)]:
+            want[(k, s)] = v
+    assert got == want
+
+
+@given(rows=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_surrogate_keys_dense_and_stable(spark, rows):
+    uniq = sorted(set(rows))
+    cut = len(uniq) // 2
+    keyed1 = assign_surrogate_keys(
+        spark.createDataFrame([(v,) for v in uniq[:cut]], "name string"), "id", ["name"]
+    )
+    m1 = spark.createDataFrame(keyed1.collect(), "name string, id long")
+    keyed2 = assign_surrogate_keys(
+        spark.createDataFrame([(v,) for v in uniq[cut:]], "name string"), "id", ["name"], existing=m1
+    )
+    all_rows = {r.name: r.id for r in m1.collect()} | {r.name: r.id for r in keyed2.collect()}
+    # dense 1..N
+    assert sorted(all_rows.values()) == list(range(1, len(uniq) + 1))
+    # batch-1 ids unchanged by batch 2 (stability), and ordered by natural key
+    for i, v in enumerate(sorted(uniq[:cut]), start=1):
+        assert all_rows[v] == i
+
+
+def test_surrogate_distributed_matches_window(spark):
+    data = [(f"k{i:03d}", i % 7) for i in range(200)]
+    df = spark.createDataFrame(data, "name string, grp int").select("name").distinct()
+    a = {(r.name, r.id) for r in assign_surrogate_keys(df, "id", ["name"]).collect()}
+    b = {
+        (r.name, r.id)
+        for r in assign_surrogate_keys_distributed(df, "id", ["name"], num_partitions=8).collect()
+    }
+    assert a == b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (partition, value; 0 = sentinel)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_impute_laws(spark, rows):
+    df = spark.createDataFrame(rows, "p int, v int")
+    out = impute_zero_with_partition_mean(df, "v", ["p"], out_col="f").collect()
+    by_p: dict = {}
+    for p, v in rows:
+        by_p.setdefault(p, []).append(v)
+    for r in out:
+        nonzero = [v for v in by_p[r.p] if v != 0]
+        if r.v != 0:
+            assert r.f == r.v
+        elif nonzero:
+            import math
+
+            assert r.f == math.floor(sum(nonzero) / len(nonzero) + 0.5)
+        else:
+            assert r.f is None
