@@ -288,6 +288,19 @@ def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: array unnest — the reference's JSON flatten loop re-expressed
+    as explode (dags/transformed_from_s3_to_pg.py:33-40; the operators.flatten
+    path runs in the domain pipeline tests; this is the oracle-checked form
+    over testdata). posexplode also carries the element index (the rank
+    analogue)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "token"),
+    )
+
+
 def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 + LIMIT: global sort + top-n (TakeOrderedAndProject physical op —
     no full global sort materialization)."""
@@ -394,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_partition_agg": q_date_partition_agg,
         "mart_daily_appearances": q_mart_daily_appearances,
         "mart_daily_avg": q_mart_daily_avg,
+        "explode_tokens": q_explode_tokens,
         "order_limit": q_order_limit,
         # extensions
         "dedup_exact": q_dedup_exact,
@@ -542,6 +556,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    FLOOR(AVG(value) * 100.0 + 0.5) / 100.0 AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "explode_tokens": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                       FROM documents WHERE doc_id < 50)
+            SELECT doc_id, CAST(x.i AS INTEGER) AS pos, x.tok AS token
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(len(toks)),
+                                i -> struct_pack(i := i, tok := toks[i+1]))) AS x
+                  FROM t)
         """,
         "order_limit": """
             SELECT o_orderkey, o_custkey, o_totalprice

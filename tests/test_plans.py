@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4/§7.7
+promises must be visible in explain output, not just hoped for.
+
+If one of these starts failing after a refactor, the query still returns
+correct rows — but its 100 TB posture regressed. That is a bug here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+
+def formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= "1997-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # Column pruning: the scan must read only the 3 referenced columns.
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read and "l_discount" not in read
+
+
+def test_star_join_has_no_sort_merge_join(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_flagship_royalties(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_pricing_summary(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan or "Functions: [partial" in plan or "partial" in plan.lower()
+
+
+def test_windowed_top_k_uses_rank_limit_pushdown(spark, sf_dir):
+    """row_number + filter(<=k) must trigger WindowGroupLimit so each
+    shuffle partition keeps only k rows per group before the final window —
+    the property that makes the chart operator viable on billion-row groups."""
+    plan = formatted_plan(entrymod.q_windowed_top_k(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topn_avoids_full_sort(spark, sf_dir):
+    plan = formatted_plan(entrymod.q_order_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_in_core_queries(spark, sf_dir):
+    """Everything in the core inventory stays JVM-side (SURVEY.md §2.12
+    policy); Python appears only in the explicitly-pandas extension ops."""
+    for name in [
+        "flagship_royalties",
+        "pricing_summary",
+        "case_impute",
+        "windowed_top_k",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_bruteforce",
+        "text_quality",
+        "lang_id",
+    ]:
+        plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
