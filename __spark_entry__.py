@@ -367,6 +367,17 @@ def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.brute_force_topk(emb, n_queries=10, k=5)
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF: 16 centroids, probe 4 -> each query scores ~1/4 of the corpus.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
+
+
+def q_dedup_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.fingerprint_overlap_pairs(docs, min_shared=5)
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 planes -> 64 buckets for a 500-vector corpus (~8 occupants each):
     # enough collisions for meaningful approximate neighbors. Scale the plane
@@ -420,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "multimodal_meta": q_multimodal_meta,
     }
@@ -578,9 +591,11 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
         """,
-        "token_count": """
+        "token_count": r"""
             SELECT doc_id,
                    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]'))
+                        AS BIGINT) AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_computed
             FROM documents
         """,

@@ -31,10 +31,15 @@ from etl_pipeline_last_fm_spark.functions.scalar import cosine_similarity_expr, 
 
 
 def _distinct_words(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    # explode-then-distinct, NOT explode(array_distinct(...)): a computed
+    # array as generator input gets re-evaluated per emitted row under
+    # whole-stage codegen — keep generator inputs cheap and dedupe
+    # relationally (the distinct is a shuffle that scales; the re-evaluation
+    # doesn't).
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("w"),
-    )
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("w"),
+    ).distinct()
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -90,12 +95,36 @@ def word_jaccard_pairs(
 
 
 def _shingles(text_col: str, shingle_len: int) -> Column:
-    """Word n-gram shingles as a distinct array<string>, pure expression."""
+    """Word n-gram shingles as a distinct array<string>, pure expression.
+
+    Use only where the array is CONSUMED as an array (set intersection in
+    candidate verification); never as generator input — see _shingle_rows."""
     return F.expr(
         f"""array_distinct(transform(
                 sequence(0, greatest(size(split(trim({text_col}), ' ')) - {shingle_len}, 0)),
                 i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i + 1, {shingle_len}))
             ))"""
+    )
+
+
+def _shingle_hash_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
+    """(doc_id, h) rows: one row per shingle position, h = xxhash64 of the
+    shingle folded into [0, 2^31-1). The generator input is a plain integer
+    sequence (cheap to re-evaluate); the shingle string and its hash are
+    per-row scalar expressions. MinHash is multiset-insensitive, so no
+    distinct is needed."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(sequence(0, greatest(size(split(trim(text), ' ')) - {shingle_len}, 0)))"
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"pmod(xxhash64(concat_ws(' ', slice(split(trim(text), ' '), i + 1, {shingle_len}))),"
+            f" {_MERSENNE_P}L)"
+        ).alias("h"),
     )
 
 
@@ -116,29 +145,26 @@ def _cw_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
 
 
 def minhash_signature(docs: DataFrame, shingle_len: int = 3, num_hashes: int = 32) -> DataFrame:
-    """doc_id, shingles, sig: minhash via one xxhash64 per shingle + cheap
-    modular permutations.
+    """(doc_id, sig): MinHash as a relational aggregation.
 
-    Each shingle string is hashed ONCE (xxhash64, JVM intrinsic), folded into
-    [0, 2^31-1), then each of the ``num_hashes`` permutations is two integer
-    ops: sig[j] = min over shingles of (a_j * h + b_j) mod p. This is ~H x
-    cheaper than re-hashing strings per permutation and stays a narrow map
-    stage — no shuffle, no Python.
+    Each shingle string is hashed ONCE (xxhash64, JVM intrinsic) into a
+    (doc_id, h) row; the signature is ``num_hashes`` MIN aggregates of
+    Carter-Wegman permutations (a_j * h + b_j) mod p — two integer ops each,
+    products < 2^62 so ANSI-safe. The groupBy materializes the signature in
+    the aggregation buffer (vectorized partial+final hash agg, one shuffle on
+    doc_id), which also means downstream banding reads a cheap materialized
+    array instead of re-evaluating nested lambdas per generated row.
     """
     a, b = _cw_params(num_hashes)
-    a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
-    b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
-    sig = F.expr(
-        f"""transform(sequence(0, {num_hashes - 1}),
-                      j -> array_min(transform(hvals,
-                             h -> pmod(element_at({a_lit}, j + 1) * h
-                                       + element_at({b_lit}, j + 1), {_MERSENNE_P}L))))"""
-    )
+    mins = [
+        F.min(F.expr(f"pmod({a[j]}L * h + {b[j]}L, {_MERSENNE_P}L)")).alias(f"__s{j}")
+        for j in range(num_hashes)
+    ]
     return (
-        docs.select("doc_id", _shingles("text", shingle_len).alias("shingles"))
-        .withColumn("hvals", F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE_P}L))"))
-        .withColumn("sig", sig)
-        .drop("hvals")
+        _shingle_hash_rows(docs, shingle_len)
+        .groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -158,9 +184,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signature(docs, shingle_len, num_hashes).cache()
 
-    band_rows = sigs.select(
+    # Bands straight from the signature — the wide shingle array is dropped
+    # before anything shuffles, so only (doc_id, band, bkey) rows move.
+    band_rows = minhash_signature(docs, shingle_len, num_hashes).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -184,8 +211,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact verification only re-tokenizes CANDIDATE docs (semi-join first):
+    # verification cost scales with duplicate density, not corpus size.
+    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    cand_shingles = cand_docs.select("doc_id", _shingles("text", shingle_len).alias("shingles"))
+    sh_a = cand_shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = cand_shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -199,28 +233,30 @@ def minhash_lsh_pairs(
 
 
 def simhash_signature(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over tokens: bit j of the signature is the sign of
-    sum over tokens of ±1 according to bit j of xxhash64(token).
-
-    Each token is hashed ONCE; the 64 bit-sums then read bits off the cached
-    hash array — 64x fewer string hashes than the naive form."""
-    sim = F.expr(
-        """aggregate(
-               transform(sequence(0, 63),
-                         j -> CASE WHEN aggregate(
-                                       thash, 0L,
-                                       (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1
-                                                              THEN 1L ELSE -1L END) > 0
-                                   THEN shiftleft(1L, j) ELSE 0L END),
-               0L, (acc, b) -> acc | b)"""
-    )
-    return (
-        docs.select(
-            "doc_id",
-            F.expr("transform(split(trim(text), ' '), t -> xxhash64(t))").alias("thash"),
+    """64-bit SimHash over tokens, as a relational aggregation: one
+    (doc_id, token-hash) row per token (token hashed once), then 64
+    conditional-SUM aggregates (bit j balance = sum of ±1 by bit j of the
+    hash) folded into the signature long. Partial+final hash agg — one
+    shuffle on doc_id, no per-row nested lambdas."""
+    tok_rows = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"__b{j}")
+        for j in range(64)
+    ]
+    bits = [
+        F.when(F.col(f"__b{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .select("doc_id", sim.alias("simhash"))
-    )
+        for j in range(64)
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim.bitwiseOR(b)
+    return tok_rows.groupBy("doc_id").agg(*sums).select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:

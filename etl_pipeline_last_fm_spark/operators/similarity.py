@@ -100,6 +100,113 @@ def lsh_buckets(
     return v.withColumn("bucket", lsh_bucket_expr(F.col("e"), planes))
 
 
+def _dot_literal(vec: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample_limit: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-side Lloyd's k-means over a deterministic sample (ordered by id,
+    capped). The centroid table is tiny by construction — it is about to be
+    broadcast as literals — so training it on a bounded sample on the driver
+    is the scale-correct move; only the *assignment* must be distributed."""
+    import numpy as np
+
+    sample = (
+        emb.orderBy(id_col).limit(sample_limit).select(vec_col).collect()
+    )
+    x = np.array([list(r[0]) for r in sample], dtype="float64")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids.tolist()
+
+
+def ivf_assign(v: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure expression: argmax over broadcast
+    centroid dot products (vectors need not be normalized for ranking when
+    centroids are unit-norm and only relative order matters per row? No —
+    the row norm is constant across centroids, so argmax of raw dots equals
+    argmax of cosine. This stays inside codegen.)"""
+    dots = F.array(*[_dot_literal(v, c) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are bucketed by nearest centroid (a map,
+    no shuffle); each query probes its ``nprobe`` nearest centroid lists.
+
+    The probe join is equi- on the centroid id, so per-query work is
+    ~(nprobe/n_centroids) of the corpus — the standard IVF trade: recall
+    grows with nprobe, cost grows linearly with it."""
+    centroids = kmeans_centroids(emb, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    corpus = v.withColumn("cluster", ivf_assign(F.col("e"), centroids))
+
+    # Each query expands to its nprobe nearest centroids.
+    q = v.filter(F.col("id") < n_queries).select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
+    cdots = F.array(*[_dot_literal(F.col("qe"), c) for c in centroids])
+    # Sort centroid indices by dot desc (negated field sorts ascending),
+    # ties by index — struct array_sort compares field by field.
+    probe_rank = F.expr(
+        "transform(array_sort(transform(cd, (x, i) -> struct(-x AS negdot, i AS idx))),"
+        " s -> s.idx)"
+    )
+    q = (
+        q.withColumn("cd", cdots)
+        .withColumn("probes", F.slice(probe_rank, 1, nprobe))
+        .select("q_id", "qe", F.explode("probes").alias("cluster"))
+        .withColumn("cluster", F.col("cluster").cast("int"))
+    )
+
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .filter(F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("cand_id"),
+            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+        )
+        .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("sim_exact") * 1e6 + F.lit(0.5)).desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "cand_id", "sim", "rnk")
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_queries: int = 10,

@@ -43,12 +43,80 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs (<=3, GPT-style) /
+# single punctuation. Only portable regex constructs (char classes,
+# bounded quantifiers) so Java (Spark) and RE2-ish (DuckDB) agree.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + char count, the cheapest corpus statistics."""
+    """Whitespace + BPE-ish-regex token counts and char count — the cheap
+    corpus statistics every training-data pipeline computes first."""
     return docs.select(
         "doc_id",
         F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+def rolling_fingerprint_rows(docs: DataFrame, k: int = 16, window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every k-char
+    gram (rolling-hash family), keep each sliding window's minimum, dedupe.
+    Returns distinct (doc_id, fp) rows.
+
+    Relational formulation built for both scale and codegen: the generator
+    input is a plain integer sequence (cheap — computed arrays as generator
+    inputs get re-evaluated per emitted row under whole-stage codegen), the
+    gram hash is a per-row scalar, and the sliding minimum is a window
+    aggregate over (doc_id, pos). One shuffle on doc_id."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        "doc_id",
+        F.expr(f"explode(sequence(1, greatest(length(text) - {k} + 1, 1)))").alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"xxhash64(substring(text, pos, {k}))").alias("gh"),
+        F.greatest(F.length("text") - F.lit(k - 1), F.lit(1)).alias("__ng"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("__wmin", F.min("gh").over(w))
+        # Only full windows (plus the single partial window of a too-short
+        # doc) — mirrors winnowing's window count of max(G - w + 1, 1).
+        .filter(F.col("pos") <= F.greatest(F.col("__ng") - F.lit(window - 1), F.lit(1)))
+        .select("doc_id", F.col("__wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def rolling_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataFrame:
+    """(doc_id, fingerprints array) view of rolling_fingerprint_rows."""
+    return (
+        rolling_fingerprint_rows(docs, k, window)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("fp")).alias("fingerprints"))
+    )
+
+
+def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 5, k: int = 16, window: int = 8) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnowing fingerprints
+    (equi-join on the fingerprint — shared fingerprints localize common
+    passages, so the join output is proportional to actual overlap,
+    near-linear for a mostly-unique corpus)."""
+    fps = rolling_fingerprint_rows(docs, k, window)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 
