@@ -288,6 +288,43 @@ def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COUNT(col) null-skipping semantics: order count per
+    customer including order-less customers (capability beyond the
+    reference's inner-only joins, §2.4)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one 1997 order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders_1997 = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    return customer.join(
+        orders_1997, customer.c_custkey == orders_1997.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with subtotals + grand total (engine capability
+    beyond the reference's flat GROUP BYs, §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            half_up_round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2: array unnest — the reference's JSON flatten loop re-expressed
     as explode (dags/transformed_from_s3_to_pg.py:33-40; the operators.flatten
@@ -420,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mart_daily_avg": q_mart_daily_avg,
         "explode_tokens": q_explode_tokens,
         "order_limit": q_order_limit,
+        "outer_join_agg": q_outer_join_agg,
+        "semi_join": q_semi_join,
+        "rollup_agg": q_rollup_agg,
         # extensions
         "dedup_exact": q_dedup_exact,
         "text_fingerprint": q_text_fingerprint,
@@ -582,6 +622,24 @@ def oracle_sql() -> dict[str, str]:
         "order_limit": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "outer_join_agg": """
+            SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         # extensions (SQL-expressible subset)
         "dedup_exact": """

@@ -59,6 +59,63 @@ def _fake_features(content: bytes) -> list[float]:
     return rng.standard_normal(FEATURE_DIM).astype("float32").tolist()
 
 
+def resize(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize stub: same schema out as in, meta.width/height updated.
+
+    The Spark plumbing (Arrow batches of binary + nested meta struct through
+    mapInPandas, declared output schema) is real; the codec call is the stub.
+    With ``fake=True`` the 'resized' content is a deterministic digest-seeded
+    byte string of length width*height — stable across executors/retries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            out_content = []
+            for c in pdf["content"]:
+                seed = hashlib.sha256(bytes(c) + f"|{width}x{height}".encode()).digest()
+                reps = (width * height) // len(seed) + 1
+                out_content.append((seed * reps)[: width * height])
+            meta = [
+                {**(m if isinstance(m, dict) else m.asDict() if hasattr(m, "asDict") else dict(m)),
+                 "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": out_content, "meta": meta}
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
+    """Frame sampling stub: one input 'video' -> n_frames output rows
+    (media_id, frame_idx, frame) — the flatMap-shaped UDTF pattern through
+    mapInPandas (output row count independent of input row count)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires codec libraries not present in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(hashlib.sha256(bytes(c) + f"|frame{i}".encode()).digest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; the one legitimate
     Python hop). With ``fake=False`` this raises NotImplementedError at
