@@ -288,6 +288,15 @@ def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag/flag/cumsum/aggregate window pipeline;
+    streaming-stateful twin in streaming/sessions.py)."""
+    from etl_pipeline_last_fm_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)
+
+
 def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join + COUNT(col) null-skipping semantics: order count per
     customer including order-less customers (capability beyond the
@@ -460,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_agg": q_outer_join_agg,
         "semi_join": q_semi_join,
         "rollup_agg": q_rollup_agg,
+        "sessionize": q_sessionize,
         # extensions
         "dedup_exact": q_dedup_exact,
         "text_fingerprint": q_text_fingerprint,
@@ -492,6 +502,7 @@ _STAR_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from etl_pipeline_last_fm_spark.operators.sessions import sessionize_oracle_sql
     from etl_pipeline_last_fm_spark.operators.text import (
         EN_STOPWORDS,
         LANG_STOPWORDS,
@@ -641,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "sessionize": sessionize_oracle_sql(30),
         # extensions (SQL-expressible subset)
         "dedup_exact": """
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -28,6 +28,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_bruteforce",
     "dedup_minhash_lsh",
+    "sessionize",
 ]
 
 
@@ -40,8 +41,16 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # warmup: JVM + parquet footer caches
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warmup: run each headline query once at the smallest SF so JVM JIT,
+    # whole-stage-codegen compilation and Catalyst rule caches are hot; the
+    # timed runs at the target SF then measure the engine, not the compiler.
+    # (Different directory -> parquet data IO at the target SF is NOT warmed.)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).count()
+    else:
+        spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
