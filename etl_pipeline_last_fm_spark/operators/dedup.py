@@ -279,6 +279,62 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     )
 
 
+def simhash_near_dups_blocked(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Scale path for SimHash near-dups: pigeonhole blocking.
+
+    Split the 64-bit signature into (max_hamming + 1) chunks — any pair
+    within ``max_hamming`` bit flips must agree exactly on at least one
+    chunk — so candidates come from equi-joins on (chunk_idx, chunk_value)
+    instead of a cross-join, then pay the exact Hamming check. Same output
+    as simhash_near_dups for the same threshold. Practical for small
+    thresholds (chunks of >= 16 bits block well); the pairwise form remains
+    for loose thresholds on bounded corpora."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sigs = simhash_signature(docs)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.expr(f"shiftright(simhash, {i * width}) & {(1 << width) - 1}L").alias(
+                            "cv"
+                        ),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

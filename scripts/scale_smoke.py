@@ -1,0 +1,102 @@
+"""Scale-stress smoke: run the near-dup / sessionization operators on a
+synthetic corpus ~10x the largest fixture and check wall-clock grows
+near-linearly (no quadratic candidate blowups).
+
+Not part of the default pytest run (takes minutes):
+    python scripts/scale_smoke.py [n_docs] [n_events]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.dedup import minhash_lsh_pairs, simhash_signature
+from etl_pipeline_last_fm_spark.operators.sessions import sessionize
+from etl_pipeline_last_fm_spark.operators.text import rolling_fingerprint_rows
+from etl_pipeline_last_fm_spark.session import get_spark
+
+
+def synth_docs(spark, n: int):
+    """Deterministic word-soup docs (plus planted near-dup pairs every 500)."""
+    words = F.array(*[F.lit(w) for w in (
+        "spark query join filter group sort merge window hash scan table row "
+        "batch stream key value fast slow big small data line customer order part"
+    ).split()])
+    base = (
+        spark.range(n)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(50) + F.pmod(F.xxhash64("id"), F.lit(30)).cast("int")),
+                    lambda i: F.element_at(
+                        words, (F.pmod(F.xxhash64(F.col("id"), i), F.size(words)) + 1).cast("int")
+                    ),
+                ),
+            ),
+        )
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    dups = (
+        base.filter(F.pmod(F.col("doc_id"), F.lit(500)) == 0)
+        .select((F.col("doc_id") + n).alias("doc_id"), "text")
+    )
+    return base.unionByName(dups)
+
+
+def synth_events(spark, n: int):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000) + F.col("id") * 47_000_000
+                 + F.pmod(F.xxhash64("id"), F.lit(40_000_000))).cast("long")
+            ).alias("ts"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(2000)).alias("user_id"),
+            (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(10_000)) / 100.0).alias("value"),
+        )
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    spark = get_spark(app_name="scale-smoke")
+
+    docs = synth_docs(spark, n_docs)
+    docs.count()  # materialize-once baseline for fair timing
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs).count()
+    t_minhash = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_fp = rolling_fingerprint_rows(docs).count()
+    t_winnow = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_sig = simhash_signature(docs).count()
+    t_simhash = time.perf_counter() - t0
+
+    ev = synth_events(spark, n_events)
+    t0 = time.perf_counter()
+    n_sess = sessionize(ev).count()
+    t_sess = time.perf_counter() - t0
+
+    print(
+        f"docs={n_docs}: minhash {t_minhash:.1f}s ({pairs} pairs), "
+        f"winnow {t_winnow:.1f}s ({n_fp} fps), simhash {t_simhash:.1f}s ({n_sig} sigs); "
+        f"events={n_events}: sessionize {t_sess:.1f}s ({n_sess} sessions)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,28 @@ def test_global_topn_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_partition_pruning_on_warehouse_tables(spark, sf_dir, tmp_path):
+    """Date filters on date-partitioned warehouse tables must prune
+    directories (PartitionFilters), not scan-and-filter — the property that
+    keeps daily jobs O(day) when the table is years of history."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-15")
+    plan = formatted_plan(df)
+    scan = "\n".join(l for l in plan.splitlines() if "Partition" in l or "Scan" in l)
+    assert "PartitionFilters" in plan and "2024-01-15" in scan
+    # Exactly one partition read out of ~30.
+    import re
+
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:  # wording varies by version; the filter presence is the hard assert
+        assert int(m.group(1)) == 1
+
+
 def test_no_python_udfs_in_core_queries(spark, sf_dir):
     """Everything in the core inventory stays JVM-side (SURVEY.md §2.12
     policy); Python appears only in the explicitly-pandas extension ops."""
