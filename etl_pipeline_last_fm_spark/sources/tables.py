@@ -27,8 +27,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     unless nanos are surfaced as long — so that conf is enabled here and the
     ``ts`` column is normalized back to a (microsecond) timestamp, keeping
     every downstream expression engine-portable."""
-    # Runtime-settable SQL conf; required before the scan is analyzed.
+    # Runtime-settable SQL confs; required before the scan is analyzed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The rebuilt events.ts below is an instant; rendering (date_format etc.)
+    # must agree with the timezone-naive DuckDB oracle regardless of the
+    # caller session's default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # Integer div (not /1000.0): double rounding at 1e18 ns would shift
