@@ -187,6 +187,9 @@ def minhash_lsh_pairs(
 
     # Bands straight from the signature — the wide shingle array is dropped
     # before anything shuffles, so only (doc_id, band, bkey) rows move.
+    # Deliberately NOT cached: the self-join recomputes the signature
+    # lineage twice, but measured cold-run cost of cache materialization
+    # (InMemoryRelation build blocks the pipeline) exceeds the recompute.
     band_rows = minhash_signature(docs, shingle_len, num_hashes).select(
         "doc_id",
         F.explode(

@@ -57,7 +57,7 @@ def read_raw_chart(
     return df
 
 
-def write_raw_chart(df: DataFrame, raw_root: str, pretty_equivalent: bool = False) -> None:
+def write_raw_chart(df: DataFrame, raw_root: str) -> None:
     """Land raw chart documents partitioned by (ingest_date, country).
 
     ``mode("overwrite")`` + dynamic partition overwrite replicates the
