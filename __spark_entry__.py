@@ -288,6 +288,30 @@ def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation two-phase aggregate — result-identical to a plain
+    GROUP BY, which is exactly what the oracle checks (operators/skew.py)."""
+    from etl_pipeline_last_fm_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "value"),
+            "total_value": ("sum", "value"),
+            "mean_value": ("avg", "value"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events"),
+        half_up_round(F.col("total_value"), 2).alias("total_value"),
+        half_up_round(F.col("mean_value"), 4).alias("mean_value"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag/flag/cumsum/aggregate window pipeline;
     streaming-stateful twin in streaming/sessions.py)."""
@@ -470,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "rollup_agg": q_rollup_agg,
         "sessionize": q_sessionize,
+        "salted_agg": q_salted_agg,
         # extensions
         "dedup_exact": q_dedup_exact,
         "text_fingerprint": q_text_fingerprint,
@@ -653,6 +678,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "sessionize": sessionize_oracle_sql(30),
+        "salted_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value,
+                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS mean_value
+            FROM events GROUP BY event_type
+        """,
         # extensions (SQL-expressible subset)
         "dedup_exact": """
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -338,14 +338,45 @@ def simhash_near_dups_blocked(docs: DataFrame, max_hamming: int = 3) -> DataFram
     )
 
 
+def embedding_near_dups_blocked(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dups: hyperplane-LSH blocking.
+
+    Only same-bucket pairs are scored (equi-join on the bucket id), so work
+    scales with bucket occupancy instead of corpus². Approximate: a true
+    near-dup pair split by a hyperplane is missed with probability ~
+    1-(1-theta/pi)^n_planes for angle theta — tiny for genuinely
+    near-duplicate vectors (theta -> 0), which is exactly the dedup regime."""
+    from etl_pipeline_last_fm_spark.operators.similarity import lsh_buckets
+
+    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed)
+    a = bucketed.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"), "bucket")
+    sim = cosine_similarity_expr(F.col("e_a"), F.col("e_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= F.lit(threshold))
+        .select("id_a", "id_b", half_up_round(F.col("sim_raw"), 4).alias("sim"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine similarity (pairwise; compose
-    with similarity.lsh_buckets for the blocked scale path)."""
+    """Near-duplicate pairs by embedding cosine similarity (exact pairwise —
+    bounded corpora / candidate verification; embedding_near_dups_blocked is
+    the scale path)."""
     v = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
