@@ -17,7 +17,15 @@ Spark and DuckDB regardless of each engine's ROUND tie behavior.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Self-locate: the driver may load this file by path (importlib from file)
+# from any cwd; the engine package lives next to it.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
