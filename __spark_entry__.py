@@ -296,6 +296,57 @@ def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of 2 dims)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube("event_type", F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"),
+        half_up_round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable pivot form):
+    per-day average value of each event type as columns."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    def avg_of(t: str) -> Column:
+        return half_up_round(F.avg(F.when(F.col("event_type") == t, F.col("value"))), 2)
+
+    return ev.groupBy("day").agg(
+        avg_of("click").alias("avg_click"),
+        avg_of("view").alias("avg_view"),
+        avg_of("purchase").alias("avg_purchase"),
+        avg_of("signup").alias("avg_signup"),
+        avg_of("error").alias("avg_error"),
+    )
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag navigation windows: per-user inter-event gap in seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    next_id = F.lead("event_id").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor((F.unix_micros(F.col("ts")) - prev_us) / F.lit(1_000_000)).alias("gap_sec"),
+        next_id.alias("next_event_id"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous percentiles (median / p90) per event type — Spark
+    percentile() and DuckDB quantile_cont share linear interpolation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        half_up_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        half_up_round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation two-phase aggregate — result-identical to a plain
     GROUP BY, which is exactly what the oracle checks (operators/skew.py)."""
@@ -503,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "sessionize": q_sessionize,
         "salted_agg": q_salted_agg,
+        "cube_agg": q_cube_agg,
+        "pivot_conditional": q_pivot_conditional,
+        "lead_lag": q_lead_lag,
+        "percentiles": q_percentiles,
         # extensions
         "dedup_exact": q_dedup_exact,
         "text_fingerprint": q_text_fingerprint,
@@ -690,6 +745,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value,
                    FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS mean_value
+            FROM events GROUP BY event_type
+        """,
+        "cube_agg": """
+            SELECT event_type, strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
+                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+            FROM events
+            GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+        """,
+        "pivot_conditional": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,
+                   FLOOR(AVG(CASE WHEN event_type = 'view'     THEN value END) * 100.0 + 0.5) / 100.0 AS avg_view,
+                   FLOOR(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 100.0 + 0.5) / 100.0 AS avg_purchase,
+                   FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
+                   FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
+            FROM events GROUP BY 1
+        """,
+        "lead_lag": """
+            SELECT event_id, user_id,
+                   CAST(FLOOR((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS BIGINT)
+                       AS gap_sec,
+                   lead(event_id) OVER w AS next_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   FLOOR(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+                   FLOOR(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
             FROM events GROUP BY event_type
         """,
         # extensions (SQL-expressible subset)
