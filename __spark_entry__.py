@@ -323,6 +323,26 @@ def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``groupBy().pivot()`` — the idiomatic Spark pivot surface.
+    Values are enumerated explicitly: with an explicit list Spark skips the
+    extra distinct-values job AND the output column set is deterministic
+    (schema stability is part of the driver contract). Same result as
+    q_pivot_conditional; Catalyst compiles both to one aggregate."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = (
+        ev.groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(half_up_round(F.avg("value"), 2))
+    )
+    return out.select(
+        "day",
+        *[F.col(t).alias(f"avg_{t}") for t in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
 def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag navigation windows: per-user inter-event gap in seconds."""
     ev = load_table(spark, sf_dir, "events")
@@ -487,8 +507,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked (pigeonhole) form — the scale path: candidates come from
+    # equi-joined 16-bit signature chunks, not a cross join. max_hamming=3
+    # (4 chunks x 16 bits) is the regime where chunk blocking is selective;
+    # output-equal to the pairwise form (tests/test_dedup_blocked.py).
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_dups(docs, max_hamming=12)
+    return dedup_ops.simhash_near_dups_blocked(docs, max_hamming=3)
 
 
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,9 +540,19 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture embeddings are near-random (max pairwise cosine ~0.51), so
-    # a production dedup threshold (0.95) would make the check vacuous; 0.4
-    # exercises the operator's filter+round path with non-empty output.
+    # Blocked (hyperplane-LSH) form — the scale path: only same-bucket pairs
+    # are scored, so work follows bucket occupancy, not corpus². The fixture
+    # embeddings are near-random (max pairwise cosine ~0.51), so a production
+    # dedup threshold (0.95) would make the check vacuous; 0.4 exercises the
+    # filter+round path with non-empty output. Oracle-paired: the planes are
+    # seed-deterministic literals, reproduced verbatim in the DuckDB SQL.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_near_dups_blocked(emb, threshold=0.4, n_planes=6)
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact pairwise cosine — the verification/baseline path (bounded
+    # corpora); the blocked form above is what runs at scale.
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup_ops.embedding_near_dups(emb, threshold=0.4)
 
@@ -556,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "cube_agg": q_cube_agg,
         "pivot_conditional": q_pivot_conditional,
+        "pivot_native": q_pivot_native,
         "lead_lag": q_lead_lag,
         "percentiles": q_percentiles,
         # extensions
@@ -572,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -590,7 +626,13 @@ _STAR_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from etl_pipeline_last_fm_spark.operators.dedup import (
+        embedding_near_dups_blocked_oracle_sql,
+        embedding_near_dups_oracle_sql,
+        minhash_lsh_pairs_oracle_sql,
+    )
     from etl_pipeline_last_fm_spark.operators.sessions import sessionize_oracle_sql
+    from etl_pipeline_last_fm_spark.operators.similarity import lsh_ann_topk_oracle_sql
     from etl_pipeline_last_fm_spark.operators.text import (
         EN_STOPWORDS,
         LANG_STOPWORDS,
@@ -841,7 +883,26 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
-        # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash, sim_ann_lsh,
-        # embedding_cosine_dedup — hash-function/plane choices are not
-        # reproducible in portable ANSI SQL.
+        # LSH-family oracles: minhash via the exact-Jaccard truth set (LSH
+        # recall is 1.0 on this corpus — see minhash_lsh_pairs_oracle_sql
+        # docstring); hyperplane buckets via seed-deterministic plane
+        # literals baked into the SQL.
+        "dedup_minhash_lsh": minhash_lsh_pairs_oracle_sql(shingle_len=3, verify_threshold=0.5),
+        "embedding_cosine_dedup": embedding_near_dups_blocked_oracle_sql(
+            threshold=0.4, n_planes=6
+        ),
+        "embedding_cosine_pairs": embedding_near_dups_oracle_sql(threshold=0.4),
+        "sim_ann_lsh": lsh_ann_topk_oracle_sql(n_queries=10, k=5, n_planes=6),
+        "pivot_native": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,
+                   FLOOR(AVG(CASE WHEN event_type = 'view'     THEN value END) * 100.0 + 0.5) / 100.0 AS avg_view,
+                   FLOOR(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 100.0 + 0.5) / 100.0 AS avg_purchase,
+                   FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
+                   FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
+            FROM events GROUP BY 1
+        """,
+        # still rows-only: dedup_simhash, dedup_rolling_fp (xxhash64-based
+        # signatures — the hash itself has no DuckDB equivalent), sim_ann_ivf
+        # (centroids are trained from data at runtime, not a static literal).
     }

@@ -1,10 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line for the driver.
 
-Times are wall-clock per query over a warmed session (one untimed warmup of a
-trivial action to absorb JVM/codegen startup), action = count() over the
-query result (forces full execution without driver-side materialization of
-wide rows)."""
+Protocol: steady-state measurement. Each query gets one untimed warm run at
+the TARGET scale factor (absorbs JVM JIT, whole-stage-codegen compilation,
+AQE plan adaptation and OS page cache for the input files), then one timed
+run. The timed action is a write to the ``noop`` sink — every output row is
+fully produced and handed to the data source (unlike ``count()``, where
+Catalyst prunes final projection expressions a real consumer would pay for).
+"""
 
 from __future__ import annotations
 
@@ -18,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_pipeline_last_fm_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per physical-plan family (agg-only, star join+agg,
-# window top-k, anti-join, shingle self-join, vector scoring).
+# window top-k, anti-join, shingle LSH, vector scoring).
 HEADLINE = [
     "pricing_summary",
     "flagship_royalties",
@@ -32,6 +35,11 @@ HEADLINE = [
 ]
 
 
+def _run(df) -> None:
+    """Force full execution of every output row (noop data source sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -41,21 +49,11 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Warmup: run each headline query once at the smallest SF so JVM JIT,
-    # whole-stage-codegen compilation and Catalyst rule caches are hot; the
-    # timed runs at the target SF then measure the engine, not the compiler.
-    # (Different directory -> parquet data IO at the target SF is NOT warmed.)
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in HEADLINE:
-            qs[name](spark, warm_dir).count()
-    else:
-        spark.range(1000).selectExpr("sum(id)").collect()
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        _run(qs[name](spark, sf_dir))  # untimed warm run at target SF
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        _run(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

