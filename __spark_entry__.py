@@ -539,6 +539,15 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6)
 
 
+def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-probe LSH: each query also probes the n_planes buckets one sign
+    # flip away — recall recovers most of what single-bucket LSH loses on
+    # this near-random corpus at ~(n_planes+1)/2^n_planes of brute-force
+    # cost. Oracle: the probe set collapses to a Hamming-ball predicate.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6, probe_flips=1)
+
+
 def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked (hyperplane-LSH) form — the scale path: only same-bucket pairs
     # are scored, so work follows bucket occupancy, not corpus². The fixture
@@ -604,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_bruteforce": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
@@ -893,6 +903,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_cosine_pairs": embedding_near_dups_oracle_sql(threshold=0.4),
         "sim_ann_lsh": lsh_ann_topk_oracle_sql(n_queries=10, k=5, n_planes=6),
+        "sim_ann_lsh_multiprobe": lsh_ann_topk_oracle_sql(
+            n_queries=10, k=5, n_planes=6, probe_flips=1
+        ),
         "pivot_native": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,

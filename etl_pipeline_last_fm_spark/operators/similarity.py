@@ -125,10 +125,22 @@ def lsh_bucket_oracle_expr(vec_expr: str, planes: list[list[float]]) -> str:
 
 
 def lsh_ann_topk_oracle_sql(
-    n_queries: int = 10, k: int = 5, n_planes: int = 12, dim: int = 64, seed: int = 42
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 12,
+    probe_flips: int = 0,
+    dim: int = 64,
+    seed: int = 42,
 ) -> str:
-    """DuckDB twin of lsh_ann_topk (same planes via the shared seed)."""
+    """DuckDB twin of lsh_ann_topk (same planes via the shared seed). The
+    multi-probe bucket expansion collapses to a Hamming-ball join predicate:
+    candidate buckets within ``probe_flips`` sign flips of the query's."""
     bucket = lsh_bucket_oracle_expr("e", hyperplanes(dim, n_planes, seed))
+    join_cond = (
+        "q.bucket = bk.bucket"
+        if not probe_flips
+        else f"bit_count(xor(q.bucket, bk.bucket)) <= {probe_flips}"
+    )
     return f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              bk AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
@@ -138,7 +150,7 @@ def lsh_ann_topk_oracle_sql(
                         list_dot_product(q.qe, bk.e)
                           / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(bk.e, bk.e)))
                           AS sim
-                 FROM q JOIN bk ON q.bucket = bk.bucket AND bk.vec_id <> q.q_id
+                 FROM q JOIN bk ON {join_cond} AND bk.vec_id <> q.q_id
              ),
              ranked AS (
                  SELECT q_id, cand_id,
@@ -258,6 +270,7 @@ def lsh_ann_topk(
     n_queries: int = 10,
     k: int = 5,
     n_planes: int = 12,
+    probe_flips: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -265,13 +278,31 @@ def lsh_ann_topk(
     """Approximate top-k: score only same-bucket candidates.
 
     Recall depends on n_planes vs corpus size (fewer planes = bigger buckets
-    = higher recall & cost). Tested against brute_force_topk for recall in
-    tests/test_similarity.py.
+    = higher recall & cost). ``probe_flips`` enables multi-probe LSH: each
+    query additionally probes every bucket whose signature differs by up to
+    that many bits (near-miss neighbors most often sit just across one
+    hyperplane). The query side explodes to sum(C(n_planes, f)) probe rows —
+    the candidate join stays equi- on the bucket id, so the scale shape is
+    unchanged; cost and recall both grow with the probe count. Tested
+    against brute_force_topk for recall in tests/test_similarity.py.
     """
     bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed)
     q = bucketed.filter(F.col("id") < n_queries).select(
         F.col("id").alias("q_id"), F.col("e").alias("qe"), "bucket"
     )
+    if probe_flips:
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << i for i in bits)
+            for f in range(1, probe_flips + 1)
+            for bits in combinations(range(n_planes), f)
+        ]
+        q = q.select(
+            "q_id",
+            "qe",
+            F.explode(F.array(*[F.expr(f"bucket ^ {m}") for m in masks])).alias("bucket"),
+        )
     scored = (
         bucketed.join(F.broadcast(q), on=["bucket"])
         .filter(F.col("id") != F.col("q_id"))

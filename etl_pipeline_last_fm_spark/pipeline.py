@@ -12,7 +12,8 @@ partition):
 
     <warehouse>/raw/ingest_date=<d>/country=<c>/*.json
     <warehouse>/ods_daily_data/source_date=<d>/...
-    <warehouse>/dds/dim_{artist,country,song}/          (small, unpartitioned)
+    <warehouse>/dds/dim_snapshots/v=NNNNNN/dim_{artist,country,song}/
+                                           + _COMMITTED   (atomic snapshot)
     <warehouse>/dds/fact_daily_top_100/date=<d>/...
     <warehouse>/dm/<mart>/date=<d>/...
 
@@ -39,9 +40,6 @@ from etl_pipeline_last_fm_spark.plans.marts import (
 )
 from etl_pipeline_last_fm_spark.plans.star_build import DdsTables, build_dds
 from etl_pipeline_last_fm_spark.schemas import (
-    DIM_ARTIST_SCHEMA,
-    DIM_COUNTRY_SCHEMA,
-    DIM_SONG_SCHEMA,
     FACT_SCHEMA,
     ODS_CONFLICT_KEY,
     ODS_SCHEMA,
@@ -101,12 +99,45 @@ def run_ods(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
     )
 
 
-def run_dds(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
-    """ODS date slice -> star build -> append fact delta, overwrite dims
-    (dims before fact in the reference, dags/from_ods_to_dds_pg.py:110; here
-    the fact *write* happens first because the dim overwrite replaces files —
-    the dims returned by load_dds are driver-materialized, so no plan still
-    depends on the replaced paths)."""
+_DIM_NAMES = ("dim_country", "dim_artist", "dim_song")
+_COMMIT_MARKER = "_COMMITTED"
+
+
+def _snapshot_root(wh: Warehouse) -> str:
+    return wh.dds("dim_snapshots")
+
+
+def _committed_versions(wh: Warehouse) -> list[int]:
+    root = _snapshot_root(wh)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("v=") and os.path.exists(os.path.join(root, d, _COMMIT_MARKER)):
+            out.append(int(d[2:]))
+    return sorted(out)
+
+
+def _snapshot_dir(wh: Warehouse, version: int) -> str:
+    return os.path.join(_snapshot_root(wh), f"v={version:06d}")
+
+
+def run_dds(
+    spark: SparkSession, wh: Warehouse, run_date: str | Date, keep_snapshots: int = 2
+) -> None:
+    """ODS date slice -> star build -> append fact delta, write a NEW dim
+    snapshot version and atomically commit it.
+
+    Dims are never overwritten in place and never collect()ed to the driver:
+    each run writes all three to a fresh ``dim_snapshots/v=N+1/`` directory
+    (the plans read v=N — different paths, so no stale-file-index conflict)
+    and drops a ``_COMMITTED`` marker only after all three writes succeed.
+    Readers resolve the latest *committed* version, so a mid-write crash
+    leaves the previous snapshot live and the star always self-consistent —
+    the snapshot-pointer pattern (Iceberg-style) instead of the reference's
+    in-place UPSERTs. This stays O(executor) however large dim_song grows
+    (it is ~distinct(song, duration) and scales with the corpus, unlike the
+    genuinely bounded country dim)."""
     ods = spark.read.parquet(wh.ods).filter(F.col("source_date") == F.lit(str(run_date)))
     existing = load_dds(spark, wh)
     result = build_dds(ods, existing=existing)
@@ -120,40 +151,53 @@ def run_dds(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
         .parquet(fact_path)
     )
 
-    # Dims: tiny (SURVEY.md §2.4) — materialize on the driver, then overwrite
-    # as a single broadcast-friendly file each.
+    versions = _committed_versions(wh)
+    new_v = (versions[-1] + 1) if versions else 1
+    snap = _snapshot_dir(wh, new_v)
     for name, full in [
         ("dim_country", result.dim_country),
         ("dim_artist", result.dim_artist),
         ("dim_song", result.dim_song),
     ]:
-        rows = full.collect()
-        spark.createDataFrame(rows, full.schema).coalesce(1).write.mode("overwrite").parquet(
-            wh.dds(name)
-        )
+        # coalesce(1): one broadcast-friendly file per dim per snapshot.
+        full.coalesce(1).write.mode("overwrite").parquet(os.path.join(snap, name))
+    with open(os.path.join(snap, _COMMIT_MARKER), "w") as f:
+        f.write(str(run_date))
+
+    # Retire old snapshots (keep a short history for readers mid-flight).
+    import shutil
+
+    for v in versions[:-keep_snapshots] if keep_snapshots else versions:
+        shutil.rmtree(_snapshot_dir(wh, v), ignore_errors=True)
 
 
 def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
-    """Load the DDS star. Dims are driver-materialized (collect +
-    createDataFrame): they are broadcast-sized by design, and cutting their
-    lineage from the parquet paths lets run_dds overwrite those paths without
-    stale-file-index failures. The fact table stays file-backed."""
-    dim_country = _read_or_empty(spark, wh.dds("dim_country"), DIM_COUNTRY_SCHEMA)
-    if dim_country is None:
+    """Load the DDS star, file-backed end to end (no driver materialization):
+    dims come from the latest *committed* snapshot directory, the fact from
+    its partitioned path. Returns None when no snapshot exists yet; raises
+    if the warehouse is inconsistent (a committed snapshot missing a dim, or
+    dims without a fact) rather than failing later with a cryptic error."""
+    versions = _committed_versions(wh)
+    if not versions:
         return None
+    snap = _snapshot_dir(wh, versions[-1])
 
-    def materialize(df: DataFrame, schema) -> DataFrame:
-        return spark.createDataFrame(df.collect(), schema)
-
+    dims: dict[str, DataFrame | None] = {
+        name: _read_or_empty(spark, os.path.join(snap, name), None) for name in _DIM_NAMES
+    }
+    fact = _read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA)
+    missing = [n for n, df in dims.items() if df is None] + ([] if fact is not None else ["fact_daily_top_100"])
+    if missing:
+        raise RuntimeError(
+            f"DDS warehouse at {wh.root} is inconsistent: snapshot v={versions[-1]} "
+            f"is committed but {', '.join(missing)} is missing — "
+            "a partial prior run or external deletion; re-run run_dds or remove the snapshot."
+        )
     return DdsTables(
-        dim_country=materialize(dim_country, DIM_COUNTRY_SCHEMA),
-        dim_artist=materialize(
-            _read_or_empty(spark, wh.dds("dim_artist"), DIM_ARTIST_SCHEMA), DIM_ARTIST_SCHEMA
-        ),
-        dim_song=materialize(
-            _read_or_empty(spark, wh.dds("dim_song"), DIM_SONG_SCHEMA), DIM_SONG_SCHEMA
-        ),
-        fact=_read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA),
+        dim_country=dims["dim_country"],
+        dim_artist=dims["dim_artist"],
+        dim_song=dims["dim_song"],
+        fact=fact,
     )
 
 

@@ -54,3 +54,51 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = True,
+) -> dict[str, str]:
+    """Object-store (S3/MinIO) configuration for ``get_spark(extra_conf=...)``.
+
+    The reference lands its raw zone in MinIO (reference
+    docker-compose.yaml:53-63, dags/raw_from_api_to_s3.py:47-54); the Spark
+    equivalent is the s3a Hadoop filesystem — pass this dict at session build
+    time and every path in the engine (warehouse root, raw zone, testdata)
+    can be an ``s3a://bucket/...`` URI with no other code change.
+
+    Credentials default to the provider chain (env vars / instance profile);
+    pass explicit keys only for MinIO-style local stacks.
+    ``path_style_access`` on is what MinIO needs (no virtual-host buckets).
+    Not exercised live in this sandbox (no object store, and the hadoop-aws
+    jar ships separately); the dict shape is unit-tested so the recipe stays
+    propagation-correct.
+    """
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        # Upload straight from memory buffers; the default disk-buffer path
+        # doubles write IO on large shuffle-heavy jobs.
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        # Directory-listing consistency + rename-free commits: the magic
+        # committer avoids the O(files) copy-on-rename that makes plain
+        # FileOutputCommitter v1/v2 both slow AND unsafe on object stores.
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    if path_style_access:
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    return conf

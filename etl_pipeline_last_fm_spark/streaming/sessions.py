@@ -9,7 +9,16 @@ row per (user_id, session_start), exactly like the idempotent-append
 consumers elsewhere in this engine).
 
 Gap arithmetic matches operators.sessions.sessionize (integer microseconds),
-so at end-of-stream the union of emitted sessions equals the batch result.
+so for in-order streams the end-of-stream output equals the batch result.
+
+Late-data semantics (cross-batch out-of-order events): a late event folds
+into the currently-open session with max/min guards — it can extend
+``session_start`` earlier but never moves ``session_end`` backwards, and it
+never re-opens a session already emitted as closed (that would require
+retraction; re-run the batch ``sessionize`` for full-ordering authority).
+State lives under ``GroupStateTimeout.NoTimeout`` — bounded by the number of
+ACTIVE users, the right trade for a dedup/sessionization stream; wire a
+ProcessingTimeTimeout + state.remove() where the key space is unbounded.
 """
 
 from __future__ import annotations
@@ -50,7 +59,15 @@ def _fold(
             start, n, total = us, 0, 0.0
         if start is None:
             start = us
-        last = us
+        else:
+            # Cross-batch late arrival (us < last is possible only across
+            # micro-batches — in-batch rows are sorted): merge it into the
+            # OPEN session instead of moving its end backwards. It may
+            # extend the session start earlier; it never reopens an
+            # already-emitted closed session (that would need retraction —
+            # the batch sessionize twin is the full-ordering authority).
+            start = min(start, us)
+        last = us if last is None else max(last, us)
         n += 1
         total += float(value)
 
