@@ -508,11 +508,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked (pigeonhole) form — the scale path: candidates come from
-    # equi-joined 16-bit signature chunks, not a cross join. max_hamming=3
-    # (4 chunks x 16 bits) is the regime where chunk blocking is selective;
+    # equi-joined 15-bit signature chunks, not a cross join. max_hamming=3
+    # (4 chunks) is the regime where chunk blocking is selective;
     # output-equal to the pairwise form (tests/test_dedup_blocked.py).
+    # portable=True: 60-bit md5-derived signature the DuckDB oracle
+    # recomputes bit-for-bit — full value-checked correctness (blocking has
+    # recall 1.0 by pigeonhole, so the pairwise-truth oracle is exact).
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_dups_blocked(docs, max_hamming=3)
+    return dedup_ops.simhash_near_dups_blocked(docs, max_hamming=3, portable=True)
 
 
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,8 +530,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable=True: md5-derived gram hash -> the winnowing fingerprints are
+    # reproducible in DuckDB, upgrading this from rows-only to value-checked.
     docs = load_table(spark, sf_dir, "documents")
-    return text_ops.fingerprint_overlap_pairs(docs, min_shared=5)
+    return text_ops.fingerprint_overlap_pairs(docs, min_shared=5, portable=True)
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,7 +920,10 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
             FROM events GROUP BY 1
         """,
-        # still rows-only: dedup_simhash, dedup_rolling_fp (xxhash64-based
-        # signatures — the hash itself has no DuckDB equivalent), sim_ann_ivf
-        # (centroids are trained from data at runtime, not a static literal).
+        "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
+        "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
+            min_shared=5, k=16, window=8
+        ),
+        # still rows-only: sim_ann_ivf (centroids are trained from data at
+        # runtime, not a static literal the SQL twin could share).
     }

@@ -37,6 +37,25 @@ def round2(col: Column) -> Column:
     return half_up_round(col, 2)
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash computed bit-identically by Spark and DuckDB:
+    first 15 hex chars of md5, parsed base-16 (60 bits < 2^63, so the long
+    never overflows and the sign bit is never set).
+
+    This is the cross-engine-verifiable hash family: production paths keep
+    ``xxhash64`` (JVM intrinsic, ~10x cheaper than md5), and the
+    oracle-paired query entries use this so DuckDB can recompute the exact
+    same signatures (see ``portable_hash60_sql``). Same algorithm, different
+    hash constant — the verification covers the operator, not the digest.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB twin of ``portable_hash60`` for an arbitrary SQL expression."""
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
 def cosine_similarity_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<float/double>`` columns as a pure
     higher-order-function expression — JVM-side, no UDF, no data movement to

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import cosine_similarity_expr, half_up_round
+from etl_pipeline_last_fm_spark.functions.scalar import (
+    cosine_similarity_expr,
+    half_up_round,
+    portable_hash60,
+    portable_hash60_sql,
+)
 
 
 def _distinct_words(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -335,26 +340,33 @@ def embedding_near_dups_blocked_oracle_sql(
     """
 
 
-def simhash_signature(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over tokens, as a relational aggregation: one
-    (doc_id, token-hash) row per token (token hashed once), then 64
-    conditional-SUM aggregates (bit j balance = sum of ±1 by bit j of the
-    hash) folded into the signature long. Partial+final hash agg — one
-    shuffle on doc_id, no per-row nested lambdas."""
+def simhash_signature(docs: DataFrame, portable: bool = False) -> DataFrame:
+    """SimHash over tokens, as a relational aggregation: one
+    (doc_id, token-hash) row per token (token hashed once), then one
+    conditional-SUM aggregate per bit (bit j balance = sum of ±1 by bit j of
+    the hash) folded into the signature long. Partial+final hash agg — one
+    shuffle on doc_id, no per-row nested lambdas.
+
+    ``portable=False`` (production): 64-bit xxhash64 token hash.
+    ``portable=True``: 60-bit md5-derived token hash (portable_hash60) that
+    DuckDB reproduces bit-identically — the oracle-paired path. Same
+    algorithm either way; only the digest differs."""
+    n_bits = 60 if portable else 64
+    th = portable_hash60(F.col("t")) if portable else F.xxhash64("t")
     tok_rows = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", th.alias("h"))
     sums = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"__b{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     bits = [
         F.when(F.col(f"__b{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        for j in range(64)
+        for j in range(n_bits)
     ]
     sim = bits[0]
     for b in bits[1:]:
@@ -382,21 +394,55 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 12) -> DataFrame:
     )
 
 
+def simhash_near_dups_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups_blocked(portable=True): the signature
+    is recomputed bit-identically (portable_hash60 token hash, same ±1
+    per-bit balance, same >0 sign rule), and the pair set is the pairwise
+    Hamming truth — valid as an oracle for the blocked form because
+    pigeonhole blocking has recall 1.0 by construction (any pair within
+    max_hamming flips agrees exactly on ≥1 chunk)."""
+    n_bits = 60
+    th = portable_hash60_sql("t")
+    sums = ",\n                        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(n_bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(n_bits))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+        ),
+        th AS (SELECT doc_id, {th} AS h FROM tok),
+        sums AS (SELECT doc_id, {sums}
+                 FROM th GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sig} AS simhash FROM sums)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def simhash_near_dups_blocked(
-    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int = 10_000
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 10_000,
+    portable: bool = False,
 ) -> DataFrame:
     """Scale path for SimHash near-dups: pigeonhole blocking.
 
-    Split the 64-bit signature into (max_hamming + 1) chunks — any pair
-    within ``max_hamming`` bit flips must agree exactly on at least one
-    chunk — so candidates come from equi-joins on (chunk_idx, chunk_value)
-    instead of a cross-join, then pay the exact Hamming check. Same output
-    as simhash_near_dups for the same threshold. Practical for small
-    thresholds (chunks of >= 16 bits block well); the pairwise form remains
-    for loose thresholds on bounded corpora."""
+    Split the signature into (max_hamming + 1) chunks — any pair within
+    ``max_hamming`` bit flips must agree exactly on at least one chunk — so
+    candidates come from equi-joins on (chunk_idx, chunk_value) instead of a
+    cross-join, then pay the exact Hamming check. Same output as
+    simhash_near_dups for the same threshold. Practical for small thresholds
+    (chunks of >= 15 bits block well); the pairwise form remains for loose
+    thresholds on bounded corpora. ``portable=True`` uses the 60-bit
+    md5-derived signature so the DuckDB oracle
+    (simhash_near_dups_oracle_sql) recomputes it bit-identically."""
+    n_bits = 60 if portable else 64
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    sigs = simhash_signature(docs)
+    width = n_bits // n_chunks
+    sigs = simhash_signature(docs, portable=portable)
     chunks = sigs.select(
         "doc_id",
         "simhash",

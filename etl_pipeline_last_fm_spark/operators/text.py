@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+from etl_pipeline_last_fm_spark.functions.scalar import (
+    half_up_round,
+    portable_hash60,
+    portable_hash60_sql,
+)
 
 EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 LANG_STOPWORDS = {
@@ -62,7 +66,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def rolling_fingerprint_rows(docs: DataFrame, k: int = 16, window: int = 8) -> DataFrame:
+def rolling_fingerprint_rows(
+    docs: DataFrame, k: int = 16, window: int = 8, portable: bool = False
+) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every k-char
     gram (rolling-hash family), keep each sliding window's minimum, dedupe.
     Returns distinct (doc_id, fp) rows.
@@ -71,9 +77,15 @@ def rolling_fingerprint_rows(docs: DataFrame, k: int = 16, window: int = 8) -> D
     input is a plain integer sequence (cheap — computed arrays as generator
     inputs get re-evaluated per emitted row under whole-stage codegen), the
     gram hash is a per-row scalar, and the sliding minimum is a window
-    aggregate over (doc_id, pos). One shuffle on doc_id."""
+    aggregate over (doc_id, pos). One shuffle on doc_id.
+
+    ``portable=True`` swaps the gram hash from xxhash64 (production) to the
+    md5-derived portable_hash60 the DuckDB oracle recomputes bit-identically
+    (fingerprint_overlap_oracle_sql); algorithm unchanged."""
     from pyspark.sql import Window
 
+    gram = F.expr(f"substring(text, pos, {k})")
+    gh = portable_hash60(gram) if portable else F.xxhash64(gram)
     grams = docs.select(
         "doc_id",
         F.expr(f"explode(sequence(1, greatest(length(text) - {k} + 1, 1)))").alias("pos"),
@@ -81,7 +93,7 @@ def rolling_fingerprint_rows(docs: DataFrame, k: int = 16, window: int = 8) -> D
     ).select(
         "doc_id",
         "pos",
-        F.expr(f"xxhash64(substring(text, pos, {k}))").alias("gh"),
+        gh.alias("gh"),
         F.greatest(F.length("text") - F.lit(k - 1), F.lit(1)).alias("__ng"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
@@ -104,12 +116,18 @@ def rolling_fingerprints(docs: DataFrame, k: int = 16, window: int = 8) -> DataF
     )
 
 
-def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 5, k: int = 16, window: int = 8) -> DataFrame:
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 5,
+    k: int = 16,
+    window: int = 8,
+    portable: bool = False,
+) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared winnowing fingerprints
     (equi-join on the fingerprint — shared fingerprints localize common
     passages, so the join output is proportional to actual overlap,
     near-linear for a mostly-unique corpus)."""
-    fps = rolling_fingerprint_rows(docs, k, window)
+    fps = rolling_fingerprint_rows(docs, k, window, portable=portable)
     a = fps.alias("a")
     b = fps.alias("b")
     return (
@@ -118,6 +136,40 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 5, k: int = 16,
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def fingerprint_overlap_oracle_sql(min_shared: int = 5, k: int = 16, window: int = 8) -> str:
+    """DuckDB twin of fingerprint_overlap_pairs(portable=True): identical
+    gram positions (1-based substring), identical portable_hash60 gram hash,
+    identical full-window filter (max(G - w + 1, 1) windows), then the same
+    fingerprint equi-join."""
+    gh = portable_hash60_sql(f"substring(text, pos, {k})")
+    return f"""
+        WITH g AS (
+            SELECT doc_id, text,
+                   CAST(unnest(range(1, greatest(length(text) - {k} + 1, 1) + 1)) AS INTEGER) AS pos
+            FROM documents
+        ),
+        gh AS (
+            SELECT doc_id, pos, {gh} AS gh,
+                   greatest(length(text) - {k - 1}, 1) AS ng
+            FROM g
+        ),
+        wm AS (
+            SELECT doc_id, pos, ng,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+            FROM gh
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM wm
+            WHERE pos <= greatest(ng - {window - 1}, 1)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
