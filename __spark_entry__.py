@@ -35,7 +35,10 @@ from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
 from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
+from etl_pipeline_last_fm_spark.operators import asof as asof_oracle_mod
+from etl_pipeline_last_fm_spark.operators import contamination as contamination_oracle_mod
 from etl_pipeline_last_fm_spark.operators import dedup as dedup_ops
+from etl_pipeline_last_fm_spark.operators import sampling as sampling_oracle_mod
 from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
 from etl_pipeline_last_fm_spark.operators import text as text_ops
 from etl_pipeline_last_fm_spark.sources.tables import load_table
@@ -576,6 +579,82 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.binary_meta(docs)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click event picks up the most recent earlier
+    view's value for the same user — the classic feature-at-prediction-time /
+    dimension-as-of lookup. Spark plan: union + one window pass per user key
+    (single shuffle, no join node at all); oracle: DuckDB's native ASOF JOIN,
+    an independent binary-search implementation."""
+    from etl_pipeline_last_fm_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(half_up_round(F.max("value"), 2).alias("rv"))
+    )
+    return asof_join(clicks, views, key_col="user_id", right_value_cols=["rv"]).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        "matched_rv",
+        "matched_ts_us",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range join (attribution): click→purchase pairs of the
+    same user within 10 minutes. Bucketed equi-join on (user, time-bucket) —
+    candidates follow bucket co-occupancy, never |A|×|B|; the oracle is the
+    plain BETWEEN theta-join."""
+    from etl_pipeline_last_fm_spark.operators.asof import time_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return time_range_join(clicks, purchases, key_col="user_id", max_gap_us=600_000_000)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split = pure function of
+    (salt, doc_id) via the portable hash — reproducible across engines,
+    partitionings, and cluster sizes (rand()/sample() are neither)."""
+    from etl_pipeline_last_fm_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs, id_col="doc_id").select("doc_id", "bucket", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum subsample: 5 docs per language, ranked by
+    (hash, id) inside each stratum — the data-mixing knob. WindowGroupLimit
+    keeps only k rows per stratum in flight."""
+    from etl_pipeline_last_fm_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, strata_col="lang", n_per_stratum=5)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 1 distinct 8-gram
+    with the benchmark slice (doc_id % 25 == 0 stands in for the eval set).
+    Benchmark shingles broadcast -> no corpus-side join shuffle."""
+    from etl_pipeline_last_fm_spark.operators.contamination import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return benchmark_contamination(train, bench, n=8)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf * ln(1 + N/df), rank on the
+    rounded score so cross-engine ln() ulp noise can't flip the order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(docs, top_k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # core relational (SURVEY.md §2)
@@ -624,6 +703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "multimodal_meta": q_multimodal_meta,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
+        "tfidf": q_tfidf,
     }
 
 
@@ -920,6 +1005,16 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
             FROM events GROUP BY 1
         """,
+        "asof_join": asof_oracle_mod.asof_join_oracle_sql("click", "view"),
+        "range_join": asof_oracle_mod.time_range_join_oracle_sql(
+            "click", "purchase", max_gap_us=600_000_000
+        ),
+        "split_assign": sampling_oracle_mod.split_assign_oracle_sql(),
+        "stratified_sample": sampling_oracle_mod.stratified_sample_oracle_sql(
+            strata_col="lang", n_per_stratum=5
+        ),
+        "contamination": contamination_oracle_mod.benchmark_contamination_oracle_sql(n=8),
+        "tfidf": text_ops.tfidf_oracle_sql(top_k=3),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

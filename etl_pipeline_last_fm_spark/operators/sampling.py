@@ -1,0 +1,125 @@
+"""Deterministic sampling and split assignment for training-data pipelines.
+
+Reproducibility is the whole point: train/val/test membership must be a pure
+function of the record (id + salt), never of partitioning, row order, or
+cluster size — `df.sample()` and `rand()` give neither cross-run nor
+cross-engine stability. Everything here keys off ``portable_hash60`` so the
+same record lands in the same split on Spark, DuckDB, or a bash one-liner
+with md5sum — and the DuckDB oracles verify exactly that.
+
+Scale: all three operators are embarrassingly parallel scans (hash + filter
+/ window per stratum); no driver participation, no skew sensitivity beyond
+the strata themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import (
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign each record to a named split by hash bucket.
+
+    ``weights`` maps split name -> percent (must sum to 100); buckets are
+    pmod(hash(salt || id), 100) carved in the given order. Changing ``salt``
+    re-deals every split (a new shuffle of the corpus); changing weights
+    extends/shrinks ranges so records move between ADJACENT splits only —
+    the property that lets a 80/10/10 -> 90/5/5 re-split keep most of train
+    stable.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    edges: list[tuple[str, int]] = []
+    acc = 0
+    for name, pct in weights.items():
+        acc += pct
+        edges.append((name, acc))
+    expr = F.when(bucket < edges[0][1], F.lit(edges[0][0]))
+    for name, hi in edges[1:]:
+        expr = expr.when(bucket < hi, F.lit(name))
+    return df.withColumn("bucket", bucket.cast("int")).withColumn("split", expr)
+
+
+def split_assign_oracle_sql(
+    id_col: str = "doc_id",
+    table: str = "documents",
+    weights: dict[str, int] | None = None,
+    salt: str = "v1",
+    select_cols: str = "doc_id",
+) -> str:
+    """DuckDB twin of split_assign (same salt, same hash, same edges)."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    h = portable_hash60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    arms, acc = [], 0
+    for name, pct in weights.items():
+        acc += pct
+        arms.append(f"WHEN bucket < {acc} THEN '{name}'")
+    return f"""
+        WITH b AS (
+            SELECT {select_cols}, CAST(({h}) % 100 AS INTEGER) AS bucket
+            FROM {table}
+        )
+        SELECT {select_cols}, bucket, CASE {' '.join(arms)} END AS split FROM b
+    """
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank records inside each stratum
+    by (hash, id) and keep the first n. A fixed-size balanced subsample —
+    the 'equal docs per language/source' knob every data-mixing recipe needs.
+
+    One shuffle on the stratum; Spark plans a WindowGroupLimit (rank filter
+    pushed into the sort) so each partition keeps only n rows per stratum
+    in-flight rather than sorting whole strata.
+    """
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(id_col, strata_col, "sample_rank")
+    )
+
+
+def stratified_sample_oracle_sql(
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    salt: str = "v1",
+) -> str:
+    h = portable_hash60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col}, {strata_col},
+                   CAST(row_number() OVER (PARTITION BY {strata_col}
+                                           ORDER BY ({h}) ASC, {id_col} ASC)
+                        AS INTEGER) AS sample_rank
+            FROM {table}
+        )
+        SELECT {id_col}, {strata_col}, sample_rank
+        FROM ranked WHERE sample_rank <= {n_per_stratum}
+    """

@@ -212,6 +212,67 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(*cols)
 
 
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf * ln(1 + N/df), rounded 4dp, rank
+    by (score desc, term asc).
+
+    Plan shape at scale: one shuffle to (doc, term) counts, one much smaller
+    shuffle for document frequencies, N as a broadcast scalar, and the top-k
+    window plans a WindowGroupLimit on the (doc) partitioning the tf
+    aggregation already produced. Ranking uses the ROUNDED score so a 1-ulp
+    ln() difference between engines can never flip an order the term
+    tie-break doesn't already pin."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            half_up_round(
+                F.col("tf") * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= top_k)
+        .select("doc_id", "term", "term_rank", "score")
+    )
+
+
+def tfidf_oracle_sql(top_k: int = 3) -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                      FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             scored AS (
+                 SELECT doc_id, term,
+                        FLOOR(tf * ln(1.0 + n_docs / CAST(df AS DOUBLE)) * 10000.0 + 0.5)
+                          / 10000.0 AS score
+                 FROM tf JOIN dfreq USING (term) CROSS JOIN n
+             ),
+             ranked AS (
+                 SELECT doc_id, term, score,
+                        CAST(row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, term ASC)
+                             AS INTEGER) AS term_rank
+                 FROM scored
+             )
+        SELECT doc_id, term, term_rank, score FROM ranked WHERE term_rank <= {top_k}
+    """
+
+
 def binary_meta(docs: DataFrame) -> DataFrame:
     """Opaque-content metadata: byte length + sha256 — the multimodal-column
     pattern (content treated as bytes, typed metadata alongside)."""
