@@ -648,6 +648,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(train, bench, n=8)
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: MinHash-LSH pairs -> connected components
+    (iterative min-label propagation with per-round localCheckpoint) ->
+    per-cluster keep/drop list. Oracle: exact-Jaccard truth pairs closed
+    transitively by a DuckDB RECURSIVE CTE — an independent fixpoint
+    implementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.dedup_keep_list(docs)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tf * ln(1 + N/df), rank on the
     rounded score so cross-engine ln() ulp noise can't flip the order)."""
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "tfidf": q_tfidf,
+        "dedup_keep_list": q_dedup_keep_list,
     }
 
 
@@ -1015,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination": contamination_oracle_mod.benchmark_contamination_oracle_sql(n=8),
         "tfidf": text_ops.tfidf_oracle_sql(top_k=3),
+        "dedup_keep_list": dedup_ops.dedup_keep_list_oracle_sql(),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

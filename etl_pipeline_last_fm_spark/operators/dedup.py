@@ -489,6 +489,111 @@ def simhash_near_dups_blocked(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Min-label propagation over the similarity graph: (node, label) where
+    label = the smallest node id reachable from ``node`` — i.e. the
+    component representative. The step every dedup pipeline needs between
+    "similar pairs" and "which docs to drop": near-duplication is
+    transitive-ish (A~B, B~C) and the keep/drop decision must be per
+    CLUSTER, not per pair, or chained dups survive.
+
+    Iterative DataFrame algorithm (there is no relational fixpoint in
+    Spark): each round joins labels to neighbors, takes the min, and stops
+    when no label changed. Rounds needed = graph diameter — near-dup
+    clusters are shallow (chains of a few docs), so this is 2-4 rounds in
+    practice. Each round ``localCheckpoint``s the labels: truncates the
+    O(iterations)-deep lineage (else every round re-executes all prior
+    rounds) without driver materialization; the convergence check rides the
+    same action that materializes the checkpoint. Edges are persisted — they
+    drive every round's join and are proportional to duplicate density, not
+    corpus size.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).cast("int").alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.agg(F.sum("__chg")).collect()[0][0]
+        labels = stepped.select("node", "label")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH pairs -> connected
+    components -> (doc_id, keep_id, is_dup). keep_id is the smallest doc id
+    in the doc's duplicate cluster (first-writer-wins, same arbiter rule as
+    §2.7); is_dup marks docs to drop. Docs in no cluster are omitted — the
+    anti-join of the corpus against this list is the deduplicated corpus."""
+    pairs = minhash_lsh_pairs(
+        docs,
+        shingle_len=shingle_len,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("keep_id"),
+        (F.col("node") != F.col("label")).alias("is_dup"),
+    )
+
+
+def dedup_keep_list_oracle_sql(shingle_len: int = 3, verify_threshold: float = 0.5) -> str:
+    """DuckDB twin of dedup_keep_list: the exact-Jaccard truth pairs (valid
+    for the LSH pair set — see minhash_lsh_pairs_oracle_sql for the recall
+    argument) closed transitively with a RECURSIVE CTE, then min per node.
+    An independent fixpoint implementation checking the iterative Spark
+    label propagation."""
+    pair_sql = minhash_lsh_pairs_oracle_sql(shingle_len, verify_threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pair_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS keep_id, src <> min(dst) AS is_dup
+        FROM reach GROUP BY src
+    """
+
+
 def embedding_near_dups_blocked(
     emb: DataFrame,
     threshold: float = 0.95,
