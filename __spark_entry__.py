@@ -38,7 +38,10 @@ from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
 from etl_pipeline_last_fm_spark.operators import asof as asof_oracle_mod
 from etl_pipeline_last_fm_spark.operators import contamination as contamination_oracle_mod
 from etl_pipeline_last_fm_spark.operators import dedup as dedup_ops
+from etl_pipeline_last_fm_spark.operators import packing as packing_ops
+from etl_pipeline_last_fm_spark.operators import profile as profile_ops
 from etl_pipeline_last_fm_spark.operators import sampling as sampling_oracle_mod
+from etl_pipeline_last_fm_spark.operators import scd as scd_ops
 from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
 from etl_pipeline_last_fm_spark.operators import text as text_ops
 from etl_pipeline_last_fm_spark.sources.tables import load_table
@@ -658,6 +661,52 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_keep_list(docs)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: global token offset per doc via a
+    two-phase distributed prefix sum (per-block sums -> tiny block-offset
+    window -> broadcast back), bit-equal to the oracle's naive global
+    window. The LLM-pretraining batching primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.pack_sequences(docs, budget=512, block_size=256)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-selection step: top-20 adjacent token pairs by corpus
+    frequency, deterministic (count desc, pair asc) ranking. Per-doc lead
+    window only — no global ordering over token rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.pair_counts(docs, top_k=20)
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each customer's order priority: gaps-and-
+    islands (lag-change flag -> running-sum version -> half-open validity
+    intervals via lead). The history-keeping upgrade of the reference's
+    current-state dims (sql/init_dds.sql)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return scd_ops.scd2_history(orders)
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of lineitem numerics in ONE scan (wide agg ->
+    stack unpivot); oracle computes the same stats as a per-column UNION
+    ALL — deliberately different plan, same answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_ops.profile_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash the user (group) key so
+    no user's events straddle a split — the contamination guard split_assign
+    alone can't give."""
+    ev = load_table(spark, sf_dir, "events")
+    return sampling_oracle_mod.group_split_assign(ev, group_col="user_id").select(
+        "event_id", "user_id", "split"
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tf * ln(1 + N/df), rank on the
     rounded score so cross-engine ln() ulp noise can't flip the order)."""
@@ -720,6 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf": q_tfidf,
         "dedup_keep_list": q_dedup_keep_list,
+        "pack_sequences": q_pack_sequences,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "scd2_history": q_scd2_history,
+        "profile_columns": q_profile_columns,
+        "group_split": q_group_split,
     }
 
 
@@ -1027,6 +1081,13 @@ def oracle_sql() -> dict[str, str]:
         "contamination": contamination_oracle_mod.benchmark_contamination_oracle_sql(n=8),
         "tfidf": text_ops.tfidf_oracle_sql(top_k=3),
         "dedup_keep_list": dedup_ops.dedup_keep_list_oracle_sql(),
+        "pack_sequences": packing_ops.pack_sequences_oracle_sql(budget=512),
+        "bpe_pair_counts": packing_ops.pair_counts_oracle_sql(top_k=20),
+        "scd2_history": scd_ops.scd2_history_oracle_sql(),
+        "profile_columns": profile_ops.profile_columns_oracle_sql(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "group_split": sampling_oracle_mod.group_split_assign_oracle_sql(),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

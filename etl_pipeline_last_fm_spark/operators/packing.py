@@ -1,0 +1,165 @@
+"""Sequence packing and tokenizer-training primitives.
+
+LLM pre-training consumes fixed-length sequences, not documents: the
+pipeline concatenates the tokenized corpus in a deterministic order and
+cuts it every ``budget`` tokens (GPT-style concat-and-chunk). The operator
+every such pipeline needs is "at which global token offset does each
+document start" — a corpus-wide prefix sum.
+
+A naive ``sum() over (order by doc_id)`` is a single-partition window: the
+whole corpus funnels through one task, the classic scale-killer.
+``pack_sequences`` instead computes the prefix sum in two phases, the way a
+distributed scan should:
+
+1. coarse blocks (``doc_id div block_size``): per-block token sums — one
+   shuffle on a key with corpus/block_size cardinality;
+2. a window cumsum over the *block sums only* (tiny: 100 TB of docs at
+   block_size=4096 is ~10^5-10^6 block rows — a single partition of
+   kilobytes, the same driver-scale reduction every parallel scan makes);
+3. broadcast the block offsets back and add a *within-block* cumsum,
+   windowed per block — bounded partitions, full parallelism.
+
+The result is bit-identical to the naive global window (blocks partition
+the doc_id order), which is exactly what the DuckDB oracle computes.
+
+``pair_counts`` is one BPE training step: count adjacent token pairs across
+the corpus (explode + per-doc lead window + global count). The per-doc
+window partitions on doc_id — no global ordering anywhere; the final top-k
+rank runs on the pair vocabulary, which is bounded by vocab², not corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    block_size: int = 256,
+) -> DataFrame:
+    """Assign each doc its global token offset and packed-sequence id.
+
+    Returns (doc_id, n_tokens, tok_offset, seq_id, pos_in_seq) where
+    tok_offset is the global start offset of the doc in the concatenated
+    token stream (doc_id order), seq_id = tok_offset div budget (the
+    fixed-length sequence in which the doc *starts* — concat-and-chunk
+    lets docs straddle sequence boundaries), pos_in_seq the offset within
+    that sequence.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / block_size).alias("__blk"),
+    )
+
+    # Phase 1+2: per-block sums, then an exclusive cumsum over blocks.
+    # The unpartitioned window is safe here BECAUSE it runs on block rows,
+    # not doc rows (see module docstring).
+    wblk = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    block_offsets = (
+        toks.groupBy("__blk")
+        .agg(F.sum("n_tokens").alias("__bsum"))
+        .withColumn("__boff", F.coalesce(F.sum("__bsum").over(wblk), F.lit(0)))
+        .select("__blk", "__boff")
+    )
+
+    # Phase 3: within-block exclusive cumsum, block offset broadcast back.
+    wdoc = Window.partitionBy("__blk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        toks.join(F.broadcast(block_offsets), "__blk")
+        .withColumn(
+            "tok_offset",
+            F.col("__boff") + F.coalesce(F.sum("n_tokens").over(wdoc), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_offset",
+            F.floor(F.col("tok_offset") / budget).alias("seq_id"),
+            (F.col("tok_offset") % budget).alias("pos_in_seq"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(budget: int = 512, table: str = "documents") -> str:
+    """DuckDB twin: the plain global-window prefix sum the two-phase Spark
+    plan must equal exactly."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+            FROM {table}
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_offset
+            FROM t
+        )
+        SELECT doc_id, n_tokens, tok_offset,
+               CAST(FLOOR(tok_offset / {budget}) AS BIGINT) AS seq_id,
+               tok_offset % {budget} AS pos_in_seq
+        FROM c
+    """
+
+
+def pair_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Top-k adjacent token pairs by corpus frequency — one BPE merge-
+    selection step. Deterministic ties: rank on (count desc, pair asc).
+
+    Returns (pair, n, rnk). The global rank window runs on the aggregated
+    pair vocabulary (bounded by vocab², independent of corpus size), never
+    on token rows.
+    """
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "tok"),
+        )
+        .withColumn("__nxt", F.lead("tok").over(wdoc))
+        .filter(F.col("__nxt").isNotNull())
+        .select(F.concat_ws(" ", "tok", "__nxt").alias("pair"))
+    )
+    wrank = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(wrank).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def pair_counts_oracle_sql(top_k: int = 20, table: str = "documents") -> str:
+    """DuckDB twin of pair_counts: zipped unnest gives (pos, tok), the same
+    per-doc lead window forms pairs, same deterministic rank."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(text), ' ')) AS tok,
+                   generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+            FROM {table}
+        ),
+        p AS (
+            SELECT doc_id, tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM toks
+        ),
+        counted AS (
+            SELECT tok || ' ' || nxt AS pair, COUNT(*) AS n
+            FROM p WHERE nxt IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT pair, n, rnk FROM (
+            SELECT pair, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rnk
+            FROM counted
+        ) WHERE rnk <= {top_k}
+    """

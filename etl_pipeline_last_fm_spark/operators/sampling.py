@@ -123,3 +123,58 @@ def stratified_sample_oracle_sql(
         SELECT {id_col}, {strata_col}, sample_rank
         FROM ranked WHERE sample_rank <= {n_per_stratum}
     """
+
+
+def group_split_assign(
+    df: DataFrame,
+    group_col: str = "user_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "gs1",
+) -> DataFrame:
+    """Leakage-safe split: hash the GROUP key, not the record id, so every
+    record of a group lands in the same split. The difference between this
+    and ``split_assign`` is the difference between a valid eval and train/
+    test contamination: correlated records (a user's events, a document's
+    chunks) must never straddle the split boundary.
+
+    Same bucket arithmetic as split_assign (adjacent-split stability on
+    re-weighting); pure per-row expression — no shuffle, no group
+    materialization, groups need never fit anywhere.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100
+    bucket = F.pmod(
+        portable_hash60(
+            F.concat(F.lit(salt), F.lit(":"), F.col(group_col).cast("string"))
+        ),
+        F.lit(100),
+    )
+    edges: list[tuple[str, int]] = []
+    acc = 0
+    for name, pct in weights.items():
+        acc += pct
+        edges.append((name, acc))
+    expr = F.when(bucket < edges[0][1], F.lit(edges[0][0]))
+    for name, hi in edges[1:]:
+        expr = expr.when(bucket < hi, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def group_split_assign_oracle_sql(
+    group_col: str = "user_id",
+    table: str = "events",
+    weights: dict[str, int] | None = None,
+    salt: str = "gs1",
+    select_cols: str = "event_id, user_id",
+) -> str:
+    """DuckDB twin of group_split_assign."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    h = portable_hash60_sql(f"'{salt}:' || CAST({group_col} AS VARCHAR)")
+    arms, acc = [], 0
+    for name, pct in weights.items():
+        acc += pct
+        arms.append(f"WHEN ({h}) % 100 < {acc} THEN '{name}'")
+    return f"""
+        SELECT {select_cols}, CASE {' '.join(arms)} END AS split
+        FROM {table}
+    """

@@ -1,0 +1,109 @@
+"""Invariants for the packing / SCD2 / group-split / profile operators
+(value parity vs DuckDB is covered by test_oracle_parity; these check the
+structural properties parity alone can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.packing import pack_sequences, pair_counts
+from etl_pipeline_last_fm_spark.operators.sampling import group_split_assign
+from etl_pipeline_last_fm_spark.operators.scd import scd2_history
+
+
+def test_pack_offsets_contiguous(spark, sf_dir):
+    """tok_offset must be the exact exclusive prefix sum in doc_id order:
+    each doc starts where the previous one ended."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = pack_sequences(docs, budget=512).orderBy("doc_id").collect()
+    expect = 0
+    for r in rows:
+        assert r["tok_offset"] == expect, r
+        assert r["seq_id"] == r["tok_offset"] // 512
+        assert r["pos_in_seq"] == r["tok_offset"] % 512
+        expect += r["n_tokens"]
+
+
+def test_pack_two_phase_equals_naive_window(spark, sf_dir):
+    """The blocked prefix sum must be bit-equal to the single global window
+    regardless of block size (including block_size=1, maximally fragmented)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    naive = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "tok_offset",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    for bs in (1, 7, 256):
+        got = pack_sequences(docs, budget=512, block_size=bs).select(
+            "doc_id", "n_tokens", "tok_offset"
+        )
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0
+
+
+def test_pair_counts_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a b a")], "doc_id long, text string"
+    )
+    rows = pair_counts(docs, top_k=10).orderBy("rnk").collect()
+    # pairs: doc1 -> (a b),(b a),(a b); doc2 -> (b a),(a b),(b a)
+    assert [(r["pair"], r["n"], r["rnk"]) for r in rows] == [
+        ("a b", 3, 1),
+        ("b a", 3, 2),
+    ]
+
+
+def test_scd2_intervals_tile(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hist = scd2_history(orders).collect()
+    by_cust: dict = {}
+    for r in hist:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        # half-open intervals tile: each valid_to is the next valid_from
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], cust
+            assert a["is_current"] is False
+        assert rows[-1]["valid_to"] is None and rows[-1]["is_current"] is True
+        # consecutive versions change the attribute (islands are maximal)
+        for a, b in zip(rows, rows[1:]):
+            assert a["o_orderpriority"] != b["o_orderpriority"], cust
+
+
+def test_scd2_covers_every_entity(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_entities = orders.select("o_custkey").distinct().count()
+    assert scd2_history(orders).filter("is_current").count() == n_entities
+
+
+def test_group_split_no_leakage(spark, sf_dir):
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    straddlers = (
+        group_split_assign(ev, group_col="user_id")
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # and the split is genuinely three-way on this corpus
+    splits = {
+        r["split"]
+        for r in group_split_assign(ev, group_col="user_id")
+        .select("split")
+        .distinct()
+        .collect()
+    }
+    assert splits == {"train", "val", "test"}
