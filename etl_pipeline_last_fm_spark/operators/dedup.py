@@ -283,16 +283,27 @@ def minhash_lsh_pairs_oracle_sql(shingle_len: int = 3, verify_threshold: float =
     s = shingle_len
     cols = ", ".join(f"t[i+{j + 1}]" for j in range(s))
     return f"""
-        WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-             sh AS (SELECT doc_id,
-                           list_distinct(list_transform(range(greatest(len(t) - {s}, 0) + 1),
-                                          i -> concat_ws(' ', {cols}))) AS shingles
-                    FROM toks),
+        WITH sh AS MATERIALIZED (
+                 SELECT doc_id,
+                        list_distinct(list_transform(range(greatest(len(t) - {s}, 0) + 1),
+                                       i -> concat_ws(' ', {cols}))) AS shingles
+                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
+             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+             rows_ AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             -- sparse intersection: only doc pairs sharing >=1 shingle ever
+             -- materialize (a pair with no shared shingle has j = 0, below
+             -- any positive threshold) -- same truth set as all-pairs
+             inter AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                 FROM rows_ a JOIN rows_ b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
              pairs AS (
-                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
-                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+                 SELECT doc_a, doc_b,
+                        CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+                 FROM inter
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b)
         SELECT doc_a, doc_b, FLOOR(j * 10000.0 + 0.5) / 10000.0 AS jaccard
         FROM pairs WHERE j >= {verify_threshold}
     """
@@ -578,8 +589,8 @@ def dedup_keep_list_oracle_sql(shingle_len: int = 3, verify_threshold: float = 0
     label propagation."""
     pair_sql = minhash_lsh_pairs_oracle_sql(shingle_len, verify_threshold)
     return f"""
-        WITH RECURSIVE pairs AS ({pair_sql}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({pair_sql}),
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs
