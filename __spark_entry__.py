@@ -38,6 +38,7 @@ from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
 from etl_pipeline_last_fm_spark.operators import asof as asof_oracle_mod
 from etl_pipeline_last_fm_spark.operators import contamination as contamination_oracle_mod
 from etl_pipeline_last_fm_spark.operators import dedup as dedup_ops
+from etl_pipeline_last_fm_spark.operators import funnel as funnel_oracle_mod
 from etl_pipeline_last_fm_spark.operators import packing as packing_ops
 from etl_pipeline_last_fm_spark.operators import profile as profile_ops
 from etl_pipeline_last_fm_spark.operators import sampling as sampling_oracle_mod
@@ -707,6 +708,31 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population length buckets WITHOUT ntile's single-partition
+    window: exact percentile edges (one tiny agg) broadcast back, bucket =
+    #edges <= len. Curriculum-binning for training-data prep."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_ops.quantile_buckets(docs, n_buckets=10)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived fixed-width histogram of l_extendedprice (min/max agg
+    broadcast back, clamped floor binning) — profiling at scan speed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_ops.fixed_width_histogram(li, "l_extendedprice", n_bins=50)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel (view -> click -> purchase): per-user deepest
+    stage via three conditional-min windows over ONE user_id exchange; the
+    oracle computes the same answer with a join-per-stage plan."""
+    from etl_pipeline_last_fm_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tf * ln(1 + N/df), rank on the
     rounded score so cross-engine ln() ulp noise can't flip the order)."""
@@ -774,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "profile_columns": q_profile_columns,
         "group_split": q_group_split,
+        "funnel": q_funnel,
+        "quantile_buckets": q_quantile_buckets,
+        "histogram": q_histogram,
     }
 
 
@@ -1088,6 +1117,11 @@ def oracle_sql() -> dict[str, str]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
         "group_split": sampling_oracle_mod.group_split_assign_oracle_sql(),
+        "funnel": funnel_oracle_mod.funnel_stages_oracle_sql(),
+        "quantile_buckets": profile_ops.quantile_buckets_oracle_sql(n_buckets=10),
+        "histogram": profile_ops.fixed_width_histogram_oracle_sql(
+            "l_extendedprice", n_bins=50
+        ),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

@@ -60,3 +60,137 @@ def profile_columns_oracle_sql(cols: list[str], table: str = "lineitem") -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def quantile_buckets(
+    docs: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Curriculum/length bucketing WITHOUT a global sort: an ntile-style
+    equal-population bucket id per doc, computed scalably.
+
+    A naive ``ntile(k) over (order by len)`` is a single-partition window
+    over the corpus — the move this engine refuses everywhere. Instead:
+    exact interpolated quantile edges (ONE tiny aggregate row), broadcast
+    back, bucket = #edges <= value. Identical bucket ids wherever value
+    ties don't straddle an edge; unlike ntile, ties always land in the same
+    bucket (a feature for curriculum sampling: equal lengths should never
+    split across difficulty bins).
+
+    Edges are floor-trick rounded at 1e-4 on BOTH engines before
+    comparison, so the edge doubles are bit-identical cross-engine (the
+    same discipline as every derived double here).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    edges = toks.agg(
+        *[
+            half_up_round(
+                F.expr(f"percentile(n_tokens, {i / n_buckets})"), 4
+            ).alias(f"__e{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bucket = sum(
+        (F.col("n_tokens") >= F.col(f"__e{i}")).cast("int")
+        for i in range(1, n_buckets)
+    )
+    return (
+        toks.join(F.broadcast(edges))
+        .select("doc_id", "n_tokens", bucket.cast("int").alias("bucket"))
+    )
+
+
+def quantile_buckets_oracle_sql(n_buckets: int = 10, table: str = "documents") -> str:
+    """DuckDB twin: quantile_cont edges (same interpolation as Spark
+    percentile()), same rounding, same #edges-below bucket id."""
+    edge_cols = ", ".join(
+        f"FLOOR(quantile_cont(n_tokens, {i / n_buckets}) * 10000.0 + 0.5) / 10000.0"
+        f" AS e{i}"
+        for i in range(1, n_buckets)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN n_tokens >= e{i} THEN 1 ELSE 0 END" for i in range(1, n_buckets)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+            FROM {table}
+        ),
+        e AS (SELECT {edge_cols} FROM t)
+        SELECT doc_id, n_tokens, CAST({bucket} AS INTEGER) AS bucket
+        FROM t, e
+    """
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Data-derived fixed-width histogram: min/max in one tiny aggregate,
+    broadcast back, bin = floor((x-lo)*n/(hi-lo)) clamped to n-1 (the max
+    value closes the last bin). Embarrassingly parallel — the profiling
+    companion to quantile_buckets when equal WIDTH beats equal population.
+
+    Bin edges in the output are floor-trick rounded; bin ASSIGNMENT uses
+    the raw doubles with the identical expression shape on both engines
+    (same IEEE ops on the same inputs -> same bins).
+    """
+    bounds = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    binc = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col(col).cast("double") - F.col("__lo"))
+            * F.lit(float(n_bins))
+            / (F.col("__hi") - F.col("__lo"))
+        ),
+    ).cast("int")
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("bin", binc)
+        # __lo/__hi are broadcast constants: grouping by them adds no groups
+        # but keeps them addressable after the agg.
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            "n_rows",
+            half_up_round(F.col("__lo") + F.col("bin") * w, 4).alias("bin_lo"),
+            half_up_round(F.col("__lo") + (F.col("bin") + 1) * w, 4).alias("bin_hi"),
+        )
+    )
+
+
+def fixed_width_histogram_oracle_sql(
+    col: str, n_bins: int = 50, table: str = "lineitem"
+) -> str:
+    """DuckDB twin of fixed_width_histogram (identical expression shape)."""
+    return f"""
+        WITH b AS (
+            SELECT CAST(MIN({col}) AS DOUBLE) AS lo, CAST(MAX({col}) AS DOUBLE) AS hi
+            FROM {table}
+        ),
+        binned AS (
+            SELECT CAST(LEAST({n_bins - 1},
+                       FLOOR((CAST({col} AS DOUBLE) - lo) * {n_bins}.0 / (hi - lo)))
+                   AS INTEGER) AS bin,
+                   lo, hi
+            FROM {table}, b
+        )
+        -- bin * ((hi-lo)/n): parenthesized so the divide happens FIRST,
+        -- matching Spark's w = (hi-lo)/n op order bit-for-bit
+        SELECT bin, COUNT(*) AS n_rows,
+               FLOOR((lo + bin * ((hi - lo) / {n_bins}.0))
+                     * 10000.0 + 0.5) / 10000.0 AS bin_lo,
+               FLOOR((lo + (bin + 1) * ((hi - lo) / {n_bins}.0))
+                     * 10000.0 + 0.5) / 10000.0 AS bin_hi
+        FROM binned GROUP BY bin, lo, hi
+    """
