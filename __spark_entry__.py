@@ -708,6 +708,19 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_RATES = {"en": 4000, "zh": 10000, "de": 10000, "fr": 10000, "es": 8000}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weights corpus sampling: per-language deterministic Bernoulli
+    keep rates (downsample dominant en, keep rare langs whole). Pure
+    hash-filter scan — membership is a function of (salt, doc_id) only."""
+    from etl_pipeline_last_fm_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIXTURE_RATES).select("doc_id", "lang", "source")
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-population length buckets WITHOUT ntile's single-partition
     window: exact percentile edges (one tiny agg) broadcast back, bucket =
@@ -803,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "quantile_buckets": q_quantile_buckets,
         "histogram": q_histogram,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1122,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram": profile_ops.fixed_width_histogram_oracle_sql(
             "l_extendedprice", n_bins=50
         ),
+        "mixture_sample": sampling_oracle_mod.mixture_sample_oracle_sql(_MIXTURE_RATES),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

@@ -178,3 +178,53 @@ def group_split_assign_oracle_sql(
         SELECT {select_cols}, CASE {' '.join(arms)} END AS split
         FROM {table}
     """
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_bps: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_bps: int = 10_000,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the mixture-weights
+    knob of a training corpus (downsample the dominant language, upsample
+    the rare ones, temperature-flatten sources).
+
+    ``rates_bps`` maps stratum value -> keep rate in basis points (10000 =
+    keep all); unlisted strata keep ``default_bps``. Keep/drop is a pure
+    function of (salt, id): re-runs, repartitions, and engine changes keep
+    the same docs, and raising a rate strictly GROWS the kept set (nested
+    samples — the property that makes mixture sweeps comparable run to
+    run). Plain scan + filter: no shuffle at any scale.
+    """
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(10_000),
+    )
+    rate = F.lit(default_bps)
+    for value, bps in rates_bps.items():
+        rate = F.when(F.col(stratum_col) == value, F.lit(bps)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def mixture_sample_oracle_sql(
+    rates_bps: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    default_bps: int = 10_000,
+    salt: str = "mix1",
+    select_cols: str = "doc_id, lang, source",
+) -> str:
+    """DuckDB twin of mixture_sample."""
+    h = portable_hash60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    arms = " ".join(
+        f"WHEN {stratum_col} = '{v}' THEN {bps}" for v, bps in rates_bps.items()
+    )
+    return f"""
+        SELECT {select_cols}
+        FROM {table}
+        WHERE ({h}) % 10000 < CASE {arms} ELSE {default_bps} END
+    """

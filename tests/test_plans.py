@@ -97,3 +97,41 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
     ]:
         plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_pack_sequences_broadcasts_block_offsets(spark, sf_dir):
+    """The two-phase prefix sum must broadcast the tiny block-offset side —
+    never shuffle doc rows against it — and keep the doc-row windows
+    partitioned (only the block-level window may be unpartitioned)."""
+    from etl_pipeline_last_fm_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(pack_sequences(docs, budget=512))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scalar_agg_broadcast_shapes(spark, sf_dir):
+    """quantile_buckets / fixed-width histogram join their one-row stats
+    via broadcast (scalar-subquery shape), not a shuffle join."""
+    for name in ["quantile_buckets", "histogram"]:
+        plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_new_ops_stay_jvm_side(spark, sf_dir):
+    for name in [
+        "pack_sequences",
+        "bpe_pair_counts",
+        "scd2_history",
+        "profile_columns",
+        "group_split",
+        "funnel",
+        "quantile_buckets",
+        "histogram",
+        "mixture_sample",
+        "dedup_keep_list",
+    ]:
+        plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -68,3 +68,18 @@ def test_stratified_sample_caps_and_determinism(docs):
     again = {(r["doc_id"], r["sample_rank"]) for r in
              stratified_sample(docs.repartition(13), strata_col="lang", n_per_stratum=5).collect()}
     assert again == {(r["doc_id"], r["sample_rank"]) for r in rows}
+
+
+def test_mixture_sample_nested_and_deterministic(spark, sf_dir):
+    """Raising a keep rate strictly grows the kept set (nested samples);
+    rate 0 drops a stratum entirely; rate 10000 keeps it whole."""
+    from etl_pipeline_last_fm_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = {r["doc_id"] for r in mixture_sample(docs, {"en": 2000}).collect()}
+    hi = {r["doc_id"] for r in mixture_sample(docs, {"en": 6000}).collect()}
+    assert lo < hi  # strictly nested on this corpus
+    none_en = mixture_sample(docs, {"en": 0}).filter("lang = 'en'").count()
+    assert none_en == 0
+    all_kept = mixture_sample(docs, {}).count()
+    assert all_kept == docs.count()
