@@ -16,7 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.operators.dedup import minhash_lsh_pairs, simhash_signature
+from etl_pipeline_last_fm_spark.operators.dedup import (
+    dedup_keep_list,
+    minhash_lsh_pairs,
+    simhash_signature,
+)
+from etl_pipeline_last_fm_spark.operators.funnel import funnel_stages
+from etl_pipeline_last_fm_spark.operators.packing import pack_sequences
 from etl_pipeline_last_fm_spark.operators.sessions import sessionize
 from etl_pipeline_last_fm_spark.operators.text import rolling_fingerprint_rows
 from etl_pipeline_last_fm_spark.session import get_spark
@@ -86,15 +92,36 @@ def main() -> None:
     n_sig = simhash_signature(docs).count()
     t_simhash = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    keep = dedup_keep_list(docs).count()
+    t_keep = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_packed = pack_sequences(docs, budget=512, block_size=4096).count()
+    t_pack = time.perf_counter() - t0
+
     ev = synth_events(spark, n_events)
     t0 = time.perf_counter()
     n_sess = sessionize(ev).count()
     t_sess = time.perf_counter() - t0
 
+    ev_typed = ev.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")),
+            (F.pmod(F.xxhash64(F.col("event_id") + 29), F.lit(4)) + 1).cast("int"),
+        ),
+    )
+    t0 = time.perf_counter()
+    n_funnel = funnel_stages(ev_typed).count()
+    t_funnel = time.perf_counter() - t0
+
     print(
         f"docs={n_docs}: minhash {t_minhash:.1f}s ({pairs} pairs), "
-        f"winnow {t_winnow:.1f}s ({n_fp} fps), simhash {t_simhash:.1f}s ({n_sig} sigs); "
-        f"events={n_events}: sessionize {t_sess:.1f}s ({n_sess} sessions)"
+        f"winnow {t_winnow:.1f}s ({n_fp} fps), simhash {t_simhash:.1f}s ({n_sig} sigs), "
+        f"keep_list {t_keep:.1f}s ({keep} rows), pack {t_pack:.1f}s ({n_packed} docs); "
+        f"events={n_events}: sessionize {t_sess:.1f}s ({n_sess} sessions), "
+        f"funnel {t_funnel:.1f}s ({n_funnel} users)"
     )
 
 
