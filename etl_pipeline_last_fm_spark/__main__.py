@@ -61,8 +61,27 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sub.add_parser("run", help="run raw -> ODS -> DDS -> DM for one date"))
     st = sub.add_parser("stream", help="streaming raw -> ODS merge (availableNow)")
     st.add_argument("--warehouse", required=True)
+    dd = sub.add_parser(
+        "dedup-corpus",
+        help="MinHash-LSH -> connected components keep/drop list for a document corpus",
+    )
+    dd.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    dd.add_argument("--output", required=True, help="keep-list parquet destination")
+    dd.add_argument("--threshold", type=float, default=0.5, help="verify Jaccard")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "dedup-corpus":
+        from etl_pipeline_last_fm_spark.operators.dedup import dedup_keep_list
+        from etl_pipeline_last_fm_spark.session import get_spark
+
+        spark = get_spark(app_name="lastfm-dedup-corpus")
+        docs = spark.read.parquet(args.input)
+        keep = dedup_keep_list(docs, verify_threshold=args.threshold)
+        keep.write.mode("overwrite").parquet(args.output)
+        n_dup = keep.filter("is_dup").count()
+        print(f"keep list -> {args.output}: {n_dup} docs marked duplicate")
+        return 0
 
     from etl_pipeline_last_fm_spark.session import get_spark
 

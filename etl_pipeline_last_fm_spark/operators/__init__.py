@@ -6,9 +6,24 @@ north-star): dedup family, similarity search, text analysis, multimodal
 column plumbing.
 """
 
+from etl_pipeline_last_fm_spark.operators.dedup import connected_components, dedup_keep_list
 from etl_pipeline_last_fm_spark.operators.flatten import flatten_raw_chart
+from etl_pipeline_last_fm_spark.operators.funnel import funnel_stages, funnel_summary
 from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
 from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins, idempotent_append
+from etl_pipeline_last_fm_spark.operators.packing import pack_sequences, pair_counts
+from etl_pipeline_last_fm_spark.operators.profile import (
+    fixed_width_histogram,
+    profile_columns,
+    quantile_buckets,
+)
+from etl_pipeline_last_fm_spark.operators.sampling import (
+    group_split_assign,
+    mixture_sample,
+    split_assign,
+    stratified_sample,
+)
+from etl_pipeline_last_fm_spark.operators.scd import scd2_apply, scd2_history
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.star import star_join
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
@@ -21,4 +36,19 @@ __all__ = [
     "assign_surrogate_keys",
     "star_join",
     "windowed_top_k",
+    "connected_components",
+    "dedup_keep_list",
+    "funnel_stages",
+    "funnel_summary",
+    "pack_sequences",
+    "pair_counts",
+    "profile_columns",
+    "quantile_buckets",
+    "fixed_width_histogram",
+    "split_assign",
+    "group_split_assign",
+    "stratified_sample",
+    "mixture_sample",
+    "scd2_history",
+    "scd2_apply",
 ]
