@@ -708,6 +708,15 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 64-token windows, stride 48.
+    Explodes only the cheap chunk-index sequence (the token array is
+    computed once per doc in the Project below the Generate — the
+    codegen-safe shape; see SCALING.md on generator inputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 _MIXTURE_RATES = {"en": 4000, "zh": 10000, "de": 10000, "fr": 10000, "es": 8000}
 
 
@@ -817,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_buckets": q_quantile_buckets,
         "histogram": q_histogram,
         "mixture_sample": q_mixture_sample,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1137,6 +1147,9 @@ def oracle_sql() -> dict[str, str]:
             "l_extendedprice", n_bins=50
         ),
         "mixture_sample": sampling_oracle_mod.mixture_sample_oracle_sql(_MIXTURE_RATES),
+        "chunk_documents": packing_ops.chunk_documents_oracle_sql(
+            chunk_tokens=64, overlap=16
+        ),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

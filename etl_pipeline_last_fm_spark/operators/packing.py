@@ -163,3 +163,86 @@ def pair_counts_oracle_sql(top_k: int = 20, table: str = "documents") -> str:
             FROM counted
         ) WHERE rnk <= {top_k}
     """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows — the
+    context-window chunking step of retrieval / long-document training
+    pipelines (stride = chunk_tokens - overlap).
+
+    Per-doc arithmetic only: explode a chunk-index sequence, slice the
+    token array — embarrassingly parallel, no shuffle at all. Chunk ids are
+    stable functions of (doc_id, chunk_idx), so re-runs and backfills
+    produce identical chunk keys (the idempotence contract every downstream
+    index build needs).
+
+    Returns (doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text).
+    The final chunk may be shorter than chunk_tokens; a doc shorter than
+    one chunk yields exactly one chunk at offset 0.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+    # number of chunks = 1 + floor(max(n - chunk, 0) / stride), and one
+    # extra partial chunk when the tail past the last full window is
+    # non-empty — equivalently: ceil(max(n - overlap, stride) / stride)
+    n_chunks = F.ceil(
+        F.greatest(F.col("__n") - F.lit(overlap), F.lit(stride)) / F.lit(stride)
+    ).cast("int")
+    return (
+        toks.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("chunk_start"),
+            F.slice(
+                F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_tokens: int = 64, overlap: int = 16, table: str = "documents"
+) -> str:
+    """DuckDB twin of chunk_documents (list_slice is 1-based and
+    end-inclusive like Spark's slice-by-length minus one)."""
+    stride = chunk_tokens - overlap
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks,
+                   len(string_split(trim(text), ' ')) AS n
+            FROM {table}
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(range(CAST(CEIL(GREATEST(n - {overlap}, {stride})
+                                          / {stride}.0) AS BIGINT))) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               chunk_idx * {stride} AS chunk_start,
+               CAST(len(list_slice(toks, chunk_idx * {stride} + 1,
+                                   chunk_idx * {stride} + {chunk_tokens})) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(toks, chunk_idx * {stride} + 1,
+                                          chunk_idx * {stride} + {chunk_tokens}), ' ')
+                   AS chunk_text
+        FROM idx
+    """

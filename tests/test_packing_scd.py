@@ -132,3 +132,32 @@ def test_scd2_apply_empty_batch_is_identity(spark, sf_dir):
     applied = scd2_apply(hist, orders.limit(0))
     assert applied.exceptAll(hist).count() == 0
     assert hist.exceptAll(applied).count() == 0
+
+
+def test_chunks_reconstruct_document(spark):
+    """Non-overlap parts of consecutive chunks concatenate back to the doc;
+    overlap region of chunk i+1 equals the tail of chunk i."""
+    from etl_pipeline_last_fm_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy("chunk_idx").collect()
+    toks = text.split(" ")
+    assert [r["chunk_start"] for r in rows] == [0, 48, 96]
+    for r in rows:
+        assert r["chunk_text"].split(" ") == toks[r["chunk_start"]:r["chunk_start"] + 64]
+        assert r["n_chunk_tokens"] == len(r["chunk_text"].split(" "))
+    # every token position is covered by at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
+    assert covered == set(range(150))
+
+
+def test_short_doc_yields_single_chunk(spark):
+    from etl_pipeline_last_fm_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_start"] == 0 and rows[0]["n_chunk_tokens"] == 3
