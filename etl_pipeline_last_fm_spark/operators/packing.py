@@ -114,9 +114,13 @@ def pair_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
     """Top-k adjacent token pairs by corpus frequency — one BPE merge-
     selection step. Deterministic ties: rank on (count desc, pair asc).
 
-    Returns (pair, n, rnk). The global rank window runs on the aggregated
-    pair vocabulary (bounded by vocab², independent of corpus size), never
-    on token rows.
+    Returns (pair, n, rnk). The global top-k is ``orderBy().limit()``,
+    which Spark compiles to TakeOrderedAndProject — each partition keeps
+    only its local top-k and the driver merges k-sized heaps. The distinct
+    pair space of a web-scale corpus is NOT small (easily billions), so an
+    unpartitioned rank window over it — the obvious alternative — would
+    funnel every pair through one task; this shape never materializes more
+    than k rows anywhere. The final rnk is numbered on exactly k rows.
     """
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     pairs = (
@@ -128,13 +132,14 @@ def pair_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
         .filter(F.col("__nxt").isNotNull())
         .select(F.concat_ws(" ", "tok", "__nxt").alias("pair"))
     )
-    wrank = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
+    topk = (
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rnk", F.row_number().over(wrank).cast("int"))
-        .filter(F.col("rnk") <= top_k)
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
     )
+    wrank = Window.orderBy(F.desc("n"), F.asc("pair"))  # k rows only
+    return topk.withColumn("rnk", F.row_number().over(wrank).cast("int"))
 
 
 def pair_counts_oracle_sql(top_k: int = 20, table: str = "documents") -> str:

@@ -20,14 +20,29 @@ from pyspark.sql import functions as F
 from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str], approximate: bool = False
+) -> DataFrame:
     """Profile numeric columns: one output row per column with
-    (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, avg_val)."""
+    (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, avg_val).
+
+    ``approximate=True`` swaps the exact count-distincts for HyperLogLog
+    sketches (``approx_count_distinct``): N exact distincts in one agg make
+    Catalyst expand the input N+1-fold before the shuffle — fine at fixture
+    scale and required for the value oracle, but at 100 TB the expand IS
+    the job. The sketch variant keeps the single-scan single-shuffle shape
+    with constant-size state per column (and is not oracle-paired, since
+    HLL estimates are engine-specific)."""
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approximate
+        else (lambda c: F.countDistinct(c))
+    )
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            nd(c).alias(f"__nd_{c}"),
             F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
             F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
             half_up_round(F.avg(c), 4).alias(f"__avg_{c}"),
@@ -65,6 +80,7 @@ def profile_columns_oracle_sql(cols: list[str], table: str = "lineitem") -> str:
 def quantile_buckets(
     docs: DataFrame,
     n_buckets: int = 10,
+    exact: bool = True,
 ) -> DataFrame:
     """Curriculum/length bucketing WITHOUT a global sort: an ntile-style
     equal-population bucket id per doc, computed scalably.
@@ -80,15 +96,23 @@ def quantile_buckets(
     Edges are floor-trick rounded at 1e-4 on BOTH engines before
     comparison, so the edge doubles are bit-identical cross-engine (the
     same discipline as every derived double here).
+
+    ``exact=True`` (the oracle-checkable default) uses ``percentile``,
+    which buffers each aggregation state's values — fine at fixture scale,
+    wrong at 100 TB. ``exact=False`` swaps in ``approx_percentile``
+    (t-digest sketch, constant state, same interface); bucket semantics are
+    identical, edge placement is approximate — the variant a real corpus
+    runs, not oracle-paired because sketches are engine-specific.
     """
     toks = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
     )
+    pfn = "percentile" if exact else "approx_percentile"
     edges = toks.agg(
         *[
             half_up_round(
-                F.expr(f"percentile(n_tokens, {i / n_buckets})"), 4
+                F.expr(f"{pfn}(n_tokens, {i / n_buckets})"), 4
             ).alias(f"__e{i}")
             for i in range(1, n_buckets)
         ]
