@@ -118,3 +118,72 @@ def test_impute_laws(spark, rows):
             assert r.f == math.floor(sum(nonzero) / len(nonzero) + 0.5)
         else:
             assert r.f is None
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),  # doc_id (may collide -> dedupe below)
+        st.lists(st.sampled_from("abc xy q".split()), min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=docs_strategy)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_prefix_sum(spark, raw):
+    from etl_pipeline_last_fm_spark.operators.packing import pack_sequences
+
+    docs_py = {i: " ".join(ws) for i, ws in raw}  # last write wins per id
+    df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["tok_offset"])
+           for r in pack_sequences(df, budget=7, block_size=3).collect()}
+    off = 0
+    for i in sorted(docs_py):
+        # split-on-space semantics: "" -> [""] (1 token), like Spark/DuckDB
+        n = len(docs_py[i].strip().split(" "))
+        assert got[i] == (n, off), (i, got[i], n, off)
+        off += n
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 9),          # day
+            st.integers(0, 50),         # tiebreak
+            st.sampled_from(["A", "B", "C"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_islands_match_python_reference(spark, obs):
+    from etl_pipeline_last_fm_spark.operators.scd import _scd2_from_obs
+
+    df = spark.createDataFrame(
+        [(k, f"2024-01-{d:02d}", tb, a) for k, d, tb, a in obs],
+        "k long, __d string, __tb long, attr string",
+    )
+    got = {
+        (r["k"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"])
+        for r in _scd2_from_obs(df, "k", "attr").collect()
+    }
+    # Python reference: sort per key, collapse runs, half-open intervals.
+    by_key: dict = {}
+    for k, d, tb, a in obs:
+        by_key.setdefault(k, []).append((f"2024-01-{d:02d}", tb, a))
+    want: dict = {}
+    for k, rows in by_key.items():
+        rows.sort()
+        runs: list = []
+        for d, _tb, a in rows:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, d])
+        for v, (a, d) in enumerate(runs, 1):
+            nxt = runs[v][1] if v < len(runs) else None
+            want[(k, v)] = (a, d, nxt)
+    assert got == want
