@@ -1,0 +1,57 @@
+"""Output-layout writers: the two file-layout problems every large sink hits.
+
+``write_sorted`` — globally ordered output without a global sort:
+``repartitionByRange`` samples the sort key to build range boundaries, each
+partition sorts locally, and file i is entirely <= file i+1. Total order
+across files, no single-partition stage anywhere (the same reason
+``orderBy`` alone is fine for a LIMIT but wrong as a write plan: Spark
+would still range-partition, but an explicit repartitionByRange lets the
+caller pick the file count instead of inheriting shuffle.partitions).
+
+``write_compacted`` — the small-files fix: one pass to count (cheap:
+parquet metadata when possible), then ``repartition(ceil(n/target))`` so
+every output file lands near the target row count. A 100 TB table written
+at shuffle-partition granularity produces millions of KB-sized files that
+throttle every later scan on listing + open overhead; compaction at write
+time is cheaper than a follow-up OPTIMIZE pass.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write globally range-ordered parquet: file boundaries are sampled
+    range splits on ``sort_cols``, rows sorted within each file."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with ~target_rows_per_file per output file; returns
+    the file count used. The count() pass is the price of a deterministic
+    layout — for append-mode streams prefer maxRecordsPerFile, which caps
+    file size without the extra action but can still emit tiny tail files
+    per task."""
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files
