@@ -708,6 +708,14 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicated n-gram fraction and
+    top-ngram coverage — the boilerplate/spam filters length and stopword
+    heuristics miss. Per-doc aggregation only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_scores(docs, n=3)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: overlapping 64-token windows, stride 48.
     Explodes only the cheap chunk-index sequence (the token array is
@@ -827,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "mixture_sample": q_mixture_sample,
         "chunk_documents": q_chunk_documents,
+        "repetition": q_repetition,
     }
 
 
@@ -1150,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": packing_ops.chunk_documents_oracle_sql(
             chunk_tokens=64, overlap=16
         ),
+        "repetition": text_ops.repetition_scores_oracle_sql(n=3),
         "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8

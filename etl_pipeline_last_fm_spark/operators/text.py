@@ -338,3 +338,84 @@ def lang_id_oracle_sql() -> str:
                END AS lang_pred
         FROM h
     """
+
+
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText boilerplate
+    heuristics): fraction of duplicated n-grams and the coverage of the
+    single most frequent n-gram. High values mark templated/spammy docs that
+    slip past length and stopword filters.
+
+    Per-doc aggregation only (explode n-grams -> two nested groupBys keyed
+    by doc) — embarrassingly parallel, partitions bounded by the doc, never
+    the corpus. Returns (doc_id, n_ngrams, dup_ngram_frac, top_ngram_frac),
+    fractions floor-trick rounded at 1e-4; docs shorter than n tokens have
+    zero n-grams and report 0.0 for both fractions.
+    """
+    toks_df = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__t")
+    )
+    grams = toks_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= n,
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+            ).otherwise(F.array())
+        ).alias("pos"),
+        F.col("__t"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("pos"), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("__total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("__dup"),
+        F.max("c").alias("__top"),
+    )
+    frac = lambda c: half_up_round(c.cast("double") / F.col("__total"), 4)  # noqa: E731
+    scored = per_doc.select(
+        "doc_id",
+        F.col("__total").alias("n_ngrams"),
+        frac(F.col("__dup")).alias("dup_ngram_frac"),
+        frac(F.col("__top")).alias("top_ngram_frac"),
+    )
+    # docs with < n tokens produce no gram rows: restore them with zeros
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+    )
+
+
+def repetition_scores_oracle_sql(n: int = 3, table: str = "documents") -> str:
+    """DuckDB twin of repetition_scores (same 1-based gram positions, same
+    zero-fill for sub-n docs)."""
+    cols = ", ".join(f"t[pos + {j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM {table}
+        ),
+        grams AS (
+            SELECT doc_id, concat_ws(' ', {cols}) AS gram
+            FROM toks, unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS u(pos)
+        ),
+        per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+        ),
+        per_doc AS (
+            SELECT doc_id, SUM(c) AS total,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                   MAX(c) AS top
+            FROM per_gram GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(total, 0) AS n_ngrams,
+               COALESCE(FLOOR(CAST(dup AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0,
+                        0.0) AS dup_ngram_frac,
+               COALESCE(FLOOR(CAST(top AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0,
+                        0.0) AS top_ngram_frac
+        FROM {table} d LEFT JOIN per_doc USING (doc_id)
+    """
