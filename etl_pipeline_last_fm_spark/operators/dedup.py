@@ -200,8 +200,14 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` drops degenerate buckets (the LSH analogue of the
     stop-shingle filter): a bucket of m ids yields m(m-1)/2 candidates, so a
     single hot bucket — near-constant docs, a pathological band hash — can
-    dominate the whole job at scale. Buckets past the cap are skipped and
-    their pairs (if any are real) are left to the other bands.
+    dominate the whole job at scale. CAVEAT: for docs with IDENTICAL
+    signatures (exact/near-exact content duplicated past the cap) every
+    band's bucket is the same over-cap set, so the cap silently drops the
+    whole cluster — "left to the other bands" does not apply. That class
+    must be removed before LSH by an exact-fingerprint pre-pass, which is
+    exactly what ``dedup_keep_list`` does; call this operator directly only
+    on content-distinct corpora or with the cap sized above the largest
+    expected exact-dup cluster.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -233,7 +239,9 @@ def minhash_lsh_pairs(
     # 3.2s -> 1.3s. The cached set is candidate pairs only — proportional to
     # duplicate density, not corpus size — and the default storage level
     # spills to disk, so this stays safe at 100 TB where the signature
-    # recompute it avoids costs hours, not seconds.
+    # recompute it avoids costs hours, not seconds. The cache is RELEASED
+    # before returning (the result is eagerly localCheckpoint-ed below), so
+    # repeated calls in one session don't accumulate executor storage.
     cands = (
         buckets.select("ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i"))
         .select("ids", "i", F.explode(F.expr("sequence(i + 1, size(ids) - 1)")).alias("j"))
@@ -257,13 +265,22 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    verified = (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard_raw", jac)
         .filter(F.col("jaccard_raw") >= F.lit(verify_threshold))
         .select("doc_a", "doc_b", half_up_round(F.col("jaccard_raw"), 4).alias("jaccard"))
     )
+    # Materialize the (small: ∝ duplicate density) verified-pair set to
+    # executor-local storage, then drop the candidate cache. Eager by
+    # design: the operator's result is a terminal dedup product, and the
+    # alternative — returning a lazy plan over a persisted intermediate —
+    # leaks the cache for the session lifetime (and lets a benchmark's
+    # second run silently reuse the first run's candidates).
+    out = verified.localCheckpoint(eager=True)
+    cands.unpersist()
+    return out
 
 
 def minhash_lsh_pairs_oracle_sql(shingle_len: int = 3, verify_threshold: float = 0.5) -> str:
@@ -531,6 +548,7 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).localCheckpoint()
+    changed = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -551,6 +569,13 @@ def connected_components(
         if not changed:
             break
     edges.unpersist()
+    if changed:
+        # Partially-propagated labels are silently WRONG (a node whose label
+        # still equals its own id would read as a cluster keeper) — refuse.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 
@@ -561,19 +586,43 @@ def dedup_keep_list(
     bands: int = 8,
     verify_threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dup resolution: MinHash-LSH pairs -> connected
-    components -> (doc_id, keep_id, is_dup). keep_id is the smallest doc id
-    in the doc's duplicate cluster (first-writer-wins, same arbiter rule as
-    §2.7); is_dup marks docs to drop. Docs in no cluster are omitted — the
-    anti-join of the corpus against this list is the deduplicated corpus."""
-    pairs = minhash_lsh_pairs(
-        docs,
+    """End-to-end near-dup resolution: exact-fingerprint pre-pass ->
+    MinHash-LSH on content-distinct representatives -> connected components
+    -> (doc_id, keep_id, is_dup). keep_id is the smallest doc id in the
+    doc's duplicate cluster (first-writer-wins, same arbiter rule as §2.7);
+    is_dup marks docs to drop. Docs in no cluster are omitted — the
+    anti-join of the corpus against this list is the deduplicated corpus.
+
+    The exact pre-pass (md5 of the raw text, one groupBy) matters beyond
+    speed: a page duplicated >max_bucket_size times has identical MinHash
+    signatures, so EVERY band bucket for it would blow the LSH cap and the
+    cluster would be dropped silently (see minhash_lsh_pairs). Exact
+    clusters become star edges to their smallest id here, and only one
+    representative per distinct content enters LSH — the cap then only ever
+    sees content-distinct near-dup buckets. Exact-dup edges are a subset of
+    the Jaccard>=threshold truth set (identical text has Jaccard 1.0), so
+    the transitive closure — and the DuckDB oracle — is unchanged."""
+    fp = docs.select("doc_id", F.md5(F.col("text")).alias("__fp"))
+    # reps is corpus-sized (one row per distinct content) — equi-join on
+    # the fingerprint key, never broadcast.
+    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("__rep"))
+    exact_edges = (
+        fp.join(reps, "__fp")
+        .filter(F.col("doc_id") != F.col("__rep"))
+        .select(F.col("__rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    rep_docs = docs.join(
+        reps.select(F.col("__rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    near_pairs = minhash_lsh_pairs(
+        rep_docs,
         shingle_len=shingle_len,
         num_hashes=num_hashes,
         bands=bands,
         verify_threshold=verify_threshold,
     )
-    comps = connected_components(pairs)
+    edges = near_pairs.select("doc_a", "doc_b").unionByName(exact_edges)
+    comps = connected_components(edges)
     return comps.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("keep_id"),

@@ -168,13 +168,17 @@ def fixed_width_histogram(
         F.min(F.col(col).cast("double")).alias("__lo"),
         F.max(F.col(col).cast("double")).alias("__hi"),
     )
-    binc = F.least(
-        F.lit(n_bins - 1),
-        F.floor(
-            (F.col(col).cast("double") - F.col("__lo"))
-            * F.lit(float(n_bins))
-            / (F.col("__hi") - F.col("__lo"))
-        ),
+    # constant column (hi == lo): the bin formula is 0.0/0.0 — NaN on
+    # Spark, NULL on DuckDB, garbage on both. Pin everything to bin 0.
+    binc = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col(col).cast("double") - F.col("__lo"))
+                * F.lit(float(n_bins))
+                / (F.col("__hi") - F.col("__lo"))
+            ),
+        )
     ).cast("int")
     w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
     return (
@@ -203,9 +207,10 @@ def fixed_width_histogram_oracle_sql(
             FROM {table}
         ),
         binned AS (
-            SELECT CAST(LEAST({n_bins - 1},
+            SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE
+                       LEAST({n_bins - 1},
                        FLOOR((CAST({col} AS DOUBLE) - lo) * {n_bins}.0 / (hi - lo)))
-                   AS INTEGER) AS bin,
+                   END AS INTEGER) AS bin,
                    lo, hi
             FROM {table}, b
         )

@@ -23,6 +23,46 @@ from etl_pipeline_last_fm_spark.functions.scalar import (
 )
 
 
+_DEFAULT_WEIGHTS = {"train": 80, "val": 10, "test": 10}
+
+
+def _bucket_expr(salt: str, col: str):
+    """pmod(hash(salt || value), 100) — the shared split bucket."""
+    return F.pmod(
+        portable_hash60(F.concat(F.lit(salt), F.lit(":"), F.col(col).cast("string"))),
+        F.lit(100),
+    )
+
+
+def _bucket_edges(weights: dict[str, int]) -> list[tuple[str, int]]:
+    """Cumulative [0,100) range edges in weight order — the carve whose
+    in-order accumulation gives adjacent-split stability on re-weighting.
+    ALL split assignment (DataFrame and SQL) must route through this."""
+    assert sum(weights.values()) == 100
+    edges: list[tuple[str, int]] = []
+    acc = 0
+    for name, pct in weights.items():
+        acc += pct
+        edges.append((name, acc))
+    return edges
+
+
+def _split_case(bucket, weights: dict[str, int]):
+    edges = _bucket_edges(weights)
+    expr = F.when(bucket < edges[0][1], F.lit(edges[0][0]))
+    for name, hi in edges[1:]:
+        expr = expr.when(bucket < hi, F.lit(name))
+    return expr
+
+
+def _split_case_sql(bucket_sql: str, weights: dict[str, int]) -> str:
+    arms = " ".join(
+        f"WHEN {bucket_sql} < {hi} THEN '{name}'"
+        for name, hi in _bucket_edges(weights)
+    )
+    return f"CASE {arms} END"
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -38,21 +78,11 @@ def split_assign(
     the property that lets a 80/10/10 -> 90/5/5 re-split keep most of train
     stable.
     """
-    weights = weights or {"train": 80, "val": 10, "test": 10}
-    assert sum(weights.values()) == 100
-    bucket = F.pmod(
-        portable_hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-        F.lit(100),
+    weights = weights or _DEFAULT_WEIGHTS
+    bucket = _bucket_expr(salt, id_col)
+    return df.withColumn("bucket", bucket.cast("int")).withColumn(
+        "split", _split_case(bucket, weights)
     )
-    edges: list[tuple[str, int]] = []
-    acc = 0
-    for name, pct in weights.items():
-        acc += pct
-        edges.append((name, acc))
-    expr = F.when(bucket < edges[0][1], F.lit(edges[0][0]))
-    for name, hi in edges[1:]:
-        expr = expr.when(bucket < hi, F.lit(name))
-    return df.withColumn("bucket", bucket.cast("int")).withColumn("split", expr)
 
 
 def split_assign_oracle_sql(
@@ -63,18 +93,14 @@ def split_assign_oracle_sql(
     select_cols: str = "doc_id",
 ) -> str:
     """DuckDB twin of split_assign (same salt, same hash, same edges)."""
-    weights = weights or {"train": 80, "val": 10, "test": 10}
+    weights = weights or _DEFAULT_WEIGHTS
     h = portable_hash60_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
-    arms, acc = [], 0
-    for name, pct in weights.items():
-        acc += pct
-        arms.append(f"WHEN bucket < {acc} THEN '{name}'")
     return f"""
         WITH b AS (
             SELECT {select_cols}, CAST(({h}) % 100 AS INTEGER) AS bucket
             FROM {table}
         )
-        SELECT {select_cols}, bucket, CASE {' '.join(arms)} END AS split FROM b
+        SELECT {select_cols}, bucket, {_split_case_sql("bucket", weights)} AS split FROM b
     """
 
 
@@ -141,23 +167,9 @@ def group_split_assign(
     re-weighting); pure per-row expression — no shuffle, no group
     materialization, groups need never fit anywhere.
     """
-    weights = weights or {"train": 80, "val": 10, "test": 10}
-    assert sum(weights.values()) == 100
-    bucket = F.pmod(
-        portable_hash60(
-            F.concat(F.lit(salt), F.lit(":"), F.col(group_col).cast("string"))
-        ),
-        F.lit(100),
-    )
-    edges: list[tuple[str, int]] = []
-    acc = 0
-    for name, pct in weights.items():
-        acc += pct
-        edges.append((name, acc))
-    expr = F.when(bucket < edges[0][1], F.lit(edges[0][0]))
-    for name, hi in edges[1:]:
-        expr = expr.when(bucket < hi, F.lit(name))
-    return df.withColumn("split", expr)
+    weights = weights or _DEFAULT_WEIGHTS
+    bucket = _bucket_expr(salt, group_col)
+    return df.withColumn("split", _split_case(bucket, weights))
 
 
 def group_split_assign_oracle_sql(
@@ -168,14 +180,10 @@ def group_split_assign_oracle_sql(
     select_cols: str = "event_id, user_id",
 ) -> str:
     """DuckDB twin of group_split_assign."""
-    weights = weights or {"train": 80, "val": 10, "test": 10}
+    weights = weights or _DEFAULT_WEIGHTS
     h = portable_hash60_sql(f"'{salt}:' || CAST({group_col} AS VARCHAR)")
-    arms, acc = [], 0
-    for name, pct in weights.items():
-        acc += pct
-        arms.append(f"WHEN ({h}) % 100 < {acc} THEN '{name}'")
     return f"""
-        SELECT {select_cols}, CASE {' '.join(arms)} END AS split
+        SELECT {select_cols}, {_split_case_sql(f"({h}) % 100", weights)} AS split
         FROM {table}
     """
 

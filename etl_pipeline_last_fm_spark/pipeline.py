@@ -132,25 +132,27 @@ def run_dds(
     each run writes all three to a fresh ``dim_snapshots/v=N+1/`` directory
     (the plans read v=N — different paths, so no stale-file-index conflict)
     and drops a ``_COMMITTED`` marker only after all three writes succeed.
-    Readers resolve the latest *committed* version, so a mid-write crash
-    leaves the previous snapshot live and the star always self-consistent —
-    the snapshot-pointer pattern (Iceberg-style) instead of the reference's
-    in-place UPSERTs. This stays O(executor) however large dim_song grows
+    Readers resolve the latest *committed* version, and the fact delta is
+    appended only AFTER the commit, so a crash anywhere leaves the star
+    self-consistent: either the old snapshot is live, or the new one is
+    live with the day's fact rows at worst absent (re-run appends them —
+    the delta is an anti-join against the existing fact). The
+    snapshot-pointer pattern (Iceberg-style) instead of the reference's
+    in-place UPSERTs. Note the version/commit-marker bookkeeping uses
+    driver-local filesystem ops (os/open/shutil); on an object store it
+    needs the Hadoop FileSystem API instead — see ``s3a_conf``. This stays O(executor) however large dim_song grows
     (it is ~distinct(song, duration) and scales with the corpus, unlike the
     genuinely bounded country dim)."""
     ods = spark.read.parquet(wh.ods).filter(F.col("source_date") == F.lit(str(run_date)))
     existing = load_dds(spark, wh)
     result = build_dds(ods, existing=existing)
 
-    # Fact delta first (append — touches no existing file).
-    fact_path = wh.dds("fact_daily_top_100")
-    (
-        result.new_fact.repartition("date")
-        .write.mode("append")
-        .partitionBy("date")
-        .parquet(fact_path)
-    )
-
+    # Dim snapshot FIRST, fact delta second: a crash between the two leaves
+    # committed dims whose fact rows for the day are simply absent — the
+    # re-run recomputes the same delta (anti-join vs existing fact) and
+    # appends it. The reverse order would leave live fact rows referencing
+    # surrogate ids that exist only in an uncommitted snapshot, silently
+    # dropped by every star join until the day is re-run.
     versions = _committed_versions(wh)
     new_v = (versions[-1] + 1) if versions else 1
     snap = _snapshot_dir(wh, new_v)
@@ -163,6 +165,14 @@ def run_dds(
         full.coalesce(1).write.mode("overwrite").parquet(os.path.join(snap, name))
     with open(os.path.join(snap, _COMMIT_MARKER), "w") as f:
         f.write(str(run_date))
+
+    fact_path = wh.dds("fact_daily_top_100")
+    (
+        result.new_fact.repartition("date")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(fact_path)
+    )
 
     # Retire old snapshots (keep a short history for readers mid-flight).
     import shutil
@@ -185,14 +195,21 @@ def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
     dims: dict[str, DataFrame | None] = {
         name: _read_or_empty(spark, os.path.join(snap, name), None) for name in _DIM_NAMES
     }
-    fact = _read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA)
-    missing = [n for n, df in dims.items() if df is None] + ([] if fact is not None else ["fact_daily_top_100"])
+    missing = [n for n, df in dims.items() if df is None]
     if missing:
         raise RuntimeError(
             f"DDS warehouse at {wh.root} is inconsistent: snapshot v={versions[-1]} "
             f"is committed but {', '.join(missing)} is missing — "
             "a partial prior run or external deletion; re-run run_dds or remove the snapshot."
         )
+    # An absent fact path is NOT inconsistency: an empty first run writes
+    # dims (one empty part file each) but `.partitionBy` of an empty fact
+    # delta emits no parquet at all, and a crash between snapshot commit
+    # and fact append (the tolerated window, see run_dds) looks the same.
+    # Treat it as an empty fact and let the next delta fill it.
+    fact = _read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA)
+    if fact is None:
+        fact = spark.createDataFrame([], FACT_SCHEMA)
     return DdsTables(
         dim_country=dims["dim_country"],
         dim_artist=dims["dim_artist"],

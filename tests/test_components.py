@@ -70,3 +70,22 @@ def test_keep_list_on_fixture(spark, sf_dir):
     ids = {r["doc_id"]: r for r in out}
     for k in keeps:
         assert ids[k]["is_dup"] is False
+
+
+def test_keep_list_exact_mega_cluster(spark):
+    """Content duplicated many times has identical MinHash signatures in
+    every band — the LSH bucket cap would silently drop the whole cluster.
+    The exact-fingerprint pre-pass must resolve it regardless of cap."""
+    same = "the same boilerplate page " * 10
+    uniq = [(i, f"unique words {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+            for i in range(100, 120)]
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(50)] + uniq, "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_list(docs).collect()}
+    # all 50 exact copies form one cluster kept by doc 0
+    for i in range(50):
+        assert out[i]["keep_id"] == 0
+        assert out[i]["is_dup"] == (i != 0)
+    # unique docs never appear in the keep list
+    assert all(i not in out for i, _ in uniq)

@@ -161,3 +161,16 @@ def test_short_doc_yields_single_chunk(spark):
     rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
     assert len(rows) == 1
     assert rows[0]["chunk_start"] == 0 and rows[0]["n_chunk_tokens"] == 3
+
+
+def test_histogram_constant_column(spark):
+    """min == max must not produce NaN bins (0.0/0.0) — everything lands
+    in bin 0 with bin_lo == bin_hi, matching the oracle's CASE guard."""
+    from etl_pipeline_last_fm_spark.operators.profile import fixed_width_histogram
+
+    df = spark.createDataFrame([(1, 7.5)] * 10, "id long, v double")
+    rows = fixed_width_histogram(df, "v", n_bins=50).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bin"] == 0 and r["n_rows"] == 10
+    assert r["bin_lo"] == 7.5 == r["bin_hi"]
