@@ -143,7 +143,13 @@ def run_dds(
     needs the Hadoop FileSystem API instead — see ``s3a_conf``. This stays O(executor) however large dim_song grows
     (it is ~distinct(song, duration) and scales with the corpus, unlike the
     genuinely bounded country dim)."""
-    ods = spark.read.parquet(wh.ods).filter(F.col("source_date") == F.lit(str(run_date)))
+    # _read_or_empty: a day-one run whose ingest landed zero rows leaves the
+    # ODS path without parquet files — build against an empty ODS rather
+    # than failing schema inference.
+    ods_all = _read_or_empty(spark, wh.ods, ODS_SCHEMA)
+    if ods_all is None:
+        ods_all = spark.createDataFrame([], ODS_SCHEMA)
+    ods = ods_all.filter(F.col("source_date") == F.lit(str(run_date)))
     existing = load_dds(spark, wh)
     result = build_dds(ods, existing=existing)
 

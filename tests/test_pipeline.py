@@ -157,3 +157,28 @@ def test_rerun_is_idempotent(spark, warehouse):
     )
     roy = spark.read.parquet(warehouse.dm("expected_artist_royalties_by_date"))
     assert roy.filter(F.col("date") == D1).count() == 3
+
+
+def test_empty_first_run_does_not_brick_warehouse(spark, tmp_path):
+    """A first run over a date with NO raw data writes committed dims but
+    an empty fact (partitionBy of empty emits no parquet). The warehouse
+    must stay usable: load_dds returns an empty fact, and a later real run
+    proceeds normally."""
+    root = str(tmp_path / "wh_empty_first")
+    wh = Warehouse(root)
+    d_empty, d_real = "2024-03-01", "2024-03-02"
+    # land raw for BOTH dates (ODS path must exist), but the empty date has
+    # an empty chart -> zero ODS rows for it
+    raw0 = fetch_charts(spark, d_empty, countries=["Testland"],
+                        fetch_fn=lambda c: {"tracks": {"track": [], "@attr": {"country": c}}})
+    write_raw_chart(raw0, wh.raw)
+    run_pipeline(spark, root, d_empty)
+
+    dds = load_dds(spark, wh)
+    assert dds is not None
+    assert dds.fact.count() == 0  # empty, not an error
+
+    raw1 = fetch_charts(spark, d_real, countries=list(CHARTS[D1]), fetch_fn=fetch_for(D1))
+    write_raw_chart(raw1, wh.raw)
+    run_pipeline(spark, root, d_real)
+    assert load_dds(spark, wh).fact.count() > 0
