@@ -578,6 +578,14 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_near_dups(emb, threshold=0.4)
 
 
+def q_embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup resolution: blocked cosine pairs -> connected
+    components -> keep/drop list (the embedding twin of dedup_keep_list;
+    same 0.4 fixture threshold as embedding_cosine_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_ops.embedding_keep_list(emb, threshold=0.4, n_planes=6)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.binary_meta(docs)
@@ -817,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_keep_list": q_embedding_keep_list,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1116,6 +1125,9 @@ def oracle_sql() -> dict[str, str]:
         # literals baked into the SQL.
         "dedup_minhash_lsh": minhash_lsh_pairs_oracle_sql(shingle_len=3, verify_threshold=0.5),
         "embedding_cosine_dedup": embedding_near_dups_blocked_oracle_sql(
+            threshold=0.4, n_planes=6
+        ),
+        "embedding_keep_list": dedup_ops.embedding_keep_list_oracle_sql(
             threshold=0.4, n_planes=6
         ),
         "embedding_cosine_pairs": embedding_near_dups_oracle_sql(threshold=0.4),

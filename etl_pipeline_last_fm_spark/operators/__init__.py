@@ -6,7 +6,11 @@ north-star): dedup family, similarity search, text analysis, multimodal
 column plumbing.
 """
 
-from etl_pipeline_last_fm_spark.operators.dedup import connected_components, dedup_keep_list
+from etl_pipeline_last_fm_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_list,
+    embedding_keep_list,
+)
 from etl_pipeline_last_fm_spark.operators.flatten import flatten_raw_chart
 from etl_pipeline_last_fm_spark.operators.funnel import funnel_stages, funnel_summary
 from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
@@ -38,6 +42,7 @@ __all__ = [
     "windowed_top_k",
     "connected_components",
     "dedup_keep_list",
+    "embedding_keep_list",
     "funnel_stages",
     "funnel_summary",
     "pack_sequences",

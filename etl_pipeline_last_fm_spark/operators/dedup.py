@@ -706,3 +706,52 @@ def embedding_near_dups(
         .filter(F.col("sim_raw") >= F.lit(threshold))
         .select("id_a", "id_b", half_up_round(F.col("sim_raw"), 4).alias("sim"))
     )
+
+
+def embedding_keep_list(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic dedup resolution: hyperplane-LSH blocked cosine pairs ->
+    connected components -> (vec_id, keep_id, is_dup). The embedding twin
+    of ``dedup_keep_list`` — same cluster arbiter (smallest id keeps), same
+    CC machinery, pairs from the bucketed scale path instead of shingle
+    LSH. Semantic near-duplication chains exactly like textual (A≈B≈C with
+    sim(A,C) below threshold), so the per-CLUSTER resolution matters here
+    too."""
+    pairs = embedding_near_dups_blocked(
+        emb, threshold=threshold, n_planes=n_planes,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    comps = connected_components(pairs, a_col="id_a", b_col="id_b")
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("keep_id"),
+        (F.col("node") != F.col("label")).alias("is_dup"),
+    )
+
+
+def embedding_keep_list_oracle_sql(threshold: float, n_planes: int = 8) -> str:
+    """DuckDB twin: the blocked-pair SQL (identical plane literals) closed
+    transitively by a RECURSIVE CTE — same independent-fixpoint pattern as
+    dedup_keep_list_oracle_sql."""
+    pair_sql = embedding_near_dups_blocked_oracle_sql(threshold, n_planes)
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({pair_sql}),
+        edges AS MATERIALIZED (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS vec_id, min(dst) AS keep_id, src <> min(dst) AS is_dup
+        FROM reach GROUP BY src
+    """
