@@ -350,6 +350,52 @@ def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/changelog compaction: the LATEST record per key (user), i.e.
+    last-writer-wins — the temporal mirror of the §2.7 first-writer-wins
+    arbiter. row_number over (key, ts desc, id desc) + filter compiles to
+    WindowGroupLimit: each partition keeps one row per key in-flight."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            half_up_round(F.col("value"), 2).alias("last_value"),
+        )
+    )
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rolling window: daily totals per event type, 7-day
+    trailing moving average (rows frame over the dense daily series) and
+    each day's share of its type's total (ratio-to-report). Windows
+    partition on event_type — the tiny daily aggregate, never raw events,
+    flows through them."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("value").alias("__total"))
+    w_ma = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        half_up_round(F.col("__total"), 2).alias("day_total"),
+        half_up_round(F.avg("__total").over(w_ma), 4).alias("ma7"),
+        half_up_round(
+            F.col("__total") / F.sum("__total").over(w_all) * F.lit(100.0), 4
+        ).alias("pct_of_type"),
+    )
+
+
 def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag navigation windows: per-user inter-event gap in seconds."""
     ev = load_table(spark, sf_dir, "events")
@@ -808,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_conditional": q_pivot_conditional,
         "pivot_native": q_pivot_native,
         "lead_lag": q_lead_lag,
+        "cdc_compact": q_cdc_compact,
+        "rolling_stats": q_rolling_stats,
         "percentiles": q_percentiles,
         # extensions
         "dedup_exact": q_dedup_exact,
@@ -1039,6 +1087,32 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
                    FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
             FROM events GROUP BY 1
+        """,
+        "cdc_compact": """
+            WITH ranked AS (
+                SELECT user_id, event_id, event_type,
+                       FLOOR(value * 100.0 + 0.5) / 100.0 AS last_value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id, event_type, last_value
+            FROM ranked WHERE rn = 1
+        """,
+        "rolling_stats": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       SUM(value) AS total
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day,
+                   FLOOR(total * 100.0 + 0.5) / 100.0 AS day_total,
+                   FLOOR(AVG(total) OVER (PARTITION BY event_type ORDER BY day
+                                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                         * 10000.0 + 0.5) / 10000.0 AS ma7,
+                   FLOOR(total / SUM(total) OVER (PARTITION BY event_type) * 100.0
+                         * 10000.0 + 0.5) / 10000.0 AS pct_of_type
+            FROM daily
         """,
         "lead_lag": """
             SELECT event_id, user_id,
