@@ -135,3 +135,8 @@ def test_new_ops_stay_jvm_side(spark, sf_dir):
     ]:
         plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_cdc_compact_uses_window_group_limit(spark, sf_dir):
+    plan = formatted_plan(entrymod.queries()["cdc_compact"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
