@@ -6,8 +6,11 @@ extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for every
 SQL-expressible query (same column names; computed columns aliased on both
-sides). Non-SQL-expressible ops (minhash-LSH, simhash, ANN-LSH) intentionally
-have no oracle entry -> driver records the weaker rows-only check.
+sides). The lone intentional omission is ``sim_ann_ivf`` (centroids come
+from driver-side k-means, not reproducible in SQL) -> driver records the
+weaker rows-only check there; every other entry — including minhash-LSH,
+simhash and ANN-LSH via portable md5-derived hashes and seed-deterministic
+plane literals — is value-checked.
 
 Float-parity strategy (SURVEY.md Appendix A.2/A.3): every derived double is
 rounded with the engine-independent floor trick ``floor(x*10^s + 0.5)/10^s``
