@@ -375,17 +375,20 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series rolling window: daily totals per event type, 7-day
-    trailing moving average (rows frame over the dense daily series) and
-    each day's share of its type's total (ratio-to-report). Windows
-    partition on event_type — the tiny daily aggregate, never raw events,
-    flows through them."""
+    """Time-series rolling window: daily totals per event type, CALENDAR
+    7-day trailing moving average (RANGE frame over the day number, so gap
+    days shrink the window instead of silently stretching it the way a
+    ROWS frame over observed days would) and each day's share of its
+    type's total (ratio-to-report). Windows partition on event_type — the
+    tiny daily aggregate, never raw events, flows through them."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.sum("value").alias("__total"))
+    ).agg(
+        F.sum("value").alias("__total"),
+    ).withColumn("__daynum", F.datediff(F.to_date("day"), F.lit("1970-01-01")))
     w_ma = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+        Window.partitionBy("event_type").orderBy("__daynum").rangeBetween(-6, 0)
     )
     w_all = Window.partitionBy("event_type")
     return daily.select(
@@ -1110,8 +1113,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, day,
                    FLOOR(total * 100.0 + 0.5) / 100.0 AS day_total,
-                   FLOOR(AVG(total) OVER (PARTITION BY event_type ORDER BY day
-                                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   FLOOR(AVG(total) OVER (PARTITION BY event_type
+                                          ORDER BY datediff('day', DATE '1970-01-01',
+                                                            CAST(day AS DATE))
+                                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                          * 10000.0 + 0.5) / 10000.0 AS ma7,
                    FLOOR(total / SUM(total) OVER (PARTITION BY event_type) * 100.0
                          * 10000.0 + 0.5) / 10000.0 AS pct_of_type

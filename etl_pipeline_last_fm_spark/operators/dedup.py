@@ -239,9 +239,12 @@ def minhash_lsh_pairs(
     # 3.2s -> 1.3s. The cached set is candidate pairs only — proportional to
     # duplicate density, not corpus size — and the default storage level
     # spills to disk, so this stays safe at 100 TB where the signature
-    # recompute it avoids costs hours, not seconds. The cache is RELEASED
-    # before returning (the result is eagerly localCheckpoint-ed below), so
-    # repeated calls in one session don't accumulate executor storage.
+    # recompute it avoids costs hours, not seconds. A lazy persist (not a
+    # checkpoint) deliberately: lineage survives executor loss, and the
+    # operator keeps Spark's construction-is-free contract. CACHE OWNERSHIP:
+    # the cache lives until session eviction — callers looping over many
+    # corpora in one session should spark.catalog.clearCache() between
+    # corpora (bench.py does; the dedup-corpus CLI run ends its session).
     cands = (
         buckets.select("ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i"))
         .select("ids", "i", F.explode(F.expr("sequence(i + 1, size(ids) - 1)")).alias("j"))
@@ -265,22 +268,13 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    verified = (
+    return (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard_raw", jac)
         .filter(F.col("jaccard_raw") >= F.lit(verify_threshold))
         .select("doc_a", "doc_b", half_up_round(F.col("jaccard_raw"), 4).alias("jaccard"))
     )
-    # Materialize the (small: ∝ duplicate density) verified-pair set to
-    # executor-local storage, then drop the candidate cache. Eager by
-    # design: the operator's result is a terminal dedup product, and the
-    # alternative — returning a lazy plan over a persisted intermediate —
-    # leaks the cache for the session lifetime (and lets a benchmark's
-    # second run silently reuse the first run's candidates).
-    out = verified.localCheckpoint(eager=True)
-    cands.unpersist()
-    return out
 
 
 def minhash_lsh_pairs_oracle_sql(shingle_len: int = 3, verify_threshold: float = 0.5) -> str:
@@ -549,7 +543,11 @@ def connected_components(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).localCheckpoint()
     changed = None
-    for _ in range(max_iter):
+    # max_iter + 1: convergence is only CERTIFIED by a no-change round, so
+    # a graph whose last label lands exactly on round max_iter needs one
+    # extra round to prove it's done — without this, a diameter-max_iter
+    # chain would converge correctly and still raise.
+    for _ in range(max_iter + 1):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -604,8 +602,13 @@ def dedup_keep_list(
     the transitive closure — and the DuckDB oracle — is unchanged."""
     fp = docs.select("doc_id", F.md5(F.col("text")).alias("__fp"))
     # reps is corpus-sized (one row per distinct content) — equi-join on
-    # the fingerprint key, never broadcast.
-    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("__rep"))
+    # the fingerprint key, never broadcast. Persisted (spill-to-disk): it
+    # feeds the exact-edge join AND the rep semi-join, and the edge set is
+    # read twice by connected_components' symmetric union — unpersisted,
+    # each path re-runs the full-corpus md5 groupBy. Released below once
+    # the CC labels are materialized (CC localCheckpoints per round, so
+    # its output no longer references this lineage).
+    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("__rep")).persist()
     exact_edges = (
         fp.join(reps, "__fp")
         .filter(F.col("doc_id") != F.col("__rep"))
@@ -623,6 +626,7 @@ def dedup_keep_list(
     )
     edges = near_pairs.select("doc_a", "doc_b").unionByName(exact_edges)
     comps = connected_components(edges)
+    reps.unpersist()
     return comps.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("keep_id"),

@@ -189,8 +189,10 @@ def chunk_documents(
     The final chunk may be shorter than chunk_tokens; a doc shorter than
     one chunk yields exactly one chunk at offset 0.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap would mean stride > chunk_tokens: tokens between
+        # consecutive chunks would silently appear in NO chunk
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = docs.select(
         "doc_id",

@@ -33,11 +33,7 @@ def profile_columns(
     the job. The sketch variant keeps the single-scan single-shuffle shape
     with constant-size state per column (and is not oracle-paired, since
     HLL estimates are engine-specific)."""
-    nd = (
-        (lambda c: F.approx_count_distinct(c))
-        if approximate
-        else (lambda c: F.countDistinct(c))
-    )
+    nd = F.approx_count_distinct if approximate else F.countDistinct
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [

@@ -212,9 +212,24 @@ def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
     # dims (one empty part file each) but `.partitionBy` of an empty fact
     # delta emits no parquet at all, and a crash between snapshot commit
     # and fact append (the tolerated window, see run_dds) looks the same.
-    # Treat it as an empty fact and let the next delta fill it.
+    # Treat it as an empty fact and let the next delta fill it — but WARN
+    # when the warehouse has history (multiple committed snapshots): a
+    # long-lived warehouse losing its whole fact path is far more likely
+    # external deletion than a string of empty days, and a silent empty
+    # fact would let the next mart run overwrite real data with nothing.
     fact = _read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA)
     if fact is None:
+        if len(versions) > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "DDS at %s has %d committed dim snapshots but no fact files "
+                "at %s — empty-day history is possible but external deletion "
+                "is likelier; verify before the next mart run.",
+                wh.root,
+                len(versions),
+                wh.dds("fact_daily_top_100"),
+            )
         fact = spark.createDataFrame([], FACT_SCHEMA)
     return DdsTables(
         dim_country=dims["dim_country"],

@@ -89,3 +89,20 @@ def test_keep_list_exact_mega_cluster(spark):
         assert out[i]["is_dup"] == (i != 0)
     # unique docs never appear in the keep list
     assert all(i not in out for i, _ in uniq)
+
+
+def test_cc_converging_on_last_round_does_not_raise(spark):
+    """A chain needing exactly max_iter propagation rounds must converge
+    (the certification no-change round is allowed on top of max_iter)."""
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    out = {r["node"]: r["label"]
+           for r in connected_components(chain, max_iter=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_raises_when_diameter_exceeds_max_iter(spark):
+    import pytest
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)

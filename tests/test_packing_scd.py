@@ -174,3 +174,14 @@ def test_histogram_constant_column(spark):
     r = rows[0]
     assert r["bin"] == 0 and r["n_rows"] == 10
     assert r["bin_lo"] == 7.5 == r["bin_hi"]
+
+
+def test_chunk_rejects_negative_overlap(spark):
+    import pytest
+    from etl_pipeline_last_fm_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=64, overlap=-10)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=64, overlap=64)
