@@ -813,6 +813,41 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_ops.fixed_width_histogram(li, "l_extendedprice", n_bins=50)
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage curve: top-20 unigrams with cumulative
+    corpus share (TakeOrderedAndProject top-k; cumulative window on k rows
+    only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_ops.vocab_coverage(docs, top_k=20)
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation observability: how many docs survive each filter
+    stage (length floor -> length ceiling -> repetition cap). One metric
+    pass + one tiny conditional aggregate — the pipeline-health view every
+    curation run reports. Stages nest (each adds a predicate), so counts
+    are monotone non-increasing."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text_ops.repetition_scores(docs, n=3).select("doc_id", "dup_ngram_frac")
+    m = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("__nt"),
+    ).join(rep, "doc_id")
+    s1 = F.col("__nt") >= 20
+    s2 = s1 & (F.col("__nt") <= 150)
+    s3 = s2 & (F.col("dup_ngram_frac") <= 0.3)
+    wide = m.agg(
+        F.count(F.lit(1)).alias("__all"),
+        F.sum(s1.cast("long")).alias("__s1"),
+        F.sum(s2.cast("long")).alias("__s2"),
+        F.sum(s3.cast("long")).alias("__s3"),
+    )
+    return wide.selectExpr(
+        "stack(4, '0_all', __all, '1_min_len', __s1, '2_max_len', __s2, "
+        "'3_low_repetition', __s3) AS (stage, n_docs)"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-sequence funnel (view -> click -> purchase): per-user deepest
     stage via three conditional-min windows over ONE user_id exchange; the
@@ -890,10 +925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": q_dedup_keep_list,
         "pack_sequences": q_pack_sequences,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "vocab_coverage": q_vocab_coverage,
         "scd2_history": q_scd2_history,
         "profile_columns": q_profile_columns,
         "group_split": q_group_split,
         "funnel": q_funnel,
+        "curation_funnel": q_curation_funnel,
         "quantile_buckets": q_quantile_buckets,
         "histogram": q_histogram,
         "mixture_sample": q_mixture_sample,
@@ -1239,11 +1276,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_list": dedup_ops.dedup_keep_list_oracle_sql(),
         "pack_sequences": packing_ops.pack_sequences_oracle_sql(budget=512),
         "bpe_pair_counts": packing_ops.pair_counts_oracle_sql(top_k=20),
+        "vocab_coverage": packing_ops.vocab_coverage_oracle_sql(top_k=20),
         "scd2_history": scd_ops.scd2_history_oracle_sql(),
         "profile_columns": profile_ops.profile_columns_oracle_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
         "group_split": sampling_oracle_mod.group_split_assign_oracle_sql(),
+        "curation_funnel": f"""
+            WITH rep AS ({text_ops.repetition_scores_oracle_sql(n=3)}),
+            m AS (
+                SELECT d.doc_id,
+                       CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS nt,
+                       r.dup_ngram_frac
+                FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+            ),
+            wide AS (
+                SELECT COUNT(*) AS n_all,
+                       SUM(CASE WHEN nt >= 20 THEN 1 ELSE 0 END) AS s1,
+                       SUM(CASE WHEN nt >= 20 AND nt <= 150 THEN 1 ELSE 0 END) AS s2,
+                       SUM(CASE WHEN nt >= 20 AND nt <= 150
+                                 AND dup_ngram_frac <= 0.3 THEN 1 ELSE 0 END) AS s3
+                FROM m
+            )
+            SELECT '0_all' AS stage, n_all AS n_docs FROM wide
+            UNION ALL SELECT '1_min_len', s1 FROM wide
+            UNION ALL SELECT '2_max_len', s2 FROM wide
+            UNION ALL SELECT '3_low_repetition', s3 FROM wide
+        """,
         "funnel": funnel_oracle_mod.funnel_stages_oracle_sql(),
         "quantile_buckets": profile_ops.quantile_buckets_oracle_sql(n_buckets=10),
         "histogram": profile_ops.fixed_width_histogram_oracle_sql(

@@ -253,3 +253,59 @@ def chunk_documents_oracle_sql(
                    AS chunk_text
         FROM idx
     """
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Tokenizer-vocabulary candidates: top-k unigrams by corpus frequency
+    with each prefix's cumulative share of all tokens — the "how big must
+    the vocab be to cover X% of the corpus" curve.
+
+    Same scale shape as pair_counts: global top-k via orderBy().limit()
+    (TakeOrderedAndProject), the total token count via one scalar aggregate
+    broadcast back; the cumulative window runs on exactly k rows. Returns
+    (tok, n, rnk, cum_pct) with cum_pct floor-trick rounded at 1e-4.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    topk = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_k)
+    )
+    wrank = Window.orderBy(F.desc("n"), F.asc("tok"))  # k rows only
+    wcum = wrank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        topk.join(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(wrank).cast("int"))
+        .withColumn(
+            "cum_pct",
+            F.floor(
+                F.sum("n").over(wcum).cast("double") / F.col("__total") * F.lit(100.0)
+                * F.lit(10000.0) + F.lit(0.5)
+            ) / F.lit(10000.0),
+        )
+        .select("tok", "n", "rnk", "cum_pct")
+    )
+
+
+def vocab_coverage_oracle_sql(top_k: int = 20, table: str = "documents") -> str:
+    """DuckDB twin of vocab_coverage."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS tok FROM {table}
+        ),
+        total AS (SELECT COUNT(*) AS total FROM toks),
+        topk AS (
+            SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT {top_k}
+        )
+        SELECT tok, n,
+               CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS rnk,
+               FLOOR(CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / total * 100.0 * 10000.0 + 0.5) / 10000.0 AS cum_pct
+        FROM topk, total
+    """
