@@ -748,6 +748,14 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd_ops.scd2_history(orders)
 
 
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: every customer's order priority as of
+    1997-06-15 — the half-open-interval query SCD2 history exists to
+    answer (pure filter, no join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return scd_ops.scd2_as_of(scd_ops.scd2_history(orders), "1997-06-15")
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling of lineitem numerics in ONE scan (wide agg ->
     stack unpivot); oracle computes the same stats as a per-column UNION
@@ -927,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "vocab_coverage": q_vocab_coverage,
         "scd2_history": q_scd2_history,
+        "scd2_as_of": q_scd2_as_of,
         "profile_columns": q_profile_columns,
         "group_split": q_group_split,
         "funnel": q_funnel,
@@ -1278,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": packing_ops.pair_counts_oracle_sql(top_k=20),
         "vocab_coverage": packing_ops.vocab_coverage_oracle_sql(top_k=20),
         "scd2_history": scd_ops.scd2_history_oracle_sql(),
+        "scd2_as_of": scd_ops.scd2_as_of_oracle_sql("1997-06-15"),
         "profile_columns": profile_ops.profile_columns_oracle_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),

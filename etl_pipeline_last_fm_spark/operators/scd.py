@@ -179,3 +179,40 @@ def scd2_history_oracle_sql(
                    AS is_current
         FROM runs
     """
+
+
+def scd2_as_of(
+    history: DataFrame,
+    as_of: str,
+    key: str = "o_custkey",
+    attr: str = "o_orderpriority",
+) -> DataFrame:
+    """Point-in-time lookup over an SCD2 table: each entity's attribute
+    value as of a date — the query SCD2 exists to answer. Half-open
+    interval semantics (valid_from <= d < valid_to, NULL valid_to = open):
+    a pure filter over the history, no join, no window; at 100 TB this is
+    a partition-prunable scan if the history is written partitioned on
+    valid_from ranges."""
+    d = F.lit(as_of)
+    return history.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select(key, attr, "version", "valid_from")
+
+
+def scd2_as_of_oracle_sql(
+    as_of: str,
+    key: str = "o_custkey",
+    attr: str = "o_orderpriority",
+    ts: str = "o_orderdate",
+    tiebreak: str = "o_orderkey",
+    table: str = "orders",
+) -> str:
+    """DuckDB twin: the same filter over the scd2_history oracle."""
+    hist = scd2_history_oracle_sql(key, attr, ts, tiebreak, table)
+    return f"""
+        SELECT {key}, {attr}, version, valid_from
+        FROM ({hist})
+        WHERE valid_from <= '{as_of}'
+          AND (valid_to IS NULL OR valid_to > '{as_of}')
+    """
