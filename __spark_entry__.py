@@ -836,14 +836,22 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run reports. Stages nest (each adds a predicate), so counts
     are monotone non-increasing."""
     docs = load_table(spark, sf_dir, "documents")
-    rep = text_ops.repetition_scores(docs, n=3).select("doc_id", "dup_ngram_frac")
-    m = docs.select(
+    lengths = docs.select(
         "doc_id",
+        "text",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("__nt"),
-    ).join(rep, "doc_id")
+    )
+    # repetition (n-gram explode + two groupBys, the costliest stage) runs
+    # ONLY on docs already inside the length band — on a real corpus most
+    # docs fail the length gates and their dup fraction is never consulted
+    band = lengths.filter((F.col("__nt") >= 20) & (F.col("__nt") <= 150))
+    rep = text_ops.repetition_scores(band.select("doc_id", "text"), n=3).select(
+        "doc_id", "dup_ngram_frac"
+    )
+    m = lengths.select("doc_id", "__nt").join(rep, "doc_id", "left")
     s1 = F.col("__nt") >= 20
     s2 = s1 & (F.col("__nt") <= 150)
-    s3 = s2 & (F.col("dup_ngram_frac") <= 0.3)
+    s3 = s2 & F.coalesce(F.col("dup_ngram_frac") <= 0.3, F.lit(False))
     wide = m.agg(
         F.count(F.lit(1)).alias("__all"),
         F.sum(s1.cast("long")).alias("__s1"),

@@ -633,8 +633,11 @@ def dedup_keep_list(
         verify_threshold=verify_threshold,
     )
     edges = near_pairs.select("doc_a", "doc_b").unionByName(exact_edges)
-    comps = connected_components(edges)
-    reps.unpersist()
+    try:
+        comps = connected_components(edges)
+    finally:
+        # also on CC non-convergence: don't leak the corpus-sized cache
+        reps.unpersist()
     return comps.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("keep_id"),

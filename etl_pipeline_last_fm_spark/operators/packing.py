@@ -265,16 +265,17 @@ def vocab_coverage(docs: DataFrame, top_k: int = 20) -> DataFrame:
     broadcast back; the cumulative window runs on exactly k rows. Returns
     (tok, n, rnk, cum_pct) with cum_pct floor-trick rounded at 1e-4.
     """
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     )
-    total = toks.agg(F.count(F.lit(1)).alias("__total"))
-    topk = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(top_k)
-    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # total from the per-token counts, NOT a second corpus scan: both
+    # subtrees share the same aggregation exchange (ReusedExchange), so the
+    # explode — the dominant cost — runs once.
+    total = counts.agg(F.sum("n").alias("__total"))
+    topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(top_k)
     wrank = Window.orderBy(F.desc("n"), F.asc("tok"))  # k rows only
     wcum = wrank.rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -282,10 +283,10 @@ def vocab_coverage(docs: DataFrame, top_k: int = 20) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wrank).cast("int"))
         .withColumn(
             "cum_pct",
-            F.floor(
-                F.sum("n").over(wcum).cast("double") / F.col("__total") * F.lit(100.0)
-                * F.lit(10000.0) + F.lit(0.5)
-            ) / F.lit(10000.0),
+            half_up_round(
+                F.sum("n").over(wcum).cast("double") / F.col("__total") * F.lit(100.0),
+                4,
+            ),
         )
         .select("tok", "n", "rnk", "cum_pct")
     )

@@ -213,21 +213,23 @@ def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
     # delta emits no parquet at all, and a crash between snapshot commit
     # and fact append (the tolerated window, see run_dds) looks the same.
     # Treat it as an empty fact and let the next delta fill it — but WARN
-    # when the warehouse has history (multiple committed snapshots): a
-    # long-lived warehouse losing its whole fact path is far more likely
-    # external deletion than a string of empty days, and a silent empty
-    # fact would let the next mart run overwrite real data with nothing.
+    # when the committed dims are non-empty: dims only gain members from
+    # days that produced fact rows, so populated dims + no fact path means
+    # external deletion far likelier than a string of empty days, and a
+    # silent empty fact would let the next mart run overwrite real data
+    # with nothing. (Keyed on dim content, not snapshot count — snapshot
+    # retention (keep_snapshots) can legitimately be 1.)
     fact = _read_or_empty(spark, wh.dds("fact_daily_top_100"), FACT_SCHEMA)
     if fact is None:
-        if len(versions) > 1:
+        if dims["dim_country"].limit(1).count() > 0:
             import logging
 
             logging.getLogger(__name__).warning(
-                "DDS at %s has %d committed dim snapshots but no fact files "
-                "at %s — empty-day history is possible but external deletion "
-                "is likelier; verify before the next mart run.",
+                "DDS at %s: committed dim snapshot v=%d is populated but no "
+                "fact files exist at %s — external deletion is likelier than "
+                "empty-day history; verify before the next mart run.",
                 wh.root,
-                len(versions),
+                versions[-1],
                 wh.dds("fact_daily_top_100"),
             )
         fact = spark.createDataFrame([], FACT_SCHEMA)

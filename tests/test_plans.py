@@ -140,3 +140,18 @@ def test_new_ops_stay_jvm_side(spark, sf_dir):
 def test_cdc_compact_uses_window_group_limit(spark, sf_dir):
     plan = formatted_plan(entrymod.queries()["cdc_compact"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_round2_late_ops_stay_jvm_side(spark, sf_dir):
+    for name in [
+        "cdc_compact",
+        "rolling_stats",
+        "vocab_coverage",
+        "curation_funnel",
+        "scd2_as_of",
+        "chunk_documents",
+        "repetition",
+        "embedding_keep_list",
+    ]:
+        plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
