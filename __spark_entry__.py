@@ -8,9 +8,10 @@ extension operators (dedup / similarity / text analysis). Each callable takes
 SQL-expressible query (same column names; computed columns aliased on both
 sides). The lone intentional omission is ``sim_ann_ivf`` (centroids come
 from driver-side k-means, not reproducible in SQL) -> driver records the
-weaker rows-only check there; every other entry — including minhash-LSH,
-simhash and ANN-LSH via portable md5-derived hashes and seed-deterministic
-plane literals — is value-checked.
+weaker rows-only check there, and its IVF plumbing is value-checked through
+the seed-centroid twin ``sim_ann_ivf_seeded``; every other entry — including
+minhash-LSH, simhash and ANN-LSH via portable md5-derived hashes and
+seed-deterministic plane literals — is value-checked.
 
 Float-parity strategy (SURVEY.md Appendix A.2/A.3): every derived double is
 rounded with the engine-independent floor trick ``floor(x*10^s + 0.5)/10^s``
@@ -588,6 +589,17 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
 
 
+def q_sim_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked IVF twin: seed centroids (= embeddings of the 16 lowest
+    ids) instead of trained ones, every argmax on a packed rounded-score
+    BIGINT -> the DuckDB oracle rebuilds the identical index. Keeps the
+    trained-k-means entry (sim_ann_ivf) as the production path; this entry
+    proves the IVF plumbing (assignment, probe ranking, candidate join,
+    top-k) value-for-value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_ann_topk_seeded(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
+
+
 def q_dedup_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable=True: md5-derived gram hash -> the winnowing fingerprints are
     # reproducible in DuckDB, upgrading this from rows-only to value-checked.
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
         "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1335,6 +1348,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
             min_shared=5, k=16, window=8
         ),
+        "sim_ann_ivf_seeded": sim_ops.ivf_ann_topk_seeded_oracle_sql(
+            n_queries=10, k=5, n_centroids=16, nprobe=4
+        ),
         # still rows-only: sim_ann_ivf (centroids are trained from data at
-        # runtime, not a static literal the SQL twin could share).
+        # runtime, not a static literal the SQL twin could share); its IVF
+        # plumbing is value-checked via sim_ann_ivf_seeded.
     }

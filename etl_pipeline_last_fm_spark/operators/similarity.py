@@ -265,6 +265,157 @@ def ivf_ann_topk(
     )
 
 
+def _packed_assign_score(sim: Column, cid: int) -> Column:
+    """Pack (1e-6-rounded similarity, centroid id) into one BIGINT whose
+    natural MAX order is (similarity desc, centroid id asc):
+    ``(floor(sim*1e6+0.5) + 2_000_000) * 1024 + (1023 - cid)``.
+    Pure integer arithmetic after the single rounding step, so Spark and
+    DuckDB agree bit-for-bit on every argmax decision — cross-engine float
+    summation noise (~1e-15) cannot reorder centroids."""
+    s6 = F.floor(sim * F.lit(1e6) + F.lit(0.5)).cast("long") + F.lit(2_000_000)
+    return s6 * F.lit(1024) + F.lit(1023 - cid)
+
+
+def seeded_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic 'seed' centroids: the embeddings of the ``n_centroids``
+    lowest ids, verbatim (no training). Bounded driver collect — the same
+    tiny-table-to-literals move as ``kmeans_centroids``, but because the
+    selection is pure SQL (``WHERE id < n``) the DuckDB oracle can rebuild
+    the identical index, making the whole ANN query value-checkable."""
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+        .orderBy("id")
+        .collect()
+    )
+    return [(int(r["id"]), list(r["e"])) for r in rows]
+
+
+def ivf_ann_topk_seeded(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with seed centroids instead of trained k-means ones — the
+    value-checked twin of ``ivf_ann_topk`` (same physical shape: literal
+    centroid scoring stays inside codegen, corpus is never expanded, the
+    probe join is equi- on the cluster id; recall is a little lower because
+    the 'centroids' are just corpus points).
+
+    Every argmax (corpus assignment, query probe ranking, final top-k) is
+    taken on the packed rounded score (``_packed_assign_score``), so the
+    DuckDB oracle (``ivf_ann_topk_seeded_oracle_sql``) reproduces the exact
+    candidate sets and ranks."""
+    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+
+    import math
+
+    def packed_scores(vec: Column) -> list[Column]:
+        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        out = []
+        for cid, ce in cents:
+            norm_c = math.sqrt(sum(x * x for x in ce))
+            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
+            out.append(_packed_assign_score(sim, cid))
+        return out
+
+    # Corpus assignment: greatest() over the packed per-centroid scores —
+    # a pure map (no join, no shuffle, no corpus x centroids expansion).
+    cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast("int")
+    corpus = v.withColumn("cluster", cluster)
+
+    # Queries probe their nprobe best clusters: sort the packed array desc,
+    # decode cluster ids from the low bits.
+    q = v.filter(F.col("id") < n_queries).select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
+    packed_arr = F.array(*packed_scores(F.col("qe")))
+    probes = F.transform(
+        F.slice(F.sort_array(packed_arr, asc=False), 1, nprobe),
+        lambda p: (F.lit(1023) - p % F.lit(1024)).cast("int"),
+    )
+    q = q.withColumn("cluster", F.explode(probes))
+
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .filter(F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("cand_id"),
+            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+        )
+        .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("sim_exact") * 1e6 + F.lit(0.5)).desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "cand_id", "sim", "rnk")
+    )
+
+
+def ivf_ann_topk_seeded_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ``ivf_ann_topk_seeded``: rebuilds the seed-centroid
+    index relationally (centroids = rows with id < n_centroids) and takes
+    every argmax on the same packed BIGINT, so assignment, probe choice and
+    final ranking match Spark decision-for-decision."""
+    packed = (
+        "(CAST(FLOOR(list_dot_product({v}, c.ce)"
+        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
+        " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
+    )
+    return f"""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             c AS (SELECT id AS cid, e AS ce FROM v WHERE id < {n_centroids}),
+             assign AS (
+                 SELECT v.id, v.e, MAX({packed.format(v="v.e")}) AS best
+                 FROM v CROSS JOIN c GROUP BY v.id, v.e
+             ),
+             corpus AS (SELECT id, e, CAST(1023 - (best % 1024) AS INTEGER) AS cluster FROM assign),
+             qs AS (
+                 SELECT v.id AS q_id, v.e AS qe, c.cid,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY v.id ORDER BY {packed.format(v="v.e")} DESC
+                        ) AS prn
+                 FROM v CROSS JOIN c WHERE v.id < {n_queries}
+             ),
+             qp AS (SELECT q_id, qe, CAST(cid AS INTEGER) AS cluster FROM qs WHERE prn <= {nprobe}),
+             scored AS (
+                 SELECT qp.q_id, corpus.id AS cand_id,
+                        list_dot_product(qp.qe, corpus.e)
+                          / (sqrt(list_dot_product(qp.qe, qp.qe)) * sqrt(list_dot_product(corpus.e, corpus.e)))
+                          AS sim
+                 FROM qp JOIN corpus ON qp.cluster = corpus.cluster AND corpus.id <> qp.q_id
+             ),
+             ranked AS (
+                 SELECT q_id, cand_id,
+                        FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY q_id
+                            ORDER BY FLOOR(sim * 1000000.0 + 0.5) DESC, cand_id
+                        ) AS rn
+                 FROM scored
+             )
+        SELECT q_id, cand_id, sim_r AS sim, CAST(rn AS INTEGER) AS rnk
+        FROM ranked WHERE rn <= {k}
+    """
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_queries: int = 10,

@@ -23,6 +23,7 @@ import pytest
 from etl_pipeline_last_fm_spark.operators.similarity import (
     brute_force_topk,
     ivf_ann_topk,
+    ivf_ann_topk_seeded,
     lsh_ann_topk,
 )
 from etl_pipeline_last_fm_spark.sources.tables import load_table
@@ -69,6 +70,20 @@ def test_ivf_ann_recall(truth):
     rows = ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4).collect()
     r = _recall(rows, truth_pairs)
     assert r >= 0.4, f"ivf: recall@5 {r:.2f} < floor 0.4"
+
+
+def test_ivf_seeded_recall_and_shape(truth):
+    """Seed-centroid IVF (the value-checked twin): untrained corpus-point
+    centroids cost some recall vs k-means but the candidate machinery is
+    identical — require a floor and exactly k results per query."""
+    emb, truth_pairs, _ = truth
+    rows = ivf_ann_topk_seeded(emb, n_queries=10, k=5, n_centroids=16, nprobe=4).collect()
+    r = _recall(rows, truth_pairs)
+    assert r >= 0.3, f"ivf_seeded: recall@5 {r:.2f} < floor 0.3"
+    per_q: dict[int, int] = {}
+    for row in rows:
+        per_q[row.q_id] = per_q.get(row.q_id, 0) + 1
+    assert all(c == 5 for c in per_q.values()), per_q
 
 
 def test_ann_sims_are_exact_for_scored_pairs(truth):
