@@ -40,6 +40,8 @@ from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partiti
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
 from etl_pipeline_last_fm_spark.operators import asof as asof_oracle_mod
+from etl_pipeline_last_fm_spark.operators import cleaning as cleaning_ops
+from etl_pipeline_last_fm_spark.operators import fuzzy as fuzzy_ops
 from etl_pipeline_last_fm_spark.operators import contamination as contamination_oracle_mod
 from etl_pipeline_last_fm_spark.operators import dedup as dedup_ops
 from etl_pipeline_last_fm_spark.operators import funnel as funnel_oracle_mod
@@ -589,6 +591,62 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected synthetic
+    contact data (the fixture corpus itself is PII-free word salad, so the
+    query plants one email, one IPv4 and one phone per doc as a function of
+    doc_id — both engines build the identical input, and the oracle
+    value-checks the md5 of the scrubbed text, not just the counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+    return cleaning_ops.pii_scrub(raw)
+
+
+_PII_SOURCE_SQL = """
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-0199' AS text
+    FROM documents
+"""
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution on part names: head-token blocking
+    (equi-join, sub-quadratic) then Levenshtein <= 2 verification with the
+    threshold pushed into Spark's banded DP."""
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_ops.fuzzy_name_pairs(part, "p_partkey", "p_name", max_dist=2)
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level cross-doc dedup stats: per document, the fraction of
+    its non-overlapping 8-word chunks that occur in any other document —
+    catches shared boilerplate/quotes that full-doc dedup misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.shared_passage_stats(docs, window_tokens=8, portable=True)
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (count desc, gram asc): partial+final
+    hash aggregate then TakeOrdered — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.top_ngrams(docs, n=2, k=20)
+
+
 def q_sim_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked IVF twin: seed centroids (= embeddings of the 16 lowest
     ids) instead of trained ones, every argmax on a packed rounded-score
@@ -940,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
+        "pii_scrub": q_pii_scrub,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "dedup_passages": q_dedup_passages,
+        "top_ngrams": q_top_ngrams,
         "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1351,6 +1413,12 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_seeded": sim_ops.ivf_ann_topk_seeded_oracle_sql(
             n_queries=10, k=5, n_centroids=16, nprobe=4
         ),
+        "pii_scrub": cleaning_ops.pii_scrub_oracle_sql(_PII_SOURCE_SQL),
+        "fuzzy_name_pairs": fuzzy_ops.fuzzy_name_pairs_oracle_sql(
+            "part", "p_partkey", "p_name", max_dist=2
+        ),
+        "dedup_passages": dedup_ops.shared_passage_stats_oracle_sql(window_tokens=8),
+        "top_ngrams": text_ops.top_ngrams_oracle_sql(n=2, k=20),
         # still rows-only: sim_ann_ivf (centroids are trained from data at
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.

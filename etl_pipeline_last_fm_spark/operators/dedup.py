@@ -770,3 +770,109 @@ def embedding_keep_list_oracle_sql(threshold: float, n_planes: int = 8) -> str:
         SELECT src AS vec_id, min(dst) AS keep_id, src <> min(dst) AS is_dup
         FROM reach GROUP BY src
     """
+
+
+def shared_passage_stats(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    portable: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document passage-level dedup statistics: split every document
+    into non-overlapping ``window_tokens``-word chunks, hash each chunk, and
+    report per document how many of its chunks also occur in at least one
+    OTHER document. Output: (doc_id, n_chunks, n_shared, shared_frac).
+
+    This is the passage-granular sibling of exact_dedup_groups — full-doc
+    dedup misses boilerplate and quoted passages that near-dup documents
+    share; the chunk-hash histogram is what Gopher/RefinedWeb-style corpus
+    audits are built on.
+
+    Scale shape: the generator input is a cheap integer sequence (computed
+    arrays as generator inputs re-evaluate per emitted row under codegen);
+    the chunk string is a per-row slice+join. The chunk subtree (scan +
+    generate + hash) is evaluated ONCE: per-(hash, doc) counts first, then
+    the distinct-doc count per hash as a window over the hash partition —
+    no self-join of the chunk relation back to an aggregate of itself
+    (which would re-execute the whole subtree). Shuffles: (1) groupBy
+    (h, doc_id), (2) window on h, (3) groupBy doc_id.
+
+    ``portable=True`` uses the md5-derived portable_hash60 (DuckDB oracle
+    recomputes it bit-identically); production would use xxhash64."""
+    w = window_tokens
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).withColumn("__nc", F.floor(F.size("__toks") / F.lit(w)).cast("long"))
+
+    chunk = F.array_join(F.expr(f"slice(__toks, i * {w} + 1, {w})"), " ")
+    ch = portable_hash60(chunk) if portable else F.xxhash64(chunk)
+    chunks = (
+        base.filter(F.col("__nc") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))).alias("i"),
+            "__toks",
+        )
+        .select("doc_id", ch.alias("h"))
+    )
+    from pyspark.sql import Window
+
+    # (h, doc_id) rows are distinct after this agg, so a plain count over
+    # the h partition IS the distinct-doc count — one window, no back-join.
+    per_chunk = chunks.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    per_chunk = per_chunk.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    per_doc = per_chunk.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0)).alias("n_shared"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_chunks"), F.lit(0)) > 0,
+                half_up_round(F.col("n_shared") / F.col("n_chunks"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )
+
+
+def shared_passage_stats_oracle_sql(window_tokens: int = 8) -> str:
+    """DuckDB twin of shared_passage_stats over the documents table."""
+    w = window_tokens
+    h = portable_hash60_sql(f"array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ')")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks,
+                   CAST(floor(len(string_split(trim(text), ' ')) / {w}.0) AS BIGINT) AS nc
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, CAST(unnest(range(0, nc)) AS INTEGER) AS i, toks
+            FROM d WHERE nc >= 1
+        ),
+        hh AS (SELECT doc_id, {h} AS h FROM c),
+        g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hh GROUP BY h),
+        s AS (
+            SELECT hh.doc_id,
+                   COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS n_shared
+            FROM hh JOIN g USING (h) GROUP BY hh.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+               CASE WHEN COALESCE(s.n_chunks, 0) > 0
+                    THEN FLOOR(s.n_shared * 1000000.0 / s.n_chunks + 0.5) / 1000000.0
+                    ELSE 0.0 END AS shared_frac
+        FROM d LEFT JOIN s USING (doc_id)
+    """

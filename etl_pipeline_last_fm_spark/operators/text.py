@@ -13,7 +13,7 @@ DuckDB ``list_intersect``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_last_fm_spark.functions.scalar import (
@@ -418,4 +418,53 @@ def repetition_scores_oracle_sql(n: int = 3, table: str = "documents") -> str:
                COALESCE(FLOOR(CAST(top AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0,
                         0.0) AS top_ngram_frac
         FROM {table} d LEFT JOIN per_doc USING (doc_id)
+    """
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the vocabulary/phrase
+    census a tokenizer-training or contamination pass starts from.
+    Output: (gram, cnt, rnk), rank deterministic (count desc, gram asc).
+
+    Scale shape: generator input is the integer position sequence (cheap per
+    the codegen rule), the n-gram string is a per-row slice+join, counting
+    is a partial+final hash aggregate, and the top-k is TakeOrdered (orderBy
+    + limit — never a global sort); the final rank window runs on k rows.
+    Documents shorter than n tokens contribute nothing (both engines)."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    base = docs.select(toks.alias("__toks")).filter(F.size("__toks") >= n)
+    gram = F.array_join(F.expr(f"slice(__toks, pos, {n})"), " ")
+    grams = base.select(
+        F.explode(F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1))).alias("pos"),
+        "__toks",
+    ).select(gram.alias("gram"))
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram"))
+    return top.withColumn("rnk", F.row_number().over(w)).select("gram", "cnt", "rnk")
+
+
+def top_ngrams_oracle_sql(n: int = 2, k: int = 20, table: str = "documents") -> str:
+    """DuckDB twin of top_ngrams."""
+    return f"""
+        WITH t AS (
+            SELECT string_split(trim(text), ' ') AS toks FROM {table}
+            WHERE len(string_split(trim(text), ' ')) >= {n}
+        ),
+        p AS (
+            SELECT CAST(unnest(range(1, len(toks) - {n} + 2)) AS INTEGER) AS pos, toks
+            FROM t
+        ),
+        g AS (
+            SELECT array_to_string(list_slice(toks, pos, pos + {n} - 1), ' ') AS gram
+            FROM p
+        ),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+        SELECT gram, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rnk
+        FROM c ORDER BY cnt DESC, gram LIMIT {k}
     """
