@@ -24,19 +24,23 @@ from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
 
 
 def _shingle_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (doc_id, shingle-string) rows; integer-sequence generator so
-    nothing expensive is re-evaluated per emitted row (cf. dedup._shingles)."""
+    """Distinct (doc_id, shingle-string) rows; integer-sequence generator
+    AND a pre-split token array (the post-explode projection runs per
+    shingle row, so a `split(text)` there would be O(words^2) per doc —
+    cf. dedup._shingle_hash_rows)."""
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.expr(
-                f"explode(sequence(0, greatest(size(split(trim({text_col}), ' ')) - {n}, 0)))"
-            ).alias("i"),
-            F.col(text_col).alias("__t"),
+            F.split(F.trim(F.col(text_col)), " ").alias("__toks"),
         )
         .select(
             "doc_id",
-            F.expr(f"concat_ws(' ', slice(split(trim(__t), ' '), i + 1, {n}))").alias("sh"),
+            F.expr(f"explode(sequence(0, greatest(size(__toks) - {n}, 0)))").alias("i"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(__toks, i + 1, {n}))").alias("sh"),
         )
         .distinct()
     )

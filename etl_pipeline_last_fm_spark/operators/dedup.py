@@ -99,15 +99,20 @@ def word_jaccard_pairs(
     )
 
 
-def _shingles(text_col: str, shingle_len: int) -> Column:
-    """Word n-gram shingles as a distinct array<string>, pure expression.
+def _shingles(toks_col: str, shingle_len: int) -> Column:
+    """Word n-gram shingles as a distinct array<string> over a PRE-SPLIT
+    token-array column, pure expression.
 
-    Use only where the array is CONSUMED as an array (set intersection in
-    candidate verification); never as generator input — see _shingle_rows."""
+    Takes the token array (not the text) on purpose: an expression inside
+    the transform lambda is re-evaluated per ELEMENT, so `split(text)` in
+    the body costs O(words) per shingle = O(words^2) per doc. Split once
+    into a column below the lambda and the body is an O(shingle_len)
+    slice+join. Use only where the array is CONSUMED as an array (set
+    intersection in candidate verification); never as generator input."""
     return F.expr(
         f"""array_distinct(transform(
-                sequence(0, greatest(size(split(trim({text_col}), ' ')) - {shingle_len}, 0)),
-                i -> concat_ws(' ', slice(split(trim({text_col}), ' '), i + 1, {shingle_len}))
+                sequence(0, greatest(size({toks_col}) - {shingle_len}, 0)),
+                i -> concat_ws(' ', slice({toks_col}, i + 1, {shingle_len}))
             ))"""
     )
 
@@ -115,19 +120,22 @@ def _shingles(text_col: str, shingle_len: int) -> Column:
 def _shingle_hash_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
     """(doc_id, h) rows: one row per shingle position, h = xxhash64 of the
     shingle folded into [0, 2^31-1). The generator input is a plain integer
-    sequence (cheap to re-evaluate); the shingle string and its hash are
-    per-row scalar expressions. MinHash is multiset-insensitive, so no
-    distinct is needed."""
+    sequence (cheap); the token array is split ONCE per document in the
+    projection below the Generate — an attribute reference after it —
+    because any expression in the post-explode projection is evaluated per
+    shingle row: `slice(split(text))` there is O(words) per row = O(words^2)
+    per doc (measured at sf0.1: 1.05 s -> 0.16 s for this stage after the
+    pre-split). MinHash is multiset-insensitive, so no distinct is needed."""
     return docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
+    ).select(
         "doc_id",
-        F.expr(
-            f"explode(sequence(0, greatest(size(split(trim(text), ' ')) - {shingle_len}, 0)))"
-        ).alias("i"),
-        F.col("text"),
+        F.expr(f"explode(sequence(0, greatest(size(__toks) - {shingle_len}, 0)))").alias("i"),
+        F.col("__toks"),
     ).select(
         "doc_id",
         F.expr(
-            f"pmod(xxhash64(concat_ws(' ', slice(split(trim(text), ' '), i + 1, {shingle_len}))),"
+            f"pmod(xxhash64(concat_ws(' ', slice(__toks, i + 1, {shingle_len}))),"
             f" {_MERSENNE_P}L)"
         ).alias("h"),
     )
@@ -262,7 +270,9 @@ def minhash_lsh_pairs(
         cands.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
-    cand_shingles = cand_docs.select("doc_id", _shingles("text", shingle_len).alias("shingles"))
+    cand_shingles = cand_docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
+    ).select("doc_id", _shingles("__toks", shingle_len).alias("shingles"))
     sh_a = cand_shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = cand_shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
