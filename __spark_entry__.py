@@ -49,6 +49,7 @@ from etl_pipeline_last_fm_spark.operators import packing as packing_ops
 from etl_pipeline_last_fm_spark.operators import profile as profile_ops
 from etl_pipeline_last_fm_spark.operators import sampling as sampling_oracle_mod
 from etl_pipeline_last_fm_spark.operators import scd as scd_ops
+from etl_pipeline_last_fm_spark.operators import timeseries as ts_ops
 from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
 from etl_pipeline_last_fm_spark.operators import text as text_ops
 from etl_pipeline_last_fm_spark.sources.tables import load_table
@@ -591,6 +592,82 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification of per-user daily event aggregates: event
+    counts zero-filled (flow metric — a silent day really is zero), value
+    totals carried forward (state metric), was_observed flag. The daily
+    aggregate is rounded to cents BEFORE the fill so both engines carry
+    identical doubles forward."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("user_id"), F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        half_up_round(F.sum("value"), 2).alias("val_sum"),
+    )
+    filled = ts_ops.gapfill_daily(
+        daily, "user_id", "day", zero_cols=["n_events"], locf_cols=["val_sum"]
+    )
+    # ISO-string day for driver parity: DuckDB DATE surfaces as a midnight
+    # timestamp through pandas, so both engines emit the formatted string.
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "val_sum",
+        "was_observed",
+    )
+
+
+_GAPFILL_OBS_SQL = """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS val_sum
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse snapshot diff over two deterministic views of orders:
+    'old' drops keys % 3 == 0, 'new' drops keys % 5 == 0 and re-prices
+    keys % 7 == 0 — so the diff exercises added, removed and changed
+    classes. Full outer join on the key, null-safe comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.filter(F.col("o_orderkey") % 3 != 0)
+    new = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            half_up_round(F.col("o_totalprice") * F.lit(1.1), 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return scd_ops.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+_SNAPDIFF_OLD_SQL = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+"""
+_SNAPDIFF_NEW_SQL = """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN FLOOR(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-denominated mixing: keep a deterministic (hash, id)-ordered
+    prefix of each source while its exclusive running token total is under
+    the source's budget; unbudgeted sources drop out entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_oracle_mod.token_budget_sample(
+        docs, {"src0": 800, "src1": 400, "src2": 2000, "src3": 100}
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministically injected synthetic
     contact data (the fixture corpus itself is PII-free word salad, so the
@@ -1002,6 +1079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "dedup_passages": q_dedup_passages,
         "top_ngrams": q_top_ngrams,
+        "gapfill_locf": q_gapfill_locf,
+        "snapshot_diff": q_snapshot_diff,
+        "token_budget_sample": q_token_budget_sample,
         "dedup_rolling_fp": q_dedup_rolling_fp,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1419,6 +1499,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_passages": dedup_ops.shared_passage_stats_oracle_sql(window_tokens=8),
         "top_ngrams": text_ops.top_ngrams_oracle_sql(n=2, k=20),
+        "gapfill_locf": (
+            "SELECT user_id, strftime(day, '%Y-%m-%d') AS day,"
+            " n_events, val_sum, was_observed FROM ("
+            + ts_ops.gapfill_daily_oracle_sql(
+                _GAPFILL_OBS_SQL, "user_id", "day",
+                zero_cols=["n_events"], locf_cols=["val_sum"],
+            )
+            + ")"
+        ),
+        "snapshot_diff": scd_ops.snapshot_diff_oracle_sql(
+            _SNAPDIFF_OLD_SQL, _SNAPDIFF_NEW_SQL,
+            ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+        ),
+        "token_budget_sample": sampling_oracle_mod.token_budget_sample_oracle_sql(
+            {"src0": 800, "src1": 400, "src2": 2000, "src3": 100}
+        ),
         # still rows-only: sim_ann_ivf (centroids are trained from data at
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.

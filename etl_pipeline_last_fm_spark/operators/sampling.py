@@ -236,3 +236,84 @@ def mixture_sample_oracle_sql(
         FROM {table}
         WHERE ({h}) % 10000 < CASE {arms} ELSE {default_bps} END
     """
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-source token-budget cap — the mixing knob that is denominated in
+    TOKENS, not documents (a data recipe says '30B tokens of web, 5B of
+    code', and doc counts don't translate). Docs are ordered inside each
+    source by (hash, id) — a stable pseudo-random shuffle, same family as
+    stratified_sample — and kept while the EXCLUSIVE running token total is
+    still under the source's budget, so the first doc of a source is always
+    kept and the kept set is a deterministic prefix.
+
+    Sources absent from ``budgets`` are dropped (budget 0).
+
+    Scale note: the running total is a per-source window cumsum; a corpus
+    that is 90% one source makes that window's partition the straggler.
+    The two-phase block prefix-sum in packing.pack_sequences is the fix at
+    that skew — same decomposition, keyed by (source, hash-block).
+    Returns (doc_id, source, n_tokens, cum_before)."""
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            n_tok.alias("n_tokens"),
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("cum_before"),
+            budget.alias("__budget"),
+        )
+        .filter(F.col("cum_before") < F.col("__budget"))
+        .select("doc_id", "source", "n_tokens", "cum_before")
+    )
+
+
+def token_budget_sample_oracle_sql(
+    budgets: dict[str, int],
+    source_col: str = "source",
+    table: str = "documents",
+    salt: str = "v1",
+) -> str:
+    """DuckDB twin of token_budget_sample (same portable hash + exclusive
+    window frame)."""
+    h = portable_hash60_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    budget = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {b}" for s, b in sorted(budgets.items())
+    ) + " ELSE NULL END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {source_col} AS source,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   {h} AS h
+            FROM {table}
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before,
+                   {budget} AS budget
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_before
+        FROM c WHERE cum_before < budget
+    """

@@ -216,3 +216,94 @@ def scd2_as_of_oracle_sql(
         WHERE valid_from <= '{as_of}'
           AND (valid_to IS NULL OR valid_to > '{as_of}')
     """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table-snapshot diff: classify every key as added / removed / changed
+    between two snapshots, with old and new values side by side (unchanged
+    rows are omitted — at warehouse scale they are almost everything, and
+    emitting them would make the diff as big as the table).
+
+    This is the audit/CDC primitive the reference's append-only layers
+    imply but never materialize: ON CONFLICT DO NOTHING (reference
+    dags/from_ods_to_dds_pg.py:46-102) silently skips changed rows, so
+    drift between a re-pull and the stored snapshot is invisible; the diff
+    makes it a first-class query.
+
+    Plan shape: one full outer join on the key (shuffle both sides on the
+    same key — co-partitioned), per-row classification expressions, a
+    selective filter. Comparison is null-safe (a column going NULL <-> a
+    value counts as changed).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        e = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = e if cond is None else (cond & e)
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"__ko_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__kn_{key_cols[0]}").isNotNull()
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    keys = [
+        F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .select(
+            *keys,
+            "change",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+def snapshot_diff_oracle_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> str:
+    """DuckDB twin of snapshot_diff (FULL OUTER + IS DISTINCT FROM)."""
+    on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    keys = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in key_cols)
+    olds = ", ".join(f"o.{c} AS old_{c}" for c in compare_cols)
+    news = ", ".join(f"n.{c} AS new_{c}" for c in compare_cols)
+    differs = " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in compare_cols)
+    k0 = key_cols[0]
+    return f"""
+        WITH o AS ({old_sql}), n AS ({new_sql}),
+        j AS (
+            SELECT {keys},
+                   CASE WHEN o.{k0} IS NULL THEN 'added'
+                        WHEN n.{k0} IS NULL THEN 'removed'
+                        WHEN {differs} THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   {olds}, {news}
+            FROM o FULL OUTER JOIN n ON {on}
+        )
+        SELECT * FROM j WHERE change <> 'unchanged'
+    """
