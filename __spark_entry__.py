@@ -34,7 +34,7 @@ if _REPO_DIR not in sys.path:
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
 from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
 from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
@@ -410,12 +410,12 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag navigation windows: per-user inter-event gap in seconds."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    prev_us = F.lag(ts_us("ts")).over(w)
     next_id = F.lead("event_id").over(w)
     return ev.select(
         "event_id",
         "user_id",
-        F.floor((F.unix_micros(F.col("ts")) - prev_us) / F.lit(1_000_000)).alias("gap_sec"),
+        F.floor((ts_us("ts") - prev_us) / F.lit(1_000_000)).alias("gap_sec"),
         next_id.alias("next_event_id"),
     )
 
@@ -808,7 +808,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, views, key_col="user_id", right_value_cols=["rv"]).select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("click_us"),
+        ts_us("ts").alias("click_us"),
         "matched_rv",
         "matched_ts_us",
     )
@@ -1471,10 +1471,13 @@ def oracle_sql() -> dict[str, str]:
                                  AND dup_ngram_frac <= 0.3 THEN 1 ELSE 0 END) AS s3
                 FROM m
             )
-            SELECT '0_all' AS stage, n_all AS n_docs FROM wide
-            UNION ALL SELECT '1_min_len', s1 FROM wide
-            UNION ALL SELECT '2_max_len', s2 FROM wide
-            UNION ALL SELECT '3_low_repetition', s3 FROM wide
+            -- CASTs: DuckDB SUM(INTEGER) yields HUGEINT -> pandas float64,
+            -- which the driver's string value-hash sees as '446.0' vs
+            -- Spark's BIGINT '446'.
+            SELECT '0_all' AS stage, CAST(n_all AS BIGINT) AS n_docs FROM wide
+            UNION ALL SELECT '1_min_len', CAST(s1 AS BIGINT) FROM wide
+            UNION ALL SELECT '2_max_len', CAST(s2 AS BIGINT) FROM wide
+            UNION ALL SELECT '3_low_repetition', CAST(s3 AS BIGINT) FROM wide
         """,
         "funnel": funnel_oracle_mod.funnel_stages_oracle_sql(),
         "quantile_buckets": profile_ops.quantile_buckets_oracle_sql(n_buckets=10),

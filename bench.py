@@ -49,30 +49,38 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: a single failing query must not abort the
+    # loop or suppress the JSON line (r02: one AnalysisException in a warm
+    # run produced an empty BENCH file). Failures record an error string in
+    # "errors" and a null timing; the JSON line is ALWAYS emitted.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        _run(qs[name](spark, sf_dir))  # untimed warm run at target SF
-        # Drop any operator-internal Spark caches so the timed run pays the
-        # query's full cost (JVM warmup and OS page cache are steady-state;
-        # a warm-run InMemoryRelation is not — a real scheduled job never
-        # starts with its intermediates pre-cached).
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _run(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            _run(qs[name](spark, sf_dir))  # untimed warm run at target SF
+            # Drop any operator-internal Spark caches so the timed run pays
+            # the query's full cost (JVM warmup and OS page cache are
+            # steady-state; a warm-run InMemoryRelation is not — a real
+            # scheduled job never starts with its intermediates pre-cached).
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _run(qs[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,23 @@ def round2(col: Column) -> Column:
     return half_up_round(col, 2)
 
 
+def ts_us(col: Column | str) -> Column:
+    """Epoch microseconds of a timestamp column, NTZ-safe.
+
+    Parquet written without the UTC-adjusted flag loads as ``TIMESTAMP_NTZ``
+    in Spark 3.4+/4.x, and ``unix_micros`` rejects that type outright
+    (DATATYPE_MISMATCH). Casting to ``timestamp`` first accepts both flavors;
+    with the session timezone pinned to UTC (session.py) the cast is a
+    semantic no-op for NTZ data, so DuckDB ``epoch_us`` oracles are unchanged.
+
+    Every operator doing timestamp arithmetic (sessionize, as-of join, range
+    join, funnel, lead/lag gaps) MUST use this instead of raw
+    ``F.unix_micros`` — see tests/test_ntz.py for the regression guard.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def portable_hash60(col: Column) -> Column:
     """60-bit integer hash computed bit-identically by Spark and DuckDB:
     first 15 hex chars of md5, parsed base-16 (60 bits < 2^63, so the long

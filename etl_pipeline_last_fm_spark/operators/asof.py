@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_last_fm_spark.functions.scalar import ts_us
+
 
 def asof_join(
     left: DataFrame,
@@ -51,7 +53,7 @@ def asof_join(
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (key_col, ts_col)
     ]
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_us(ts_col)
     # __side: right rows sort before left rows at identical ts, so an exact
     # ts tie is a match (>= semantics, like DuckDB ASOF's t >= t).
     lhs = left.withColumn("__side", F.lit(1))
@@ -113,7 +115,7 @@ def time_range_join(
     set to 2, not 3). The join is equi- on (key, bucket); each true pair is
     produced exactly once because b's bucket is a function of b.
     """
-    a_us = F.unix_micros(F.col(ts_col))
+    a_us = ts_us(ts_col)
     probes = F.array(
         F.floor(a_us / max_gap_us).cast("long"),
         (F.floor(a_us / max_gap_us) + 1).cast("long"),
@@ -127,8 +129,8 @@ def time_range_join(
     rhs = b.select(
         F.col(key_col).alias("k"),
         F.col(b_id).alias("b_id"),
-        F.unix_micros(F.col(ts_col)).alias("b_us"),
-        F.floor(F.unix_micros(F.col(ts_col)) / max_gap_us).cast("long").alias("bucket"),
+        ts_us(ts_col).alias("b_us"),
+        F.floor(ts_us(ts_col) / max_gap_us).cast("long").alias("bucket"),
     )
     gap = F.col("b_us") - F.col("a_us")
     return (

@@ -12,7 +12,7 @@ evaluates the three Window steps on the co-located rows, so the whole
 funnel is a single shuffle of the event log, not one join per stage. The
 per-user stage label then aggregates to a 1-row-per-stage summary (tiny).
 
-Timestamps compare as integer microseconds (``unix_micros`` ↔ DuckDB
+Timestamps compare as integer microseconds (``ts_us``, NTZ-safe ↔ DuckDB
 ``epoch_us``) — the same cross-engine convention as sessionize.
 """
 
@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import ts_us
 
 
 def funnel_stages(
@@ -36,7 +38,7 @@ def funnel_stages(
     stage's). Returns (user_id, stage_depth, stage).
     """
     s1, s2, s3 = stages
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_us(ts_col)
     w = Window.partitionBy(user_col)
     t1 = events.withColumn(
         "__t1", F.min(F.when(F.col(type_col) == s1, us)).over(w)

@@ -97,15 +97,18 @@ def pack_sequences_oracle_sql(budget: int = 512, table: str = "documents") -> st
         ),
         c AS (
             SELECT doc_id, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
+                   -- CAST: windowed SUM(BIGINT) is HUGEINT in DuckDB ->
+                   -- float64 in pandas -> driver value-hash mismatch vs
+                   -- Spark's BIGINT.
+                   CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS tok_offset
+                   ), 0) AS BIGINT) AS tok_offset
             FROM t
         )
         SELECT doc_id, n_tokens, tok_offset,
                CAST(FLOOR(tok_offset / {budget}) AS BIGINT) AS seq_id,
-               tok_offset % {budget} AS pos_in_seq
+               CAST(tok_offset % {budget} AS BIGINT) AS pos_in_seq
         FROM c
     """
 

@@ -307,10 +307,13 @@ def token_budget_sample_oracle_sql(
         ),
         c AS (
             SELECT doc_id, source, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
+                   -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT, which
+                   -- pandas renders as float64 ('52.0') and the driver's
+                   -- value-hash then disagrees with Spark's BIGINT ('52').
+                   CAST(COALESCE(SUM(n_tokens) OVER (
                        PARTITION BY source ORDER BY h ASC, doc_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS cum_before,
+                   ), 0) AS BIGINT) AS cum_before,
                    {budget} AS budget
             FROM t
         )

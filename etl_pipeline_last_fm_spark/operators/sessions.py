@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
 
 
 def sessionize(
@@ -27,13 +27,15 @@ def sessionize(
 
     A new session starts when the gap to the previous event of the same user
     exceeds ``gap_minutes``. Gap arithmetic is integer microseconds
-    (`unix_micros`) so batch, streaming and the DuckDB oracle agree exactly.
+    (`ts_us`, NTZ-safe) so batch, streaming and the DuckDB oracle agree
+    exactly regardless of whether parquet loads as TIMESTAMP or
+    TIMESTAMP_NTZ.
     """
     gap_us = gap_minutes * 60_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(ts_us(ts_col)).over(w)
     new_session = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us), F.lit(1)
+        prev_us.isNull() | (ts_us(ts_col) - prev_us > gap_us), F.lit(1)
     ).otherwise(F.lit(0))
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (

@@ -412,7 +412,9 @@ def repetition_scores_oracle_sql(n: int = 3, table: str = "documents") -> str:
             FROM per_gram GROUP BY doc_id
         )
         SELECT d.doc_id,
-               COALESCE(total, 0) AS n_ngrams,
+               -- CAST: SUM() is HUGEINT in DuckDB -> float64 in pandas ->
+               -- driver value-hash '30.0' vs Spark BIGINT '30'.
+               CAST(COALESCE(total, 0) AS BIGINT) AS n_ngrams,
                COALESCE(FLOOR(CAST(dup AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0,
                         0.0) AS dup_ngram_frac,
                COALESCE(FLOOR(CAST(top AS DOUBLE) / total * 10000.0 + 0.5) / 10000.0,

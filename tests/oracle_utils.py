@@ -32,10 +32,16 @@ def _canon_value(v: Any) -> Any:
     """Canonicalize one cell for cross-engine comparison."""
     if v is None:
         return None
+    if type(v).__name__ in ("float64", "float32", "int64", "int32", "uint64"):
+        v = v.item()  # numpy scalar -> python scalar
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Type-tagged: the driver's value-hash stringifies cells, so an
+        # engine pair returning 52 (BIGINT) vs 52.0 (HUGEINT->float64) is a
+        # driver FAIL even though 52 == 52.0 in Python. Caught r02's
+        # token_budget_sample artifact only after the driver did — mirror it.
+        return ("f", v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "isoformat"):  # date / datetime

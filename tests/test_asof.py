@@ -7,6 +7,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+from etl_pipeline_last_fm_spark.functions.scalar import ts_us
 from etl_pipeline_last_fm_spark.operators.asof import asof_join, time_range_join
 
 
@@ -75,9 +76,9 @@ def test_range_join_matches_naive_theta_join(spark, sf_dir):
     fast = time_range_join(a, b, key_col="user_id", max_gap_us=gap)
 
     au = a.select(F.col("user_id").alias("k"), F.col("event_id").alias("a_id"),
-                  F.unix_micros("ts").alias("a_us"))
+                  ts_us("ts").alias("a_us"))
     bu = b.select(F.col("user_id").alias("k"), F.col("event_id").alias("b_id"),
-                  F.unix_micros("ts").alias("b_us"))
+                  ts_us("ts").alias("b_us"))
     naive = (
         au.join(bu, "k")
         .filter((F.col("b_us") - F.col("a_us") >= 0) & (F.col("b_us") - F.col("a_us") <= gap))
