@@ -256,30 +256,60 @@ def token_budget_sample(
 
     Sources absent from ``budgets`` are dropped (budget 0).
 
-    Scale note: the running total is a per-source window cumsum; a corpus
-    that is 90% one source makes that window's partition the straggler.
-    The two-phase block prefix-sum in packing.pack_sequences is the fix at
-    that skew — same decomposition, keyed by (source, hash-block).
+    Scale shape: the running total is a two-phase block prefix-sum (the
+    packing.pack_sequences decomposition, keyed by (source, hash-block)
+    instead of doc_id blocks). A naive per-source window cumsum funnels a
+    90%-one-source corpus through a single task; here each source fans out
+    over 256 hash-blocks (the block id is the hash's top 8 bits, a monotone
+    function of the (hash, id) sort key, so blocks partition the order and
+    the result is bit-identical to the single window — which is exactly
+    what the DuckDB oracle computes). Phase 2's cumsum-over-block-sums runs
+    on n_sources * 256 rows — kilobytes at any corpus size.
     Returns (doc_id, source, n_tokens, cum_before)."""
     h = portable_hash60(
         F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
     )
     n_tok = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(h.asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     budget = F.lit(None).cast("long")
     for src, b in sorted(budgets.items()):
         budget = F.when(F.col(source_col) == src, F.lit(b)).otherwise(budget)
+
+    # h is a non-negative 60-bit hash; top 8 bits -> 256 order-preserving
+    # blocks per source.
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tokens"),
+        budget.alias("__budget"),
+        h.alias("__h"),
+        F.shiftright(h, 52).alias("__blk"),
+    )
+
+    # Phase 1+2: per-(source, block) sums, then an exclusive cumsum over the
+    # block sums within each source (tiny: <=256 rows per source).
+    wblk = (
+        Window.partitionBy("source")
+        .orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    block_offsets = (
+        toks.groupBy("source", "__blk")
+        .agg(F.sum("n_tokens").alias("__bsum"))
+        .withColumn("__boff", F.coalesce(F.sum("__bsum").over(wblk), F.lit(0)))
+        .select("source", "__blk", "__boff")
+    )
+
+    # Phase 3: within-(source, block) exclusive cumsum + broadcast offset.
+    wdoc = (
+        Window.partitionBy("source", "__blk")
+        .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(source_col).alias("source"),
-            n_tok.alias("n_tokens"),
-            F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("cum_before"),
-            budget.alias("__budget"),
+        toks.join(F.broadcast(block_offsets), ["source", "__blk"])
+        .withColumn(
+            "cum_before",
+            F.col("__boff") + F.coalesce(F.sum("n_tokens").over(wdoc), F.lit(0)),
         )
         .filter(F.col("cum_before") < F.col("__budget"))
         .select("doc_id", "source", "n_tokens", "cum_before")
