@@ -51,7 +51,9 @@ from etl_pipeline_last_fm_spark.operators import sampling as sampling_oracle_mod
 from etl_pipeline_last_fm_spark.operators import scd as scd_ops
 from etl_pipeline_last_fm_spark.operators import timeseries as ts_ops
 from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
+from etl_pipeline_last_fm_spark.operators import sketch as sketch_ops
 from etl_pipeline_last_fm_spark.operators import text as text_ops
+from etl_pipeline_last_fm_spark.operators import timewindow as tw_ops
 from etl_pipeline_last_fm_spark.sources.tables import load_table
 
 SF001 = "/root/testdata/sf0.001"
@@ -1035,6 +1037,52 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(docs, top_k=3)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog: approx distinct event_ids per event_type next
+    to the exact count. Integer-scaled register sums make the sketch bit-
+    identical on Spark and DuckDB (operators/sketch.py); cardinality >>
+    2.5m here, so this exercises the raw-estimator branch."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketch_ops.hll_distinct(ev, "event_id", ["event_type"], b=6)
+
+
+def q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL over an exploded token stream: per-source vocabulary size —
+    small cardinalities, so this exercises the linear-counting branch."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return sketch_ops.hll_distinct(toks, "tok", ["source"], b=6)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: exact top-20 corpus tokens probed against
+    a 4x1024 salted-hash counter grid; estimate = min over rows. All
+    integer arithmetic — exact cross-engine parity, and n_cms >= n_exact
+    by construction (the CMS one-sided error bound, property-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sketch_ops.cms_heavy_hitters(docs, top_k=20)
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 60-min window aggregate over the event stream in integer
+    epoch-µs bucket arithmetic (NTZ-safe, timezone-render-free); the
+    streaming twin (operators/timewindow.py streaming_tumbling_window)
+    produces identical rows and is equivalence-tested."""
+    ev = load_table(spark, sf_dir, "events")
+    return tw_ops.tumbling_window_agg(ev, window_minutes=60)
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 60/15-min windows: each event explodes into its 4 containing
+    windows (bounded expansion, not a range join), then one partial+final
+    hash aggregate on (key, win_start)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
     # The first 50 therefore carry >=1 representative of EVERY operator
@@ -1059,25 +1107,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "date_partition_agg": q_date_partition_agg,
         "mart_daily_appearances": q_mart_daily_appearances,
-        "mart_daily_avg": q_mart_daily_avg,
         "explode_tokens": q_explode_tokens,
         "order_limit": q_order_limit,
         "rollup_agg": q_rollup_agg,
         "sessionize": q_sessionize,
         "pivot_native": q_pivot_native,
         "lead_lag": q_lead_lag,
-        "cdc_compact": q_cdc_compact,
         # temporal joins + funnel (formerly past-cap; NTZ-fixed this round)
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "funnel": q_funnel,
+        # round-3 additions: portable sketches + time-window aggregation
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "tumbling_window": q_tumbling_window,
         # dedup family — one representative per technique
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_rolling_fp": q_dedup_rolling_fp,
-        "dedup_passages": q_dedup_passages,
         "dedup_keep_list": q_dedup_keep_list,
         "embedding_cosine_dedup": q_embedding_cosine_dedup,
         # similarity search
@@ -1102,6 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         # --- past the 50-entry cap: oracle-paired redundant siblings ----
         # (rotated next round; all run in test_oracle_parity every pytest)
+        "mart_daily_avg": q_mart_daily_avg,
+        "dedup_passages": q_dedup_passages,
+        "cdc_compact": q_cdc_compact,
+        "hll_vocab": q_hll_vocab,
+        "hopping_window": q_hopping_window,
         "lang_id": q_lang_id,
         "snapshot_diff": q_snapshot_diff,
         "surrogate_keys_incremental": q_surrogate_keys_incremental,
@@ -1537,6 +1591,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_budget_sample": sampling_oracle_mod.token_budget_sample_oracle_sql(
             {"src0": 800, "src1": 400, "src2": 2000, "src3": 100}
+        ),
+        # round-3: portable sketches + time windows
+        "hll_distinct": sketch_ops.hll_distinct_oracle_sql(
+            "events", "event_id", ["event_type"], b=6
+        ),
+        "hll_vocab": sketch_ops.hll_distinct_oracle_sql(
+            "(SELECT * FROM (SELECT source,"
+            " unnest(string_split(trim(text), ' ')) AS tok"
+            " FROM documents) WHERE tok <> '') t",
+            "tok",
+            ["source"],
+            b=6,
+        ),
+        "cms_heavy_hitters": sketch_ops.cms_heavy_hitters_oracle_sql(top_k=20),
+        "tumbling_window": tw_ops.tumbling_window_oracle_sql(window_minutes=60),
+        "hopping_window": tw_ops.hopping_window_oracle_sql(
+            window_minutes=60, hop_minutes=15
         ),
         # still rows-only: sim_ann_ivf (centroids are trained from data at
         # runtime, not a static literal the SQL twin could share); its IVF

@@ -1,0 +1,306 @@
+"""Portable probabilistic sketches: HyperLogLog distinct counts and
+Count-Min heavy-hitter estimates.
+
+At 100 TB, exact ``COUNT(DISTINCT)`` and exact per-key counts over
+unbounded key spaces are shuffle-heavy (distinct requires a full shuffle of
+the key column; a token census shuffles the whole vocabulary). Sketches cut
+that to a bounded-size aggregate: HLL state is ``m`` small integers per
+group, CMS state is a ``d x w`` counter grid — mergeable map-side, so the
+shuffle carries kilobytes per group regardless of input size. Spark ships
+``approx_count_distinct`` (HLL++); these operators exist because (a) the
+engine's correctness gate demands cross-engine verifiability — DuckDB's
+``approx_count_distinct`` is a different implementation with different
+randomness, so the built-ins can never hash-match — and (b) the sketch
+STATE here is an inspectable DataFrame, usable for incremental union-merge
+across daily partitions (max per bucket / sum per cell are both
+associative), which the built-in's opaque binary state only supports
+through its own aggregate.
+
+Portability trick: every probabilistic choice routes through
+``portable_hash60`` (md5-derived, bit-identical on Spark and DuckDB) and
+all sketch arithmetic stays in INTEGER space — the HLL register sum
+``sum(2^-M_j)`` is scaled by ``2^(W+1)`` so it is an exact BIGINT sum (no
+float accumulation order to disagree on); only the final estimate touches
+doubles, through the same pinned half-up rounding the rest of the engine
+uses. The Flajolet et al. 2007 estimator with the standard small-range
+linear-counting branch, verbatim.
+
+Scale shapes:
+- ``hll_distinct``: one explode-free pass — groupBy (group, bucket) max,
+  then groupBy (group) sum — two partial+final hash aggregates, shuffle
+  cardinality |groups| * m, never |rows|.
+- ``cms_heavy_hitters``: counter build is a groupBy over (depth, cell) —
+  at most d*w cells per group of the candidate join; estimation is a
+  broadcast-sized equi-join of candidates against the counter grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import (
+    half_up_round,
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+# Standard HLL bias-correction constants (Flajolet et al. 2007).
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def _hll_rank(rest: Column, width: int) -> Column:
+    """Position of the first set bit from the top of a ``width``-bit field
+    (leading zeros + 1); width+1 when the field is all zeros. Integer-exact
+    via the length of the binary string — both engines' ``bin()`` drop
+    leading zeros."""
+    return (
+        F.when(rest == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin(rest)))
+        .cast("int")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 6,
+    salt: str = "hll1",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col) per group, cross-engine
+    reproducible. Returns group cols + (n_exact, n_approx) — the exact
+    count rides along so callers (and the oracle check) see the error.
+
+    b register-index bits -> m = 2^b registers; relative error ~1.04/sqrt(m)
+    (13% at b=6). The m registers per group are the full sketch state.
+    """
+    group_cols = group_cols or []
+    m = 1 << b
+    width = 60 - b  # bits remaining after the register index
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(value_col).cast("string"))
+    )
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    rank = _hll_rank(F.shiftright(h, b), width)
+
+    # Register maxima: one row per (group, bucket) — the HLL state.
+    regs = df.select(
+        *group_cols, bucket.alias("__bkt"), rank.alias("__rank"), F.col(value_col)
+    )
+    per_bucket = regs.groupBy(*group_cols, "__bkt").agg(
+        F.max("__rank").alias("__mj"),
+        # countDistinct inside buckets would defeat the point; exact count
+        # is a separate partial+final distinct agg on the same shuffle data.
+    )
+    # Scaled integer register sum: term = 2^(width+1-Mj) <= 2^width, total
+    # <= 2^61 — exact in BIGINT, no float accumulation. (expr: the Python
+    # shiftleft() wrapper only takes a literal bit count.)
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - __mj)")
+    g = per_bucket.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("__s_present"),
+        F.count(F.lit(1)).alias("__filled"),
+    )
+    empty = F.lit(m) - F.col("__filled")
+    s_int = F.col("__s_present") + empty * F.lit(1 << (width + 1))
+    e_raw = F.lit(_alpha(m) * m * m * float(1 << (width + 1))) / s_int
+    # Small-range correction: linear counting off the empty-register count.
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
+    ).otherwise(e_raw)
+
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    approx = g.select(*group_cols, half_up_round(estimate, 4).alias("n_approx"))
+    if group_cols:
+        return exact.join(approx, group_cols)
+    return exact.crossJoin(approx)
+
+
+def hll_distinct_oracle_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 6,
+    salt: str = "hll1",
+) -> str:
+    """DuckDB twin of hll_distinct — same hash, same integer-scaled register
+    sum, same estimator branches."""
+    group_cols = group_cols or []
+    m = 1 << b
+    width = 60 - b
+    alpha = _alpha(m)
+    h = portable_hash60_sql(f"'{salt}:' || CAST({value_col} AS VARCHAR)")
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    gjoin = (
+        " AND ".join(f"e.{c} = a.{c}" for c in group_cols)
+        if group_cols
+        else "TRUE"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {gsel}
+                   ({h}) & {m - 1} AS bkt,
+                   ({h}) >> {b} AS rest
+            FROM {table}
+        ),
+        per_bucket AS (
+            SELECT {gsel} bkt,
+                   MAX(CASE WHEN rest = 0 THEN {width + 1}
+                            ELSE {width + 1} - length(bin(rest)) END) AS mj
+            FROM hashed GROUP BY {gsel} bkt
+        ),
+        g AS (
+            SELECT {gsel}
+                   CAST(SUM(1::BIGINT << ({width + 1} - mj)) AS BIGINT)
+                       AS s_present,
+                   COUNT(*) AS filled
+            FROM per_bucket {gby if group_cols else "GROUP BY ()"}
+        ),
+        est AS (
+            SELECT {gsel}
+                   CASE WHEN ({alpha!r} * {m} * {m} * {float(1 << (width + 1))!r})
+                             / (s_present + ({m} - filled) * (1::BIGINT << {width + 1}))
+                             <= {2.5 * m}
+                         AND ({m} - filled) > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / ({m} - filled))
+                        ELSE ({alpha!r} * {m} * {m} * {float(1 << (width + 1))!r})
+                             / (s_present + ({m} - filled) * (1::BIGINT << {width + 1}))
+                   END AS e
+            FROM g
+        ),
+        exact AS (
+            SELECT {gsel} COUNT(DISTINCT {value_col}) AS n_exact
+            FROM {table} {gby if group_cols else "GROUP BY ()"}
+        )
+        SELECT {"".join(f"e.{c}, " for c in group_cols)}
+               e.n_exact,
+               FLOOR(a.e * 10000.0 + 0.5) / 10000.0 AS n_approx
+        FROM exact e JOIN est a ON {gjoin}
+    """
+
+
+def cms_counters(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms1",
+) -> DataFrame:
+    """Count-Min counter grid over a token stream: one row per non-empty
+    (row, cell) with its hit count. ``depth`` independent hash rows (salted
+    portable hashes), ``width`` cells each — the whole sketch is at most
+    depth*width rows regardless of input size, and grids from different
+    partitions/days merge by summing cells (associative)."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("__d")
+    with_d = tokens.select(F.col(token_col).alias("__tok"), rows)
+    cell = portable_hash60(
+        F.concat(F.lit(salt), F.col("__d").cast("string"), F.lit(":"), F.col("__tok"))
+    ).bitwiseAND(F.lit(width - 1))
+    return (
+        with_d.select("__d", cell.alias("__cell"))
+        .groupBy("__d", "__cell")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms1",
+) -> DataFrame:
+    """Heavy hitters with Count-Min estimates: the exact top-k tokens (the
+    candidate set a real pipeline gets from a cheap pre-pass or prior day)
+    joined against the CMS grid; estimate = min over the depth rows.
+    Returns (tok, n_exact, n_cms, rnk) — CMS never underestimates, so
+    n_cms >= n_exact is an invariant (tested).
+
+    All counts are exact integers on both engines — no float anywhere.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    grid = cms_counters(toks, "tok", depth=depth, width=width, salt=salt)
+
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(top_k)
+    )
+    probes = exact_top.select(
+        "tok",
+        "n_exact",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__d"),
+    )
+    probe_cell = portable_hash60(
+        F.concat(F.lit(salt), F.col("__d").cast("string"), F.lit(":"), F.col("tok"))
+    ).bitwiseAND(F.lit(width - 1))
+    est = (
+        probes.withColumn("__cell", probe_cell)
+        .join(F.broadcast(grid), ["__d", "__cell"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("__cnt").alias("n_cms"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+    return est.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def cms_heavy_hitters_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms1",
+) -> str:
+    """DuckDB twin — same salted hashes, same grid, same min-over-rows."""
+    cell = portable_hash60_sql(f"'{salt}' || CAST(d AS VARCHAR) || ':' || tok")
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(trim({text_col}), ' ')) AS tok
+            FROM {table}
+        ),
+        toks_f AS (SELECT tok FROM toks WHERE tok <> ''),
+        with_d AS (
+            SELECT tok, d
+            FROM toks_f, unnest(range(0, {depth})) AS t(d)
+        ),
+        grid AS (
+            SELECT d, ({cell}) & {width - 1} AS cell, COUNT(*) AS cnt
+            FROM with_d GROUP BY d, ({cell}) & {width - 1}
+        ),
+        exact_top AS (
+            SELECT tok, COUNT(*) AS n_exact
+            FROM toks_f GROUP BY tok
+            ORDER BY n_exact DESC, tok ASC LIMIT {top_k}
+        ),
+        probes AS (
+            SELECT e.tok, e.n_exact, t.d,
+                   ({portable_hash60_sql("'" + salt + "' || CAST(t.d AS VARCHAR) || ':' || e.tok")}) & {width - 1} AS cell
+            FROM exact_top e, unnest(range(0, {depth})) AS t(d)
+        ),
+        est AS (
+            SELECT p.tok, p.n_exact, MIN(g.cnt) AS n_cms
+            FROM probes p JOIN grid g ON p.d = g.d AND p.cell = g.cell
+            GROUP BY p.tok, p.n_exact
+        )
+        SELECT tok, n_exact, n_cms,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, tok ASC) AS INTEGER)
+                   AS rnk
+        FROM est
+    """

@@ -1,0 +1,151 @@
+"""Portable sketches (HLL, Count-Min) and time-window aggregation.
+
+Cross-engine value parity is covered by test_oracle_parity (these entries
+are oracle-paired); here we test the sketch/window SEMANTICS: error bounds,
+the CMS one-sided guarantee under forced collisions, estimator branches,
+merge associativity, and streaming/batch equivalence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.sketch import (
+    cms_counters,
+    cms_heavy_hitters,
+    hll_distinct,
+)
+from etl_pipeline_last_fm_spark.operators.timewindow import (
+    hopping_window_agg,
+    streaming_tumbling_window,
+    tumbling_window_agg,
+)
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+
+def test_hll_error_within_bound(spark):
+    """Raw-branch estimate within 3 standard errors (3 * 1.04/sqrt(m))."""
+    n, b = 5000, 6
+    m = 1 << b
+    df = spark.range(n).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    got = hll_distinct(df, "v", b=b).collect()[0]
+    assert got["n_exact"] == n
+    rel_err = abs(got["n_approx"] - n) / n
+    assert rel_err < 3 * 1.04 / math.sqrt(m), got["n_approx"]
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    """Cardinality << m lands in the linear-counting branch, which is very
+    accurate (here: exact after rounding to the nearest integer)."""
+    df = spark.range(10).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    got = hll_distinct(df, "v", b=6).collect()[0]
+    assert got["n_exact"] == 10
+    assert abs(got["n_approx"] - 10) < 1.5
+
+
+def test_hll_insensitive_to_duplication_and_partitioning(spark):
+    """A sketch of a set must not move when rows duplicate 10x or the
+    partitioning changes — distinct-ness is the whole point."""
+    base = spark.range(800).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    dup = base.union(base).union(base).repartition(17)
+    a = hll_distinct(base, "v", b=6).collect()[0]["n_approx"]
+    c = hll_distinct(dup, "v", b=6).collect()[0]["n_approx"]
+    assert a == c
+
+
+def test_cms_never_underestimates_under_forced_collisions(spark):
+    """Tiny grid (w=16) on a 200-token vocabulary forces collisions: every
+    estimate must still be >= the true count (one-sided error), and the
+    heavy hitter's estimate stays within n + eps*N (eps = e/w)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(200):
+        rows += [f"tok{i}"] * (1 + i % 7)
+    rows += ["hot"] * 500
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(1), "text": [" ".join(rows)]})
+    )
+    out = cms_heavy_hitters(docs, top_k=10, depth=4, width=16).collect()
+    n_total = len(rows)
+    eps = math.e / 16
+    for r in out:
+        assert r["n_cms"] >= r["n_exact"], r
+        assert r["n_cms"] <= r["n_exact"] + eps * n_total + 1, r
+    top = next(r for r in out if r["tok"] == "hot")
+    assert top["rnk"] == 1 and top["n_exact"] == 500
+
+
+def test_cms_grid_merges_across_partitions(spark):
+    """Counter grids are mergeable by summing cells: grid(A ∪ B) ==
+    cellwise-sum(grid(A), grid(B)) — the property that lets daily grids
+    roll up without re-reading history."""
+    a = spark.createDataFrame(
+        [("x",), ("y",), ("x",)], "tok string"
+    )
+    b = spark.createDataFrame(
+        [("x",), ("z",)], "tok string"
+    )
+    union_grid = {
+        (r["__d"], r["__cell"]): r["__cnt"]
+        for r in cms_counters(a.union(b), depth=2, width=8).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_counters(part, depth=2, width=8).collect():
+            k = (r["__d"], r["__cell"])
+            merged[k] = merged.get(k, 0) + r["__cnt"]
+    assert union_grid == merged
+
+
+def test_hopping_contains_tumbling(spark, sf_dir):
+    """With hop == window, hopping degenerates to tumbling exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    t = tumbling_window_agg(ev, window_minutes=30)
+    h = hopping_window_agg(ev, window_minutes=30, hop_minutes=30)
+    assert sorted(map(tuple, t.collect())) == sorted(map(tuple, h.collect()))
+
+
+def test_hopping_each_event_in_n_windows(spark, sf_dir):
+    """Total event count across hopping windows is exactly n x the input
+    (every event appears in window/hop windows, no more, no fewer)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    h = hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
+    total = h.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 4 * n_events
+
+
+def test_hopping_rejects_non_divisible_hop(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        hopping_window_agg(ev, window_minutes=60, hop_minutes=25)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """availableNow replay of the events table through the watermarked
+    streaming twin produces exactly the batch operator's rows."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_stream")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_tumbling_window(stream, window_minutes=60, watermark_minutes=120)
+        .writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM tumbling_stream").collect())
+    )
+    want = sorted(map(tuple, tumbling_window_agg(ev, window_minutes=60).collect()))
+    assert got == want
