@@ -54,6 +54,7 @@ from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
 from etl_pipeline_last_fm_spark.operators import sketch as sketch_ops
 from etl_pipeline_last_fm_spark.operators import text as text_ops
 from etl_pipeline_last_fm_spark.operators import timewindow as tw_ops
+from etl_pipeline_last_fm_spark.operators import zorder as zorder_ops
 from etl_pipeline_last_fm_spark.sources.tables import load_table
 
 SF001 = "/root/testdata/sf0.001"
@@ -1083,6 +1084,44 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleaved layout key over (l_partkey, l_suppkey),
+    both normalized to 10 bits off their data bounds — the multi-dimension
+    data-skipping sort key `write_zordered` clusters files on. Pure bit
+    arithmetic after one bounded bounds-agg; locality + span-shrinkage
+    properties tested in tests/test_zorder_wsample.py."""
+    from etl_pipeline_last_fm_spark.operators.zorder import (
+        scaled_to_bits,
+        zorder_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("__lox"),
+        F.max("l_partkey").alias("__hix"),
+        F.min("l_suppkey").alias("__loy"),
+        F.max("l_suppkey").alias("__hiy"),
+    )
+    j = li.select("l_orderkey", "l_partkey", "l_suppkey").crossJoin(
+        F.broadcast(bounds)
+    )
+    zk = zorder_key(
+        scaled_to_bits(F.col("l_partkey"), F.col("__lox"), F.col("__hix"), 10),
+        scaled_to_bits(F.col("l_suppkey"), F.col("__loy"), F.col("__hiy"), 10),
+        10,
+    )
+    return j.select("l_orderkey", "l_partkey", "l_suppkey", zk.alias("zkey"))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, inclusion
+    odds proportional to token count — hash-deterministic, partition-
+    invariant, executed as TakeOrdered (per-partition top-k, no global
+    sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_oracle_mod.weighted_sample(docs, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
     # The first 50 therefore carry >=1 representative of EVERY operator
@@ -1182,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "chunk_documents": q_chunk_documents,
         "repetition": q_repetition,
+        "zorder_key": q_zorder_key,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1609,6 +1650,25 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window": tw_ops.hopping_window_oracle_sql(
             window_minutes=60, hop_minutes=15
         ),
+        "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
+        "zorder_key": f"""
+            WITH b AS (
+                SELECT MIN(l_partkey) AS lox, MAX(l_partkey) AS hix,
+                       MIN(l_suppkey) AS loy, MAX(l_suppkey) AS hiy
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_orderkey, l_partkey, l_suppkey,
+                       CAST(FLOOR((l_partkey - lox) * {1 << 10}
+                                  / (hix - lox + 1)) AS BIGINT) AS xs,
+                       CAST(FLOOR((l_suppkey - loy) * {1 << 10}
+                                  / (hiy - loy + 1)) AS BIGINT) AS ys
+                FROM lineitem, b
+            )
+            SELECT l_orderkey, l_partkey, l_suppkey,
+                   {zorder_ops.zorder_key_sql("xs", "ys", 10)} AS zkey
+            FROM s
+        """,
         # still rows-only: sim_ann_ivf (centroids are trained from data at
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.

@@ -316,6 +316,77 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, inclusion odds
+    proportional to token count — the Efraimidis-Spirakis A-ES scheme:
+    key = u^(1/w) with u uniform in (0,1], keep the k largest keys.
+
+    'Random' u is the portable hash scaled to (0,1], so the sample is a
+    pure function of (salt, id) — reproducible across engines, runs, and
+    cluster sizes, and mergeable: the global top-k of per-partition top-ks
+    is the sample, which is exactly how Spark executes the TakeOrdered
+    limit below (no global sort, no single-partition window).
+
+    Returns (doc_id, n_tokens, wkey) ordered by wkey desc; wkey is emitted
+    rounded (display only) — selection ranks on the full-precision key.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    # (h+1) / 2^60 in (0, 1]: h is uniform in [0, 2^60).
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    wkey = F.pow(u, F.lit(1.0) / n_tok)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            n_tok.alias("n_tokens"),
+            wkey.alias("__wkey"),
+        )
+        .orderBy(F.col("__wkey").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("__wkey") * 1e12 + F.lit(0.5)) / 1e12).alias("wkey"),
+        )
+    )
+
+
+def weighted_sample_oracle_sql(
+    k: int = 50,
+    table: str = "documents",
+    salt: str = "ws1",
+) -> str:
+    """DuckDB twin of weighted_sample — same hash-derived u and pow key.
+    pow() ulp divergence between engines could in principle flip an
+    ordering of two keys closer than ~1e-16 relative; with distinct
+    md5-derived u values that is vanishingly improbable (and would fail
+    loudly in the hash check, not silently)."""
+    h = portable_hash60_sql(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                       AS n_tokens,
+                   pow(({h} + 1) / {float(1 << 60)!r},
+                       1.0 / len(string_split(trim(text), ' '))) AS wk
+            FROM {table}
+        )
+        SELECT doc_id, n_tokens,
+               FLOOR(wk * 1e12 + 0.5) / 1e12 AS wkey
+        FROM t
+        ORDER BY wk DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
 def token_budget_sample_oracle_sql(
     budgets: dict[str, int],
     source_col: str = "source",

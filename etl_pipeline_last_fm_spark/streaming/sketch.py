@@ -1,0 +1,76 @@
+"""Incremental sketch maintenance on a stream (foreachBatch merge).
+
+The sketch states in operators/sketch.py are mergeable DataFrames:
+- HLL registers merge by MAX per (group, bucket);
+- CMS grids merge by SUM per (depth, cell).
+That associativity is exactly what incremental maintenance needs: each
+micro-batch computes its own tiny sketch, then folds it into a persisted
+state table with one bounded merge — no reprocessing of history, state
+size fixed at |groups|·m registers (HLL) / d·w cells (CMS) forever.
+
+This is the foreachBatch pattern (same as streaming/ingest.py's idempotent
+merge): the batch DataFrame is sketched with the SAME operator code the
+batch engine uses, so stream-maintained state provably equals the batch
+sketch of the union of all micro-batches (tested in tests/test_sketch.py).
+
+Scale: per micro-batch cost is one partial+final aggregate of the batch
+plus a merge against a kilobyte-scale state table. The state read-merge-
+overwrite is safe under the single-writer-per-query guarantee Structured
+Streaming provides; multi-writer state needs a transactional table format
+(same caveat as the idempotent sink).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.sketch import cms_counters
+
+
+def merge_cms_grids(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cellwise sum of two CMS counter grids (associative, commutative)."""
+    return (
+        a.unionByName(b)
+        .groupBy("__d", "__cell")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+
+
+def streaming_cms_maintenance(
+    events_stream: DataFrame,
+    state_path: str,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    checkpoint: str | None = None,
+    salt: str = "cms1",
+):
+    """Maintain a CMS grid over a token stream: each micro-batch's grid is
+    summed into the parquet state at ``state_path``. Returns the started
+    StreamingQuery (caller controls the trigger/termination)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = cms_counters(
+            batch_df, token_col, depth=depth, width=width, salt=salt
+        )
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            grid = merge_cms_grids(prev, grid)
+        # localCheckpoint cuts the lineage back to the (tiny) merged grid
+        # so the overwrite never reads the file it is replacing.
+        grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    writer = events_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return spark.read.parquet(state_path)
