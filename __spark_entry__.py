@@ -1084,6 +1084,30 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the event log is split into an
+    'existing' part and a 'late batch' that OVERLAPS the same (day,
+    event_type) groups (split on a hash of event_id, not on time — the
+    merge has to actually merge), each becomes an additive partial state,
+    the states fold, and the presented mart must equal a from-scratch
+    GROUP BY over everything — which is exactly what the oracle computes.
+    O(batch)+O(mart) per update, never O(history)."""
+    from etl_pipeline_last_fm_spark.operators.incremental import (
+        additive_state,
+        merge_states,
+        present,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    )
+    split = F.pmod(F.col("event_id"), F.lit(10)) < 7
+    keys = ["day", "event_type"]
+    state = additive_state(ev.filter(split), keys, "value")
+    late = additive_state(ev.filter(~split), keys, "value")
+    return present(merge_states([state, late], keys), keys)
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) interleaved layout key over (l_partkey, l_suppkey),
     both normalized to 10 bits off their data bounds — the multi-dimension
@@ -1223,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "zorder_key": q_zorder_key,
         "weighted_sample": q_weighted_sample,
+        "mart_incremental": q_mart_incremental,
     }
 
 
@@ -1651,6 +1676,21 @@ def oracle_sql() -> dict[str, str]:
             window_minutes=60, hop_minutes=15
         ),
         "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
+        "mart_incremental": """
+            WITH cents AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT day, event_type,
+                   CAST(SUM(v) AS BIGINT) / 100.0 AS value_sum,
+                   FLOOR(CAST(SUM(v) AS BIGINT)
+                         / (COUNT(v) * 100.0) * 10000.0 + 0.5) / 10000.0
+                       AS value_avg,
+                   COUNT(v) AS n_rows
+            FROM cents
+            GROUP BY day, event_type
+        """,
         "zorder_key": f"""
             WITH b AS (
                 SELECT MIN(l_partkey) AS lox, MAX(l_partkey) AS hix,

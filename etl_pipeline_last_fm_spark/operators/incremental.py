@@ -1,0 +1,79 @@
+"""Incremental aggregate maintenance (materialized-view style).
+
+The reference rebuilds its marts from scratch each run (full GROUP BY over
+history). At 100 TB the only sane contract is: keep the mart as a PARTIAL
+STATE (additive components — sums and counts, never averages or rounded
+values), fold each new batch's partial into it, and derive presentation
+columns at read time. Sum and count are associative+commutative, so
+
+    present(merge(state(A), state(B))) == present(state(A ∪ B))
+
+for ANY split of the input — late data, backfill, overlapping groups — not
+just disjoint date partitions. That identity is this module's contract and
+is property-tested (equivalence under arbitrary splits, merge
+associativity). AVG specifically must be maintained as (sum, count):
+averaging averages is wrong the moment group sizes differ, which is why
+``present`` derives it at the end.
+
+The state is kept in exact INTEGER centi-units, not doubles: a float sum
+is order-dependent at the ulp level, so two different merge histories of
+the same rows could present values that round differently at the 4th
+decimal — the state would no longer be a pure function of the row set,
+which is the whole contract. Fixed-point sums are associative exactly.
+(This bit in practice: the float version failed the cross-engine check at
+one 4-decimal rounding boundary.)
+
+Scale: each batch pays one partial+final hash aggregate of ITS OWN rows
+plus a merge whose size is |existing groups| — O(batch) + O(mart), never
+O(history). The state is a plain DataFrame/parquet table, so it also
+serves as the foreachBatch fold state for a streaming mart (same pattern
+as streaming/sketch.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+
+
+def additive_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Partial aggregate state for per-key SUM/COUNT/AVG: (keys, s, c).
+    ``s`` is the value in half-up-rounded centi-units (exact BIGINT) —
+    see module docstring for why the state must not hold float sums."""
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return df.groupBy(*keys).agg(
+        F.sum(cents).alias("s"),
+        F.count(value_col).alias("c"),
+    )
+
+
+def merge_states(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Fold partial states: component-wise sums per key. Associative and
+    commutative — fold order and input splits cannot change the result."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys).agg(
+        F.sum("s").alias("s"),
+        F.sum("c").alias("c"),
+    )
+
+
+def present(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Presentation view of the state: value_sum (2dp, exact), value_avg
+    (4dp; one IEEE division of exact integers, so the rounding boundary is
+    engine-independent), n_rows — derived at read time, never stored."""
+    return state.select(
+        *keys,
+        (F.col("s").cast("double") / F.lit(100.0)).alias("value_sum"),
+        half_up_round(F.col("s").cast("double") / (F.col("c") * F.lit(100.0)), 4).alias(
+            "value_avg"
+        ),
+        F.col("c").alias("n_rows"),
+    )

@@ -137,6 +137,43 @@ def test_new_ops_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_token_budget_sample_two_phase_shape(spark, sf_dir):
+    """The skew-safe rewrite must broadcast the block-offset relation and
+    must NOT contain a row-level window partitioned on source alone (the
+    single-task straggler the two-phase decomposition exists to remove):
+    every row-level window partitions on (source, block)."""
+    plan = formatted_plan(entrymod.queries()["token_budget_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    row_windows = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "__blk" not in l
+    ]
+    # The only window allowed without the block key is the block-sum cumsum
+    # (operates on __bsum, not doc rows).
+    assert all("__bsum" in l for l in row_windows), row_windows
+
+
+def test_sketch_and_window_aggregates_are_partial_final(spark, sf_dir):
+    """HLL / CMS / tumbling compile to partial+final hash aggregates (map-
+    side combine before the one shuffle) with no sort-merge join anywhere;
+    CMS's candidate probe joins the grid via broadcast."""
+    for name in ["hll_distinct", "tumbling_window"]:
+        plan = formatted_plan(entrymod.queries()[name](spark, sf_dir))
+        assert "HashAggregate" in plan and "partial" in plan.lower(), name
+        assert "SortMergeJoin" not in plan, name
+    cms = formatted_plan(entrymod.queries()["cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in cms and "SortMergeJoin" not in cms
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    plan = formatted_plan(entrymod.queries()["weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cdc_compact_uses_window_group_limit(spark, sf_dir):
     plan = formatted_plan(entrymod.queries()["cdc_compact"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
