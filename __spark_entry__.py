@@ -1084,6 +1084,25 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier census per (region, nation): count + pinned-rounded mean
+    account balance — exercises the supplier dimension (the one testdata
+    table no other query touches) through the standard broadcast-dim
+    star shape."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            half_up_round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
 def q_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: the event log is split into an
     'existing' part and a 'late batch' that OVERLAPS the same (day,
@@ -1248,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "weighted_sample": q_weighted_sample,
         "mart_incremental": q_mart_incremental,
+        "supplier_balance": q_supplier_balance,
     }
 
 
@@ -1676,6 +1696,15 @@ def oracle_sql() -> dict[str, str]:
             window_minutes=60, hop_minutes=15
         ),
         "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
+        "supplier_balance": """
+            SELECT r_name AS region, n_name AS nation,
+                   COUNT(*) AS n_suppliers,
+                   FLOOR(AVG(s_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
         "mart_incremental": """
             WITH cents AS (
                 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
