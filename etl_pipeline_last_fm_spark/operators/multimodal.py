@@ -51,6 +51,38 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "t
     )
 
 
+# Magic-byte signatures: (label, hex prefix, byte offset). Pure-expression
+# sniffing — no codec library involved, so unlike the decode stubs this is
+# REAL functionality: the triage step a 100 TB media crawl runs first
+# (route by container format, quarantine unknowns) costs one substring
+# compare per row, JVM-side.
+_MAGIC = [
+    ("jpeg", "FFD8FF", 0),
+    ("png", "89504E47", 0),
+    ("gif", "474946", 0),
+    ("riff", "52494646", 0),  # WAV/AVI/WebP share the RIFF container
+    ("pdf", "25504446", 0),
+    ("mp3", "494433", 0),  # ID3-tagged
+    ("mp4", "66747970", 4),  # 'ftyp' after the 4-byte box length
+]
+
+
+def sniff_format(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Add ``sniffed`` (container label or 'unknown') + ``n_bytes`` from
+    magic-byte prefixes of the binary column — decode-free triage."""
+    expr = F.lit("unknown")
+    for label, sig, off in reversed(_MAGIC):
+        prefix = F.hex(
+            F.substring(F.col(content_col), off + 1, len(sig) // 2)
+        )
+        expr = F.when(prefix == F.lit(sig), F.lit(label)).otherwise(expr)
+    return media.withColumn("sniffed", expr).withColumn(
+        "n_bytes", F.length(F.col(content_col)).cast("long")
+    )
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic fake 'decoded' features: seeded by the content digest,
     so results are stable across runs/executors. CLEARLY A STUB."""

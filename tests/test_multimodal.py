@@ -69,3 +69,32 @@ def test_stub_raises_without_fake(media):
     with pytest.raises(Exception) as ei:
         resize(media, 4, 4, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "resize" in str(ei.value)
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Crafted headers classify correctly; the sniff is pure expression
+    (no Python eval nodes) and stays JVM-side."""
+    from etl_pipeline_last_fm_spark.operators.multimodal import sniff_format
+
+    payloads = [
+        (1, bytes.fromhex("FFD8FF") + b"rest-of-jpeg", "jpeg"),
+        (2, bytes.fromhex("89504E47") + b"png-body", "png"),
+        (3, b"GIF89a...", "gif"),
+        (4, b"RIFF" + b"\x00" * 8, "riff"),
+        (5, b"%PDF-1.7", "pdf"),
+        (6, b"ID3\x04tag", "mp3"),
+        (7, b"\x00\x00\x00\x20ftypisom", "mp4"),
+        (8, b"plain text bytes", "unknown"),
+        (9, b"", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c, _ in payloads], "media_id long, content binary"
+    )
+    got = {r["media_id"]: (r["sniffed"], r["n_bytes"]) for r in sniff_format(df).collect()}
+    for i, c, want in payloads:
+        assert got[i] == (want, len(c)), (i, got[i])
+
+    plan = sniff_format(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
