@@ -1084,6 +1084,15 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document quality scoring (CCNet-style): mean per-token
+    logprob under the corpus's own smoothed unigram distribution, in exact
+    integer micro-nats (quantized on the vocab-sized census before any
+    per-doc sum — no float accumulation order anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.lm_score(docs)
+
+
 def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier census per (region, nation): count + pinned-rounded mean
     account balance — exercises the supplier dimension (the one testdata
@@ -1268,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "mart_incremental": q_mart_incremental,
         "supplier_balance": q_supplier_balance,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1696,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
             window_minutes=60, hop_minutes=15
         ),
         "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
+        "lm_score": text_ops.lm_score_oracle_sql(),
         "supplier_balance": """
             SELECT r_name AS region, n_name AS nation,
                    COUNT(*) AS n_suppliers,

@@ -340,6 +340,95 @@ def lang_id_oracle_sql() -> str:
     """
 
 
+def lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model document scoring (the CCNet-style statistical
+    quality filter): mean per-token log-probability under the corpus's own
+    add-one-smoothed unigram distribution. Docs of frequent tokens score
+    high; rare-token/noise docs score low — the filterable signal.
+
+    Numeric design: per-token logprobs are quantized to integer MICRO-NATS
+    (floor(ln(p)*1e6) as BIGINT) on the vocab-sized census BEFORE any
+    per-doc summation, so the doc sums are exact integer arithmetic —
+    associative, partition-order-independent, engine-identical. A float
+    ln-sum would be order-dependent at the ulp and could flip a rounding
+    boundary (the same trap operators/incremental.py documents).
+
+    Scale shape: one token census (partial+final count over the stream),
+    logprobs computed on |vocab| rows, broadcast back onto the exploded
+    stream, one per-doc sum. Returns (doc_id, n_tokens,
+    mean_logprob_micro) where the mean is integer micro-nats div tokens
+    (floor division — exact).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens()).alias("tok")
+    ).filter(F.col("tok") != "")
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = census.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    lp = (
+        census.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.floor(
+                F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("n_total") + F.col("v")).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("__sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("__sum div n_tokens").alias("mean_logprob_micro"),
+        )
+    )
+
+
+def lm_score_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of lm_score — same census, same micro-nat quantization,
+    same integer mean."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(text), ' ')) AS tok
+                FROM {table}
+            ) WHERE tok <> ''
+        ),
+        census AS (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ),
+        totals AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v
+            FROM census
+        ),
+        lp AS (
+            SELECT tok,
+                   CAST(FLOOR(ln((c + 1) * 1.0 / (n_total + v)) * 1000000.0)
+                        AS BIGINT) AS lp_micro
+            FROM census, totals
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(lp_micro) AS BIGINT) // COUNT(*) AS mean_logprob_micro
+        FROM toks t JOIN lp ON t.tok = lp.tok
+        GROUP BY t.doc_id
+    """
+
+
 def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     """Within-document repetition metrics (the Gopher/MassiveText boilerplate
     heuristics): fraction of duplicated n-grams and the coverage of the
