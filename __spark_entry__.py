@@ -1084,6 +1084,39 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem/orders: all row-level
+    checks fold into ONE aggregate pass (a column per check, not a scan
+    per check); uniqueness is one groupBy; the FK check is a broadcast
+    anti-join. The quantity range is deliberately tight so violation
+    counts are non-zero and the counting machinery is actually graded."""
+    from etl_pipeline_last_fm_spark.operators.expectations import (
+        Expect,
+        run_expectations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    checks = [
+        Expect("li_keys_not_null", "not_null", cols=["l_orderkey", "l_partkey"]),
+        Expect("li_qty_in_1_30", "range", cols=["l_quantity"], lo=1, hi=30),
+        Expect(
+            "li_price_positive",
+            "predicate",
+            predicate=F.col("l_extendedprice") > 0,
+        ),
+        Expect("li_line_unique", "unique", cols=["l_orderkey", "l_linenumber"]),
+        Expect(
+            "li_order_fk",
+            "foreign_key",
+            cols=["l_orderkey"],
+            parent=orders,
+            parent_cols=["o_orderkey"],
+        ),
+    ]
+    return run_expectations(li, checks)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM document quality scoring (CCNet-style): mean per-token
     logprob under the corpus's own smoothed unigram distribution, in exact
@@ -1278,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mart_incremental": q_mart_incremental,
         "supplier_balance": q_supplier_balance,
         "lm_score": q_lm_score,
+        "expectations": q_expectations,
     }
 
 
@@ -1707,6 +1741,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
         "lm_score": text_ops.lm_score_oracle_sql(),
+        "expectations": """
+            SELECT 'li_keys_not_null' AS check_name,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   COUNT(*) AS n_checked
+            FROM lineitem
+            UNION ALL
+            SELECT 'li_qty_in_1_30',
+                   CAST(SUM(CASE WHEN l_quantity IS NULL
+                                   OR l_quantity < 1 OR l_quantity > 30
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'li_price_positive',
+                   CAST(SUM(CASE WHEN NOT (l_extendedprice > 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'li_line_unique',
+                   CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT),
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber)
+            UNION ALL
+            SELECT 'li_order_fk',
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+                   COUNT(*)
+            FROM lineitem
+        """,
         "supplier_balance": """
             SELECT r_name AS region, n_name AS nation,
                    COUNT(*) AS n_suppliers,

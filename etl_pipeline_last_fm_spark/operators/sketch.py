@@ -97,11 +97,29 @@ def hll_distinct(
         # countDistinct inside buckets would defeat the point; exact count
         # is a separate partial+final distinct agg on the same shuffle data.
     )
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    approx = hll_estimate_from_registers(per_bucket, group_cols, b)
+    if group_cols:
+        return exact.join(approx, group_cols)
+    return exact.crossJoin(approx)
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame, group_cols: list[str], b: int
+) -> DataFrame:
+    """Estimator over a register table (group_cols, __bkt, __mj) — the
+    read-side of a persisted/stream-maintained sketch state (see
+    streaming/sketch.py). Returns group cols + n_approx."""
+    group_cols = group_cols or []
+    m = 1 << b
+    width = 60 - b
     # Scaled integer register sum: term = 2^(width+1-Mj) <= 2^width, total
     # <= 2^61 — exact in BIGINT, no float accumulation. (expr: the Python
     # shiftleft() wrapper only takes a literal bit count.)
     scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - __mj)")
-    g = per_bucket.groupBy(*group_cols).agg(
+    g = registers.groupBy(*group_cols).agg(
         F.sum(scaled).alias("__s_present"),
         F.count(F.lit(1)).alias("__filled"),
     )
@@ -113,14 +131,7 @@ def hll_distinct(
         (e_raw <= F.lit(2.5 * m)) & (empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / empty),
     ).otherwise(e_raw)
-
-    exact = df.groupBy(*group_cols).agg(
-        F.countDistinct(value_col).alias("n_exact")
-    )
-    approx = g.select(*group_cols, half_up_round(estimate, 4).alias("n_approx"))
-    if group_cols:
-        return exact.join(approx, group_cols)
-    return exact.crossJoin(approx)
+    return g.select(*group_cols, half_up_round(estimate, 4).alias("n_approx"))
 
 
 def hll_distinct_oracle_sql(

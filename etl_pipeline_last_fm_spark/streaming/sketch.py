@@ -74,3 +74,60 @@ def streaming_cms_maintenance(
 
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(state_path)
+
+
+def merge_hll_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Register-wise MAX of two HLL register tables (associative,
+    commutative, idempotent — replayed batches cannot inflate the
+    estimate, unlike CMS sums)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.max("__mj").alias("__mj"))
+    )
+
+
+def streaming_hll_maintenance(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    group_cols: list[str],
+    b: int = 6,
+    salt: str = "hll1",
+    checkpoint: str | None = None,
+):
+    """Maintain per-group HLL registers over a stream: each micro-batch's
+    registers fold into the parquet state by register-wise max. The state
+    is the full sketch — |groups| * 2^b rows forever — and
+    ``hll_estimate_from_registers`` turns it into counts on demand."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+    from etl_pipeline_last_fm_spark.operators.sketch import _hll_rank
+
+    m = 1 << b
+    width = 60 - b
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = portable_hash60(
+            F.concat(F.lit(salt), F.lit(":"), F.col(value_col).cast("string"))
+        )
+        regs = (
+            batch_df.select(
+                *group_cols,
+                h.bitwiseAND(F.lit(m - 1)).alias("__bkt"),
+                _hll_rank(F.shiftright(h, b), width).alias("__mj"),
+            )
+            .groupBy(*group_cols, "__bkt")
+            .agg(F.max("__mj").alias("__mj"))
+        )
+        if os.path.exists(state_path):
+            prev = spark.read.parquet(state_path)
+            regs = merge_hll_registers(prev, regs, group_cols)
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    writer = stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

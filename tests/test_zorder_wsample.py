@@ -153,3 +153,82 @@ def test_merge_cms_grids_is_associative(spark):
         (r["__d"], r["__cell"]): r["__cnt"] for r in df.collect()
     }
     assert as_map(left) == as_map(right)
+
+
+def test_streaming_hll_equals_batch_estimate(spark, sf_dir, tmp_path):
+    """Stream-maintained HLL registers (register-wise max folds across 3
+    micro-batches) estimate exactly what the batch operator computes."""
+    from etl_pipeline_last_fm_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+    from etl_pipeline_last_fm_spark.streaming.sketch import (
+        streaming_hll_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev_files")
+    ev.repartition(3).write.parquet(src)
+
+    state = str(tmp_path / "hll_state")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_hll_maintenance(
+            stream, state, value_col="user_id", group_cols=["event_type"],
+            b=6, checkpoint=str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            hll_estimate_from_registers(
+                spark.read.parquet(state), ["event_type"], b=6
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            hll_distinct(ev, "user_id", ["event_type"], b=6)
+            .select("event_type", "n_approx")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_zorder_key_is_injective_property(spark):
+    """Hypothesis: distinct (x, y) pairs in range always map to distinct
+    Morton keys (bit interleaving is a bijection onto [0, 4^bits))."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_pipeline_last_fm_spark.operators.zorder import zorder_key
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255)),
+            min_size=2, max_size=30, unique=True,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x int, y int")
+        keys = [
+            r["z"]
+            for r in df.select(
+                zorder_key(F.col("x"), F.col("y"), 8).alias("z")
+            ).collect()
+        ]
+        assert len(set(keys)) == len(pairs)
+        assert all(0 <= k < 4**8 for k in keys)
+
+    check()
