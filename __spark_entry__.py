@@ -1084,6 +1084,16 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (seeded codebooks, ADC scoring): 64-float
+    vectors scored through 4 one-byte codes — the memory side of the ANN
+    trade (IVF/LSH bound candidates, PQ bounds bytes; compose as IVF-PQ at
+    scale). Every argmin is integer-packed, so the DuckDB oracle rebuilds
+    codebooks, codes and ranks exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.pq_ann_topk_seeded(emb, n_queries=10, k=5)
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over lineitem/orders: all row-level
     checks fold into ONE aggregate pass (a column per check, not a scan
@@ -1312,7 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mart_incremental": q_mart_incremental,
         "supplier_balance": q_supplier_balance,
         "lm_score": q_lm_score,
-        "expectations": q_expectations,
+        "sim_ann_pq": q_sim_ann_pq,
     }
 
 
@@ -1742,6 +1752,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
         "lm_score": text_ops.lm_score_oracle_sql(),
+        "sim_ann_pq": sim_ops.pq_ann_topk_seeded_oracle_sql(
+            n_queries=10, k=5, n_subspaces=4, n_codes=16, dim=64
+        ),
         "expectations": """
             SELECT 'li_keys_not_null' AS check_name,
                    CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL

@@ -472,3 +472,195 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "cand_id", "sim", "rnk")
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+
+
+def pq_seed_codebooks(
+    emb: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Seed PQ codebooks: subspace m's codes are the m-th subvectors of the
+    ``n_codes`` lowest-id corpus vectors (no training — the same bounded,
+    SQL-reconstructable selection as ``seeded_centroids``, which is what
+    lets the DuckDB oracle rebuild the identical index)."""
+    rows = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+        .orderBy("id")
+        .collect()
+    )
+    dim = len(rows[0]["e"])
+    sub = dim // n_subspaces
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(n_subspaces):
+        books.append(
+            [(int(r["id"]), list(r["e"][m * sub : (m + 1) * sub])) for r in rows]
+        )
+    return books
+
+
+def _l2sq_literal(vec: Column, lit_vec: list[float]) -> Column:
+    """Squared L2 distance of a vector Column slice to a literal, as the
+    expanded dot form (fixed evaluation order on both engines):
+    dot(v,v) - 2*dot(v,c) + dot(c,c)."""
+    dot_vv = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    dot_vc = _dot_literal(vec, lit_vec)
+    cc = sum(x * x for x in lit_vec)
+    return dot_vv - F.lit(2.0) * dot_vc + F.lit(cc)
+
+
+def pq_ann_topk_seeded(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (ADC scoring), fully value-checkable.
+
+    The memory side of the ANN trade (IVF/LSH bound CANDIDATES; PQ bounds
+    BYTES): each corpus vector is encoded as n_subspaces small code ids —
+    64 floats become 4 bytes here — and query-to-vector distance is
+    approximated from a per-query distance TABLE (query subvector to each
+    code), never from the original vectors. At 100 TB the decoded corpus
+    never exists: the scan carries the code columns only, and a real
+    deployment composes this with IVF bucketing (IVF-PQ) so each query
+    scores only its probed lists' codes.
+
+    Every argmin/ranking decision is taken on integer-packed rounded
+    distances (same discipline as ``ivf_ann_topk_seeded``), so the DuckDB
+    oracle reproduces the index, the codes, and the ranks exactly.
+    Returns (q_id, cand_id, approx_d, rnk); approx_d is the rounded ADC
+    squared-L2 (ascending ranks)."""
+    books = pq_seed_codebooks(emb, n_subspaces, n_codes, id_col, vec_col)
+    dim = sum(len(books[m][0][1]) for m in range(n_subspaces))
+    sub = dim // n_subspaces
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+
+    # Encode: per subspace, argmin over the codebook on packed rounded
+    # distance — a pure map (least() over literal expressions; no join).
+    def sub_vec(col: Column, m: int) -> Column:
+        return F.slice(col, m * sub + 1, sub)
+
+    enc_cols = []
+    for m, book in enumerate(books):
+        packed = [
+            F.floor(_l2sq_literal(sub_vec(F.col("e"), m), ce) * F.lit(1e6) + F.lit(0.5))
+            .cast("long") * F.lit(1024) + F.lit(cid)
+            for cid, ce in book
+        ]
+        enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
+    corpus = v.select("id", *enc_cols)
+
+    # Queries carry one distance table per subspace (array over code ids).
+    q = v.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q_id"), F.col("e").alias("qe")
+    )
+    for m, book in enumerate(books):
+        q = q.withColumn(
+            f"dt{m}",
+            F.array(*[_l2sq_literal(sub_vec(F.col("qe"), m), ce) for _, ce in book]),
+        )
+    q = q.drop("qe")
+
+    # ADC: approx distance = sum of table lookups (fixed-order 4-term sum).
+    adc = None
+    for m in range(n_subspaces):
+        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        corpus.join(F.broadcast(q), corpus["id"] != q["q_id"])
+        .select(
+            "q_id",
+            F.col("id").alias("cand_id"),
+            adc.alias("__d"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("__d") * 1e6 + F.lit(0.5)).asc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "cand_id",
+            half_up_round(F.col("__d"), 6).alias("approx_d"),
+            "rnk",
+        )
+    )
+
+
+def pq_ann_topk_seeded_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``pq_ann_topk_seeded``: rebuilds the seed codebooks
+    relationally, re-encodes the corpus with the same packed argmin, and
+    re-ranks on the same rounded ADC sums."""
+    sub = dim // n_subspaces
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+
+    def subv(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
+
+    enc_selects = []
+    for m in range(n_subspaces):
+        d = l2.format(a=subv("v.e", m), b=f"b.sv{m}")
+        enc_selects.append(
+            f"CAST(MIN(CAST(FLOOR({d} * 1000000.0 + 0.5) AS BIGINT) * 1024"
+            f" + b.cid) % 1024 AS INTEGER) AS c{m}"
+        )
+    adc_terms = " + ".join(
+        l2.format(a=subv("q.qe", m), b=f"b{m}.sv{m}") for m in range(n_subspaces)
+    )
+    joins = " ".join(
+        f"JOIN books b{m} ON b{m}.cid = corpus.c{m}" for m in range(n_subspaces)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        books AS (
+            SELECT id AS cid,
+                   {", ".join(f"list_slice(e, {m * sub + 1}, {(m + 1) * sub}) AS sv{m}" for m in range(n_subspaces))}
+            FROM v WHERE id < {n_codes}
+        ),
+        b AS (SELECT * FROM books),
+        corpus AS (
+            SELECT v.id, {", ".join(enc_selects)}
+            FROM v CROSS JOIN b GROUP BY v.id
+        ),
+        q AS (SELECT id AS q_id, e AS qe FROM v WHERE id < {n_queries}),
+        scored AS (
+            SELECT q.q_id, corpus.id AS cand_id,
+                   ({adc_terms}) AS d
+            FROM corpus {joins} CROSS JOIN q
+            WHERE corpus.id <> q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, cand_id,
+                   FLOOR(d * 1000000.0 + 0.5) / 1000000.0 AS d_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) ASC,
+                                cand_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT q_id, cand_id, d_r AS approx_d, CAST(rn AS INTEGER) AS rnk
+        FROM ranked WHERE rn <= {k}
+    """

@@ -98,3 +98,59 @@ def test_ann_sims_are_exact_for_scored_pairs(truth):
         for r in rows:
             if (r.q_id, r.cand_id) in truth_sims:
                 assert r.sim == truth_sims[(r.q_id, r.cand_id)], (r.q_id, r.cand_id)
+
+
+def test_pq_encodes_codewords_to_themselves(spark, sf_dir):
+    """A corpus vector whose id < n_codes IS the codeword source: its
+    sub-vectors are exact codebook entries, so the packed argmin must pick
+    its own id in every subspace (distance 0 beats everything; ties break
+    to the smaller cid, and an exact duplicate would have dist 0 too but
+    the fixture vectors are distinct)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        _l2sq_literal,
+        pq_seed_codebooks,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_seed_codebooks(emb, n_subspaces=4, n_codes=16)
+    sub = len(books[0][0][1])
+    v = emb.filter(F.col("vec_id") < 16).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    for m, book in enumerate(books):
+        packed = [
+            F.floor(
+                _l2sq_literal(F.slice(F.col("e"), m * sub + 1, sub), ce) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long") * F.lit(1024) + F.lit(cid)
+            for cid, ce in book
+        ]
+        got = v.select(
+            "vec_id", (F.least(*packed) % F.lit(1024)).cast("int").alias("code")
+        ).collect()
+        assert all(r["vec_id"] == r["code"] for r in got), (m, got[:4])
+
+
+def test_pq_beats_random_ranking(spark, sf_dir):
+    """ADC ordering must correlate with exact cosine ordering: the mean
+    EXACT rank of PQ's top-5 candidates must be far better than the ~250
+    a random picker would average on a 500-vector corpus."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        brute_force_topk,
+        pq_ann_topk_seeded,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    exact = brute_force_topk(emb, n_queries=10, k=n - 1)
+    exact_rank = {
+        (r["q_id"], r["cand_id"]): r["rnk"] for r in exact.collect()
+    }
+    pq = pq_ann_topk_seeded(emb, n_queries=10, k=5).collect()
+    ranks = [exact_rank[(r["q_id"], r["cand_id"])] for r in pq]
+    mean_rank = sum(ranks) / len(ranks)
+    assert mean_rank < n / 4, mean_rank
