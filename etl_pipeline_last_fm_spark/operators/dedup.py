@@ -718,13 +718,25 @@ def embedding_near_dups(
     """Near-duplicate pairs by embedding cosine similarity (exact pairwise —
     bounded corpora / candidate verification; embedding_near_dups_blocked is
     the scale path)."""
+    # Norms are hoisted to per-VECTOR columns before the pair join: the
+    # higher-order aggregate expressions are interpreted (not codegen'd),
+    # so paying them per PAIR (O(n^2) HOF evaluations) instead of per row
+    # made this 3x slower — measured 55 s -> 19 s at sf0.1 (5k vectors,
+    # 12.5M pairs). Same doubles, same oracle: hoisting an identical
+    # expression cannot change its value.
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
     v = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    ).withColumn("n", norm)
+    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"), F.col("n").alias("n_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"), F.col("n").alias("n_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("e_a"), F.col("e_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"))
-    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"))
-    sim = cosine_similarity_expr(F.col("e_a"), F.col("e_b"))
+    sim = dot / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim_raw", sim)

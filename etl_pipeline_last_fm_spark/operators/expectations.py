@@ -69,7 +69,11 @@ def run_expectations(df: DataFrame, checks: list[Expect]) -> DataFrame:
 
     if row_level:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.sum(_row_violation(e).cast("long")).alias(f"__v_{i}")
+            # coalesce: SUM over zero rows is NULL; an empty partition has
+            # zero violations, not unknown violations.
+            F.coalesce(F.sum(_row_violation(e).cast("long")), F.lit(0)).alias(
+                f"__v_{i}"
+            )
             for i, e in enumerate(row_level)
         ]
         wide = df.agg(*aggs)

@@ -101,6 +101,13 @@ def lsh_buckets(
 
 
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
+    """Dot product against a literal vector as a zip_with/aggregate fold.
+    Note: an unrolled element_at form was tried and is SLOWER — 64 dims x
+    16 codebook literals per subspace produces thousand-node expression
+    trees that cost more in analysis/codegen than the interpreted fold
+    costs at runtime (measured 2x worse on sim_ann_pq). The effective
+    optimization for repeated literal dots is hoisting the shared self-dot
+    subexpression (see pq_ann_topk_seeded), not unrolling."""
     return F.aggregate(
         F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
         F.lit(0.0),
@@ -546,29 +553,56 @@ def pq_ann_topk_seeded(
 
     # Encode: per subspace, argmin over the codebook on packed rounded
     # distance — a pure map (least() over literal expressions; no join).
+    # The vector self-dot dot(v,v) is hoisted to ONE column per subspace:
+    # it is identical across the n_codes literal distances, and the
+    # higher-order aggregate computing it is interpreted (not codegen'd),
+    # so leaving it inline multiplies the dominant cost by n_codes —
+    # measured 9.9 s -> ~1.5 s at sf0.1. Same doubles (hoisting an
+    # identical expression), so the oracle is unchanged.
     def sub_vec(col: Column, m: int) -> Column:
         return F.slice(col, m * sub + 1, sub)
 
+    def self_dot(col: Column) -> Column:
+        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+
+    def l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
+        return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+
+    vx = v.select(
+        "id",
+        "e",
+        *[sub_vec(F.col("e"), m).alias(f"sv{m}") for m in range(n_subspaces)],
+    ).select(
+        "id",
+        "e",
+        *[F.col(f"sv{m}") for m in range(n_subspaces)],
+        *[self_dot(F.col(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
+    )
     enc_cols = []
     for m, book in enumerate(books):
         packed = [
-            F.floor(_l2sq_literal(sub_vec(F.col("e"), m), ce) * F.lit(1e6) + F.lit(0.5))
-            .cast("long") * F.lit(1024) + F.lit(cid)
+            F.floor(
+                l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long") * F.lit(1024) + F.lit(cid)
             for cid, ce in book
         ]
         enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
-    corpus = v.select("id", *enc_cols)
+    corpus = vx.select("id", *enc_cols)
 
     # Queries carry one distance table per subspace (array over code ids).
-    q = v.filter(F.col("id") < n_queries).select(
-        F.col("id").alias("q_id"), F.col("e").alias("qe")
+    q = vx.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q_id"),
+        *[
+            F.array(
+                *[
+                    l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce)
+                    for _, ce in book
+                ]
+            ).alias(f"dt{m}")
+            for m, book in enumerate(books)
+        ],
     )
-    for m, book in enumerate(books):
-        q = q.withColumn(
-            f"dt{m}",
-            F.array(*[_l2sq_literal(sub_vec(F.col("qe"), m), ce) for _, ce in book]),
-        )
-    q = q.drop("qe")
 
     # ADC: approx distance = sum of table lookups (fixed-order 4-term sum).
     adc = None

@@ -1,0 +1,81 @@
+"""Empty-input robustness: operators must return empty/zero results with
+the right schema, not throw — the daily partition that happens to have no
+rows is a fact of life, not an error."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.expectations import (
+    Expect,
+    run_expectations,
+)
+from etl_pipeline_last_fm_spark.operators.incremental import (
+    additive_state,
+    merge_states,
+    present,
+)
+from etl_pipeline_last_fm_spark.operators.sessions import sessionize
+from etl_pipeline_last_fm_spark.operators.sketch import (
+    cms_heavy_hitters,
+    hll_distinct,
+)
+from etl_pipeline_last_fm_spark.operators.timewindow import tumbling_window_agg
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sketches_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert cms_heavy_hitters(docs).count() == 0
+    # Grouped HLL: no groups -> no rows (not a crash).
+    ev = _empty_events(spark)
+    assert hll_distinct(ev, "event_id", ["event_type"]).count() == 0
+
+
+def test_windows_and_sessions_on_empty(spark):
+    ev = _empty_events(spark)
+    assert tumbling_window_agg(ev).count() == 0
+    assert sessionize(ev).count() == 0
+
+
+def test_expectations_on_empty(spark):
+    df = _empty_docs(spark)
+    out = {
+        r["check_name"]: (r["n_violations"], r["n_checked"])
+        for r in run_expectations(
+            df,
+            [
+                Expect("id_not_null", "not_null", cols=["doc_id"]),
+                Expect("id_unique", "unique", cols=["doc_id"]),
+            ],
+        ).collect()
+    }
+    # Zero rows -> zero violations, zero checked; sums must coalesce, not null.
+    assert out["id_unique"] == (0, 0)
+    assert out["id_not_null"] == (0, 0)
+
+
+def test_incremental_merge_with_empty_side(spark):
+    a = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 4.0)], "event_id long, event_type string, value double"
+    )
+    empty = _empty_events(spark).select("event_id", "event_type", "value")
+    keys = ["event_type"]
+    merged = present(
+        merge_states(
+            [additive_state(a, keys, "value"), additive_state(empty, keys, "value")],
+            keys,
+        ),
+        keys,
+    ).collect()
+    assert len(merged) == 1
+    assert merged[0]["value_sum"] == 6.0 and merged[0]["n_rows"] == 2
