@@ -132,6 +132,54 @@ def hopping_window_oracle_sql(
     """
 
 
+def streaming_hopping_window(
+    events_stream: DataFrame,
+    window_minutes: int = 60,
+    hop_minutes: int = 15,
+    watermark_minutes: int = 120,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``hopping_window_agg``: the same bounded explode
+    into the W/H containing window starts, then a watermarked grouped
+    aggregate on the bucket timestamp. The explode happens BEFORE the
+    stateful aggregation, so each window bucket is ordinary keyed state
+    with watermark-bounded lifetime — no custom stateful operator needed.
+    In-order availableNow replay equals the batch operator exactly
+    (tested)."""
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    w_us = window_minutes * 60_000_000
+    h_us = hop_minutes * 60_000_000
+    n = w_us // h_us
+    us = ts_us(ts_col)
+    last_start = us - F.pmod(us, F.lit(h_us))
+    starts = F.sequence(
+        last_start - F.lit((n - 1) * h_us), last_start, F.lit(h_us)
+    )
+    return (
+        events_stream.select(
+            F.col(key_col),
+            F.explode(starts).alias("__start_us"),
+            F.col(value_col),
+        )
+        .withColumn("__win", F.timestamp_micros(F.col("__start_us")))
+        .withWatermark("__win", f"{watermark_minutes} minutes")
+        .groupBy(key_col, "__win")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            half_up_round(F.sum(value_col), 2).alias("value_sum"),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("__win")).alias("win_start_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def streaming_tumbling_window(
     events_stream: DataFrame,
     window_minutes: int = 60,
