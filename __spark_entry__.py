@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
 from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
-from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
 from etl_pipeline_last_fm_spark.operators import asof as asof_oracle_mod
@@ -1349,7 +1348,6 @@ def oracle_sql() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.similarity import lsh_ann_topk_oracle_sql
     from etl_pipeline_last_fm_spark.operators.text import (
         EN_STOPWORDS,
-        LANG_STOPWORDS,
         lang_id_oracle_sql,
         quality_oracle_sql,
     )
