@@ -1711,7 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": cleaning_ops.pii_scrub_oracle_sql(_PII_SOURCE_SQL),
         "fuzzy_name_pairs": fuzzy_ops.fuzzy_name_pairs_oracle_sql(
-            "part", "p_partkey", "p_name", max_dist=2
+            "part", "p_partkey", "p_name", max_dist=2, max_block_size=1000
         ),
         "dedup_passages": dedup_ops.shared_passage_stats_oracle_sql(window_tokens=8),
         "top_ngrams": text_ops.top_ngrams_oracle_sql(n=2, k=20),
@@ -1779,9 +1779,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT COUNT(*) AS c FROM lineitem
                   GROUP BY l_orderkey, l_linenumber)
             UNION ALL
+            -- NOT EXISTS, not NOT IN: NOT IN returns NULL (row not
+            -- counted) for a NULL child key and zero rows if ANY parent
+            -- key is NULL — both diverge from Spark's left_anti, which
+            -- counts NULL-keyed children as orphans.
             SELECT 'li_order_fk',
-                   (SELECT COUNT(*) FROM lineitem
-                    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+                   (SELECT COUNT(*) FROM lineitem li
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = li.l_orderkey)),
                    COUNT(*)
             FROM lineitem
         """,
@@ -1817,10 +1822,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT l_orderkey, l_partkey, l_suppkey,
-                       CAST(FLOOR((l_partkey - lox) * {1 << 10}
-                                  / (hix - lox + 1)) AS BIGINT) AS xs,
-                       CAST(FLOOR((l_suppkey - loy) * {1 << 10}
-                                  / (hiy - loy + 1)) AS BIGINT) AS ys
+                       {zorder_ops.scaled_to_bits_sql("l_partkey", "lox", "hix", 10)} AS xs,
+                       {zorder_ops.scaled_to_bits_sql("l_suppkey", "loy", "hiy", 10)} AS ys
                 FROM lineitem, b
             )
             SELECT l_orderkey, l_partkey, l_suppkey,

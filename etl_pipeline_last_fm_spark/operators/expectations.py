@@ -62,8 +62,22 @@ def _row_violation(e: Expect) -> Column:
     raise ValueError(f"not a row-level check: {e.kind}")
 
 
+_KINDS = ("not_null", "range", "regex", "predicate", "unique", "foreign_key")
+
+
 def run_expectations(df: DataFrame, checks: list[Expect]) -> DataFrame:
-    """Evaluate all checks; returns (check_name, n_violations, n_checked)."""
+    """Evaluate all checks; returns (check_name, n_violations, n_checked).
+
+    Unknown kinds raise immediately: a typo'd check silently missing from
+    the summary would let a gate publish unvalidated data."""
+    if not checks:
+        raise ValueError("run_expectations: empty check list")
+    for c in checks:
+        if c.kind not in _KINDS:
+            raise ValueError(
+                f"run_expectations: unknown kind {c.kind!r} for check "
+                f"{c.name!r} (valid: {', '.join(_KINDS)})"
+            )
     row_level = [c for c in checks if c.kind in ("not_null", "range", "regex", "predicate")]
     results: list[DataFrame] = []
 

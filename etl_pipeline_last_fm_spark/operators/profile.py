@@ -260,11 +260,15 @@ def quantiles_from_histogram(
     out = None
     for q in quantiles:
         target = F.lit(float(q)) * F.col("__total")
-        # Covering bin: first bin whose cumulative count reaches the target.
+        # Covering bin: first non-empty bin whose cumulative range contains
+        # the target. Bounds inclusive on BOTH sides so the edge quantiles
+        # exist: q=0 (target 0, needs cum_before <= 0) and q=1 (target =
+        # total, needs cum_before + n >= total on the last bin).
         covering = (
             cum.filter(
-                (F.col("cum_before") < target)
+                (F.col("cum_before") <= target)
                 & (F.col("cum_before") + F.col("n_rows") >= target)
+                & (F.col("n_rows") > 0)
             )
             .orderBy("bin")
             .limit(1)

@@ -501,12 +501,21 @@ def pq_seed_codebooks(
         .orderBy("id")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"pq_seed_codebooks: no corpus vectors with {id_col} < {n_codes}"
+        )
     dim = len(rows[0]["e"])
     sub = dim // n_subspaces
+    # Code ids are POSITIONAL (0..len(rows)-1 in id order), not the raw
+    # vector ids: the ADC distance-table lookup is element_at(dt, cid+1),
+    # which requires a dense 0-based code space — raw ids that start at 1
+    # or skip values would silently read the wrong table slot. The oracle
+    # mirrors this with row_number()-1.
     books: list[list[tuple[int, list[float]]]] = []
     for m in range(n_subspaces):
         books.append(
-            [(int(r["id"]), list(r["e"][m * sub : (m + 1) * sub])) for r in rows]
+            [(pos, list(r["e"][m * sub : (m + 1) * sub])) for pos, r in enumerate(rows)]
         )
     return books
 
@@ -669,7 +678,7 @@ def pq_ann_topk_seeded_oracle_sql(
             SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ),
         books AS (
-            SELECT id AS cid,
+            SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid,
                    {", ".join(f"list_slice(e, {m * sub + 1}, {(m + 1) * sub}) AS sv{m}" for m in range(n_subspaces))}
             FROM v WHERE id < {n_codes}
         ),

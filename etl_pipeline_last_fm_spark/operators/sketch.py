@@ -220,7 +220,16 @@ def cms_counters(
     counts = tokens.groupBy(F.col(token_col).alias("__tok")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    with_d = counts.select(
+    return _grid_from_census(counts, depth=depth, width=width, salt=salt)
+
+
+def _grid_from_census(
+    census: DataFrame, depth: int, width: int, salt: str
+) -> DataFrame:
+    """Counter grid from a (__tok, __n) census — the vocab-sized half of
+    cms_counters, shared with cms_heavy_hitters so one census serves both
+    the grid and the exact top-k."""
+    with_d = census.select(
         "__tok",
         "__n",
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__d"),
@@ -254,11 +263,17 @@ def cms_heavy_hitters(
     toks = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    grid = cms_counters(toks, "tok", depth=depth, width=width, salt=salt)
+    # ONE census feeds both the grid and the exact top-k — the explode +
+    # count over the raw stream is the only pass that touches every row,
+    # and running it twice (grid's internal census + a separate top-k
+    # aggregate) doubled the dominant cost.
+    census = toks.groupBy(F.col("tok").alias("__tok")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    grid = _grid_from_census(census, depth=depth, width=width, salt=salt)
 
     exact_top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        census.select(F.col("__tok").alias("tok"), F.col("__n").alias("n_exact"))
         .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
         .limit(top_k)
     )

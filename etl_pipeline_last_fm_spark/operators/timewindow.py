@@ -57,10 +57,14 @@ def tumbling_window_oracle_sql(
     table: str = "events",
 ) -> str:
     w_us = window_minutes * 60_000_000
+    # ((e % W) + W) % W = floor-mod: DuckDB's % truncates toward zero, so a
+    # pre-1970 (negative-epoch) timestamp would bucket differently from
+    # Spark's pmod without the wrap.
     return f"""
         SELECT {key_col},
-               CAST(epoch_us(ts) - epoch_us(ts) % {w_us} AS BIGINT)
-                   AS win_start_us,
+               CAST(epoch_us(ts)
+                    - ((epoch_us(ts) % {w_us}) + {w_us}) % {w_us}
+                    AS BIGINT) AS win_start_us,
                COUNT(*) AS n_events,
                FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS value_sum
         FROM {table}
@@ -114,10 +118,12 @@ def hopping_window_oracle_sql(
     w_us = window_minutes * 60_000_000
     h_us = hop_minutes * 60_000_000
     n = w_us // h_us
+    # Same floor-mod wrap as the tumbling oracle (negative-epoch safety).
     return f"""
         WITH e AS (
             SELECT {key_col}, value,
-                   epoch_us(ts) - epoch_us(ts) % {h_us} AS last_start
+                   epoch_us(ts)
+                   - ((epoch_us(ts) % {h_us}) + {h_us}) % {h_us} AS last_start
             FROM {table}
         ),
         expanded AS (

@@ -67,12 +67,14 @@ def scaled_to_bits(
     ).cast("long")
 
 
-def scaled_to_bits_sql(expr: str, lo: int, hi: int, bits: int) -> str:
-    """DuckDB twin of ``scaled_to_bits``."""
-    span = hi - lo + 1
+def scaled_to_bits_sql(
+    expr: str, lo: int | str, hi: int | str, bits: int
+) -> str:
+    """DuckDB twin of ``scaled_to_bits``. Bounds may be integer literals or
+    SQL expressions (e.g. columns from a bounds CTE)."""
     return (
-        f"CAST(FLOOR((CAST({expr} AS BIGINT) - {lo}) * {1 << bits}.0 / {span})"
-        " AS BIGINT)"
+        f"CAST(FLOOR((CAST({expr} AS BIGINT) - ({lo})) * {1 << bits}"
+        f" / (({hi}) - ({lo}) + 1)) AS BIGINT)"
     )
 
 

@@ -13,7 +13,6 @@ Same single-writer caveat as the other foreachBatch sinks.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +21,7 @@ from etl_pipeline_last_fm_spark.operators.incremental import (
     additive_state,
     merge_states,
 )
+from etl_pipeline_last_fm_spark.streaming.sketch import _read_state_or_none
 
 
 def streaming_mart_maintenance(
@@ -32,13 +32,15 @@ def streaming_mart_maintenance(
     checkpoint: str | None = None,
 ):
     """Fold each micro-batch's additive state into the parquet mart state.
-    Read the mart with operators.incremental.present(read_state(...))."""
+    Read the mart with operators.incremental.present(read_state(...)).
+    Returns a DataStreamWriter — the caller picks the trigger and calls
+    ``.start()``."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state = additive_state(batch_df, list(keys), value_col)
-        if os.path.exists(state_path):
-            prev = spark.read.parquet(state_path)
+        prev = _read_state_or_none(spark, state_path)
+        if prev is not None:
             state = merge_states([prev, state], list(keys))
         state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             state_path

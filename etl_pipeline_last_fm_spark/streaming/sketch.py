@@ -22,12 +22,24 @@ Streaming provides; multi-writer state needs a transactional table format
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_last_fm_spark.operators.sketch import cms_counters
+
+
+def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read persisted state, or None on first batch. Probed by READING,
+    not os.path.exists(): the state path is a Spark path (hdfs://, s3a://,
+    file://...) and a driver-local existence check silently reports False
+    for every remote URI — which would make each batch overwrite the
+    accumulated state with its own partial."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND on batch 0
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def merge_cms_grids(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -49,16 +61,17 @@ def streaming_cms_maintenance(
     salt: str = "cms1",
 ):
     """Maintain a CMS grid over a token stream: each micro-batch's grid is
-    summed into the parquet state at ``state_path``. Returns the started
-    StreamingQuery (caller controls the trigger/termination)."""
+    summed into the parquet state at ``state_path``. Returns a
+    DataStreamWriter — the caller picks the trigger and calls
+    ``.start()``."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         grid = cms_counters(
             batch_df, token_col, depth=depth, width=width, salt=salt
         )
-        if os.path.exists(state_path):
-            prev = spark.read.parquet(state_path)
+        prev = _read_state_or_none(spark, state_path)
+        if prev is not None:
             grid = merge_cms_grids(prev, grid)
         # localCheckpoint cuts the lineage back to the (tiny) merged grid
         # so the overwrite never reads the file it is replacing.
@@ -99,7 +112,9 @@ def streaming_hll_maintenance(
     """Maintain per-group HLL registers over a stream: each micro-batch's
     registers fold into the parquet state by register-wise max. The state
     is the full sketch — |groups| * 2^b rows forever — and
-    ``hll_estimate_from_registers`` turns it into counts on demand."""
+    ``hll_estimate_from_registers`` turns it into counts on demand.
+    Returns a DataStreamWriter — the caller picks the trigger and calls
+    ``.start()``."""
     from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
     from etl_pipeline_last_fm_spark.operators.sketch import _hll_rank
 
@@ -120,8 +135,8 @@ def streaming_hll_maintenance(
             .groupBy(*group_cols, "__bkt")
             .agg(F.max("__mj").alias("__mj"))
         )
-        if os.path.exists(state_path):
-            prev = spark.read.parquet(state_path)
+        prev = _read_state_or_none(spark, state_path)
+        if prev is not None:
             regs = merge_hll_registers(prev, regs, group_cols)
         regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             state_path
