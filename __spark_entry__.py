@@ -1399,8 +1399,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "surrogate_keys_incremental": """
             WITH b1 AS (SELECT DISTINCT p_type FROM part WHERE p_size <= 25),
-                 b2 AS (SELECT DISTINCT p_type FROM part WHERE p_size > 25
-                        AND p_type NOT IN (SELECT p_type FROM b1)),
+                 -- NOT EXISTS (not NOT IN): NULL-key semantics must match
+                 -- the Spark side's anti-join (see li_order_fk note).
+                 b2 AS (SELECT DISTINCT p_type FROM part p2 WHERE p_size > 25
+                        AND NOT EXISTS (SELECT 1 FROM b1
+                                        WHERE b1.p_type = p2.p_type)),
                  u AS (SELECT p_type, 0 AS batch FROM b1
                        UNION ALL SELECT p_type, 1 AS batch FROM b2)
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY batch, p_type) AS BIGINT) AS type_id, p_type
