@@ -1,0 +1,38 @@
+"""bench.py driver-interface contract: one JSON line, required keys, all
+headline queries present, crash isolation. Runs bench in a subprocess at
+sf0.001 so the contract is exercised exactly the way the driver invokes
+it (own process, env-selected SF)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_json_line_with_contract_keys():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [
+        l for l in out.stdout.splitlines() if l.startswith("{") and l.endswith("}")
+    ]
+    assert len(json_lines) == 1, out.stdout[-2000:]
+    rec = json.loads(json_lines[0])
+    assert rec["metric"] == "headline_queries_total_sec"
+    assert rec["unit"] == "sec" and isinstance(rec["value"], (int, float))
+    assert rec["sf"] == 0.001
+    import bench
+
+    assert set(rec["queries"]) == set(bench.HEADLINE)
+    # Crash isolation contract: every query key maps to a number (no query
+    # failed) and, had one failed, it would be null with an errors map —
+    # not a missing JSON line.
+    assert all(isinstance(v, (int, float)) for v in rec["queries"].values())
