@@ -91,9 +91,13 @@ def word_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("shared").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    # No broadcast hint on sa/sb: `sizes` has one row per DOCUMENT, so a
+    # broadcast would grow with the corpus — a scale-killer at 100 TB even
+    # though it is small at test SF. Left as shuffle joins on doc id; AQE
+    # may still choose broadcast at runtime when the side is genuinely small.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= F.lit(threshold))
         .select("doc_a", "doc_b", half_up_round(jac, 4).alias("jaccard"))
     )

@@ -119,8 +119,13 @@ def hll_estimate_from_registers(
     # <= 2^61 — exact in BIGINT, no float accumulation. (expr: the Python
     # shiftleft() wrapper only takes a literal bit count.)
     scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {width + 1} - __mj)")
+    # coalesce: an UNGROUPED aggregate over an empty register table emits one
+    # row with SUM = NULL, which would poison e_raw and skip the
+    # linear-counting branch. With 0, every register is "empty" and the
+    # correction yields m*ln(m/m) = 0 — the right answer for no input.
+    # (Grouped aggregates emit no rows on empty input, so they never hit it.)
     g = registers.groupBy(*group_cols).agg(
-        F.sum(scaled).alias("__s_present"),
+        F.coalesce(F.sum(scaled), F.lit(0)).alias("__s_present"),
         F.count(F.lit(1)).alias("__filled"),
     )
     empty = F.lit(m) - F.col("__filled")
@@ -170,8 +175,8 @@ def hll_distinct_oracle_sql(
         ),
         g AS (
             SELECT {gsel}
-                   CAST(SUM(1::BIGINT << ({width + 1} - mj)) AS BIGINT)
-                       AS s_present,
+                   COALESCE(CAST(SUM(1::BIGINT << ({width + 1} - mj))
+                       AS BIGINT), 0) AS s_present,
                    COUNT(*) AS filled
             FROM per_bucket {gby if group_cols else "GROUP BY ()"}
         ),

@@ -353,6 +353,16 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ln-sum would be order-dependent at the ulp and could flip a rounding
     boundary (the same trap operators/incremental.py documents).
 
+    Accepted cross-engine risk: the quantization itself still computes
+    ln() in each engine, so exact oracle parity rests on Spark's and
+    DuckDB's ln agreeing at every floor(ln(p)*1e6) boundary the data
+    happens to hit. Both use the platform libm on this container, but an
+    ulp difference AT a boundary would flip one lp_micro by 1 and break
+    the hash (not the semantics). Same accepted-risk class as
+    weighted_sample_oracle_sql's pow() note in operators/sampling.py —
+    quantize-then-integer-arithmetic bounds the blast radius to ±1 micro-
+    nat per distinct token, it cannot cascade through the doc sums.
+
     Scale shape: one token census (partial+final count over the stream),
     logprobs computed on |vocab| rows, broadcast back onto the exploded
     stream, one per-doc sum. Returns (doc_id, n_tokens,

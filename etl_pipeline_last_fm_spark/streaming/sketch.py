@@ -8,16 +8,25 @@ micro-batch computes its own tiny sketch, then folds it into a persisted
 state table with one bounded merge — no reprocessing of history, state
 size fixed at |groups|·m registers (HLL) / d·w cells (CMS) forever.
 
+Replay safety: foreachBatch is AT-LEAST-ONCE — after a failure Structured
+Streaming re-runs the last micro-batch with the SAME batch_id. HLL's max
+merge is naturally idempotent, but a CMS sum (or a mart count) folded twice
+silently inflates. Every fold here therefore persists the last applied
+batch_id inside the state itself (constant ``__bid`` column, written in the
+SAME parquet commit as the data so marker and state cannot diverge) and
+no-ops when a replayed batch_id <= last applied. This relies on Structured
+Streaming's per-query monotonically increasing batch ids and the
+single-writer guarantee; multi-writer state needs a transactional table
+format (same caveat as the idempotent sink).
+
 This is the foreachBatch pattern (same as streaming/ingest.py's idempotent
 merge): the batch DataFrame is sketched with the SAME operator code the
 batch engine uses, so stream-maintained state provably equals the batch
-sketch of the union of all micro-batches (tested in tests/test_sketch.py).
+sketch of the union of all micro-batches (tested in tests/test_sketch.py
+and tests/test_zorder_wsample.py, including a double-fold replay case).
 
 Scale: per micro-batch cost is one partial+final aggregate of the batch
-plus a merge against a kilobyte-scale state table. The state read-merge-
-overwrite is safe under the single-writer-per-query guarantee Structured
-Streaming provides; multi-writer state needs a transactional table format
-(same caveat as the idempotent sink).
+plus a merge against a kilobyte-scale state table.
 """
 
 from __future__ import annotations
@@ -26,6 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_last_fm_spark.operators.sketch import cms_counters
+
+#: Constant column carrying the last applied micro-batch id in every
+#: persisted state row. Written atomically with the data (one parquet
+#: commit), read back by the replay guard; stripped by the read_* helpers.
+BID_COL = "__bid"
 
 
 def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -37,9 +51,38 @@ def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except Exception as exc:  # AnalysisException: PATH_NOT_FOUND on batch 0
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        # Prefer the structured error condition (stable across Spark
+        # versions and locales); message substrings only as a fallback for
+        # builds that predate error classes.
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if (
+            (cond is not None and "PATH_NOT_FOUND" in cond)
+            or "PATH_NOT_FOUND" in str(exc)
+            or "Path does not exist" in str(exc)
+        ):
             return None
         raise
+
+
+def _strip_bid(df: DataFrame) -> DataFrame:
+    return df.drop(BID_COL) if BID_COL in df.columns else df
+
+
+def last_applied_batch(prev: DataFrame | None) -> int:
+    """Highest batch_id folded into a state table (-1 if none/legacy)."""
+    if prev is None or BID_COL not in prev.columns:
+        return -1
+    row = prev.agg(F.max(BID_COL).alias("b")).first()
+    return -1 if row is None or row["b"] is None else int(row["b"])
 
 
 def merge_cms_grids(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -49,6 +92,32 @@ def merge_cms_grids(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("__d", "__cell")
         .agg(F.sum("__cnt").alias("__cnt"))
     )
+
+
+def cms_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms1",
+) -> None:
+    """Fold ONE micro-batch's CMS grid into the persisted state. Module-level
+    (not a closure) so the at-least-once replay guard is directly testable:
+    calling this twice with the same batch_id must be a no-op the second
+    time — CMS sums are not idempotent, unlike HLL maxima."""
+    spark = batch_df.sparkSession
+    prev = _read_state_or_none(spark, state_path)
+    if int(batch_id) <= last_applied_batch(prev):
+        return  # replayed micro-batch, already folded
+    grid = cms_counters(batch_df, token_col, depth=depth, width=width, salt=salt)
+    if prev is not None:
+        grid = merge_cms_grids(_strip_bid(prev), grid)
+    grid = grid.withColumn(BID_COL, F.lit(int(batch_id)))
+    # localCheckpoint cuts the lineage back to the (tiny) merged grid
+    # so the overwrite never reads the file it is replacing.
+    grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
 
 def streaming_cms_maintenance(
@@ -61,22 +130,14 @@ def streaming_cms_maintenance(
     salt: str = "cms1",
 ):
     """Maintain a CMS grid over a token stream: each micro-batch's grid is
-    summed into the parquet state at ``state_path``. Returns a
-    DataStreamWriter — the caller picks the trigger and calls
-    ``.start()``."""
+    summed into the parquet state at ``state_path`` (replay-guarded, see
+    cms_fold_batch). Returns a DataStreamWriter — the caller picks the
+    trigger and calls ``.start()``."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        grid = cms_counters(
-            batch_df, token_col, depth=depth, width=width, salt=salt
-        )
-        prev = _read_state_or_none(spark, state_path)
-        if prev is not None:
-            grid = merge_cms_grids(prev, grid)
-        # localCheckpoint cuts the lineage back to the (tiny) merged grid
-        # so the overwrite never reads the file it is replacing.
-        grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        cms_fold_batch(
+            batch_df, batch_id, state_path,
+            token_col=token_col, depth=depth, width=width, salt=salt,
         )
 
     writer = events_stream.writeStream.foreachBatch(fold)
@@ -86,18 +147,57 @@ def streaming_cms_maintenance(
 
 
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
-    return spark.read.parquet(state_path)
+    return _strip_bid(spark.read.parquet(state_path))
 
 
 def merge_hll_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
     """Register-wise MAX of two HLL register tables (associative,
     commutative, idempotent — replayed batches cannot inflate the
-    estimate, unlike CMS sums)."""
+    estimate, unlike CMS sums; the batch_id guard still applies for
+    uniformity and to skip wasted work)."""
     return (
         a.unionByName(b)
         .groupBy(*group_cols, "__bkt")
         .agg(F.max("__mj").alias("__mj"))
     )
+
+
+def hll_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    value_col: str,
+    group_cols: list[str],
+    b: int = 6,
+    salt: str = "hll1",
+) -> None:
+    """Fold ONE micro-batch's HLL registers into the persisted state
+    (replay-guarded; see cms_fold_batch for why)."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+    from etl_pipeline_last_fm_spark.operators.sketch import _hll_rank
+
+    m = 1 << b
+    width = 60 - b
+    spark = batch_df.sparkSession
+    prev = _read_state_or_none(spark, state_path)
+    if int(batch_id) <= last_applied_batch(prev):
+        return
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(value_col).cast("string"))
+    )
+    regs = (
+        batch_df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("__bkt"),
+            _hll_rank(F.shiftright(h, b), width).alias("__mj"),
+        )
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.max("__mj").alias("__mj"))
+    )
+    if prev is not None:
+        regs = merge_hll_registers(_strip_bid(prev), regs, group_cols)
+    regs = regs.withColumn(BID_COL, F.lit(int(batch_id)))
+    regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
 
 
 def streaming_hll_maintenance(
@@ -112,37 +212,21 @@ def streaming_hll_maintenance(
     """Maintain per-group HLL registers over a stream: each micro-batch's
     registers fold into the parquet state by register-wise max. The state
     is the full sketch — |groups| * 2^b rows forever — and
-    ``hll_estimate_from_registers`` turns it into counts on demand.
-    Returns a DataStreamWriter — the caller picks the trigger and calls
-    ``.start()``."""
-    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
-    from etl_pipeline_last_fm_spark.operators.sketch import _hll_rank
-
-    m = 1 << b
-    width = 60 - b
+    ``hll_estimate_from_registers`` over ``read_hll_state(...)`` turns it
+    into counts on demand. Returns a DataStreamWriter — the caller picks
+    the trigger and calls ``.start()``."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        h = portable_hash60(
-            F.concat(F.lit(salt), F.lit(":"), F.col(value_col).cast("string"))
-        )
-        regs = (
-            batch_df.select(
-                *group_cols,
-                h.bitwiseAND(F.lit(m - 1)).alias("__bkt"),
-                _hll_rank(F.shiftright(h, b), width).alias("__mj"),
-            )
-            .groupBy(*group_cols, "__bkt")
-            .agg(F.max("__mj").alias("__mj"))
-        )
-        prev = _read_state_or_none(spark, state_path)
-        if prev is not None:
-            regs = merge_hll_registers(prev, regs, group_cols)
-        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        hll_fold_batch(
+            batch_df, batch_id, state_path,
+            value_col=value_col, group_cols=group_cols, b=b, salt=salt,
         )
 
     writer = stream.writeStream.foreachBatch(fold)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(spark.read.parquet(state_path))

@@ -41,6 +41,17 @@ def test_sketches_on_empty(spark):
     assert hll_distinct(ev, "event_id", ["event_type"]).count() == 0
 
 
+def test_hll_ungrouped_empty_is_zero_not_null(spark):
+    """Ungrouped aggregate over zero rows emits ONE row; the register SUM is
+    NULL there and must be coalesced to 0 so the linear-counting branch
+    yields m*ln(m/m) = 0 — not a NULL that poisons the estimate."""
+    ev = _empty_events(spark)
+    rows = hll_distinct(ev, "event_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_exact"] == 0
+    assert rows[0]["n_approx"] == 0.0
+
+
 def test_windows_and_sessions_on_empty(spark):
     ev = _empty_events(spark)
     assert tumbling_window_agg(ev).count() == 0

@@ -187,3 +187,16 @@ def test_every_query_stays_jvm_side(spark, sf_dir):
     for name, fn in sorted(entrymod.queries().items()):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_word_jaccard_sizes_not_hint_broadcast(spark, sf_dir):
+    """The per-document `sizes` table must NOT carry a broadcast HINT: it has
+    one row per corpus document, so a forced broadcast grows with the corpus
+    (VERDICT r3 nit). AQE may still pick broadcast at runtime when the side
+    is actually small — what we forbid is the plan-level ResolvedHint."""
+    from etl_pipeline_last_fm_spark.operators.dedup import word_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    df = word_jaccard_pairs(docs, threshold=0.5)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed

@@ -1,0 +1,95 @@
+"""foreachBatch is AT-LEAST-ONCE: a failed micro-batch re-runs with the
+SAME batch_id. Non-idempotent folds (CMS cell sums, mart count/sum states)
+would silently double that batch's contribution. These tests drive the
+module-level fold functions directly — once, replayed, then advanced — and
+assert the replay is a no-op while genuinely new batches still land."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.incremental import present
+from etl_pipeline_last_fm_spark.operators.sketch import cms_counters
+from etl_pipeline_last_fm_spark.streaming.marts import (
+    mart_fold_batch,
+    read_state,
+)
+from etl_pipeline_last_fm_spark.streaming.sketch import (
+    cms_fold_batch,
+    hll_fold_batch,
+    last_applied_batch,
+    merge_cms_grids,
+    read_cms_state,
+    read_hll_state,
+)
+
+
+def _toks(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "tok string")
+
+
+def _grid_map(df):
+    return {(r["__d"], r["__cell"]): r["__cnt"] for r in df.collect()}
+
+
+def test_cms_fold_replay_is_noop(spark, tmp_path):
+    state = str(tmp_path / "cms_state")
+    b0 = _toks(spark, ["a", "b", "a"])
+    b1 = _toks(spark, ["b", "c"])
+
+    cms_fold_batch(b0, 0, state, depth=2, width=16)
+    after_b0 = _grid_map(read_cms_state(spark, state))
+
+    # Replay of batch 0 (same batch_id) must not inflate any cell.
+    cms_fold_batch(b0, 0, state, depth=2, width=16)
+    assert _grid_map(read_cms_state(spark, state)) == after_b0
+
+    # A genuinely new batch still folds in...
+    cms_fold_batch(b1, 1, state, depth=2, width=16)
+    want = _grid_map(
+        merge_cms_grids(
+            cms_counters(b0, depth=2, width=16),
+            cms_counters(b1, depth=2, width=16),
+        )
+    )
+    assert _grid_map(read_cms_state(spark, state)) == want
+
+    # ...and replaying IT is again a no-op.
+    cms_fold_batch(b1, 1, state, depth=2, width=16)
+    assert _grid_map(read_cms_state(spark, state)) == want
+    assert last_applied_batch(spark.read.parquet(state)) == 1
+
+
+def test_mart_fold_replay_is_noop(spark, tmp_path):
+    state = str(tmp_path / "mart_state")
+    b0 = spark.createDataFrame(
+        [("click", 2.0), ("click", 3.0), ("view", 1.0)],
+        "event_type string, value double",
+    )
+    b1 = spark.createDataFrame([("view", 5.0)], "event_type string, value double")
+
+    mart_fold_batch(b0, 0, state, ["event_type"], "value")
+    mart_fold_batch(b0, 0, state, ["event_type"], "value")  # replay
+    mart_fold_batch(b1, 1, state, ["event_type"], "value")
+    mart_fold_batch(b1, 1, state, ["event_type"], "value")  # replay
+
+    got = {
+        r["event_type"]: (r["value_sum"], r["n_rows"])
+        for r in present(read_state(spark, state), ["event_type"]).collect()
+    }
+    assert got == {"click": (5.0, 2), "view": (6.0, 2)}
+
+
+def test_hll_fold_replay_guard(spark, tmp_path):
+    """HLL max-merge is idempotent anyway; the guard must still skip the
+    replayed batch (uniform behavior) without changing the estimate."""
+    state = str(tmp_path / "hll_state")
+    b0 = spark.createDataFrame(
+        [("click", 1), ("click", 2), ("view", 1)],
+        "event_type string, user_id long",
+    )
+    hll_fold_batch(b0, 0, state, "user_id", ["event_type"], b=4)
+    regs = sorted(map(tuple, read_hll_state(spark, state).collect()))
+    hll_fold_batch(b0, 0, state, "user_id", ["event_type"], b=4)
+    assert sorted(map(tuple, read_hll_state(spark, state).collect())) == regs
+    assert last_applied_batch(spark.read.parquet(state)) == 0
