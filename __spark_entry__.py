@@ -594,6 +594,74 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
 
 
+def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the TRAINED k-means IVF path — the one query family
+    whose per-pair output has no portable oracle (centroids come from
+    driver-side k-means). The gate is deterministic: seeded k-means on
+    fixed data. Floor 350 milli chosen from measurement: recall@5 is 0.66
+    at sf0.001 and 0.52 at sf0.01 on the near-random fixture embeddings
+    (the ANN worst case, see tests/test_similarity.py's preamble); real
+    clustered corpora sit far higher."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim_ops.brute_force_topk(emb, n_queries=10, k=5)
+    ann = sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
+    return sim_ops.ann_recall_gate(truth, ann, n_queries=10, k=5, floor_milli=350)
+
+
+def q_sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for product-quantization ADC ranking vs exact brute
+    force. PQ compresses 64 floats to 4 code bytes, so on near-random
+    embeddings (no cluster structure for the codebooks to exploit) recall
+    is intrinsically low — measured 0.20 at sf0.001 / 0.34 at sf0.01;
+    floor 100 milli pins that the 4-byte codes still carry signal. The
+    per-pair PQ output itself IS fully value-checked (sim_ann_pq)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim_ops.brute_force_topk(emb, n_queries=10, k=5)
+    ann = sim_ops.pq_ann_topk_seeded(emb, n_queries=10, k=5)
+    return sim_ops.ann_recall_gate(truth, ann, n_queries=10, k=5, floor_milli=100)
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube (the §2.5 generalization): four
+    explicit sets — (flag,status), (flag), (status), () — with GROUPING()
+    ids disambiguating real NULLs from subtotal rows. Compiles to a single
+    Expand + partial/final aggregate: one scan, one shuffle, regardless of
+    how many sets are requested. Quantities are integral doubles, so the
+    SUM is exact and BIGINT-castable on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_grouping_sets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM li_grouping_sets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch over cents-quantized event values per type:
+    bounded mergeable state (64 smallest distinct-value hashes) read out as
+    distinct-count estimate + p50/p90 of the distinct-value distribution.
+    The mergeable-summary family HLL registers / CMS grids / histograms
+    don't cover — and, unlike KLL/t-digest compactors (order-dependent
+    state), value-checkable to the last bit (operators/sketch.py kmv_state
+    design note). Values are quantized to cents BEFORE hashing so the hash
+    input strings are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents"),
+    )
+    state = sketch_ops.kmv_state(src, "v_cents", ["event_type"], k=64)
+    return sketch_ops.kmv_summary(state, ["event_type"], k=64, quantiles=(0.5, 0.9))
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar densification of per-user daily event aggregates: event
     counts zero-filled (flow metric — a silent day really is zero), value
@@ -1218,63 +1286,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # The first 50 therefore carry >=1 representative of EVERY operator
-    # family; redundant siblings (a second pivot form, a multiprobe variant
-    # of an in-window ANN query, ...) sit past the cap and rotate back in on
-    # later rounds. Everything past the cap is still oracle-paired and runs
-    # in tests/test_oracle_parity.py at sf0.001 every pytest run.
+    # Rotation policy (round 4): entries that have NEVER had a driver row are
+    # promoted ahead of redundant siblings of families with two or more green
+    # rounds on record — after this window, every registry entry has at least
+    # one CORRECTNESS_r{N} row (cumulative coverage 92/92). Demoted entries
+    # keep their r1-r3 driver record and still run in
+    # tests/test_oracle_parity.py at sf0.001 every pytest run.
+    # Rotation-invariant set (must stay resolvable by name for bench.py, and
+    # stays in-window as the flagship tier): pricing_summary,
+    # flagship_royalties, star_join, windowed_top_k, idempotent_append,
+    # dedup_ngram_jaccard, sim_bruteforce, dedup_minhash_lsh, sessionize.
     return {
         # --- graded window (entries 1-50) ------------------------------
-        # core relational (SURVEY.md §2)
+        # flagship tier: the 9 bench headliners (rotation-invariant)
         "flagship_royalties": q_flagship_royalties,
         "pricing_summary": q_pricing_summary,
-        "distinct_project": q_distinct_project,
-        "case_impute": q_case_impute,
-        "scalar_subquery": q_scalar_subquery,
         "star_join": q_star_join,
-        "surrogate_keys": q_surrogate_keys,
-        "idempotent_append": q_idempotent_append,
         "windowed_top_k": q_windowed_top_k,
-        "window_analytic": q_window_analytic,
-        "union_all": q_union_all,
-        "json_extract": q_json_extract,
-        "date_partition_agg": q_date_partition_agg,
-        "mart_daily_appearances": q_mart_daily_appearances,
-        "explode_tokens": q_explode_tokens,
-        "rollup_agg": q_rollup_agg,
+        "idempotent_append": q_idempotent_append,
         "sessionize": q_sessionize,
-        "pivot_native": q_pivot_native,
-        "lead_lag": q_lead_lag,
-        # temporal joins + funnel (formerly past-cap; NTZ-fixed this round)
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "funnel": q_funnel,
-        # round-3 additions: portable sketches + time-window aggregation
-        "hll_distinct": q_hll_distinct,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "tumbling_window": q_tumbling_window,
-        # dedup family — one representative per technique
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_rolling_fp": q_dedup_rolling_fp,
-        "dedup_keep_list": q_dedup_keep_list,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        # similarity search
         "sim_bruteforce": q_sim_bruteforce,
-        "sim_ann_lsh": q_sim_ann_lsh,
+        # kept family representatives (green r3, anchor their families)
+        "surrogate_keys": q_surrogate_keys,
+        "asof_join": q_asof_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_list": q_dedup_keep_list,
         "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
-        # text analysis / curation
         "text_quality": q_text_quality,
-        "tfidf": q_tfidf,
-        "top_ngrams": q_top_ngrams,
         "pii_scrub": q_pii_scrub,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "multimodal_meta": q_multimodal_meta,
-        # sampling / packing / profiling / SCD2 / timeseries
-        "split_assign": q_split_assign,
-        "mixture_sample": q_mixture_sample,
         "contamination": q_contamination,
         "token_budget_sample": q_token_budget_sample,
         "pack_sequences": q_pack_sequences,
@@ -1282,28 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "gapfill_locf": q_gapfill_locf,
         "expectations": q_expectations,
-        # --- past the 50-entry cap: oracle-paired redundant siblings ----
-        # (rotated next round; all run in test_oracle_parity every pytest)
-        "order_limit": q_order_limit,  # O1 stays cited via flagship_royalties
-        "mart_daily_avg": q_mart_daily_avg,
-        "dedup_passages": q_dedup_passages,
-        "cdc_compact": q_cdc_compact,
+        # promoted: never graded before round 4 (first driver rows)
         "hll_vocab": q_hll_vocab,
         "hopping_window": q_hopping_window,
-        "lang_id": q_lang_id,
-        "snapshot_diff": q_snapshot_diff,
-        "surrogate_keys_incremental": q_surrogate_keys_incremental,
-        "salted_agg": q_salted_agg,
-        "cube_agg": q_cube_agg,
-        "pivot_conditional": q_pivot_conditional,
-        "rolling_stats": q_rolling_stats,
-        "percentiles": q_percentiles,
-        "semi_join": q_semi_join,
-        "outer_join_agg": q_outer_join_agg,
-        "token_count": q_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
-        "sim_ann_ivf": q_sim_ann_ivf,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_keep_list": q_embedding_keep_list,
         "stratified_sample": q_stratified_sample,
@@ -1322,6 +1347,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance": q_supplier_balance,
         "lm_score": q_lm_score,
         "sim_ann_pq": q_sim_ann_pq,
+        # new in round 4
+        "sim_ann_ivf_recall": q_sim_ann_ivf_recall,
+        "sim_ann_pq_recall": q_sim_ann_pq_recall,
+        "grouping_sets": q_grouping_sets,
+        "kmv_quantiles": q_kmv_quantiles,
+        # --- past the 50-entry cap ------------------------------------
+        # All have green driver rows on record (r1-r3) and run in
+        # test_oracle_parity every pytest; they rotate back in if their
+        # family loses its in-window representative.
+        "distinct_project": q_distinct_project,
+        "case_impute": q_case_impute,
+        "scalar_subquery": q_scalar_subquery,
+        "window_analytic": q_window_analytic,
+        "union_all": q_union_all,
+        "json_extract": q_json_extract,
+        "date_partition_agg": q_date_partition_agg,
+        "mart_daily_appearances": q_mart_daily_appearances,
+        "explode_tokens": q_explode_tokens,
+        "rollup_agg": q_rollup_agg,
+        "pivot_native": q_pivot_native,
+        "lead_lag": q_lead_lag,
+        "range_join": q_range_join,
+        "funnel": q_funnel,
+        "hll_distinct": q_hll_distinct,
+        "tumbling_window": q_tumbling_window,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_rolling_fp": q_dedup_rolling_fp,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "tfidf": q_tfidf,
+        "top_ngrams": q_top_ngrams,
+        "split_assign": q_split_assign,
+        "mixture_sample": q_mixture_sample,
+        "order_limit": q_order_limit,  # O1 stays cited via flagship_royalties
+        "mart_daily_avg": q_mart_daily_avg,
+        "dedup_passages": q_dedup_passages,
+        "cdc_compact": q_cdc_compact,
+        "lang_id": q_lang_id,
+        "snapshot_diff": q_snapshot_diff,
+        "surrogate_keys_incremental": q_surrogate_keys_incremental,
+        "salted_agg": q_salted_agg,
+        "cube_agg": q_cube_agg,
+        "pivot_conditional": q_pivot_conditional,
+        "rolling_stats": q_rolling_stats,
+        "percentiles": q_percentiles,
+        "semi_join": q_semi_join,
+        "outer_join_agg": q_outer_join_agg,
+        "token_count": q_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
+        "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
+        # recall gate (sim_ann_ivf_recall, in-window) is the oracle-checked
+        # driver row for this path, plus the fully value-checked seeded twin.
     }
 
 
@@ -1747,12 +1825,43 @@ def oracle_sql() -> dict[str, str]:
             b=6,
         ),
         "cms_heavy_hitters": sketch_ops.cms_heavy_hitters_oracle_sql(top_k=20),
+        "kmv_quantiles": sketch_ops.kmv_quantiles_oracle_sql(
+            "events",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+            "event_type",
+            k=64,
+            quantiles=(0.5, 0.9),
+        ),
+        # Same text runs on both engines: GROUPING SETS and GROUPING() are
+        # ANSI; only the grouping-id cast is pinned to INT on both sides.
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus), ())
+        """,
         "tumbling_window": tw_ops.tumbling_window_oracle_sql(window_minutes=60),
         "hopping_window": tw_ops.hopping_window_oracle_sql(
             window_minutes=60, hop_minutes=15
         ),
         "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
         "lm_score": text_ops.lm_score_oracle_sql(),
+        # Assertion oracles for the recall gates: the gate outcome (not the
+        # trained index's pair output) is the portable, deterministic value.
+        # 1000*hits >= floor*truth is computed engine-side in exact integer
+        # arithmetic; the oracle pins the expected verdict and the constants.
+        "sim_ann_ivf_recall": """
+            SELECT 10 AS n_queries, 5 AS k, CAST(50 AS BIGINT) AS n_truth,
+                   350 AS recall_floor_milli, 1 AS recall_ok
+        """,
+        "sim_ann_pq_recall": """
+            SELECT 10 AS n_queries, 5 AS k, CAST(50 AS BIGINT) AS n_truth,
+                   100 AS recall_floor_milli, 1 AS recall_ok
+        """,
         "sim_ann_pq": sim_ops.pq_ann_topk_seeded_oracle_sql(
             n_queries=10, k=5, n_subspaces=4, n_codes=16, dim=64
         ),

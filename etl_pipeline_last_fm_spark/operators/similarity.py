@@ -707,3 +707,44 @@ def pq_ann_topk_seeded_oracle_sql(
         SELECT q_id, cand_id, d_r AS approx_d, CAST(rn AS INTEGER) AS rnk
         FROM ranked WHERE rn <= {k}
     """
+
+
+def ann_recall_gate(
+    truth_topk: DataFrame,
+    ann_topk: DataFrame,
+    n_queries: int,
+    k: int,
+    floor_milli: int,
+) -> DataFrame:
+    """One-row recall quality gate: does ``ann_topk`` recover at least
+    ``floor_milli``/1000 of the exact ``truth_topk`` pairs?
+
+    This is how the TRAINED index paths (k-means IVF — driver-side fitted
+    centroids, not expressible in portable SQL) become driver-visible: the
+    per-pair output of a trained index has no cross-engine oracle, but the
+    boolean outcome of "recall >= floor" is deterministic for a seeded
+    index on fixed data, so the oracle asserts the expected gate result
+    (the seeded twins remain fully value-checked pair-for-pair).
+
+    The comparison is exact integer arithmetic — 1000*hits >= floor*truth —
+    no float recall is ever materialized, so an ulp cannot flip the gate.
+
+    Scale shape: one broadcast-sized semi-join between two k*|queries|-row
+    top-k results plus two scalar counts; the expensive inputs (brute force
+    truth, ANN candidates) keep their own documented plans.
+    """
+    hits = truth_topk.select("q_id", "cand_id").join(
+        ann_topk.select("q_id", "cand_id"), ["q_id", "cand_id"], "left_semi"
+    )
+    agg = truth_topk.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("__n_hits"))
+    )
+    return agg.select(
+        F.lit(n_queries).alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.col("n_truth"),
+        F.lit(floor_milli).alias("recall_floor_milli"),
+        (F.lit(1000) * F.col("__n_hits") >= F.lit(floor_milli) * F.col("n_truth"))
+        .cast("int")
+        .alias("recall_ok"),
+    )

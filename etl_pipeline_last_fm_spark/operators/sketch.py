@@ -346,3 +346,175 @@ def cms_heavy_hitters_oracle_sql(
                    AS rnk
         FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) sketch: mergeable distinct-count + quantile summary
+# ---------------------------------------------------------------------------
+
+#: portable_hash60 domain: hashes are uniform in [0, 2^60).
+_KMV_M = float(1 << 60)
+
+
+def kmv_state(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    salt: str = "kmv1",
+) -> DataFrame:
+    """Bottom-k (KMV) sketch state: the ``k`` smallest 60-bit hashes of the
+    DISTINCT values per group, each with its value carried alongside.
+
+    This is the classic mergeable bounded-size summary family the registers
+    (HLL) and grids (CMS) don't cover: the state doubles as
+    (a) a distinct-count estimator — E[D] = (k-1)/U_(k) with U_(k) the kth
+        smallest normalized hash (Bar-Yossef et al. 2002) — and
+    (b) a uniform hash-sample of the distinct values, from which quantiles
+        of the distinct-value distribution are estimated at read time.
+
+    Design note vs KLL/t-digest: those compactors are ORDER-DEPENDENT
+    (which elements survive depends on arrival order), so their state can
+    never be cross-engine value-checked. Bottom-k is a pure function of the
+    input SET — hash-deterministic, partition-invariant, portable — the
+    same bounded-state/mergeable contract, checkable to the last bit.
+
+    Merge = union + re-take bottom-k (``merge_kmv_states``), associative and
+    idempotent — replayed or reordered partitions cannot change the state.
+
+    Scale shape: one distinct (shuffle on group+value), then row_number
+    <= k — WindowGroupLimit prunes to k rows per group per partition before
+    the final window, so state cost is |groups|*k, never |rows|.
+    """
+    group_cols = group_cols or []
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    # Hash the ALIASED column: value_col may be an arbitrary expression that
+    # no longer resolves after the select below.
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col("__v").cast("string"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__h", "__v")
+    return (
+        df.select(*group_cols, v.alias("__v"))
+        .distinct()
+        .withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def merge_kmv_states(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """Union two bottom-k states and re-take the bottom k (associative,
+    commutative, idempotent — the same (group, value) row carries the same
+    hash in both states, so the union's distinct collapses it)."""
+    group_cols = group_cols or []
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__h", "__v")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_summary(
+    state: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Read-side of a KMV state: per group, the sample size, the distinct-
+    count estimate, and quantile estimates of the distinct-value
+    distribution from the hash-sample.
+
+    All arithmetic is engine-identical: the estimator (k-1)*2^60/(h_k+1)
+    multiplies a <=6-significant-bit integer by a power of two (exact in
+    double), converts one int64 (IEEE round-to-nearest, identical), does one
+    correctly-rounded division and one pinned half-up floor. Quantile ranks
+    are floor(q*(n-1)+0.5)+1 on integer n. No ulp ambiguity anywhere.
+    """
+    group_cols = group_cols or []
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__v")
+    ranked = state.withColumn("__vrk", F.row_number().over(w))
+    est = F.when(F.col("__n") < k, F.col("__n")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_M) / (F.col("__hk") + 1).cast("double")
+            + F.lit(0.5)
+        )
+    )
+    stats = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__h").alias("__hk")
+    )
+    joined = ranked.join(stats, group_cols) if group_cols else ranked.crossJoin(stats)
+    qcols = []
+    for q in quantiles:
+        rank = F.floor(F.lit(q) * (F.col("__n") - 1).cast("double") + F.lit(0.5)) + 1
+        qcols.append(
+            F.max(F.when(F.col("__vrk") == rank, F.col("__v"))).alias(
+                f"p{int(q * 100)}_est"
+            )
+        )
+    return joined.groupBy(*group_cols).agg(
+        F.max("__n").alias("n_sample"),
+        F.max(est.cast("long")).alias("n_distinct_est"),
+        *qcols,
+    )
+
+
+def kmv_quantiles_oracle_sql(
+    table: str,
+    value_expr: str,
+    group_col: str,
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    salt: str = "kmv1",
+) -> str:
+    """DuckDB twin of kmv_state |> kmv_summary over ``value_expr`` grouped
+    by ``group_col`` — same hash, same bottom-k, same estimator branches,
+    same quantile ranks."""
+    h = portable_hash60_sql(f"'{salt}:' || CAST(v AS VARCHAR)")
+    qsel = ",\n               ".join(
+        f"MAX(CASE WHEN vrk = CAST(FLOOR({q!r} * (n - 1) + 0.5) AS BIGINT) + 1"
+        f" THEN v END) AS p{int(q * 100)}_est"
+        for q in quantiles
+    )
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {group_col} AS g, {value_expr} AS v FROM {table}
+        ),
+        hashed AS (SELECT g, v, {h} AS h FROM d),
+        st AS (
+            SELECT g, v, h,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, v) AS rk
+            FROM hashed
+        ),
+        kept AS (SELECT g, v, h FROM st WHERE rk <= {k}),
+        stats AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk
+            FROM kept GROUP BY g
+        ),
+        vr AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS vrk
+            FROM kept
+        )
+        SELECT vr.g AS {group_col},
+               stats.n AS n_sample,
+               CAST(CASE WHEN stats.n < {k} THEN stats.n
+                    ELSE FLOOR({float(k - 1)!r} * {_KMV_M!r}
+                               / CAST(hk + 1 AS DOUBLE) + 0.5)
+               END AS BIGINT) AS n_distinct_est,
+               {qsel}
+        FROM vr JOIN stats ON vr.g = stats.g
+        GROUP BY vr.g, stats.n, stats.hk
+    """

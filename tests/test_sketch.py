@@ -149,3 +149,64 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, tumbling_window_agg(ev, window_minutes=60).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_equals_full_state(spark, sf_dir):
+    """Merge of two half-corpus states == state over the full corpus (the
+    mergeability contract), and partition layout cannot matter."""
+    from etl_pipeline_last_fm_spark.operators.sketch import (
+        kmv_state,
+        merge_kmv_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    full = kmv_state(ev, "v", ["event_type"], k=32)
+    a = kmv_state(ev.filter(F.col("v") % 2 == 0), "v", ["event_type"], k=32)
+    b = kmv_state(ev.filter(F.col("v") % 2 != 0), "v", ["event_type"], k=32)
+    merged = merge_kmv_states(a, b, ["event_type"], k=32)
+    as_set = lambda df: set(map(tuple, df.select("event_type", "__v", "__h").collect()))
+    assert as_set(merged) == as_set(full)
+    # idempotence: merging a state with itself is a no-op
+    again = merge_kmv_states(full, full, ["event_type"], k=32)
+    assert as_set(again) == as_set(full)
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    """Fewer distinct values than k -> n_distinct_est is EXACT; far more
+    than k -> the (k-1)/U_(k) estimate lands within the ~1/sqrt(k) band."""
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_state, kmv_summary
+
+    small = spark.range(10).select(
+        F.lit("g").alias("g"), (F.col("id") * 7).alias("v")
+    )
+    st = kmv_state(small, "v", ["g"], k=64)
+    row = kmv_summary(st, ["g"], k=64, quantiles=(0.5,)).collect()[0]
+    assert row["n_sample"] == 10 and row["n_distinct_est"] == 10
+    # p50 of 10 distinct values 0,7,...,63: rank floor(.5*9+.5)+1 = 6 -> 35
+    assert row["p50_est"] == 35
+
+    big = spark.range(20000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    st = kmv_state(big, "v", ["g"], k=256)
+    row = kmv_summary(st, ["g"], k=256, quantiles=(0.5,)).collect()[0]
+    assert row["n_sample"] == 256
+    assert 14000 <= row["n_distinct_est"] <= 28000, row["n_distinct_est"]
+
+
+def test_kmv_state_uses_window_group_limit(spark, sf_dir):
+    """row_number <= k must prune per-partition (WindowGroupLimit) so the
+    state build never materializes more than k rows per group per task."""
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_state
+    from tests.test_plans import formatted_plan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").alias("v")
+    )
+    plan = formatted_plan(kmv_state(ev, "v", ["event_type"], k=64))
+    assert "WindowGroupLimit" in plan
