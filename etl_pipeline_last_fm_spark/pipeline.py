@@ -276,3 +276,153 @@ def run_pipeline(spark: SparkSession, warehouse_root: str, run_date: str | Date)
     run_dds(spark, wh, run_date)
     run_dm(spark, wh, run_date)
     return wh
+
+
+def run_dm_streaming(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
+    """DM layer as STREAMING additive-state folds over the fact table —
+    the incremental-maintenance alternative to run_dm's per-day rebuild.
+
+    A file stream over ``fact_daily_top_100`` (availableNow: drain what has
+    landed, then stop) feeds two replay-guarded foreachBatch folds
+    (streaming/marts.py): per-(date, artist_id) listeners state for the
+    appearance/royalty marts, and per-(date, country_id) duration state —
+    the duration arrives via a stream-static broadcast join against the
+    committed dim_song snapshot, so the fold itself never sees a join.
+
+    Presentation derives the SAME mart rows run_dm computes, exactly:
+    - listeners are integers, so the state's centi-unit sum is 100*SUM
+      without error and ``s/100.0`` is the exact batch SUM (one exact IEEE
+      division); royalties apply the identical round2(sum*rate) expression.
+    - avg duration is s/(100c) vs the batch's S/c — the same true rational,
+      and IEEE division is correctly rounded, so the doubles are
+      bit-identical (tested equal, not approximately equal).
+
+    Incremental cost per run: one aggregate of the NEW fact files plus a
+    merge of |mart| rows — O(day) work however long the history grows,
+    while rebuild-style run_dm re-reads the day slice every run. Rerunning
+    a day is a no-op end to end: the file-source checkpoint skips already
+    seen fact files and the batch_id guard skips replayed folds."""
+    dds = load_dds(spark, wh)
+    if dds is None:
+        raise RuntimeError("DDS layer empty — run run_dds first")
+    from etl_pipeline_last_fm_spark.functions.scalar import round2
+    from etl_pipeline_last_fm_spark.schemas import ROYALTY_RATE
+    from etl_pipeline_last_fm_spark.streaming.marts import (
+        read_state,
+        streaming_mart_maintenance,
+    )
+
+    fact_path = wh.dds("fact_daily_top_100")
+    ck = os.path.join(wh.root, "_checkpoints")
+    st_listeners = os.path.join(wh.root, "dm_state", "listeners_by_date_artist")
+    st_duration = os.path.join(wh.root, "dm_state", "duration_by_date_country")
+
+    fact_stream = spark.readStream.schema(FACT_SCHEMA).parquet(fact_path)
+    q1 = (
+        streaming_mart_maintenance(
+            fact_stream.select("date", "artist_id", "listeners_count"),
+            st_listeners,
+            ["date", "artist_id"],
+            "listeners_count",
+            checkpoint=os.path.join(ck, "dm_listeners"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    dur_stream = (
+        spark.readStream.schema(FACT_SCHEMA)
+        .parquet(fact_path)
+        .join(F.broadcast(dds.dim_song), "song_id")
+        .select("date", "country_id", "duration_sec")
+    )
+    q2 = (
+        streaming_mart_maintenance(
+            dur_stream,
+            st_duration,
+            ["date", "country_id"],
+            "duration_sec",
+            checkpoint=os.path.join(ck, "dm_duration"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    day = F.col("date") == F.lit(str(run_date))
+    lstate = read_state(spark, st_listeners).filter(day)
+    dstate = read_state(spark, st_duration).filter(day)
+    marts = {
+        "avg_song_duration_by_country": (
+            dstate.join(F.broadcast(dds.dim_country), "country_id").select(
+                "date",
+                "country_name",
+                (
+                    F.col("s").cast("double")
+                    / (F.col("c") * F.lit(100)).cast("double")
+                ).alias("avg_duration_sec"),
+            )
+        ),
+        "artist_appearances_by_date": (
+            lstate.join(F.broadcast(dds.dim_artist), "artist_id").select(
+                "date", "artist_name", F.col("c").alias("cnt_appearance")
+            )
+        ),
+        "expected_artist_royalties_by_date": (
+            lstate.join(F.broadcast(dds.dim_artist), "artist_id")
+            .groupBy("date", "artist_name")
+            .agg(
+                round2(
+                    (F.sum("s").cast("double") / F.lit(100.0)) * F.lit(ROYALTY_RATE)
+                ).alias("royalties")
+            )
+            .orderBy(F.col("date"), F.col("royalties").desc())
+        ),
+    }
+    for name, df in marts.items():
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(wh.dm(name))
+        )
+
+
+def run_pipeline_streaming(
+    spark: SparkSession, warehouse_root: str, run_date: str | Date
+) -> Warehouse:
+    """Streaming variant of ``run_pipeline`` — SURVEY §2.11's "expose batch
+    AND streaming" clause at PIPELINE level, not just per-operator:
+
+    1. RAW -> ODS: Structured Streaming file source over the raw zone,
+       ``trigger(availableNow=True)``, checkpointed, idempotent merge
+       (streaming/ingest.py — file-level dedup from the checkpoint, row-level
+       from the conflict-key anti-join).
+    2. ODS -> DDS: the batch star build, unchanged. Surrogate assignment is
+       a set-based algorithm over the day slice; running it per micro-batch
+       would order-depend the assigned ids for no benefit.
+    3. DDS -> DM: streaming additive-state folds (run_dm_streaming).
+
+    Produces the same warehouse layout as run_pipeline; the equivalence of
+    the two DM paths is asserted row-for-row in tests/test_pipeline.py."""
+    wh = Warehouse(warehouse_root)
+    q = stream_raw_to_ods_pipeline(spark, wh)
+    q.awaitTermination()
+    run_dds(spark, wh, run_date)
+    run_dm_streaming(spark, wh, run_date)
+    return wh
+
+
+def stream_raw_to_ods_pipeline(spark: SparkSession, wh: Warehouse):
+    """availableNow raw->ODS ingest against the pipeline's warehouse layout
+    (thin wrapper so run_pipeline_streaming and tests share the paths)."""
+    from etl_pipeline_last_fm_spark.streaming.ingest import stream_raw_to_ods
+
+    return stream_raw_to_ods(
+        spark,
+        wh.raw,
+        wh.ods,
+        checkpoint=os.path.join(wh.root, "_checkpoints", "ingest"),
+        available_now=True,
+    )

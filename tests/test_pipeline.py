@@ -182,3 +182,62 @@ def test_empty_first_run_does_not_brick_warehouse(spark, tmp_path):
     write_raw_chart(raw1, wh.raw)
     run_pipeline(spark, root, d_real)
     assert load_dds(spark, wh).fact.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming pipeline variant (SURVEY §2.11 at pipeline level)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def warehouse_streaming(spark, tmp_path_factory):
+    """Same two fixture days as `warehouse`, driven end-to-end through
+    run_pipeline_streaming: availableNow ingest -> batch star -> streaming
+    additive-state DM folds."""
+    from etl_pipeline_last_fm_spark.pipeline import run_pipeline_streaming
+
+    root = str(tmp_path_factory.mktemp("wh_stream"))
+    wh = Warehouse(root)
+    for date in (D1, D2):
+        raw = fetch_charts(spark, date, countries=list(CHARTS[date]), fetch_fn=fetch_for(date))
+        write_raw_chart(raw, wh.raw)
+        run_pipeline_streaming(spark, root, date)
+    return wh
+
+
+_MART_COLS = {
+    "avg_song_duration_by_country": ["date", "country_name", "avg_duration_sec"],
+    "artist_appearances_by_date": ["date", "artist_name", "cnt_appearance"],
+    "expected_artist_royalties_by_date": ["date", "artist_name", "royalties"],
+}
+
+
+def _mart_rows(spark, wh, name):
+    return sorted(
+        map(tuple, spark.read.parquet(wh.dm(name)).select(*_MART_COLS[name]).collect())
+    )
+
+
+def test_streaming_pipeline_equals_batch(spark, warehouse, warehouse_streaming):
+    """The streaming DM path must equal the batch rebuild ROW FOR ROW,
+    doubles included: the centi-unit state sum is 100*SUM exactly (integer
+    inputs), and IEEE division of the same true rational rounds identically
+    however it is written (s/(100c) vs S/c) — so no approx() here."""
+    for name in _MART_COLS:
+        assert _mart_rows(spark, warehouse_streaming, name) == _mart_rows(
+            spark, warehouse, name
+        ), name
+
+
+def test_streaming_pipeline_rerun_is_noop(spark, warehouse, warehouse_streaming):
+    """Re-running a day through the streaming path changes nothing: the
+    file-source checkpoint skips seen raw/fact files, the conflict-key
+    anti-join skips seen rows, and the batch_id guard skips replayed folds."""
+    from etl_pipeline_last_fm_spark.pipeline import run_pipeline_streaming
+
+    before = {n: _mart_rows(spark, warehouse_streaming, n) for n in _MART_COLS}
+    ods_before = spark.read.parquet(warehouse_streaming.ods).count()
+    run_pipeline_streaming(spark, warehouse_streaming.root, D2)
+    assert spark.read.parquet(warehouse_streaming.ods).count() == ods_before
+    for name in _MART_COLS:
+        assert _mart_rows(spark, warehouse_streaming, name) == before[name], name
