@@ -124,6 +124,81 @@ def main() -> None:
         f"funnel {t_funnel:.1f}s ({n_funnel} users)"
     )
 
+    # --- round-3/4 operators: sketches, windows, layout, PQ ----------------
+    import tempfile
+
+    from etl_pipeline_last_fm_spark.operators.sketch import (
+        cms_heavy_hitters,
+        hll_distinct,
+        kmv_state,
+        kmv_summary,
+    )
+    from etl_pipeline_last_fm_spark.operators.similarity import pq_ann_topk_seeded
+    from etl_pipeline_last_fm_spark.operators.timewindow import hopping_window_agg
+    from etl_pipeline_last_fm_spark.operators.zorder import write_zordered
+
+    t0 = time.perf_counter()
+    n_hh = cms_heavy_hitters(docs).count()
+    t_cms = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_hll = hll_distinct(ev_typed, "user_id", ["event_type"]).count()
+    t_hll = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_kmv = kmv_summary(
+        kmv_state(
+            ev_typed.select(
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+            ),
+            "v",
+            ["event_type"],
+            k=64,
+        ),
+        ["event_type"],
+        k=64,
+    ).count()
+    t_kmv = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_hop = hopping_window_agg(ev_typed, window_minutes=60, hop_minutes=15).count()
+    t_hop = time.perf_counter() - t0
+
+    with tempfile.TemporaryDirectory() as zdir:
+        li = ev_typed.select(
+            "event_id",
+            F.pmod(F.xxhash64("event_id"), F.lit(20000)).alias("x"),
+            F.pmod(F.xxhash64(F.col("event_id") + 3), F.lit(10000)).alias("y"),
+        )
+        t0 = time.perf_counter()
+        write_zordered(li, zdir + "/z", "x", "y", bits=10, n_files=8)
+        t_zorder = time.perf_counter() - t0
+
+    # Embeddings: 64-dim deterministic vectors; PQ corpus cost dominates
+    # (encode each vector to 4 code bytes + ADC-score 10 queries).
+    n_vec = max(n_docs, 1000)
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) / 1000.0 - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    emb.count()
+    t0 = time.perf_counter()
+    n_pq = pq_ann_topk_seeded(emb, n_queries=10, k=5).count()
+    t_pq = time.perf_counter() - t0
+
+    print(
+        f"sketch/window/layout at same scale: cms {t_cms:.1f}s ({n_hh} hitters), "
+        f"hll {t_hll:.1f}s ({n_hll} groups), kmv {t_kmv:.1f}s ({n_kmv} groups), "
+        f"hopping {t_hop:.1f}s ({n_hop} windows), zorder-write {t_zorder:.1f}s; "
+        f"vectors={n_vec}: pq-adc {t_pq:.1f}s ({n_pq} rows)"
+    )
+
 
 if __name__ == "__main__":
     main()
