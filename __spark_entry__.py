@@ -1284,6 +1284,64 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling_oracle_mod.weighted_sample(docs, k=50)
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (AllPairs/SSJoin):
+    every 3-shingle-Jaccard >= 1/2 pair, over the FULL corpus — no subset
+    bound, unlike the pairwise verification path (q_dedup_ngram_jaccard),
+    because candidates come from an equi-join on each doc's rarest-token
+    prefix. LOSSLESS by lemma (operators/setsim.py docstring), so the
+    all-pairs oracle checks it on any corpus at any threshold — the exact
+    complement to dedup_minhash_lsh's probabilistic recall."""
+    from etl_pipeline_last_fm_spark.operators.setsim import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, threshold_num=1, threshold_den=2)
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (the runtime-filter lever): a 4 Kbit / 4-
+    hash filter over BUILDING-segment customer keys prunes orders before
+    the join; output is the per-priority ledger of bloom-passed vs truly-
+    matched rows. The filter is portable-hash-deterministic, so the false
+    positive overhead itself is value-checked cross-engine."""
+    from etl_pipeline_last_fm_spark.operators.bloom import bloom_prune_join_stats
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_prune_join_stats(
+        orders, "o_custkey", cust, "c_custkey", "o_orderpriority"
+    )
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags: |value - median| > 3 * MAD per event_type,
+    rank-based lower medians (PERCENTILE_DISC semantics) with an integer
+    cutoff — no float constant in the decision path
+    (operators/outliers.py)."""
+    from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"), cutoff=3)
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from two mergeable KMV sketches (theta-sketch
+    read-out): union / intersection cardinality and Jaccard of the
+    cents-quantized value sets of 'click' vs 'purchase' events, from two
+    256-hash bottom-k states sharing a salt (operators/sketch.py
+    kmv_set_ops)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents")
+    a = ev.filter(F.col("event_type") == "click").select(cents)
+    b = ev.filter(F.col("event_type") == "purchase").select(cents)
+    sa = sketch_ops.kmv_state(a, "v_cents", [], k=256, salt="kmvset")
+    sb = sketch_ops.kmv_state(b, "v_cents", [], k=256, salt="kmvset")
+    return sketch_ops.kmv_set_ops(sa, sb, k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
     # Rotation policy (round 4): entries that have NEVER had a driver row are
@@ -1309,14 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sim_bruteforce": q_sim_bruteforce,
         # kept family representatives (green r3, anchor their families)
-        "surrogate_keys": q_surrogate_keys,
         "asof_join": q_asof_join,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "dedup_exact": q_dedup_exact,
         "dedup_keep_list": q_dedup_keep_list,
         "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
-        "text_quality": q_text_quality,
-        "pii_scrub": q_pii_scrub,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "multimodal_meta": q_multimodal_meta,
         "contamination": q_contamination,
@@ -1352,10 +1406,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_pq_recall": q_sim_ann_pq_recall,
         "grouping_sets": q_grouping_sets,
         "kmv_quantiles": q_kmv_quantiles,
+        # new in round 4, second batch (displaced surrogate_keys /
+        # dedup_exact / text_quality / pii_scrub — each with >= 2 green
+        # driver rows on record, families still represented in-window)
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "bloom_prune_join": q_bloom_prune_join,
+        "outlier_mad": q_outlier_mad,
+        "kmv_set_ops": q_kmv_set_ops,
         # --- past the 50-entry cap ------------------------------------
         # All have green driver rows on record (r1-r3) and run in
         # test_oracle_parity every pytest; they rotate back in if their
         # family loses its in-window representative.
+        "surrogate_keys": q_surrogate_keys,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_scrub": q_pii_scrub,
         "distinct_project": q_distinct_project,
         "case_impute": q_case_impute,
         "scalar_subquery": q_scalar_subquery,
@@ -1942,7 +2007,51 @@ def oracle_sql() -> dict[str, str]:
                    {zorder_ops.zorder_key_sql("xs", "ys", 10)} AS zkey
             FROM s
         """,
+        "dedup_prefix_filter": _setsim_oracle(),
+        "bloom_prune_join": _bloom_oracle(),
+        "outlier_mad": _outliers_oracle(),
+        "kmv_set_ops": _kmv_set_ops_oracle(),
         # still rows-only: sim_ann_ivf (centroids are trained from data at
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.
     }
+
+
+def _setsim_oracle() -> str:
+    from etl_pipeline_last_fm_spark.operators.setsim import (
+        prefix_filter_pairs_oracle_sql,
+    )
+
+    return prefix_filter_pairs_oracle_sql(threshold_num=1, threshold_den=2)
+
+
+def _bloom_oracle() -> str:
+    from etl_pipeline_last_fm_spark.operators.bloom import (
+        bloom_prune_join_stats_oracle_sql,
+    )
+
+    return bloom_prune_join_stats_oracle_sql(
+        "orders",
+        "o_custkey",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "c_custkey",
+        "o_orderpriority",
+    )
+
+
+def _outliers_oracle() -> str:
+    from etl_pipeline_last_fm_spark.operators.outliers import (
+        mad_outliers_oracle_sql,
+    )
+
+    return mad_outliers_oracle_sql(cutoff=3)
+
+
+def _kmv_set_ops_oracle() -> str:
+    cents = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v"
+    return sketch_ops.kmv_set_ops_oracle_sql(
+        f"SELECT {cents} FROM events WHERE event_type = 'click'",
+        f"SELECT {cents} FROM events WHERE event_type = 'purchase'",
+        k=256,
+        salt="kmvset",
+    )

@@ -1,0 +1,201 @@
+"""Bloom-filter join pruning: the runtime-filter lever for 100 TB joins.
+
+The classic big-cluster pattern (Spark's own AQE injects it as
+`InjectRuntimeFilter` / `BloomFilterAggregate`; implemented here as an
+explicit, portable, oracle-checkable operator): when a selective dimension
+joins a huge fact, build a tiny bit-set over the dimension's join keys and
+filter the fact BEFORE its shuffle. The fact rows that would never find a
+match are dropped at the scan, so the shuffle moves only (matches + a
+bounded false-positive overhead) instead of the whole fact table.
+
+Reference parity: the reference joins staging to dims inside Postgres
+(reference `sql/` DDL + `dags/etl_lastfm.py` inserts) where the planner
+does this implicitly; on Spark at 100 TB it is the difference between
+shuffling 100 TB and shuffling the 1% that matches.
+
+Portability: every hash is `portable_hash60` (md5-based, bit-identical in
+DuckDB), probe positions are k independent salted hashes mod m, and words
+are 32-bit lanes stored in BIGINTs — no sign-bit or shift-overflow
+ambiguity in either engine. The filter is therefore a pure function of the
+key SET: deterministic, mergeable (bitwise OR), replay-safe.
+
+Driver collect: the built filter is m/32 BIGINT words (m=4096 -> 128
+words, ~1 KB) — a bounded O(m) literal like the IVF centroid sample
+(similarity.py), NOT a corpus-proportional collect. At 100 TB you'd size
+m to the dimension's key count (1.44 * n * ln(1/fp) bits) and ship it as
+a broadcast variable; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import (
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+WORD_BITS = 32  # 32-bit lanes in BIGINT words: 1 << bit <= 2^31, no sign play
+
+
+def _positions(key: Column, m_bits: int, k: int, salt: str) -> list[Column]:
+    return [
+        F.pmod(
+            portable_hash60(
+                F.concat(F.lit(f"{salt}:{j}:"), key.cast("string"))
+            ),
+            F.lit(m_bits),
+        )
+        for j in range(k)
+    ]
+
+
+def build_bloom_words(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    salt: str = "bloom1",
+) -> list[int]:
+    """Aggregate the key set into the filter's word array (length m/32,
+    dense, zero-filled). One explode (k rows per key) + one groupBy on
+    word index = at most m/32 groups — the aggregation state is the filter
+    itself, mergeable across partitions by construction (bit_or)."""
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), m_bits, k, salt))
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            (F.col("pos") / WORD_BITS).cast("int").alias("widx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    dense = [0] * (m_bits // WORD_BITS)
+    for r in words:
+        dense[r["widx"]] = r["word"]
+    return dense
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], m_bits: int, k: int = 4, salt: str = "bloom1"
+) -> Column:
+    """Membership test as a pure Column expression over the word-array
+    literal: k AND-ed bit probes, no join, no shuffle — evaluates inside
+    the fact table's scan stage, under whole-stage codegen."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    # masks for all 32 lane positions are literals; pick by index — keeps
+    # the probe a pure literal-indexed expression (no dynamic shift, which
+    # classic shiftleft() does not accept as a Column).
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(WORD_BITS)])
+    cond = F.lit(True)
+    for p in _positions(key, m_bits, k, salt):
+        word = F.element_at(arr, (p / WORD_BITS).cast("int") + 1)
+        mask = F.element_at(masks, (p % WORD_BITS).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
+def bloom_prune_join_stats(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    group_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    salt: str = "bloom1",
+) -> DataFrame:
+    """Per ``group_col``: how many fact rows pass the Bloom filter vs how
+    many truly join — the filter's selectivity ledger, and (because the
+    bloom is deterministic) an exactly reproducible one.
+
+    The true-match count is computed on the PRUNED fact (join after
+    filter): no false negatives is a property of the structure, asserted
+    in tests, so pruning first loses nothing — which is the whole point.
+    """
+    words = build_bloom_words(dim_keys, dim_key, m_bits, k, salt)
+    passed = fact.filter(
+        bloom_might_contain(F.col(fact_key), words, m_bits, k, salt)
+    )
+    matched = passed.join(
+        F.broadcast(dim_keys.select(dim_key).distinct()),
+        passed[fact_key] == F.col(dim_key),
+        "left_semi",
+    )
+    a = passed.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    b = matched.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_true_match"))
+    return (
+        a.join(b, group_col, "left")
+        .select(
+            group_col,
+            "n_bloom_pass",
+            F.coalesce("n_true_match", F.lit(0).cast("long")).alias(
+                "n_true_match"
+            ),
+        )
+    )
+
+
+def bloom_positions_sql(key_expr: str, m_bits: int, k: int, salt: str) -> list[str]:
+    out = []
+    for j in range(k):
+        hashed = portable_hash60_sql(
+            f"'{salt}:{j}:' || CAST({key_expr} AS VARCHAR)"
+        )
+        out.append(f"(({hashed}) % {m_bits})")
+    return out
+
+
+def bloom_prune_join_stats_oracle_sql(
+    fact_table: str,
+    fact_key: str,
+    dim_sql: str,
+    dim_key: str,
+    group_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    salt: str = "bloom1",
+) -> str:
+    """DuckDB twin: build the identical word array relationally (list() over
+    the bit_or groups), probe with the identical positions. ``dim_sql`` is
+    a SELECT producing the dimension key set."""
+    probe_parts = []
+    for p in bloom_positions_sql(f"f.{fact_key}", m_bits, k, salt):
+        probe_parts.append(
+            f"(COALESCE(w.words[CAST({p} // {WORD_BITS} AS INT) + 1], 0)"
+            f" & (1::BIGINT << CAST({p} % {WORD_BITS} AS INT))) != 0"
+        )
+    probe = " AND ".join(probe_parts)
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM dimkeys"
+        for p in bloom_positions_sql(f"{dim_key}", m_bits, k, salt)
+    )
+    return f"""
+        WITH dimkeys AS ({dim_sql}),
+        bits AS (
+            SELECT CAST(pos // {WORD_BITS} AS INT) AS widx,
+                   bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS word
+            FROM ({pos_rows}) GROUP BY 1
+        ),
+        -- dense zero-filled word array, exactly like the Spark literal
+        w AS (
+            SELECT list(COALESCE(word, 0) ORDER BY i) AS words
+            FROM range({m_bits // WORD_BITS}) r(i)
+            LEFT JOIN bits ON bits.widx = r.i
+        ),
+        passed AS (
+            SELECT f.* FROM {fact_table} f, w WHERE {probe}
+        )
+        SELECT {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+               CAST(COUNT(*) FILTER (WHERE {fact_key} IN (SELECT {dim_key} FROM dimkeys))
+                    AS BIGINT) AS n_true_match
+        FROM passed GROUP BY 1
+    """

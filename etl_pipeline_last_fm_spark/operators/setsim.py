@@ -1,0 +1,188 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / SSJoin).
+
+The lossless complement to MinHash-LSH (``operators/dedup.py``): where
+banded LSH trades a tiny recall loss for near-linear candidate generation,
+prefix filtering is EXACT — every pair with Jaccard >= t is guaranteed to
+survive pruning (a lemma, not a probability), yet candidates still come
+from an equi-join on a small fraction of each document's tokens.
+
+Reference parity: the reference pipeline has no similarity join at all
+(its dedup is Postgres ON CONFLICT, reference `dags/etl_lastfm.py`); this
+module belongs to the LLM-training-data extension tier alongside
+dedup.py's probabilistic family.
+
+The prefix-filter lemma (Chaudhuri et al. SSJoin 2006, Bayardo et al.
+AllPairs 2007): fix any total order on tokens. If J(A,B) >= t then
+|A∩B| >= ceil(t*|A|) (intersection = J*union >= t*|A|), and the smallest
+common token c sits at position <= |A| - |A∩B| + 1 <= |A| - ceil(t*|A|)
++ 1 = p_A within A (everything before c in A is outside A∩B) — and
+symmetrically within B's first p_B. So c lies in BOTH prefixes, and a
+prefix-to-prefix equi-join loses nothing.
+
+Ordering tokens rarest-first (ascending document frequency, token string
+as tie-break — deterministic, identically computable in SQL) makes the
+join keys the LOW-df tokens: candidate volume is sum(df_prefix^2) over
+prefix tokens only, which is why this stays near-linear while a full
+token join is quadratic in hot-token df.
+
+Thresholds are RATIONAL (num/den): the survive-filter is the integer
+comparison shared*den >= num*(|A|+|B|-shared) and the prefix length is
+p = sz - ceil(num*sz/den) + 1 with ceil done in integer arithmetic — no
+float boundary anywhere in the decision path, so Spark and the DuckDB
+oracle cannot disagree at the threshold.
+
+Scale notes (documents is the 100 TB table):
+- one shuffle builds distinct (doc_id, shingle) rows; df is a groupBy on
+  shingle; rank/size is one window per doc_id;
+- the candidate join shuffles only PREFIX rows (a ~(1-t) fraction of each
+  doc, and the rarest tokens at that);
+- verification re-shingles only candidate docs (semi-join first), exactly
+  like minhash_lsh_pairs' verification stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+from etl_pipeline_last_fm_spark.operators.dedup import _shingles
+
+
+def _distinct_shingle_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
+    """(doc_id, shingle) distinct rows, shingle as STRING (the prefix order
+    needs the token itself, unlike minhash's hashed rows). Generator input
+    is a cheap integer sequence; the token array is split once below it
+    (same O(words^2) trap avoidance as dedup._shingle_hash_rows)."""
+    return (
+        docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(sequence(0, greatest(size(__toks) - {shingle_len}, 0)))"
+            ).alias("i"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(__toks, i + 1, {shingle_len}))").alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """All (doc_a, doc_b, jaccard) pairs with shingle-set Jaccard >=
+    threshold_num/threshold_den — EXACT output, near-linear candidates.
+
+    Returns the same contract as ``dedup.minhash_lsh_pairs`` (and, at the
+    same threshold, the same rows — a useful cross-check: one exact, one
+    probabilistic, one truth set in the oracle).
+    """
+    rows = _distinct_shingle_rows(docs, shingle_len)
+
+    # Global token order: (document frequency asc, shingle asc). The order
+    # is a pure function of the corpus — no global window / row_number is
+    # needed, each doc only has to sort ITS OWN tokens by the (df, shingle)
+    # key, so the only wide operation is the df groupBy.
+    df_counts = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = rows.join(df_counts, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ranked = ranked.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__sz"),
+    )
+    # p = sz - ceil(t*sz) + 1, ceil in integer arithmetic.
+    ceil_t_sz = F.floor(
+        (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
+        / F.lit(threshold_den)
+    )
+    prefix = ranked.filter(F.col("__rk") <= F.col("__sz") - ceil_t_sz + 1)
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Exact verification on candidate docs only (semi-join first), integer
+    # threshold comparison — mirrors minhash_lsh_pairs' verification stage.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_shingles = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
+        .select("doc_id", _shingles("__toks", shingle_len).alias("shingles"))
+    )
+    sh_a = cand_shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = cand_shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(shared * F.lit(threshold_den) >= F.lit(threshold_num) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            half_up_round(shared.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+def prefix_filter_pairs_oracle_sql(
+    threshold_num: int = 1, threshold_den: int = 2, shingle_len: int = 3
+) -> str:
+    """DuckDB oracle: the all-pairs shingle-Jaccard truth set with the SAME
+    integer threshold comparison. Unlike the minhash oracle (where equality
+    holds only because LSH recall is 1.0 on this corpus), here equality is
+    a THEOREM — prefix filtering is lossless — so this oracle checks the
+    operator on any corpus, at any threshold."""
+    s = shingle_len
+    cols = ", ".join(f"t[i+{j + 1}]" for j in range(s))
+    return f"""
+        WITH sh AS MATERIALIZED (
+                 SELECT doc_id,
+                        list_distinct(list_transform(range(greatest(len(t) - {s}, 0) + 1),
+                                       i -> concat_ws(' ', {cols}))) AS shingles
+                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
+             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+             rows_ AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+             inter AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                 FROM rows_ a JOIN rows_ b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+             pairs AS (
+                 SELECT doc_a, doc_b, c, sa.n + sb.n - c AS u
+                 FROM inter
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b,
+               FLOOR(CAST(c AS DOUBLE) / u * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM pairs WHERE c * {threshold_den} >= {threshold_num} * u
+    """

@@ -518,3 +518,136 @@ def kmv_quantiles_oracle_sql(
         FROM vr JOIN stats ON vr.g = stats.g
         GROUP BY vr.g, stats.n, stats.hk
     """
+
+
+def kmv_set_ops(
+    state_a: DataFrame, state_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Distinct-set algebra from two (ungrouped) KMV states sharing a salt:
+    union / intersection cardinality estimates and a Jaccard estimate —
+    the theta-sketch-style read-out bottom-k supports that HLL registers
+    do not (HLL unions, but cannot intersect without inclusion-exclusion
+    error blowup).
+
+    Estimator (Beyer et al. 2007 / theta-sketch a-priori): the bottom-k of
+    A∪B is ``merge_kmv_states``; every member of the merged bottom-k that
+    belongs to A necessarily sits inside A's own bottom-k (its hash is
+    <= the merged kth hash <= A's kth hash), so intersection membership is
+    an exact semi-join against each state — c = |K ∩ A ∩ B| out of the
+    merged sample of size n_m, J_est = c/n_m, inter_est = J_est * union_est.
+
+    Exactness branch: n_m < k means the merged state holds EVERY distinct
+    value of A∪B (and each input state is complete too), so union and
+    intersection are exact counts, not estimates.
+
+    All read-out arithmetic is the same correctly-rounded double op
+    sequence in both engines (see kmv_summary's note); cross-engine
+    value parity holds to the bit.
+    """
+    merged = merge_kmv_states(state_a, state_b, [], k)
+    in_both = (
+        merged.join(state_a.select("__v"), "__v", "left_semi")
+        .join(state_b.select("__v"), "__v", "left_semi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mstats = merged.agg(
+        F.count(F.lit(1)).alias("n_m"), F.max("__h").alias("hk")
+    )
+
+    def est(n: Column, hk: Column) -> Column:
+        return F.when(n < k, n.cast("long")).otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(_KMV_M) / (hk + 1).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+
+    astats = state_a.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("__h").alias("hk_a")
+    )
+    bstats = state_b.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("__h").alias("hk_b")
+    )
+    u = est(F.col("n_m"), F.col("hk"))
+    inter = F.when(F.col("n_m") < k, F.col("c").cast("long")).otherwise(
+        F.floor(
+            F.col("c").cast("double") * u.cast("double") / F.col("n_m").cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    jac = F.floor(
+        F.col("c").cast("double") / F.col("n_m").cast("double") * 10000.0
+        + F.lit(0.5)
+    ) / 10000.0
+    return (
+        mstats.crossJoin(in_both)
+        .crossJoin(astats)
+        .crossJoin(bstats)
+        .select(
+            est(F.col("n_a"), F.col("hk_a")).alias("n_a_est"),
+            est(F.col("n_b"), F.col("hk_b")).alias("n_b_est"),
+            u.alias("n_union_est"),
+            inter.alias("n_inter_est"),
+            jac.alias("jaccard_est"),
+        )
+    )
+
+
+def kmv_set_ops_oracle_sql(
+    sql_a: str, sql_b: str, k: int = 256, salt: str = "kmvset"
+) -> str:
+    """DuckDB twin of kmv_state(x2, shared salt) |> kmv_set_ops. ``sql_a``
+    and ``sql_b`` each SELECT one column ``v``."""
+    h = portable_hash60_sql(f"'{salt}:' || CAST(v AS VARCHAR)")
+    return f"""
+        WITH
+        sta AS (
+            SELECT v, h FROM (
+                SELECT v, {h} AS h,
+                       ROW_NUMBER() OVER (ORDER BY {h}, v) AS rk
+                FROM (SELECT DISTINCT v FROM ({sql_a}))
+            ) WHERE rk <= {k}
+        ),
+        stb AS (
+            SELECT v, h FROM (
+                SELECT v, {h} AS h,
+                       ROW_NUMBER() OVER (ORDER BY {h}, v) AS rk
+                FROM (SELECT DISTINCT v FROM ({sql_b}))
+            ) WHERE rk <= {k}
+        ),
+        merged AS (
+            SELECT v, h FROM (
+                SELECT v, h, ROW_NUMBER() OVER (ORDER BY h, v) AS rk
+                FROM (SELECT DISTINCT v, h FROM (SELECT * FROM sta UNION ALL SELECT * FROM stb))
+            ) WHERE rk <= {k}
+        ),
+        ms AS (SELECT COUNT(*) AS n_m, MAX(h) AS hk FROM merged),
+        cb AS (
+            SELECT COUNT(*) AS c FROM merged m
+            WHERE EXISTS (SELECT 1 FROM sta WHERE sta.v = m.v)
+              AND EXISTS (SELECT 1 FROM stb WHERE stb.v = m.v)
+        ),
+        sa AS (SELECT COUNT(*) AS n_a, MAX(h) AS hk_a FROM sta),
+        sb AS (SELECT COUNT(*) AS n_b, MAX(h) AS hk_b FROM stb)
+        SELECT
+            CAST(CASE WHEN n_a < {k} THEN n_a
+                 ELSE FLOOR({float(k - 1)!r} * {_KMV_M!r} / CAST(hk_a + 1 AS DOUBLE) + 0.5)
+            END AS BIGINT) AS n_a_est,
+            CAST(CASE WHEN n_b < {k} THEN n_b
+                 ELSE FLOOR({float(k - 1)!r} * {_KMV_M!r} / CAST(hk_b + 1 AS DOUBLE) + 0.5)
+            END AS BIGINT) AS n_b_est,
+            CAST(CASE WHEN n_m < {k} THEN n_m
+                 ELSE FLOOR({float(k - 1)!r} * {_KMV_M!r} / CAST(hk + 1 AS DOUBLE) + 0.5)
+            END AS BIGINT) AS n_union_est,
+            CAST(CASE WHEN n_m < {k} THEN c
+                 ELSE FLOOR(CAST(c AS DOUBLE)
+                            * CAST(CASE WHEN n_m < {k} THEN n_m
+                                   ELSE FLOOR({float(k - 1)!r} * {_KMV_M!r}
+                                              / CAST(hk + 1 AS DOUBLE) + 0.5)
+                              END AS DOUBLE)
+                            / CAST(n_m AS DOUBLE) + 0.5)
+            END AS BIGINT) AS n_inter_est,
+            FLOOR(CAST(c AS DOUBLE) / CAST(n_m AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+              AS jaccard_est
+        FROM ms, cb, sa, sb
+    """
