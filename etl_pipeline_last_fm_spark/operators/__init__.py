@@ -27,7 +27,14 @@ from etl_pipeline_last_fm_spark.operators.sampling import (
     split_assign,
     stratified_sample,
 )
+from etl_pipeline_last_fm_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_prune_join_stats,
+    build_bloom_words,
+)
+from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
 from etl_pipeline_last_fm_spark.operators.scd import scd2_apply, scd2_history
+from etl_pipeline_last_fm_spark.operators.setsim import prefix_filter_pairs
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.star import star_join
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
@@ -56,4 +63,9 @@ __all__ = [
     "mixture_sample",
     "scd2_history",
     "scd2_apply",
+    "prefix_filter_pairs",
+    "build_bloom_words",
+    "bloom_might_contain",
+    "bloom_prune_join_stats",
+    "mad_outliers",
 ]

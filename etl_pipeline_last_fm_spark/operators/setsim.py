@@ -31,6 +31,19 @@ p = sz - ceil(num*sz/den) + 1 with ceil done in integer arithmetic — no
 float boundary anywhere in the decision path, so Spark and the DuckDB
 oracle cannot disagree at the threshold.
 
+Candidate-volume caveat (honest limit of the exact path): candidates are
+sum(df_prefix^2) over prefix tokens, which is near-linear when the token
+df distribution has a rare tail — real corpora — but degrades toward
+all-pairs on LOW-DIVERSITY corpora at LOW thresholds (measured on a
+25-word-vocab word-soup corpus at t=1/2: 5k docs -> 1.2M candidates,
+where the fixture corpus at the same threshold is ~linear). Exactness
+has a price only density can set; for low-diversity corpora or t < ~0.5
+use dedup.minhash_lsh_pairs (probabilistic, candidates ∝ true-dup
+density) and reserve this operator for the high-threshold near-dup cuts
+(t >= ~0.7) where its prefix is a small fraction of each doc. The
+AllPairs length filter (den*min_sz >= num*max_sz, integer, lossless)
+prunes asymmetric pairs inside the expansion.
+
 Scale notes (documents is the 100 TB table):
 - one shuffle builds distinct (doc_id, shingle) rows; df is a groupBy on
   shingle; rank/size is one window per doc_id;
@@ -108,18 +121,46 @@ def prefix_filter_pairs(
     )
     prefix = ranked.filter(F.col("__rk") <= F.col("__sz") - ceil_t_sz + 1)
 
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    # Candidates via bucket expansion, NOT a prefix-to-prefix self-join: a
+    # self-join executes the prefix subtree (shingle rows + df join + two
+    # windows) TWICE, the plan's dominant cost — the same trap
+    # minhash_lsh_pairs' band self-join had. One groupBy materializes each
+    # prefix token's id list in the aggregation buffer; pair expansion
+    # explodes cheap integer sequences over the stored array. ids sorted
+    # ascending => doc_a < doc_b by construction.
+    buckets = (
+        prefix.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", F.col("__sz").alias("sz")))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    # persist(): cands feeds three consumers (both id sides + the pair
+    # assembly); candidate volume is sum(df_prefix^2) over PREFIX tokens —
+    # the rarest-first order makes that near-linear in the corpus, the
+    # lemma makes it complete. Default storage level spills to disk.
+    # Length filter (AllPairs, lossless): J(A,B) >= t needs |A∩B| >=
+    # t*max(|A|,|B|), and |A∩B| <= min(|A|,|B|), so den*min >= num*max —
+    # checked in INTEGER arithmetic inside the pair expansion, before the
+    # pair ever materializes past this projection.
+    a_s = F.element_at("ids", F.col("i") + 1)
+    b_s = F.element_at("ids", F.col("j") + 1)
     cands = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            "ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i")
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            "ids", "i", F.explode(F.expr("sequence(i + 1, size(ids) - 1)")).alias("j")
         )
+        .filter(
+            F.least(a_s["sz"], b_s["sz"]) * F.lit(threshold_den)
+            >= F.greatest(a_s["sz"], b_s["sz"]) * F.lit(threshold_num)
+        )
+        .select(a_s["doc_id"].alias("doc_a"), b_s["doc_id"].alias("doc_b"))
         .distinct()
+        .persist()
     )
 
     # Exact verification on candidate docs only (semi-join first), integer
@@ -186,3 +227,104 @@ def prefix_filter_pairs_oracle_sql(
                FLOOR(CAST(c AS DOUBLE) / u * 10000.0 + 0.5) / 10000.0 AS jaccard
         FROM pairs WHERE c * {threshold_den} >= {threshold_num} * u
     """
+
+
+def prefix_filter_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Asymmetric (R-S) prefix-filter join: every (new_id, corpus_id) pair
+    with shingle Jaccard >= num/den — the DAILY-pipeline shape, where a
+    small ingest batch is checked against the accumulated corpus without
+    re-pairing the corpus against itself.
+
+    The token order comes from the CORPUS's document frequencies only
+    (tokens unseen in the corpus order first: (0, token) — they are the
+    rarest by definition). The prefix-filter lemma only needs a total
+    order CONSISTENT across both sides, not any particular one, so the
+    corpus-df order is valid — and it is stable day over day, which means
+    a production deployment can persist the corpus's prefix rows once and
+    reuse them for every batch: per-day cost is O(batch) prefix
+    computation + the candidate join, never O(corpus) recompute.
+
+    In-batch (new x new) duplicates are deliberately out of scope — run
+    the symmetric ``prefix_filter_pairs`` on the batch alone (it is
+    small); keeping the two concerns separate keeps both joins honest.
+
+    Output: (new_id, corpus_id, jaccard) — the same verified-pairs
+    contract, lossless by the same lemma (tested against the symmetric
+    operator's cross-pairs on the union).
+    """
+    rows_n = _distinct_shingle_rows(new_docs, shingle_len)
+    rows_c = _distinct_shingle_rows(corpus, shingle_len)
+    df_counts = rows_c.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+
+    def prefixed(rows: DataFrame) -> DataFrame:
+        ranked = rows.join(df_counts, "shingle", "left").withColumn(
+            "__df", F.coalesce("__df", F.lit(0))
+        )
+        w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+        ranked = ranked.select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__sz"),
+        )
+        ceil_t_sz = F.floor(
+            (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
+            / F.lit(threshold_den)
+        )
+        return ranked.filter(F.col("__rk") <= F.col("__sz") - ceil_t_sz + 1)
+
+    pn = prefixed(rows_n).select(
+        F.col("doc_id").alias("new_id"), "shingle", F.col("__sz").alias("sz_n")
+    )
+    pc = prefixed(rows_c).select(
+        F.col("doc_id").alias("corpus_id"), "shingle", F.col("__sz").alias("sz_c")
+    )
+    cands = (
+        pn.join(pc, "shingle")
+        .filter(
+            F.least("sz_n", "sz_c") * F.lit(threshold_den)
+            >= F.greatest("sz_n", "sz_c") * F.lit(threshold_num)
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+        .persist()
+    )
+
+    def cand_shingles(docs: DataFrame, ids: DataFrame, out: str) -> DataFrame:
+        return (
+            docs.join(ids, "doc_id", "left_semi")
+            .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
+            .select(
+                F.col("doc_id").alias(out),
+                _shingles("__toks", shingle_len).alias(f"sh_{out}"),
+            )
+        )
+
+    sh_n = cand_shingles(
+        new_docs, cands.select(F.col("new_id").alias("doc_id")).distinct(), "new_id"
+    )
+    sh_c = cand_shingles(
+        corpus,
+        cands.select(F.col("corpus_id").alias("doc_id")).distinct(),
+        "corpus_id",
+    )
+    shared = F.size(F.array_intersect("sh_new_id", "sh_corpus_id"))
+    union = F.size("sh_new_id") + F.size("sh_corpus_id") - shared
+    return (
+        cands.join(sh_n, "new_id")
+        .join(sh_c, "corpus_id")
+        .filter(shared * F.lit(threshold_den) >= F.lit(threshold_num) * union)
+        .select(
+            "new_id",
+            "corpus_id",
+            half_up_round(shared.cast("double") / union, 4).alias("jaccard"),
+        )
+    )

@@ -200,5 +200,44 @@ def main() -> None:
     )
 
 
+    # --- round-4 operators: prefix-filter join, bloom pruning, MAD, KMV set
+    from etl_pipeline_last_fm_spark.operators.bloom import bloom_prune_join_stats
+    from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
+    from etl_pipeline_last_fm_spark.operators.setsim import prefix_filter_pairs
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_set_ops
+
+    # t=4/5: the realistic near-dup threshold regime for the EXACT path
+    # (at low t on this deliberately low-diversity corpus candidates
+    # degrade toward all-pairs by design -- setsim.py docstring)
+    t0 = time.perf_counter()
+    n_pf = prefix_filter_pairs(docs, threshold_num=4, threshold_den=5).count()
+    t_pf = time.perf_counter() - t0
+
+    dim = ev_typed.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    t0 = time.perf_counter()
+    n_bl = bloom_prune_join_stats(
+        ev_typed, "user_id", dim, "user_id", "event_type", m_bits=65536
+    ).count()
+    t_bloom = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_mad = mad_outliers(ev_typed, group_cols=["event_type"], cutoff=3).count()
+    t_mad = time.perf_counter() - t0
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v")
+    t0 = time.perf_counter()
+    n_so = kmv_set_ops(
+        kmv_state(ev_typed.filter(F.col("event_type") == "click").select(cents), "v", [], k=256, salt="s"),
+        kmv_state(ev_typed.filter(F.col("event_type") == "view").select(cents), "v", [], k=256, salt="s"),
+        k=256,
+    ).count()
+    t_setops = time.perf_counter() - t0
+
+    print(
+        f"round-4 tier at same scale: prefix-filter {t_pf:.1f}s ({n_pf} pairs), "
+        f"bloom-prune {t_bloom:.1f}s ({n_bl} groups), mad {t_mad:.1f}s ({n_mad} outliers), "
+        f"kmv-set-ops {t_setops:.1f}s ({n_so} row)"
+    )
+
 if __name__ == "__main__":
     main()
