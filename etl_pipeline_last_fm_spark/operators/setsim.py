@@ -165,34 +165,7 @@ def prefix_filter_pairs(
 
     # Exact verification on candidate docs only (semi-join first), integer
     # threshold comparison — mirrors minhash_lsh_pairs' verification stage.
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_shingles = (
-        docs.join(cand_ids, "doc_id", "left_semi")
-        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
-        .select("doc_id", _shingles("__toks", shingle_len).alias("shingles"))
-    )
-    sh_a = cand_shingles.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sh_b = cand_shingles.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    shared = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - shared
-    return (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .filter(shared * F.lit(threshold_den) >= F.lit(threshold_num) * union)
-        .select(
-            "doc_a",
-            "doc_b",
-            half_up_round(shared.cast("double") / union, 4).alias("jaccard"),
-        )
-    )
+    return _verify_pairs(docs, cands, threshold_num, threshold_den, shingle_len)
 
 
 def prefix_filter_pairs_oracle_sql(
@@ -328,3 +301,147 @@ def prefix_filter_pairs_incremental(
             half_up_round(shared.cast("double") / union, 4).alias("jaccard"),
         )
     )
+
+
+def _verify_pairs(
+    docs: DataFrame,
+    cands: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    shingle_len: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates: re-shingle
+    only candidate docs (semi-join first), integer threshold comparison —
+    the shared tail of every blocking strategy in this module."""
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_shingles = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
+        .select("doc_id", _shingles("__toks", shingle_len).alias("shingles"))
+    )
+    sh_a = cand_shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = cand_shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(shared * F.lit(threshold_den) >= F.lit(threshold_num) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            half_up_round(shared.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 10,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate generation: sort by a cheap key
+    (trimmed text, doc_id tie-break), slide a ``window``-row neighborhood,
+    verify exact Jaccard on window-mates — the fourth classic blocking
+    strategy beside banding (dedup.minhash_lsh_pairs), pigeonhole chunks
+    (dedup.simhash) and prefix filtering (prefix_filter_pairs).
+
+    NOT lossless (unlike the prefix filter): a true pair sorted further
+    than ``window`` apart is never considered — SNM is the cheap local
+    pass for corpora whose duplicates share sort-key prefixes (exact and
+    near-exact copies do, by construction). The oracle therefore
+    replicates the windowing (a twin, not a truth set), and the recall
+    trade is the documented contract, mirroring the minhash oracle's
+    recall discussion.
+
+    Scale shape: the global rank comes from
+    ``assign_surrogate_keys_distributed`` (range partition + per-partition
+    counts + driver prefix sum over #partitions integers — no
+    single-partition global sort); candidates are an equi-join on rank
+    with a bounded window-1 fan-out per row, so candidate volume is
+    exactly (window-1) * n — linear by construction.
+    """
+    from etl_pipeline_last_fm_spark.operators.surrogate import (
+        assign_surrogate_keys_distributed,
+    )
+
+    keyed = docs.select(
+        "doc_id", "text", F.trim(F.col("text")).alias("__key")
+    )
+    ranked = assign_surrogate_keys_distributed(
+        keyed, "__rank", ["__key", "doc_id"]
+    ).select("doc_id", "__rank")
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__rank"),
+        F.explode(F.expr(f"sequence(1, {window - 1})")).alias("__j"),
+    ).select(
+        "id_a", (F.col("__rank") + F.col("__j")).alias("__r2")
+    )
+    mates = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("__rank").alias("__r2")
+    )
+    cands = (
+        probes.join(mates, "__r2")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    return _verify_pairs(docs, cands, threshold_num, threshold_den, shingle_len)
+
+
+def sorted_neighborhood_pairs_oracle_sql(
+    window: int = 10,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_len: int = 3,
+) -> str:
+    """DuckDB twin: identical rank (ROW_NUMBER ORDER BY trim(text),
+    doc_id), identical window, identical verification."""
+    s = shingle_len
+    cols = ", ".join(f"t[i+{j + 1}]" for j in range(s))
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY trim(text), doc_id) AS r
+            FROM documents
+        ),
+        cands AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                            greatest(a.doc_id, b.doc_id) AS doc_b
+            FROM ranked a JOIN ranked b
+              ON b.r > a.r AND b.r <= a.r + {window - 1}
+        ),
+        sh AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(greatest(len(t) - {s}, 0) + 1),
+                                  i -> concat_ws(' ', {cols}))) AS shingles
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+            WHERE doc_id IN (SELECT doc_a FROM cands UNION SELECT doc_b FROM cands)
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.shingles, sb.shingles)) AS c,
+                   len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles)) AS u
+            FROM cands
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b,
+               FLOOR(CAST(c AS DOUBLE) / u * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM verified WHERE c * {threshold_den} >= {threshold_num} * u
+    """

@@ -257,3 +257,36 @@ def test_prefix_filter_incremental_equals_symmetric_cross_pairs(spark, sf_dir):
     }
     assert inc == sym
     assert inc  # non-vacuous: the fixture has cross near-dups
+
+
+def test_sorted_neighborhood_finds_adjacent_dups(spark):
+    # SNM's contract: pairs whose sort keys are adjacent ARE found; a pair
+    # separated by > window rows is legitimately missed (documented recall
+    # trade). Exact duplicates sort adjacent by construction.
+    from etl_pipeline_last_fm_spark.operators.setsim import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"unique text number {i:04d} pad pad pad") for i in range(40)]
+    rows += [(100, "a duplicated doc body here"), (101, "a duplicated doc body here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted_neighborhood_pairs(docs, window=5).collect()
+    assert {(r.doc_a, r.doc_b, r.jaccard) for r in out} == {(100, 101, 1.0)}
+
+
+def test_sorted_neighborhood_window_bound(spark):
+    # candidate volume is exactly bounded: every doc pairs with at most
+    # window-1 successors, so a corpus of IDENTICAL keys yields at most
+    # (w-1)*n candidates, never n^2/2
+    from etl_pipeline_last_fm_spark.operators.setsim import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = sorted_neighborhood_pairs(docs, window=4).count()
+    # ranks tie-broken by doc_id: each rank pairs with <= 3 successors
+    assert out <= 3 * 60
+    assert out == 3 * 60 - 3 - 2 - 1  # exact: tail ranks have fewer mates
