@@ -136,24 +136,59 @@ def q_flagship_royalties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2-style wide aggregate (TPC-H Q1 shape) over lineitem: partial+final
-    hash aggregate, no joins — the pure-aggregation headline."""
+    hash aggregate, no joins — the pure-aggregation headline.
+
+    All measures are EXACT integer arithmetic end to end (the same
+    order-independence upgrade flagship_royalties got): quantity is
+    integral, price/discount/tax are 2-decimal data, so the cent recovery
+    floor(x*100+0.5) is exact; disc_price lives in 1e-4 and charge in
+    1e-6 dollar units as int64 products; and every ROUND(x, s) is the
+    pure-integer identity floor(a/b + 1/2) = (2a+b) div (2b) — the big
+    sums NEVER pass through a double (charge sums exceed 2^53 well below
+    production scale), only the final small quotient does. The oracle is
+    the same integer program, so parity is by construction."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            half_up_round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            half_up_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            half_up_round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            half_up_round(F.sum(charge), 2).alias("sum_charge"),
-            half_up_round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            half_up_round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            half_up_round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    qi = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    t2 = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qi).alias("__sq"),
+        F.sum(e2).alias("__se2"),
+        F.sum(e2 * (F.lit(100) - d2)).alias("__s4"),
+        F.sum(e2 * (F.lit(100) - d2) * (F.lit(100) + t2)).alias("__s6"),
+        F.sum(d2).alias("__sd2"),
+        F.count(F.lit(1)).alias("count_order"),
     )
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        (F.col("__se2").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
+            "sum_disc_price"
+        ),
+        (F.expr("(__s6 + 5000) div 10000").cast("double") / F.lit(100.0)).alias(
+            "sum_charge"
+        ),
+        (
+            F.expr("(2 * __sq * 100 + count_order) div (2 * count_order)").cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("avg_qty"),
+        (
+            F.expr("(2 * __se2 + count_order) div (2 * count_order)").cast("double")
+            / F.lit(100.0)
+        ).alias("avg_price"),
+        (
+            F.expr("(2 * __sd2 * 100 + count_order) div (2 * count_order)").cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def q_distinct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1569,18 +1604,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY 1, 2
         """,
+        # Same exact-integer program as the Spark side (see
+        # q_pricing_summary docstring): cent recovery per row, int64 sums,
+        # pure-integer rounding (2a+b) // (2b) — parity by construction.
         "pricing_summary": """
+            WITH cents AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS e2,
+                       CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d2,
+                       CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS t2
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(SUM(q) AS BIGINT) AS sq,
+                       CAST(SUM(e2) AS BIGINT) AS se2,
+                       CAST(SUM(e2 * (100 - d2)) AS BIGINT) AS s4,
+                       CAST(SUM(e2 * (100 - d2) * (100 + t2)) AS BIGINT) AS s6,
+                       CAST(SUM(d2) AS BIGINT) AS sd2,
+                       COUNT(*) AS n
+                FROM cents GROUP BY 1, 2
+            )
             SELECT l_returnflag, l_linestatus,
-                   FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
-                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-                   FLOOR(SUM(l_extendedprice * (1.0 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-                   FLOOR(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 100.0 + 0.5) / 100.0 AS sum_charge,
-                   FLOOR(AVG(l_quantity) * 100.0 + 0.5) / 100.0 AS avg_qty,
-                   FLOOR(AVG(l_extendedprice) * 100.0 + 0.5) / 100.0 AS avg_price,
-                   FLOOR(AVG(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
-                   COUNT(*) AS count_order
-            FROM lineitem
-            GROUP BY l_returnflag, l_linestatus
+                   CAST(sq AS DOUBLE) AS sum_qty,
+                   CAST(se2 AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST((s4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+                   CAST((s6 + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
+                   CAST((2 * sq * 100 + n) // (2 * n) AS DOUBLE) / 100.0 AS avg_qty,
+                   CAST((2 * se2 + n) // (2 * n) AS DOUBLE) / 100.0 AS avg_price,
+                   CAST((2 * sd2 * 100 + n) // (2 * n) AS DOUBLE) / 10000.0 AS avg_disc,
+                   n AS count_order
+            FROM s
         """,
         "distinct_project": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
         "case_impute": """
