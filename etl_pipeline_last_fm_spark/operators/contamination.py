@@ -27,7 +27,7 @@ def _shingle_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFr
     """Distinct (doc_id, shingle-string) rows; integer-sequence generator
     AND a pre-split token array (the post-explode projection runs per
     shingle row, so a `split(text)` there would be O(words^2) per doc —
-    cf. dedup._shingle_hash_rows)."""
+    cf. dedup.minhash_signature's pre-split)."""
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),

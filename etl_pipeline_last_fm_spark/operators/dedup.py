@@ -121,30 +121,6 @@ def _shingles(toks_col: str, shingle_len: int) -> Column:
     )
 
 
-def _shingle_hash_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
-    """(doc_id, h) rows: one row per shingle position, h = xxhash64 of the
-    shingle folded into [0, 2^31-1). The generator input is a plain integer
-    sequence (cheap); the token array is split ONCE per document in the
-    projection below the Generate — an attribute reference after it —
-    because any expression in the post-explode projection is evaluated per
-    shingle row: `slice(split(text))` there is O(words) per row = O(words^2)
-    per doc (measured at sf0.1: 1.05 s -> 0.16 s for this stage after the
-    pre-split). MinHash is multiset-insensitive, so no distinct is needed."""
-    return docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
-    ).select(
-        "doc_id",
-        F.expr(f"explode(sequence(0, greatest(size(__toks) - {shingle_len}, 0)))").alias("i"),
-        F.col("__toks"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"pmod(xxhash64(concat_ws(' ', slice(__toks, i + 1, {shingle_len}))),"
-            f" {_MERSENNE_P}L)"
-        ).alias("h"),
-    )
-
-
 _MERSENNE_P = 2147483647  # 2^31 - 1
 
 
@@ -162,27 +138,42 @@ def _cw_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
 
 
 def minhash_signature(docs: DataFrame, shingle_len: int = 3, num_hashes: int = 32) -> DataFrame:
-    """(doc_id, sig): MinHash as a relational aggregation.
+    """(doc_id, sig): MinHash as a pure per-row array computation — NO
+    shuffle.
 
-    Each shingle string is hashed ONCE (xxhash64, JVM intrinsic) into a
-    (doc_id, h) row; the signature is ``num_hashes`` MIN aggregates of
-    Carter-Wegman permutations (a_j * h + b_j) mod p — two integer ops each,
-    products < 2^62 so ANSI-safe. The groupBy materializes the signature in
-    the aggregation buffer (vectorized partial+final hash agg, one shuffle on
-    doc_id), which also means downstream banding reads a cheap materialized
-    array instead of re-evaluating nested lambdas per generated row.
+    Each doc's shingle hashes are computed ONCE into an array column
+    (xxhash64, JVM intrinsic, O(shingle_len) slice+concat per element);
+    the signature is ``num_hashes`` array_min(transform(...)) lambdas
+    over that array — Carter-Wegman permutations (a_j * h + b_j) mod p,
+    two integer ops each, products < 2^62 so ANSI-safe.
+
+    This replaced the r1-r3 explode -> groupBy(doc_id) aggregation form:
+    the hash-rows shuffle (one row per shingle, the corpus's largest
+    intermediate) was the signature stage's dominant cost — measured at
+    sf0.1: 0.68 s -> 0.30 s, bit-identical output. The projection-collapse
+    trap does NOT fire here: Spark declines to inline a non-cheap
+    expression referenced by all 32 consumers, so the plan evaluates the
+    hash array once per doc (verified: one xxhash64 per plan stage in
+    explain(True); the equivalence test pins output equality anyway).
     """
     a, b = _cw_params(num_hashes)
+    hashed = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(0, greatest(size(__toks) - {shingle_len}, 0)),
+                          i -> pmod(xxhash64(concat_ws(' ', slice(__toks, i + 1, {shingle_len}))),
+                                    {_MERSENNE_P}L))"""
+        ).alias("__hs"),
+    )
     mins = [
-        F.min(F.expr(f"pmod({a[j]}L * h + {b[j]}L, {_MERSENNE_P}L)")).alias(f"__s{j}")
+        F.expr(
+            f"array_min(transform(__hs, h -> pmod({a[j]}L * h + {b[j]}L, {_MERSENNE_P}L)))"
+        ).alias(f"__s{j}")
         for j in range(num_hashes)
     ]
-    return (
-        _shingle_hash_rows(docs, shingle_len)
-        .groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"))
-    )
+    return hashed.select("doc_id", F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -224,9 +215,16 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
-    # Bands straight from the signature — the wide shingle array is dropped
-    # before anything shuffles, so only (doc_id, band, bkey) rows move.
-    band_rows = minhash_signature(docs, shingle_len, num_hashes).select(
+    # Bands from the PERSISTED signature: minhash_signature is now a pure
+    # projection (no agg-buffer barrier), and a generator whose input
+    # derives from a computed array re-evaluates that computation per
+    # EMITTED row — unpersisted, the bands explode would recompute all 32
+    # array_mins per band row (8x per doc; measured: the whole win of the
+    # shuffle-free signature and more). The cache is n_docs x (32 longs)
+    # ~ 256 B/doc — far cheaper than the per-shingle hash-row shuffle it
+    # replaced — and spills to disk at scale. Same cache-ownership note
+    # as `cands` below.
+    band_rows = minhash_signature(docs, shingle_len, num_hashes).persist().select(
         "doc_id",
         F.explode(
             F.expr(

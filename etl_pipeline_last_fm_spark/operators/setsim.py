@@ -66,7 +66,7 @@ def _distinct_shingle_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
     """(doc_id, shingle) distinct rows, shingle as STRING (the prefix order
     needs the token itself, unlike minhash's hashed rows). Generator input
     is a cheap integer sequence; the token array is split once below it
-    (same O(words^2) trap avoidance as dedup._shingle_hash_rows)."""
+    (same O(words^2) trap avoidance as dedup.minhash_signature's pre-split)."""
     return (
         docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
         .select(
