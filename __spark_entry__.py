@@ -1410,6 +1410,92 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.kmv_set_ops(sa, sb, k=256)
 
 
+_US_1996 = 820454400000000  # 1996-01-01T00:00:00Z in epoch microseconds
+_US_1997 = 852076800000000  # 1997-01-01T00:00:00Z
+
+
+def _rev4_col() -> Column:
+    """Exact integer 1e-4-dollar revenue units (see q_flagship_royalties)."""
+    return F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for EUROPE-region 1996 orders
+    where the supplying and ordering nation coincide — the 6-table join
+    whose c_nationkey = s_nationkey cross-branch equality makes join
+    ORDER matter (customer and supplier branches must meet before the
+    nation filter pays off). Exact integer revenue; date bounds as epoch-
+    microsecond integers through ts_us (NTZ-safe, the repo's timestamp
+    convention)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (ts_us(F.col("o_orderdate")) >= F.lit(_US_1996))
+        & (ts_us(F.col("o_orderdate")) < F.lit(_US_1997))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        rev.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev4_col()).alias("__s4"))
+        .select(
+            "nation",
+            (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue — selective dim filter + two date inequalities on different
+    tables + aggregate + total-order LIMIT (l_orderkey tie-break so the
+    top-10 set is engine-deterministic). Exact integer revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        ts_us(F.col("l_shipdate")) > F.lit(_US_1996)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ts_us(F.col("o_orderdate")) < F.lit(_US_1996)
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev4_col()).alias("__s4"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (the 4th classic strategy beside
     banding / pigeonhole / prefix): global rank WITHOUT a global sort
@@ -1546,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "regional_revenue": q_regional_revenue,
+        "shipping_priority": q_shipping_priority,
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
         # recall gate (sim_ann_ivf_recall, in-window) is the oracle-checked
         # driver row for this path, plus the fully value-checked seeded twin.
@@ -2129,6 +2217,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_prefix_filter": _setsim_oracle(),
         "dedup_sorted_neighborhood": _snm_oracle(),
+        "regional_revenue": f"""
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
+                FROM lineitem
+            )
+            SELECT n_name AS nation,
+                   CAST((CAST(SUM(rev4) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
+                       AS revenue
+            FROM li
+            JOIN orders   ON l_orderkey = o_orderkey
+                         AND epoch_us(o_orderdate) >= {_US_1996}
+                         AND epoch_us(o_orderdate) <  {_US_1997}
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "shipping_priority": f"""
+            WITH li AS (
+                SELECT l_orderkey, l_shipdate,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
+                FROM lineitem
+                WHERE epoch_us(l_shipdate) > {_US_1996}
+            )
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST((CAST(SUM(rev4) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
+                       AS revenue
+            FROM li
+            JOIN orders   ON l_orderkey = o_orderkey
+                         AND epoch_us(o_orderdate) < {_US_1996}
+            JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
         "bloom_prune_join": _bloom_oracle(),
         "outlier_mad": _outliers_oracle(),
         "kmv_set_ops": _kmv_set_ops_oracle(),
