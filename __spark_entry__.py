@@ -1496,6 +1496,23 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (6 merges) on a bounded corpus
+    sample — the learned merge table. Rows-only by design, like the
+    trained-k-means IVF: the per-iteration argmax feeds the next
+    iteration's input, which no single SQL statement can express; the
+    algorithm is instead pinned against a pure-Python greedy reference in
+    tests/test_round4_ops.py (including the overlapping-run case), and
+    determinism is tested by double-run equality."""
+    from etl_pipeline_last_fm_spark.operators.packing import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    merges = bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (the 4th classic strategy beside
     banding / pigeonhole / prefix): global rank WITHOUT a global sort
@@ -1634,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
+        "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
+        # pinned against a pure-Python reference in pytest (see docstring)
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
         # recall gate (sim_ann_ivf_recall, in-window) is the oracle-checked
         # driver row for this path, plus the fully value-checked seeded twin.

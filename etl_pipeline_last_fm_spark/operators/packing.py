@@ -313,3 +313,92 @@ def vocab_coverage_oracle_sql(top_k: int = 20, table: str = "documents") -> str:
                      / total * 100.0 * 10000.0 + 0.5) / 10000.0 AS cum_pct
         FROM topk, total
     """
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, str, str, str, int]]:
+    """Byte-pair-encoding merge training over the corpus: ``n_merges``
+    iterations of (count adjacent symbol pairs) -> (pick the most frequent,
+    ties broken (count desc, pair asc) — deterministic) -> (greedily merge
+    that pair left-to-right in every document). Returns the learned merge
+    table [(step, left, right, merged, pair_count)].
+
+    The iterative-training member of the operator family (like the
+    trained-k-means IVF): per iteration one distributed pair-count
+    aggregate + one pure-expression corpus rewrite; the only driver data
+    is ONE (pair, count) row per iteration — bounded O(n_merges).
+
+    The merge is an `aggregate` fold over the token array: append the
+    token, except when the accumulator ends with `left` and the token is
+    `right` — then replace the tail with the merged symbol. Because the
+    merged symbol's string differs from `left`, a just-merged tail can
+    never re-trigger, which reproduces greedy left-to-right semantics
+    exactly (runs like [a,a,a] with pair (a,a) give [aa, a] — tested
+    against a pure-Python reference). Symbols are strings, so a merged
+    symbol is indistinguishable from a pre-existing identical token —
+    the standard string-level BPE simplification, documented trade.
+
+    Scale notes: the fold copies the accumulator per element (O(len^2)
+    small-string copies per doc per iteration) — acceptable because BPE
+    training is canonically run on a corpus SAMPLE (pass a sampled df;
+    the merge table, not the rewritten corpus, is the product). Each
+    iteration's token table is persisted and the previous one released,
+    so lineage stays one iteration deep instead of n_merges plans tall.
+    """
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("__toks"),
+    ).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            top = (
+                toks.select(
+                    F.explode(
+                        F.expr(
+                            """transform(sequence(1, greatest(size(__toks) - 1, 0)),
+                                         i -> struct(element_at(__toks, i) AS l,
+                                                     element_at(__toks, i + 1) AS r))"""
+                        )
+                    ).alias("p")
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merged = left + right
+            merges.append((step, left, right, merged, n))
+            folded = toks.select(
+                "doc_id",
+                F.expr(
+                    f"""aggregate(
+                            __toks,
+                            cast(array() as array<string>),
+                            (acc, t) -> CASE
+                                WHEN size(acc) > 0
+                                     AND element_at(acc, -1) = '{esc(left)}'
+                                     AND t = '{esc(right)}'
+                                THEN concat(slice(acc, 1, size(acc) - 1),
+                                            array('{esc(merged)}'))
+                                ELSE concat(acc, array(t)) END)"""
+                ).alias("__toks"),
+            ).persist()
+            folded.count()  # materialize before releasing the parent
+            toks.unpersist()
+            toks = folded
+    finally:
+        toks.unpersist()
+    return merges

@@ -290,3 +290,63 @@ def test_sorted_neighborhood_window_bound(spark):
     # ranks tie-broken by doc_id: each rank pairs with <= 3 successors
     assert out <= 3 * 60
     assert out == 3 * 60 - 3 - 2 - 1  # exact: tail ranks have fewer mates
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python greedy string-level BPE, the truth for bpe_train."""
+    corpora = [t.strip().split(" ") for t in texts]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for toks in corpora:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = counts.get((toks[i], toks[i + 1]), 0) + 1
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merged = l + r
+        merges.append((step, l, r, merged, n))
+        out = []
+        for toks in corpora:
+            acc = []
+            for t in toks:
+                if acc and acc[-1] == l and t == r:
+                    acc[-1] = merged
+                else:
+                    acc.append(t)
+            out.append(acc)
+        corpora = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from etl_pipeline_last_fm_spark.operators.packing import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran to the cat tree",
+        "a a a a b b",          # overlapping-run greedy case
+        "the dog sat on the cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=6)
+    want = _bpe_reference(texts, 6)
+    assert got == want
+    # the overlapping run must have merged greedily: (a,a) count is 3
+    # (positions 1-2, 2-3, 3-4 overlap; distinct occurrences pre-merge)
+    assert any(l == "a" and r == "a" for _, l, r, _, _ in want)
+
+
+def test_bpe_train_fixture_deterministic(spark, sf_dir):
+    from etl_pipeline_last_fm_spark.operators.packing import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    a = bpe_train(docs, n_merges=4)
+    b = bpe_train(docs, n_merges=4)
+    assert a == b and len(a) == 4
+    # merged symbols are concatenations of their parts
+    assert all(m == l + r for _, l, r, m, _ in a)
