@@ -1506,11 +1506,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism is tested by double-run equality."""
     from etl_pipeline_last_fm_spark.operators.packing import bpe_train
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    merges = bpe_train(docs, n_merges=6)
+    # Memoized per sf_dir: bpe_train runs EAGERLY (driver-loop iterations,
+    # unavoidable for this op), but queries()-enumerating tooling (the
+    # plan-shape guard iterates all entries) should not pay the full
+    # training job per construction.
+    if sf_dir not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        _BPE_CACHE[sf_dir] = bpe_train(docs, n_merges=6)
     return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_count long"
+        _BPE_CACHE[sf_dir],
+        "step int, left string, right string, merged string, pair_count long",
     )
+
+
+_BPE_CACHE: dict[str, list] = {}
 
 
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,10 +1541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
     # Rotation policy (round 4): entries that have NEVER had a driver row are
     # promoted ahead of redundant siblings of families with two or more green
-    # rounds on record — after this window, every registry entry has at least
-    # one CORRECTNESS_r{N} row (cumulative coverage 92/92). Demoted entries
-    # keep their r1-r3 driver record and still run in
-    # tests/test_oracle_parity.py at sf0.001 every pytest run.
+    # rounds on record — after this window, every entry that existed at
+    # rotation time has at least one CORRECTNESS_r{N} row. Operators added
+    # later in round 4 (see the past-cap section note) queue for the
+    # round-5 window. Demoted entries keep their r1-r3 driver record and
+    # still run in tests/test_oracle_parity.py at sf0.001 every pytest run.
     # Rotation-invariant set (must stay resolvable by name for bench.py, and
     # stays in-window as the flagship tier): pricing_summary,
     # flagship_royalties, star_join, windowed_top_k, idempotent_append,
@@ -1600,9 +1610,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_mad": q_outlier_mad,
         "kmv_set_ops": q_kmv_set_ops,
         # --- past the 50-entry cap ------------------------------------
-        # All have green driver rows on record (r1-r3) and run in
-        # test_oracle_parity every pytest; they rotate back in if their
-        # family loses its in-window representative.
+        # Entries below down to sim_ann_lsh_multiprobe have green driver
+        # rows on record (r1-r3) and run in test_oracle_parity every
+        # pytest; they rotate back in if their family loses its in-window
+        # representative. The round-4-NEW past-cap entries
+        # (dedup_sorted_neighborhood, regional_revenue, shipping_priority,
+        # bpe_train) have NO driver row yet — they are first in line for
+        # the round-5 window rotation.
         "surrogate_keys": q_surrogate_keys,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,

@@ -76,6 +76,11 @@ def mad_outliers(
     convention use cutoff ~= round(k * 1.4826) for k sigmas.
     """
     group_cols = group_cols or ["event_type"]
+    # NULL values are excluded up front: Spark window ORDER BY sorts
+    # NULLS FIRST while DuckDB defaults to NULLS LAST, so a NULL reaching
+    # the rank computation would shift the median rank differently per
+    # engine — and a NULL measurement is not an outlier candidate anyway.
+    events = events.filter(F.col(value_col).isNotNull())
     med = _grouped_lower_median(events, value_col, group_cols, "med").drop("__n")
     with_med = events.join(med, group_cols)
     dev = with_med.withColumn(
@@ -108,11 +113,14 @@ def mad_outliers_oracle_sql(
     (Not PERCENTILE_DISC spelled literally, so the rank arithmetic itself
     is cross-checked — but it IS that function's semantics.)"""
     return f"""
-        WITH st AS (
+        WITH src AS (
+            SELECT * FROM {table} WHERE {value_col} IS NOT NULL
+        ),
+        st AS (
             SELECT {group_col} AS g, {value_col} AS v,
                    ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS rk,
                    COUNT(*) OVER (PARTITION BY {group_col}) AS n
-            FROM {table}
+            FROM src
         ),
         med AS (
             SELECT g, MAX(CASE WHEN rk = (n + 1) // 2 THEN v END) AS med
@@ -121,7 +129,7 @@ def mad_outliers_oracle_sql(
         dev AS (
             SELECT e.{id_col}, e.{group_col}, e.{value_col},
                    m.med, abs(e.{value_col} - m.med) AS dv
-            FROM {table} e JOIN med m ON e.{group_col} = m.g
+            FROM src e JOIN med m ON e.{group_col} = m.g
         ),
         st2 AS (
             SELECT {group_col} AS g, dv,

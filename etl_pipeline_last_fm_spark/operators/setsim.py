@@ -86,6 +86,35 @@ def _distinct_shingle_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
     )
 
 
+def _prefixed(
+    rows: DataFrame,
+    df_counts: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Per-doc prefix rows under the (df asc, shingle asc) order: rank and
+    size from one window pair, prefix length p = sz - ceil(t*sz) + 1 with
+    ceil in integer arithmetic. ``df_counts`` may omit tokens (the
+    incremental variant orders by the CORPUS's dfs only) — unseen tokens
+    coalesce to df 0, i.e. rarest-first. Shared by the symmetric and the
+    incremental operator so the order/length logic cannot diverge."""
+    ranked = rows.join(df_counts, "shingle", "left").withColumn(
+        "__df", F.coalesce("__df", F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ranked = ranked.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__sz"),
+    )
+    ceil_t_sz = F.floor(
+        (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
+        / F.lit(threshold_den)
+    )
+    return ranked.filter(F.col("__rk") <= F.col("__sz") - ceil_t_sz + 1)
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     threshold_num: int = 1,
@@ -99,27 +128,17 @@ def prefix_filter_pairs(
     same threshold, the same rows — a useful cross-check: one exact, one
     probabilistic, one truth set in the oracle).
     """
-    rows = _distinct_shingle_rows(docs, shingle_len)
+    # persist(): rows feeds BOTH the df groupBy and the order join below —
+    # unpersisted, the explode+distinct subtree (the corpus-proportional
+    # stage) executes twice per action. Same cache-ownership note as cands.
+    rows = _distinct_shingle_rows(docs, shingle_len).persist()
 
     # Global token order: (document frequency asc, shingle asc). The order
     # is a pure function of the corpus — no global window / row_number is
     # needed, each doc only has to sort ITS OWN tokens by the (df, shingle)
     # key, so the only wide operation is the df groupBy.
     df_counts = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = rows.join(df_counts, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
-    ranked = ranked.select(
-        "doc_id",
-        "shingle",
-        F.row_number().over(w).alias("__rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__sz"),
-    )
-    # p = sz - ceil(t*sz) + 1, ceil in integer arithmetic.
-    ceil_t_sz = F.floor(
-        (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
-        / F.lit(threshold_den)
-    )
-    prefix = ranked.filter(F.col("__rk") <= F.col("__sz") - ceil_t_sz + 1)
+    prefix = _prefixed(rows, df_counts, threshold_num, threshold_den)
 
     # Candidates via bucket expansion, NOT a prefix-to-prefix self-join: a
     # self-join executes the prefix subtree (shingle rows + df join + two
@@ -232,32 +251,17 @@ def prefix_filter_pairs_incremental(
     operator's cross-pairs on the union).
     """
     rows_n = _distinct_shingle_rows(new_docs, shingle_len)
-    rows_c = _distinct_shingle_rows(corpus, shingle_len)
+    # persist(): corpus rows feed both the df groupBy and the corpus-side
+    # prefix join — same double-execution note as the symmetric operator.
+    rows_c = _distinct_shingle_rows(corpus, shingle_len).persist()
     df_counts = rows_c.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df")
     )
 
-    def prefixed(rows: DataFrame) -> DataFrame:
-        ranked = rows.join(df_counts, "shingle", "left").withColumn(
-            "__df", F.coalesce("__df", F.lit(0))
-        )
-        w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
-        ranked = ranked.select(
-            "doc_id",
-            "shingle",
-            F.row_number().over(w).alias("__rk"),
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__sz"),
-        )
-        ceil_t_sz = F.floor(
-            (F.lit(threshold_num) * F.col("__sz") + F.lit(threshold_den - 1))
-            / F.lit(threshold_den)
-        )
-        return ranked.filter(F.col("__rk") <= F.col("__sz") - ceil_t_sz + 1)
-
-    pn = prefixed(rows_n).select(
+    pn = _prefixed(rows_n, df_counts, threshold_num, threshold_den).select(
         F.col("doc_id").alias("new_id"), "shingle", F.col("__sz").alias("sz_n")
     )
-    pc = prefixed(rows_c).select(
+    pc = _prefixed(rows_c, df_counts, threshold_num, threshold_den).select(
         F.col("doc_id").alias("corpus_id"), "shingle", F.col("__sz").alias("sz_c")
     )
     cands = (

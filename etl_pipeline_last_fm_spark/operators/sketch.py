@@ -575,10 +575,15 @@ def kmv_set_ops(
             + F.lit(0.5)
         ).cast("long")
     )
-    jac = F.floor(
-        F.col("c").cast("double") / F.col("n_m").cast("double") * 10000.0
-        + F.lit(0.5)
-    ) / 10000.0
+    # n_m = 0 (both states empty) would make c/n_m NULL in Spark but NaN
+    # in DuckDB — pin the empty-set Jaccard to 0.0 on both sides.
+    jac = F.when(F.col("n_m") == 0, F.lit(0.0)).otherwise(
+        F.floor(
+            F.col("c").cast("double") / F.col("n_m").cast("double") * 10000.0
+            + F.lit(0.5)
+        )
+        / 10000.0
+    )
     return (
         mstats.crossJoin(in_both)
         .crossJoin(astats)
@@ -647,7 +652,9 @@ def kmv_set_ops_oracle_sql(
                               END AS DOUBLE)
                             / CAST(n_m AS DOUBLE) + 0.5)
             END AS BIGINT) AS n_inter_est,
-            FLOOR(CAST(c AS DOUBLE) / CAST(n_m AS DOUBLE) * 10000.0 + 0.5) / 10000.0
-              AS jaccard_est
+            CASE WHEN n_m = 0 THEN 0.0
+                 ELSE FLOOR(CAST(c AS DOUBLE) / CAST(n_m AS DOUBLE) * 10000.0 + 0.5)
+                      / 10000.0
+            END AS jaccard_est
         FROM ms, cb, sa, sb
     """

@@ -65,7 +65,15 @@ def assign_surrogate_keys_distributed(
 
     parts = num_partitions or new_rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = new_rows.repartitionByRange(int(parts), *[F.col(c) for c in natural_order])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # persist(): the per-partition counts are collected in ONE action and
+    # the numbering is consumed in a LATER one — repartitionByRange picks
+    # its boundaries by sampling, so an unpersisted re-execution could
+    # land rows in different partitions than the counts were taken from,
+    # producing duplicate/gapped ids. Materializing the ranged frame pins
+    # both reads to the same partitioning. Cache ownership: lives until
+    # session eviction, spills to disk (same note as dedup's candidate
+    # persists).
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
 
     counts = {
         r["__pid"]: r["cnt"]

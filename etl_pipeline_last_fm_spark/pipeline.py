@@ -318,9 +318,21 @@ def run_dm_streaming(spark: SparkSession, wh: Warehouse, run_date: str | Date) -
     st_duration = os.path.join(wh.root, "dm_state", "duration_by_date_country")
 
     fact_stream = spark.readStream.schema(FACT_SCHEMA).parquet(fact_path)
+    # coalesce(., 0): additive_state's c is COUNT(value) (NULL-skipping,
+    # correct for the duration AVG mart below), but cnt_appearance must
+    # equal the batch mart's COUNT(*). A NULL listeners_count (imputation
+    # upstream should prevent it; the schema allows it) would silently
+    # undercount — coalescing to 0 makes c = COUNT(*) while adding 0 to
+    # the royalties SUM, i.e. exactly the batch marts' semantics.
     q1 = (
         streaming_mart_maintenance(
-            fact_stream.select("date", "artist_id", "listeners_count"),
+            fact_stream.select(
+                "date",
+                "artist_id",
+                F.coalesce(F.col("listeners_count"), F.lit(0)).alias(
+                    "listeners_count"
+                ),
+            ),
             st_listeners,
             ["date", "artist_id"],
             "listeners_count",
@@ -346,8 +358,17 @@ def run_dm_streaming(spark: SparkSession, wh: Warehouse, run_date: str | Date) -
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination()
-    q2.awaitTermination()
+    # Stop BOTH queries if either await raises: a surviving background
+    # drain would keep folding state while the caller handles the error
+    # (or retries), racing a second writer against the same state path —
+    # exactly the single-writer assumption the replay guard documents.
+    try:
+        q1.awaitTermination()
+        q2.awaitTermination()
+    finally:
+        for q in (q1, q2):
+            if q.isActive:
+                q.stop()
 
     day = F.col("date") == F.lit(str(run_date))
     lstate = read_state(spark, st_listeners).filter(day)

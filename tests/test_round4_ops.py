@@ -350,3 +350,14 @@ def test_bpe_train_fixture_deterministic(spark, sf_dir):
     assert a == b and len(a) == 4
     # merged symbols are concatenations of their parts
     assert all(m == l + r for _, l, r, m, _ in a)
+
+
+def test_kmv_set_ops_empty_states(spark):
+    # both states empty: every estimate 0, jaccard pinned to 0.0 (not
+    # NULL/NaN — Spark and DuckDB disagree on 0/0, so the operator and
+    # oracle both special-case it)
+    empty = spark.createDataFrame([], "v long")
+    se = kmv_state(empty, "v", [], k=64, salt="s")
+    row = kmv_set_ops(se, se, k=64).collect()[0]
+    assert (row.n_a_est, row.n_b_est, row.n_union_est, row.n_inter_est) == (0, 0, 0, 0)
+    assert row.jaccard_est == 0.0
