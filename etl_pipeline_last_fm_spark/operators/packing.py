@@ -402,3 +402,46 @@ def bpe_train(
     finally:
         toks.unpersist()
     return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned BPE merge table: the merges are
+    applied IN TRAINING ORDER, each as the same greedy left-to-right
+    `aggregate` fold ``bpe_train`` uses — so apply(train(corpus)) yields
+    exactly the token arrays training ended with (tested). Returns
+    (doc_id, toks array<string>, n_toks).
+
+    Pure expression chain: n_merges nested folds in ONE projection, no
+    shuffle, no Python in the row path — encoding is a map-only job at
+    any scale (unlike training, whose argmax is inherently iterative).
+    The nested-fold expression grows linearly with the merge count;
+    vocabulary-scale merge tables (tens of thousands) would switch to a
+    broadcast trie + mapInPandas — this expression form is exact and
+    JVM-side for the pipeline-sized tables ``bpe_train`` produces.
+    """
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    expr = f"split(trim({text_col}), ' ')"
+    for _step, left, right, merged, _n in merges:
+        expr = f"""aggregate(
+            {expr},
+            cast(array() as array<string>),
+            (acc, t) -> CASE
+                WHEN size(acc) > 0
+                     AND element_at(acc, -1) = '{esc(left)}'
+                     AND t = '{esc(right)}'
+                THEN concat(slice(acc, 1, size(acc) - 1), array('{esc(merged)}'))
+                ELSE concat(acc, array(t)) END)"""
+    # two projections so size() consumes the materialized fold via an
+    # attribute reference — two F.expr copies in one select would evaluate
+    # the whole nested fold twice per row (Spark only declines to collapse
+    # when the non-cheap expression is referenced from a CHILD projection)
+    encoded = docs.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("toks"))
+    return encoded.select("doc_id", "toks", F.size("toks").alias("n_toks"))

@@ -233,10 +233,30 @@ def main() -> None:
     ).count()
     t_setops = time.perf_counter() - t0
 
+    from etl_pipeline_last_fm_spark.operators.setsim import sorted_neighborhood_pairs
+
+    t0 = time.perf_counter()
+    n_snm = sorted_neighborhood_pairs(docs, window=10).count()
+    t_snm = time.perf_counter() - t0
+
+    from etl_pipeline_last_fm_spark.operators.packing import apply_bpe, bpe_train
+
+    sample = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    t0 = time.perf_counter()
+    merges = bpe_train(sample, n_merges=4)
+    t_bpet = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    # sum(n_toks), not count(): count() lets Catalyst prune the fold
+    # column entirely and times an empty projection
+    n_enc = apply_bpe(docs, merges).agg(F.sum("n_toks")).collect()[0][0]
+    t_bpea = time.perf_counter() - t0
+
     print(
         f"round-4 tier at same scale: prefix-filter {t_pf:.1f}s ({n_pf} pairs), "
         f"bloom-prune {t_bloom:.1f}s ({n_bl} groups), mad {t_mad:.1f}s ({n_mad} outliers), "
-        f"kmv-set-ops {t_setops:.1f}s ({n_so} row)"
+        f"kmv-set-ops {t_setops:.1f}s ({n_so} row), snm {t_snm:.1f}s ({n_snm} pairs), "
+        f"bpe-train(10% sample) {t_bpet:.1f}s ({len(merges)} merges), "
+        f"bpe-apply {t_bpea:.1f}s ({n_enc} toks)"
     )
 
 if __name__ == "__main__":

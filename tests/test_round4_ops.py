@@ -361,3 +361,38 @@ def test_kmv_set_ops_empty_states(spark):
     row = kmv_set_ops(se, se, k=64).collect()[0]
     assert (row.n_a_est, row.n_b_est, row.n_union_est, row.n_inter_est) == (0, 0, 0, 0)
     assert row.jaccard_est == 0.0
+
+
+def test_apply_bpe_roundtrip_and_reference(spark):
+    from etl_pipeline_last_fm_spark.operators.packing import apply_bpe, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran to the cat tree",
+        "a a a a b b",
+        "the dog sat on the cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=5)
+    got = {r.doc_id: r.toks for r in apply_bpe(docs, merges).collect()}
+    # python reference: apply each merge greedily in order
+    corpora = {i: t.strip().split(" ") for i, t in enumerate(texts)}
+    for _s, l, r, m, _n in merges:
+        for i, toks in corpora.items():
+            acc = []
+            for t in toks:
+                if acc and acc[-1] == l and t == r:
+                    acc[-1] = m
+                else:
+                    acc.append(t)
+            corpora[i] = acc
+    assert got == corpora
+    # shrinkage: at least one doc got shorter, none got longer
+    lens = {r.doc_id: r.n_toks for r in apply_bpe(docs, merges).collect()}
+    orig = {i: len(t.split(" ")) for i, t in enumerate(texts)}
+    assert all(lens[i] <= orig[i] for i in lens) and any(lens[i] < orig[i] for i in lens)
+    # empty merge table = plain whitespace tokenization
+    plain = {r.doc_id: r.toks for r in apply_bpe(docs, []).collect()}
+    assert plain == {i: t.strip().split(" ") for i, t in enumerate(texts)}
