@@ -1522,6 +1522,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_CACHE: dict[str, list] = {}
 
 
+def q_dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood: forward + reversed-text sort keys,
+    candidates unioned before one shared verification — the classic
+    recall repair for pairs differing at the sort key's start (the
+    single-pass blindness is demonstrated in
+    tests/test_round4_ops.py::test_snm_multipass_catches_head_variant)."""
+    from etl_pipeline_last_fm_spark.operators.setsim import (
+        sorted_neighborhood_pairs_multipass,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs_multipass(docs, window=10)
+
+
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (the 4th classic strategy beside
     banding / pigeonhole / prefix): global rank WITHOUT a global sort
@@ -1663,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "dedup_snm_multipass": q_dedup_snm_multipass,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
@@ -2250,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_prefix_filter": _setsim_oracle(),
         "dedup_sorted_neighborhood": _snm_oracle(),
+        "dedup_snm_multipass": _snm_multipass_oracle(),
         "regional_revenue": f"""
             WITH li AS (
                 SELECT l_orderkey, l_suppkey,
@@ -2312,6 +2328,14 @@ def _snm_oracle() -> str:
     )
 
     return sorted_neighborhood_pairs_oracle_sql(window=10)
+
+
+def _snm_multipass_oracle() -> str:
+    from etl_pipeline_last_fm_spark.operators.setsim import (
+        sorted_neighborhood_pairs_oracle_sql,
+    )
+
+    return sorted_neighborhood_pairs_oracle_sql(window=10, multipass=True)
 
 
 def _bloom_oracle() -> str:

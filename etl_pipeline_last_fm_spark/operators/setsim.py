@@ -375,13 +375,20 @@ def sorted_neighborhood_pairs(
     with a bounded window-1 fan-out per row, so candidate volume is
     exactly (window-1) * n — linear by construction.
     """
+    cands = _snm_candidates(
+        docs, F.trim(F.col("text")), window
+    ).persist()
+    return _verify_pairs(docs, cands, threshold_num, threshold_den, shingle_len)
+
+
+def _snm_candidates(docs: DataFrame, key: Column, window: int) -> DataFrame:
+    """One SNM pass: rank by (key, doc_id), pair each row with its next
+    window-1 successors (bounded fan-out equi-join on rank)."""
     from etl_pipeline_last_fm_spark.operators.surrogate import (
         assign_surrogate_keys_distributed,
     )
 
-    keyed = docs.select(
-        "doc_id", "text", F.trim(F.col("text")).alias("__key")
-    )
+    keyed = docs.select("doc_id", "text", key.alias("__key"))
     ranked = assign_surrogate_keys_distributed(
         keyed, "__rank", ["__key", "doc_id"]
     ).select("doc_id", "__rank")
@@ -395,15 +402,33 @@ def sorted_neighborhood_pairs(
     mates = ranked.select(
         F.col("doc_id").alias("id_b"), F.col("__rank").alias("__r2")
     )
-    cands = (
+    return (
         probes.join(mates, "__r2")
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
             F.greatest("id_a", "id_b").alias("doc_b"),
         )
         .distinct()
-        .persist()
     )
+
+
+def sorted_neighborhood_pairs_multipass(
+    docs: DataFrame,
+    window: int = 10,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Classic multi-pass SNM: a second pass sorted by the REVERSED text
+    unions its candidates with the forward pass before one shared
+    verification. Single-key SNM is blind to pairs that differ at the
+    sort key's start (a changed first word sorts a near-dup far away);
+    the reversed key makes suffix-similar docs adjacent instead — the
+    standard recall repair, still (passes * (window-1)) * n candidates,
+    linear by construction."""
+    fwd = _snm_candidates(docs, F.trim(F.col("text")), window)
+    rev = _snm_candidates(docs, F.reverse(F.trim(F.col("text"))), window)
+    cands = fwd.unionByName(rev).distinct().persist()
     return _verify_pairs(docs, cands, threshold_num, threshold_den, shingle_len)
 
 
@@ -412,22 +437,36 @@ def sorted_neighborhood_pairs_oracle_sql(
     threshold_num: int = 1,
     threshold_den: int = 2,
     shingle_len: int = 3,
+    multipass: bool = False,
 ) -> str:
     """DuckDB twin: identical rank (ROW_NUMBER ORDER BY trim(text),
-    doc_id), identical window, identical verification."""
+    doc_id), identical window, identical verification; with
+    ``multipass`` the reversed-key pass's candidates union in."""
     s = shingle_len
     cols = ", ".join(f"t[i+{j + 1}]" for j in range(s))
+    rev_cte = f"""
+        ranked2 AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY reverse(trim(text)), doc_id) AS r
+            FROM documents
+        ),"""
+    rev_union = f"""
+            UNION
+            SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+            FROM ranked2 a JOIN ranked2 b
+              ON b.r > a.r AND b.r <= a.r + {window - 1}"""
     return f"""
         WITH ranked AS (
             SELECT doc_id,
                    ROW_NUMBER() OVER (ORDER BY trim(text), doc_id) AS r
             FROM documents
-        ),
+        ),{rev_cte if multipass else ""}
         cands AS (
             SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
                             greatest(a.doc_id, b.doc_id) AS doc_b
             FROM ranked a JOIN ranked b
               ON b.r > a.r AND b.r <= a.r + {window - 1}
+            {rev_union if multipass else ""}
         ),
         sh AS MATERIALIZED (
             SELECT doc_id,

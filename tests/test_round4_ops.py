@@ -396,3 +396,39 @@ def test_apply_bpe_roundtrip_and_reference(spark):
     # empty merge table = plain whitespace tokenization
     plain = {r.doc_id: r.toks for r in apply_bpe(docs, []).collect()}
     assert plain == {i: t.strip().split(" ") for i, t in enumerate(texts)}
+
+
+def test_snm_multipass_catches_head_variant(spark):
+    # single-pass SNM misses a near-dup whose FIRST word changed (sorts
+    # far away); the reversed-key second pass makes the suffix-identical
+    # pair adjacent — the classic multi-pass recall repair
+    from etl_pipeline_last_fm_spark.operators.setsim import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_multipass,
+    )
+
+    spread = [
+        (i, f"{c} filler text row {c} pad pad pad pad")
+        for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")
+    ]
+    # pair 100/101: identical except the leading word ('aaa' vs 'zzz'),
+    # so forward sort puts ~26 spread rows between them
+    docs = spark.createDataFrame(
+        spread
+        + [
+            (100, "aaa common suffix body shared exactly here now"),
+            (101, "zzz common suffix body shared exactly here now"),
+        ],
+        "doc_id long, text string",
+    )
+    single = {
+        (r.doc_a, r.doc_b)
+        for r in sorted_neighborhood_pairs(docs, window=4, threshold_num=1, threshold_den=2).collect()
+    }
+    multi = {
+        (r.doc_a, r.doc_b)
+        for r in sorted_neighborhood_pairs_multipass(docs, window=4, threshold_num=1, threshold_den=2).collect()
+    }
+    assert (100, 101) not in single
+    assert (100, 101) in multi
+    assert single <= multi  # the second pass only ever ADDS candidates
