@@ -1496,6 +1496,16 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: distinct users per (first-activity week,
+    weeks since) — integer epoch-µs week buckets, no calendar rendering,
+    COUNT(DISTINCT) exact (operators/cohort.py; HLL is the documented
+    approximate swap at extreme user cardinality)."""
+    from etl_pipeline_last_fm_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training (6 merges) on a bounded corpus
     sample — the learned merge table. Rows-only by design, like the
@@ -1678,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_snm_multipass": q_dedup_snm_multipass,
+        "cohort_retention": q_cohort_retention,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
@@ -2266,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix_filter": _setsim_oracle(),
         "dedup_sorted_neighborhood": _snm_oracle(),
         "dedup_snm_multipass": _snm_multipass_oracle(),
+        "cohort_retention": _cohort_oracle(),
         "regional_revenue": f"""
             WITH li AS (
                 SELECT l_orderkey, l_suppkey,
@@ -2328,6 +2340,14 @@ def _snm_oracle() -> str:
     )
 
     return sorted_neighborhood_pairs_oracle_sql(window=10)
+
+
+def _cohort_oracle() -> str:
+    from etl_pipeline_last_fm_spark.operators.cohort import (
+        cohort_retention_oracle_sql,
+    )
+
+    return cohort_retention_oracle_sql()
 
 
 def _snm_multipass_oracle() -> str:

@@ -15,7 +15,12 @@ from etl_pipeline_last_fm_spark.operators.flatten import flatten_raw_chart
 from etl_pipeline_last_fm_spark.operators.funnel import funnel_stages, funnel_summary
 from etl_pipeline_last_fm_spark.operators.impute import impute_zero_with_partition_mean
 from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins, idempotent_append
-from etl_pipeline_last_fm_spark.operators.packing import pack_sequences, pair_counts
+from etl_pipeline_last_fm_spark.operators.packing import (
+    apply_bpe,
+    bpe_train,
+    pack_sequences,
+    pair_counts,
+)
 from etl_pipeline_last_fm_spark.operators.profile import (
     fixed_width_histogram,
     profile_columns,
@@ -32,9 +37,15 @@ from etl_pipeline_last_fm_spark.operators.bloom import (
     bloom_prune_join_stats,
     build_bloom_words,
 )
+from etl_pipeline_last_fm_spark.operators.cohort import cohort_retention
 from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
 from etl_pipeline_last_fm_spark.operators.scd import scd2_apply, scd2_history
-from etl_pipeline_last_fm_spark.operators.setsim import prefix_filter_pairs
+from etl_pipeline_last_fm_spark.operators.setsim import (
+    prefix_filter_pairs,
+    prefix_filter_pairs_incremental,
+    sorted_neighborhood_pairs,
+    sorted_neighborhood_pairs_multipass,
+)
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.star import star_join
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
@@ -68,4 +79,10 @@ __all__ = [
     "bloom_might_contain",
     "bloom_prune_join_stats",
     "mad_outliers",
+    "cohort_retention",
+    "prefix_filter_pairs_incremental",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_pairs_multipass",
+    "bpe_train",
+    "apply_bpe",
 ]

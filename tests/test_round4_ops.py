@@ -432,3 +432,37 @@ def test_snm_multipass_catches_head_variant(spark):
     assert (100, 101) not in single
     assert (100, 101) in multi
     assert single <= multi  # the second pass only ever ADDS candidates
+
+
+def test_cohort_retention_handcomputed(spark):
+    from datetime import datetime
+
+    from etl_pipeline_last_fm_spark.operators.cohort import cohort_retention
+
+    # users: u1 active weeks 0,1,2; u2 weeks 0,2; u3 week 1 only.
+    # cohorts: u1,u2 -> week of t0; u3 -> t0+1w.
+    base = datetime(2024, 1, 1)
+    def at(days):
+        from datetime import timedelta
+        return base + timedelta(days=days)
+    rows = [
+        (1, at(0)), (1, at(7)), (1, at(14)),
+        (2, at(1)), (2, at(15)),
+        (3, at(8)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.week_offset, r.n_users)
+        for r in cohort_retention(ev).filter(F.col("week_offset") >= 0).collect()
+    }
+    # cohort week(t0): offset 0 -> {u1,u2}=2, offset 1 -> {u1}=1, offset 2 -> {u1,u2}=2
+    # cohort week(t0+1w): offset 0 -> {u3}=1
+    got = sorted(
+        (r.cohort_week, r.week_offset, r.n_users)
+        for r in cohort_retention(ev).collect()
+    )
+    cohorts = {c for c, _, _ in got}
+    assert len(cohorts) == 2
+    w0 = min(cohorts)
+    assert [(o, n) for c, o, n in got if c == w0] == [(0, 2), (1, 1), (2, 2)]
+    assert [(o, n) for c, o, n in got if c != w0] == [(0, 1)]
