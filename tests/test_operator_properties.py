@@ -187,3 +187,93 @@ def test_scd2_islands_match_python_reference(spark, obs):
             nxt = runs[v][1] if v < len(runs) else None
             want[(k, v)] = (a, d, nxt)
     assert got == want
+
+
+# --- round-4 operators -----------------------------------------------------
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=3, max_size=12
+    ).map(" ".join),
+    min_size=2,
+    max_size=15,
+)
+
+
+@given(texts=_doc_texts, num_den=st.sampled_from([(1, 3), (1, 2), (2, 3), (4, 5)]))
+@settings(**SETTINGS)
+def test_prefix_filter_lossless_property(spark, texts, num_den):
+    """The prefix-filter lemma on RANDOM low-diversity corpora (the
+    adversarial regime): output must equal brute-force all-pairs at the
+    same integer threshold — lossless is a theorem, not a tuning."""
+    from etl_pipeline_last_fm_spark.operators.dedup import _shingles
+    from etl_pipeline_last_fm_spark.operators.setsim import prefix_filter_pairs
+
+    num, den = num_den
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in prefix_filter_pairs(docs, num, den).collect()
+    }
+    sh = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
+    ).select("doc_id", _shingles("__toks", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - shared
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(shared * F.lit(den) >= F.lit(num) * union)
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False), min_size=1, max_size=40
+    ),
+    cutoff=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_mad_outliers_matches_python_reference(spark, vals, cutoff):
+    from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id for r in mad_outliers(df, cutoff=cutoff).collect()}
+    # python reference: lower median by rank, same integer cutoff
+    sv = sorted(vals)
+    med = sv[(len(sv) + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(len(devs) + 1) // 2 - 1]
+    want = {i for i, v in enumerate(vals) if abs(v - med) > cutoff * mad}
+    assert got == want
+
+
+@given(
+    a_vals=st.lists(st.integers(0, 400), min_size=0, max_size=60),
+    b_vals=st.lists(st.integers(0, 400), min_size=0, max_size=60),
+)
+@settings(**SETTINGS)
+def test_kmv_set_ops_exact_when_small(spark, a_vals, b_vals):
+    """Below k the merged state is complete, so union/intersection are
+    exact set cardinalities for ANY inputs."""
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_set_ops, kmv_state
+
+    a = spark.createDataFrame([(v,) for v in a_vals] or [(None,)], "v long").filter(
+        F.col("v").isNotNull()
+    )
+    b = spark.createDataFrame([(v,) for v in b_vals] or [(None,)], "v long").filter(
+        F.col("v").isNotNull()
+    )
+    sa = kmv_state(a, "v", [], k=512, salt="s")
+    sb = kmv_state(b, "v", [], k=512, salt="s")
+    row = kmv_set_ops(sa, sb, k=512).collect()[0]
+    sa_, sb_ = set(a_vals), set(b_vals)
+    assert row.n_union_est == len(sa_ | sb_)
+    assert row.n_inter_est == len(sa_ & sb_)
