@@ -1561,6 +1561,220 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(docs, window=10)
 
 
+_US_1996_07 = 836179200000000  # 1996-07-01T00:00:00Z in epoch microseconds
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 beyond UNION ALL: INTERSECT and EXCEPT (distinct set
+    semantics) — customers segmented by when they ordered (both halves of
+    1996 / first only / second only). Spark's intersect/subtract lower to
+    aggregate + join plans; the oracle uses the SQL set operators
+    literally, so the set SEMANTICS (distinctness, NULL handling) are the
+    thing cross-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    us = ts_us(F.col("o_orderdate"))
+    pre = orders.filter((us >= _US_1996) & (us < _US_1996_07)).select("o_custkey")
+    post = orders.filter(
+        (us >= _US_1996_07) & (us < _US_1997)
+    ).select("o_custkey")
+    both = pre.intersect(post).select("o_custkey", F.lit("both").alias("segment"))
+    only_pre = pre.subtract(post).select("o_custkey", F.lit("h1_only").alias("segment"))
+    only_post = post.subtract(pre).select("o_custkey", F.lit("h2_only").alias("segment"))
+    return both.unionByName(only_pre).unionByName(only_post)
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence mining: the global event-type transition matrix
+    (from, to, n) over each user's time-ordered stream — the Markov-chain
+    census behind next-action models and funnel diagnostics. One lead()
+    window per user (single shuffle on user_id), integer epoch-µs
+    ordering with event_id tie-break (NTZ-safe, engine-deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        ts_us(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in EXACT integer micro-units: each
+    component is quantized floor(x*1e6+0.5) BEFORE summation (both
+    engines widen the same float32 to the same double, so the quantized
+    int64s agree bit-for-bit and the sums are order-free), centroid =
+    sum div n. The vector-aggregate pattern (posexplode -> groupBy
+    (label, pos)) that cluster-assignment / class-prototype steps use;
+    one shuffle, fan-out = dim per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "comp"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),  # 1-based, matches SQL subscripts
+            F.floor(F.col("comp").cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("__s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            # Spark `div` and DuckDB `//` both truncate toward zero
+            # (verified: -7 div 2 = -3 on BOTH) — safe on negative sums.
+            F.expr("__s div n").alias("centroid_micro"),
+            "n",
+        )
+    )
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-shard drift: EXACT total-variation distance between
+    token unigram distributions in integer micro-units — the mixture
+    health check before training. Pure rational of the token counts (no
+    ln(), unlike KL), shared-vocabulary collapse so one inner join per
+    pair, pair expansion over the tiny SOURCE dimension only
+    (operators/text.py:corpus_drift)."""
+    return text_ops.corpus_drift(load_table(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build: per term its df, total tf, and the sorted
+    doc-id posting list (comma-joined so the value hash covers list
+    CONTENT, not array formatting). The retrieval primitive behind
+    contamination audits and BM25 (operators/text.py:inverted_index)."""
+    return text_ops.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO semantics (update + insert + delete in one pass)
+    over the event log — the general upsert whose insert-only special
+    case is the reference's ON CONFLICT DO NOTHING (SURVEY §2.7). Two
+    per-key compactions + full-outer + CASE, all shuffling on user_id
+    (operators/scd.py:merge_upsert)."""
+    return scd_ops.merge_upsert(load_table(spark, sf_dir, "events"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-supplier graph
+    (suppliers appearing in the same order), via DEGREE-ORDERED
+    orientation — the curse-of-the-last-reducer fix that bounds the wedge
+    join's fan-out at O(sqrt(m)) per node on any degree distribution. The
+    oracle derives the identical counts through the naive id-ordered
+    3-way join: two independent algorithms agreeing node-for-node.
+    (Small-SF caveat, operators/graph.py: tiny supplier cardinality makes
+    this graph near-complete — density is a fixture artifact, not a plan
+    property; production co-occurrence graphs are sparse.)"""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        cosupplier_edges,
+        triangle_counts,
+    )
+
+    return triangle_counts(cosupplier_edges(load_table(spark, sf_dir, "lineitem")))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-4-iteration PageRank in EXACT integer micro-units over the
+    customer->supplier purchase graph: every step is int64 floor division
+    and summation, so the ranks match the oracle's 4 unrolled CTEs
+    value-for-value by construction — an ITERATIVE algorithm with full
+    hash-level cross-engine parity (unlike float PageRank, whose
+    accumulation order drifts; and unlike k-means/BPE, whose data-driven
+    control flow forces rows-only grading). Pregel shape: one join + one
+    shuffle per round, ranks stay (node, int64)."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        customer_supplier_edges,
+        pagerank_micro,
+    )
+
+    edges = customer_supplier_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return pagerank_micro(edges, n_iter=4)
+
+
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT OUTER JOIN orders with the join-side
+    filter INSIDE the join condition (not a WHERE — zero-order customers
+    must survive), per-customer order count, then the distribution of
+    those counts. Exercises outer-join-with-residual-condition +
+    two-level reaggregation, a plan shape no other entry covers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): NULLs excluded
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group AVG subquery (lineitems below
+    20% of their part's average quantity), decorrelated to a join against
+    the per-part aggregate. The 0.2*avg comparison is EXACT integer
+    cross-multiplication: qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum —
+    no float division anywhere in the predicate, so the boundary rows
+    match the oracle bit-for-bit. Output = total price of those lines / 7
+    (weekly-revenue-loss framing) with the pure-integer round identity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(qty).alias("__sq"), F.count(F.lit(1)).alias("__cnt")
+    )
+    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("__pk"))
+        .filter(qty * F.lit(5) * F.col("__cnt") < F.col("__sq"))
+        .agg(F.sum(e2).alias("__se2"))
+        .select(
+            (F.expr("(2 * coalesce(__se2, 0L) * 100 + 700) div 1400").cast("double")
+             / F.lit(100.0)).alias("avg_weekly_loss")
+        )
+    )
+
+
+def q_top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped SUM feeding an IN-subquery
+    (expressed as the decorrelated join Spark plans it as), rejoined to
+    orders+customer, top-100 by o_totalprice with o_orderkey tie-break.
+    sum_qty is exact integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "l_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("l_orderkey"))
+        .limit(100)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
     # Rotation policy (round 4): entries that have NEVER had a driver row are
@@ -1691,6 +1905,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "regional_revenue": q_regional_revenue,
         "shipping_priority": q_shipping_priority,
+        "triangle_count": q_triangle_count,
+        "pagerank": q_pagerank,
+        "order_distribution": q_order_distribution,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_volume_orders": q_top_volume_orders,
+        "corpus_drift": q_corpus_drift,
+        "inverted_index": q_inverted_index,
+        "merge_upsert": q_merge_upsert,
+        "set_ops": q_set_ops,
+        "session_transitions": q_session_transitions,
+        "label_centroids": q_label_centroids,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
         # pinned against a pure-Python reference in pytest (see docstring)
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
@@ -2320,10 +2545,115 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune_join": _bloom_oracle(),
         "outlier_mad": _outliers_oracle(),
         "kmv_set_ops": _kmv_set_ops_oracle(),
+        "triangle_count": _graph_mod().triangle_counts_oracle_sql(),
+        "pagerank": _graph_mod().pagerank_oracle_sql(n_iter=4),
+        "corpus_drift": text_ops.corpus_drift_oracle_sql(),
+        "inverted_index": text_ops.inverted_index_oracle_sql(),
+        "merge_upsert": scd_ops.merge_upsert_oracle_sql(),
+        "set_ops": f"""
+            WITH pre AS (
+                SELECT o_custkey FROM orders
+                WHERE epoch_us(o_orderdate) >= {_US_1996}
+                  AND epoch_us(o_orderdate) <  {_US_1996_07}
+            ),
+            post AS (
+                SELECT o_custkey FROM orders
+                WHERE epoch_us(o_orderdate) >= {_US_1996_07}
+                  AND epoch_us(o_orderdate) <  {_US_1997}
+            )
+            SELECT o_custkey, 'both' AS segment
+            FROM (SELECT o_custkey FROM pre INTERSECT SELECT o_custkey FROM post)
+            UNION ALL
+            SELECT o_custkey, 'h1_only' AS segment
+            FROM (SELECT o_custkey FROM pre EXCEPT SELECT o_custkey FROM post)
+            UNION ALL
+            SELECT o_custkey, 'h2_only' AS segment
+            FROM (SELECT o_custkey FROM post EXCEPT SELECT o_custkey FROM pre)
+        """,
+        "session_transitions": """
+            WITH seq AS (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
+        "label_centroids": """
+            WITH comp AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ),
+            s AS (
+                SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
+                FROM comp GROUP BY label, pos
+            )
+            SELECT label, CAST(pos AS INTEGER) AS pos,
+                   sq // n AS centroid_micro, n
+            FROM s
+        """,
+        "order_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "small_qty_revenue": """
+            WITH q AS (
+                SELECT l_partkey,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS e2
+                FROM lineitem
+            ),
+            pa AS (
+                SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
+                       COUNT(*) AS cnt
+                FROM q GROUP BY l_partkey
+            )
+            SELECT CAST((2 * COALESCE(CAST(SUM(e2) AS BIGINT), 0) * 100 + 700)
+                        // 1400 AS DOUBLE) / 100.0 AS avg_weekly_loss
+            FROM q
+            JOIN part ON q.l_partkey = p_partkey AND p_brand = 'Brand#11'
+            JOIN pa ON pa.l_partkey = q.l_partkey
+            WHERE 5 * q.qty * pa.cnt < pa.sq
+        """,
+        "top_volume_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum_qty > 150
+            )
+            SELECT c_name, c_custkey, l_orderkey,
+                   o_orderdate AS orderdate, o_totalprice AS totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, l_orderkey
+            LIMIT 100
+        """,
         # still rows-only: sim_ann_ivf (centroids are trained from data at
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.
     }
+
+
+def _graph_mod():
+    from etl_pipeline_last_fm_spark.operators import graph
+
+    return graph
 
 
 def _setsim_oracle() -> str:

@@ -1,0 +1,269 @@
+"""Distributed graph analytics: triangle counting and fixed-iteration
+PageRank, both with exact cross-engine oracles.
+
+A curation pipeline meets graphs twice: the near-dup similarity graph
+(already served by ``dedup.connected_components`` min-label propagation)
+and *entity* graphs — co-occurrence structure (which suppliers ship
+together, which documents cite each other) used for importance weighting
+and community-ish features over training corpora. The reference has no
+graph tier (its Postgres delegation stops at joins, reference
+`dags/etl_lastfm.py`); this extends the engine the same way the sketch
+and ANN tiers do.
+
+Exactness: both operators are pure integer programs. Triangle counts are
+plain COUNT(*)s; PageRank runs in integer micro-units with integer
+division (``div``) at every step — floor division of non-negative int64
+is bit-identical in any engine, so a k-iteration run matches the oracle's
+k unrolled CTEs value-for-value *by construction* (unlike float PageRank,
+where accumulation order drifts). The dangling-mass and division
+remainders are dropped identically on both sides (documented below).
+
+Scale shape:
+* Triangle counting uses the degree-ordered orientation (Suri &
+  Vassilvitskii's "curse of the last reducer" fix): every edge points
+  from its (degree, id)-smaller endpoint, so a node's out-degree is
+  O(sqrt(m)) regardless of how skewed the raw degree distribution is,
+  and the wedge self-join — the only superlinear step — is bounded by
+  sum of out-deg^2 = O(m^1.5) instead of the hub-degree^2 blowup the
+  naive orientation hits on power-law graphs.
+* PageRank is the standard Pregel shape: per iteration one join
+  (ranks onto edges by src) and one shuffle (sum contributions by dst).
+  Ranks stay (node, int64) — n rows; edges are read k times. At cluster
+  scale both would be co-partitioned on node id so the per-iteration
+  join is shuffle-free; expressed declaratively here so AQE/bucketing
+  can do exactly that.
+
+Overflow: rank mass is conserved-or-shrunk (damping drops mass), so a
+single node's rank is bounded by total initial mass = n * 1e6 micro
+units; 85 * that must fit int64 → safe to ~10^11 nodes. Wedge and
+contribution counts are plain int64 sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUPPLIER_NODE_OFFSET = 1_000_000_000  # disjoint node id spaces (cust vs supp)
+PR_INIT_MICRO = 1_000_000
+PR_BASE_MICRO = 150_000  # (1 - 0.85) * 1e6
+
+
+def cosupplier_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected canonical edges (a < b) between suppliers that appear in
+    the same order. Fan-out is bounded by lines-per-order (TPC-H: <= 7),
+    so the per-order pair expansion is O(1) per order — linear overall."""
+    os_ = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a = os_.alias("a")
+    b = os_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("a"),
+            F.col("b.l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation: (node, degree, triangles), every
+    node in the graph present (triangles = 0 when none).
+
+    Degree-ordered orientation: edge {u, v} points u -> v iff
+    (deg(u), u) < (deg(v), v) — a total order, so each undirected edge
+    appears exactly once and each triangle closes exactly once (its
+    smallest vertex in the order emits the wedge). The oracle counts the
+    same triangles via the naive id-ordered 3-way join — two different
+    derivations agreeing on every node is the cross-check.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db"), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+            | (
+                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    # v precedes w in the orientation order, so if edge {v, w} exists it is
+    # oriented v -> w: one equi-join closes the wedge.
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    # left-semi: keeps exactly the wedges that close, immune to any
+    # duplicate edge a caller might feed in.
+    tris = wedges.join(closer, ["v", "w"], "semi")
+    credit = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    return deg.join(credit, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
+def triangle_counts_oracle_sql() -> str:
+    """DuckDB twin over the same co-supplier graph, but via the NAIVE
+    id-ordered 3-way join (a < b edges chain a<b<c directly) — an
+    independent derivation of the identical per-node counts."""
+    return """
+        WITH e AS (
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        credit AS (
+            SELECT node, COUNT(*) AS t FROM (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT v AS node FROM tri
+                UNION ALL SELECT w AS node FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node, d.degree, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+        FROM deg d LEFT JOIN credit c ON d.node = c.node
+    """
+
+
+def customer_supplier_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Directed bipartite edges customer -> supplier ("bought from"),
+    distinct; supplier ids shifted into a disjoint node space."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_NODE_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units:
+    r_{i+1}(v) = 150000 + (85 * sum over in-edges of (r_i(u) div out(u))) div 100.
+
+    Variant notes (identical on both engines, hence exact parity):
+    * ``div`` is int64 floor division of non-negative values — division
+      remainders are dropped, not redistributed.
+    * Dangling nodes (no out-edges) keep receiving the base term but
+      their mass evaporates — the non-normalized dangling treatment.
+    * No convergence test: exactly ``n_iter`` rounds, same as the
+      oracle's ``n_iter`` unrolled CTEs.
+
+    The iteration builds ONE linear plan (r_i feeds r_{i+1} exactly once,
+    nodes/out-degrees are computed once and reused), executed by a single
+    action — no driver-side state, no per-round materialization needed at
+    this depth. Each round costs one join (ranks->edges on src) and one
+    shuffle (sum by dst); at cluster scale edges and ranks co-partition
+    on node id and the join is exchange-free.
+    """
+    edges = edges.persist()  # read by out-degree + k contribution rounds
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank_micro div __d").alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(PR_BASE_MICRO)
+                + F.expr("(85 * coalesce(__s, 0L)) div 100")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(n_iter: int = 4) -> str:
+    """Programmatically unrolled k-iteration twin: r0, c1, r1, ..., rk as
+    chained CTEs running the same integer recurrence. Exact parity by
+    construction — every operation is int64 floor division / sum."""
+    parts = [
+        f"""
+        WITH ed AS (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                   CAST(l_suppkey AS BIGINT) + {SUPPLIER_NODE_OFFSET} AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        od AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+        r0 AS (SELECT node, CAST({PR_INIT_MICRO} AS BIGINT) AS r FROM nodes)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        c{i} AS (
+            SELECT ed.dst AS node, CAST(SUM(r{i-1}.r // od.d) AS BIGINT) AS s
+            FROM ed JOIN r{i-1} ON ed.src = r{i-1}.node
+                    JOIN od ON ed.src = od.src
+            GROUP BY ed.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   CAST({PR_BASE_MICRO} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+        )
+        """
+        )
+    parts.append(f"SELECT node, r AS rank_micro FROM r{n_iter}")
+    return "".join(parts)

@@ -307,3 +307,124 @@ def snapshot_diff_oracle_sql(
         )
         SELECT * FROM j WHERE change <> 'unchanged'
     """
+
+
+MERGE_CUTOFF_US = 1705363200000000  # 2024-01-16T00:00:00Z
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert + delete) semantics
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    events: DataFrame,
+    cutoff_us: int = MERGE_CUTOFF_US,
+    delete_type: str = "error",
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` semantics over the event log — the general
+    upsert the reference's ``ON CONFLICT DO NOTHING`` (SURVEY §2.7) is
+    the insert-only special case of:
+
+        target:  latest pre-cutoff event per user  -> (user_id, value, ...)
+        source:  post-cutoff events, compacted to the latest op per user;
+                 ``delete_type`` events are DELETEs, all others UPSERTs
+        WHEN MATCHED     AND op = delete -> DELETE
+        WHEN MATCHED     AND op = upsert -> UPDATE value, updated_us
+        WHEN NOT MATCHED AND op = upsert -> INSERT
+        WHEN NOT MATCHED AND op = delete -> no-op
+
+    Expressed as: two per-key latest-row compactions (one window shuffle
+    each on user_id) + one full-outer join + CASE — the exact plan a
+    Delta/Iceberg MERGE lowers to, minus the file-level commit protocol
+    (the table-format layer; ``pipeline.py``'s idempotent append owns the
+    commit story here). Determinism: "latest" ties break by event_id;
+    timestamps are integer epoch-µs (NTZ-safe).
+
+    Scale: both compactions and the join shuffle on user_id — at cluster
+    scale all three co-partition, so the merge is one shuffle of each
+    input. No driver state.
+    """
+    from etl_pipeline_last_fm_spark.functions.scalar import ts_us
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        ts_us(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("us").desc(), F.col("event_id").desc())
+    target = (
+        ev.filter(F.col("us") < cutoff_us)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("t_uid"),
+            F.col("value").alias("t_value"),
+            F.col("us").alias("t_us"),
+        )
+    )
+    source = (
+        ev.filter(F.col("us") >= cutoff_us)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("s_uid"),
+            (F.col("event_type") == delete_type).alias("s_del"),
+            F.col("value").alias("s_value"),
+            F.col("us").alias("s_us"),
+        )
+    )
+    merged = target.join(source, target.t_uid == source.s_uid, "full_outer")
+    return (
+        merged.filter(~F.coalesce(F.col("s_del"), F.lit(False)))
+        .select(
+            F.coalesce(F.col("t_uid"), F.col("s_uid")).alias("user_id"),
+            # Branch on source-row PRESENCE, not value nullability: an
+            # upsert carrying a NULL value must overwrite (events.value is
+            # genuinely nullable; coalesce(s_value, t_value) would
+            # silently keep the stale target value).
+            F.when(F.col("s_uid").isNotNull(), F.col("s_value"))
+            .otherwise(F.col("t_value"))
+            .alias("value"),
+            F.coalesce(F.col("s_us"), F.col("t_us")).alias("updated_us"),
+        )
+    )
+
+
+def merge_upsert_oracle_sql(
+    cutoff_us: int = MERGE_CUTOFF_US,
+    delete_type: str = "error",
+    table: str = "events",
+) -> str:
+    """DuckDB twin: same two compactions, same full-outer CASE merge."""
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS us
+            FROM {table}
+        ),
+        t AS (
+            SELECT user_id AS t_uid, value AS t_value, us AS t_us
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                FROM ev WHERE us < {cutoff_us}
+            ) WHERE rn = 1
+        ),
+        s AS (
+            SELECT user_id AS s_uid,
+                   event_type = '{delete_type}' AS s_del,
+                   value AS s_value, us AS s_us
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                FROM ev WHERE us >= {cutoff_us}
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(t_uid, s_uid) AS user_id,
+               CASE WHEN s_uid IS NOT NULL THEN s_value ELSE t_value END AS value,
+               COALESCE(s_us, t_us) AS updated_us
+        FROM t FULL OUTER JOIN s ON t_uid = s_uid
+        WHERE NOT COALESCE(s_del, FALSE)
+    """

@@ -569,3 +569,154 @@ def top_ngrams_oracle_sql(n: int = 2, k: int = 20, table: str = "documents") -> 
                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rnk
         FROM c ORDER BY cnt DESC, gram LIMIT {k}
     """
+
+
+def corpus_drift(docs: DataFrame) -> DataFrame:
+    """Pairwise distribution drift between sources: EXACT total-variation
+    distance between token unigram distributions, in integer micro-units.
+
+    The shard/mixture health check an LLM data pipeline runs before
+    training: "did src7's crawl drift from src3's?" KL is the textbook
+    choice but needs ln() (cross-engine ulp risk, see lm_score); TV
+    distance ``0.5 * sum_t |p_t - q_t|`` is a pure RATIONAL of the token
+    counts — with per-source counts a_t (total A) and b_t (total B):
+
+        N = sum_t |a_t*B - b_t*A|          TV = N / (2*A*B)
+
+    and the union-of-vocabulary sum collapses onto the SHARED vocabulary
+    only (tokens on one side contribute their whole mass):
+
+        N = 2*A*B + sum_{t in both} (|a_t*B - b_t*A| - a_t*B - b_t*A)
+
+    so one inner join over (token), never a full outer per pair. Output
+    tv_micro = (1e6 * N) div (2*A*B) — int64 floor division, exact parity.
+
+    Scale shape: one census shuffle (source, token), the pair expansion is
+    over the SOURCE dimension (tiny — mixtures have tens of shards, not
+    millions), the per-pair join is token-partitioned. Overflow: a_t*B
+    needs a_t * B < 2^63 — fine to ~10^9-token shards; beyond that the
+    counts sum as decimal(38,0) (same swap as the flagship's note).
+    """
+    census = (
+        docs.select(F.col("source"), F.explode(_tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = census.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    ca = (
+        census.join(totals, "source")
+        .select(
+            F.col("source").alias("src_a"), "tok",
+            F.col("cnt").alias("a"), F.col("tot").alias("ta"),
+        )
+    )
+    cb = (
+        census.join(totals, "source")
+        .select(
+            F.col("source").alias("src_b"), "tok",
+            F.col("cnt").alias("b"), F.col("tot").alias("tb"),
+        )
+    )
+    term = (
+        F.abs(F.col("a") * F.col("tb") - F.col("b") * F.col("ta"))
+        - F.col("a") * F.col("tb")
+        - F.col("b") * F.col("ta")
+    )
+    shared = (
+        ca.join(cb, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(term).alias("__s"))
+    )
+    tota = totals.select(F.col("source").alias("src_a"), F.col("tot").alias("ta"))
+    totb = totals.select(F.col("source").alias("src_b"), F.col("tot").alias("tb"))
+    # Pair frame from totals (not the join) so disjoint-vocabulary pairs
+    # still appear — their shared sum is 0 and TV is exactly 1.
+    pairs = tota.crossJoin(totb).filter(F.col("src_a") < F.col("src_b"))
+    return pairs.join(shared, ["src_a", "src_b"], "left").select(
+        "src_a", "src_b",
+        F.col("ta").alias("tok_a"), F.col("tb").alias("tok_b"),
+        F.expr(
+            "(1000000 * (2 * ta * tb + coalesce(__s, 0L))) div (2 * ta * tb)"
+        ).cast("long").alias("tv_micro"),
+    )
+
+
+def corpus_drift_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin: identical census, identical shared-vocabulary
+    collapse, identical integer floor division."""
+    return f"""
+        WITH census AS (
+            SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+            FROM {table}
+        ),
+        c AS (
+            SELECT source, tok, COUNT(*) AS cnt FROM census GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS t FROM c GROUP BY 1),
+        shared AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(SUM(ABS(a.cnt * tb.t - b.cnt * ta.t)
+                            - a.cnt * tb.t - b.cnt * ta.t) AS BIGINT) AS s
+            FROM c a
+            JOIN c b ON a.tok = b.tok AND a.source < b.source
+            JOIN tot ta ON ta.source = a.source
+            JOIN tot tb ON tb.source = b.source
+            GROUP BY 1, 2
+        )
+        SELECT ta.source AS src_a, tb.source AS src_b,
+               ta.t AS tok_a, tb.t AS tok_b,
+               CAST((1000000 * (2 * ta.t * tb.t + COALESCE(s, 0)))
+                    // (2 * ta.t * tb.t) AS BIGINT) AS tv_micro
+        FROM tot ta
+        JOIN tot tb ON ta.source < tb.source
+        LEFT JOIN shared ON src_a = ta.source AND src_b = tb.source
+    """
+
+
+def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Posting lists: per term, its document frequency, total term
+    frequency, and the sorted doc-id posting list (rendered as a
+    comma-joined string so the cross-engine value hash covers the LIST
+    CONTENT, not an engine's array formatting).
+
+    The retrieval-side primitive (contamination checks, BM25 scoring,
+    "which shards contain this phrase" audits) — the batch build is a
+    census + one groupBy. ``min_df`` drops hapax terms (noise and the
+    bulk of the vocabulary, classic index-size lever).
+
+    Scale shape: one shuffle on term. A stop-word-grade term's posting
+    row is the documented skew point — production pages postings into
+    fixed-size buckets (term, page_no); the single-row rendering here is
+    the test-scale form of the same census.
+    """
+    postings = (
+        docs.select(F.col("doc_id"), F.explode(_tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("ttf"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index_oracle_sql(min_df: int = 2, table: str = "documents") -> str:
+    """DuckDB twin of inverted_index."""
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+            FROM {table}
+        ),
+        p AS (
+            SELECT term, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+        )
+        SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS ttf,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+        FROM p GROUP BY term HAVING COUNT(*) >= {min_df}
+    """

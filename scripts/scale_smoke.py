@@ -259,5 +259,58 @@ def main() -> None:
         f"bpe-apply {t_bpea:.1f}s ({n_enc} toks)"
     )
 
+    # --- round-4 third wave: graph tier, corpus drift, index, MERGE -------
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        pagerank_micro,
+        triangle_counts,
+    )
+    from etl_pipeline_last_fm_spark.operators.scd import merge_upsert
+    from etl_pipeline_last_fm_spark.operators.text import corpus_drift, inverted_index
+
+    # Sparse random graph: n nodes, 4n edges (production co-occurrence
+    # graphs are sparse; the dense co-supplier fixture graph is a small-SF
+    # artifact, operators/graph.py docstring).
+    n_nodes = n_docs
+    raw = spark.range(4 * n_nodes).select(
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(n_nodes)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 2), F.lit(n_nodes)).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    und = raw.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    t0 = time.perf_counter()
+    n_tri = triangle_counts(und).count()
+    t_tri = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pr = pagerank_micro(
+        raw.select(F.col("x").alias("src"), F.col("y").alias("dst")).distinct(),
+        n_iter=4,
+    ).count()
+    t_pr = time.perf_counter() - t0
+
+    sdocs = docs.withColumn(
+        "source", F.concat(F.lit("s"), F.pmod(F.col("doc_id"), F.lit(16)))
+    )
+    t0 = time.perf_counter()
+    n_drift = corpus_drift(sdocs).count()
+    t_drift = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_idx = inverted_index(sdocs).count()
+    t_idx = time.perf_counter() - t0
+
+    cutoff = 1_700_000_000_000_000 + (n_events // 2) * 47_000_000
+    t0 = time.perf_counter()
+    n_merge = merge_upsert(ev_typed, cutoff_us=cutoff).count()
+    t_merge = time.perf_counter() - t0
+
+    print(
+        f"graph/drift/index/merge: triangles {t_tri:.1f}s ({n_tri} nodes), "
+        f"pagerank4 {t_pr:.1f}s ({n_pr} nodes), drift {t_drift:.1f}s ({n_drift} pairs), "
+        f"inverted-index {t_idx:.1f}s ({n_idx} terms), merge {t_merge:.1f}s ({n_merge} rows)"
+    )
+
+
 if __name__ == "__main__":
     main()

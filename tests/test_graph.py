@@ -1,0 +1,90 @@
+"""Graph tier: triangle counting and integer PageRank on hand-computed
+graphs, plus a pure-Python PageRank replica of the integer recurrence.
+
+(Cross-engine parity for the registered queries runs in
+tests/test_oracle_parity.py like every other oracle pair.)
+"""
+
+from __future__ import annotations
+
+from etl_pipeline_last_fm_spark.operators.graph import (
+    PR_BASE_MICRO,
+    PR_INIT_MICRO,
+    pagerank_micro,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_triangle_counts_hand_computed(spark):
+    # {1,2,3} is a triangle, 4 hangs off 3, 5--6 isolated edge.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)])
+    out = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_counts(e).collect()}
+    assert out == {
+        1: (2, 1),
+        2: (2, 1),
+        3: (3, 1),
+        4: (1, 0),
+        5: (1, 0),
+        6: (1, 0),
+    }
+
+
+def test_triangle_counts_k4(spark):
+    # Complete graph on 4 nodes: 4 triangles, each node in 3 of them.
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    out = {r["node"]: (r["degree"], r["triangles"]) for r in triangle_counts(e).collect()}
+    assert out == {n: (3, 3) for n in (1, 2, 3, 4)}
+
+
+def test_triangle_counts_skewed_hub(spark):
+    # Star: hub 0 connected to 1..10, no leaf-leaf edges -> 0 triangles;
+    # then close one leaf pair -> exactly one triangle, credited to the
+    # hub and the two leaves. Exercises the degree-ordered orientation
+    # (hub is always the (deg, id)-larger endpoint, so out-degree stays
+    # bounded at the leaves).
+    star = [(0, i) for i in range(1, 11)]
+    e = _edges(spark, star)
+    out = {r["node"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert all(v == 0 for v in out.values())
+    e2 = _edges(spark, star + [(1, 2)])
+    out2 = {r["node"]: r["triangles"] for r in triangle_counts(e2).collect()}
+    assert out2[0] == 1 and out2[1] == 1 and out2[2] == 1
+    assert all(out2[i] == 0 for i in range(3, 11))
+
+
+def _py_pagerank(edges, n_iter):
+    """Pure-Python replica of the exact integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {n: PR_INIT_MICRO for n in nodes}
+    for _ in range(n_iter):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // out[u]
+        r = {n: PR_BASE_MICRO + (85 * s[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, n_iter=4).collect()}
+    assert got == _py_pagerank(edges, 4)
+
+
+def test_pagerank_dangling_and_source_nodes(spark):
+    # 2 is dangling (no out-edges): its mass evaporates; 1 has no
+    # in-edges: it settles at the base term after round 1.
+    edges = [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, n_iter=3).collect()}
+    assert got == _py_pagerank(edges, 3)
+    assert got[1] == PR_BASE_MICRO
