@@ -1635,6 +1635,145 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension (nation) joined twice under two
+    roles — customer nation via orders->customer, supplier nation via
+    lineitem->supplier — with a symmetric unordered-pair filter and a
+    per-(pair, year) aggregate. Exercises dimension self-join aliasing +
+    cross-branch residual predicates. Exact integer revenue; year from
+    integer epoch-µs division (NTZ-safe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nk"))
+        .filter(pair)
+        .withColumn("__us", ts_us(F.col("o_orderdate")))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.expr("__us div 31557600000000").alias("epoch_year_bucket"),
+        )
+        .agg(F.sum(_rev4_col()).alias("__s4"))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "epoch_year_bucket",
+            (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
+                "volume"
+            ),
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a RATIO of conditional aggregates — one nation's
+    revenue share of a region's total per year — as sum(CASE)/sum(),
+    computed in exact integer ppm via floor division (no float division
+    at the parity boundary). Conditional aggregation over a 6-table join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", _rev4_col()).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("s_nk"))
+        .withColumn("__us", ts_us(F.col("o_orderdate")))
+        .groupBy(F.expr("__us div 31557600000000").alias("epoch_year_bucket"))
+        .agg(
+            F.sum(target).alias("__t4"),
+            F.sum(_rev4_col()).alias("__a4"),
+        )
+        .select(
+            "epoch_year_bucket",
+            F.expr("(__t4 * 1000000) div __a4").alias("share_ppm"),
+        )
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of the pivot family (§2.5): the wide
+    per-(returnflag, linestatus) aggregate turned into long
+    (group, metric, value) rows, the shape BI sinks and metric stores
+    ingest. Spark's native DataFrame.unpivot (an Expand node — no
+    shuffle, no UDF) against DuckDB's SQL UNPIVOT. Values are exact
+    integer counts/sums rendered as int64."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(e2).alias("sum_price_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag", "l_linestatus"],
+        values=["sum_qty", "sum_price_cents", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the census run BEFORE choosing a salted
+    vs plain shuffle plan (operators/skew.py is the mitigation; this is
+    the detector): per candidate key column, distinct key count, total
+    rows, the heaviest key's row count, and its share in exact ppm
+    (integer cross-multiplication, no float division). One groupBy per
+    key at full parallelism; the per-key census never leaves the
+    executors (max/sum re-aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        per_key = li.groupBy(F.col(col).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        return per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_key_rows"),
+        ).select(
+            F.lit(col).alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.expr("(max_key_rows * 1000000) div n_rows").alias("top_share_ppm"),
+        )
+
+    return (
+        profile("l_orderkey")
+        .unionByName(profile("l_partkey"))
+        .unionByName(profile("l_suppkey"))
+        .unionByName(profile("l_returnflag"))
+    )
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-shard drift: EXACT total-variation distance between
     token unigram distributions in integer micro-units — the mixture
@@ -1851,10 +1990,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Entries below down to sim_ann_lsh_multiprobe have green driver
         # rows on record (r1-r3) and run in test_oracle_parity every
         # pytest; they rotate back in if their family loses its in-window
-        # representative. The round-4-NEW past-cap entries
-        # (dedup_sorted_neighborhood, regional_revenue, shipping_priority,
-        # bpe_train) have NO driver row yet — they are first in line for
-        # the round-5 window rotation.
+        # representative. The round-4-NEW past-cap entries (everything
+        # from dedup_sorted_neighborhood onward: SNM single/multipass,
+        # cohort, the Q5/Q3/Q13/Q17/Q18/Q7/Q8 join shapes, the graph
+        # tier, corpus drift, inverted index, MERGE, set ops,
+        # transitions, centroids, unpivot, skew profile, bpe_train) have
+        # NO driver row yet — they are first in line for the round-5
+        # window rotation; all are oracle-paired (except the two
+        # documented rows-only entries) and hold a strict parity row in
+        # every pytest run.
         "surrogate_keys": q_surrogate_keys,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -1916,6 +2060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "session_transitions": q_session_transitions,
         "label_centroids": q_label_centroids,
+        "unpivot_metrics": q_unpivot_metrics,
+        "key_skew_profile": q_key_skew_profile,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
         # pinned against a pure-Python reference in pytest (see docstring)
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
@@ -2582,6 +2730,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, COUNT(*) AS n
             FROM seq WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type
+        """,
+        "nation_trade_volume": f"""
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
+                FROM lineitem
+            )
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   epoch_us(o_orderdate) // 31557600000000 AS epoch_year_bucket,
+                   CAST((CAST(SUM(rev4) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
+                       AS volume
+            FROM li
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
+                FROM lineitem
+            )
+            SELECT epoch_us(o_orderdate) // 31557600000000 AS epoch_year_bucket,
+                   (CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN rev4 ELSE 0 END)
+                         AS BIGINT) * 1000000)
+                     // CAST(SUM(rev4) AS BIGINT) AS share_ppm
+            FROM li
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            GROUP BY 1
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                           AS sum_qty,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS sum_price_cents,
+                       COUNT(*) AS n_rows
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag, l_linestatus, metric, value
+            FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price_cents, n_rows))
+        """,
+        "key_skew_profile": """
+            WITH
+            p1 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+            p2 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey),
+            p3 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+            p4 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_returnflag)
+            SELECT 'l_orderkey' AS key_col, COUNT(*) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_key_rows,
+                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+                       AS top_share_ppm
+            FROM p1
+            UNION ALL
+            SELECT 'l_partkey', COUNT(*), CAST(SUM(n) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+            FROM p2
+            UNION ALL
+            SELECT 'l_suppkey', COUNT(*), CAST(SUM(n) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+            FROM p3
+            UNION ALL
+            SELECT 'l_returnflag', COUNT(*), CAST(SUM(n) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+            FROM p4
         """,
         "label_centroids": """
             WITH comp AS (

@@ -88,3 +88,41 @@ def test_pagerank_dangling_and_source_nodes(spark):
     got = {r["node"]: r["rank_micro"] for r in pagerank_micro(df, n_iter=3).collect()}
     assert got == _py_pagerank(edges, 3)
     assert got[1] == PR_BASE_MICRO
+
+
+def _py_triangles(edges):
+    """Naive per-node triangle counts on a small graph."""
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def test_triangle_counts_random_graphs(spark):
+    # Three seeded random graphs (including a skewed one) against the
+    # naive Python counter — exercises the degree-orientation on
+    # structures no hand-made case covers.
+    import random
+
+    for seed, n, m in [(1, 30, 60), (2, 40, 120), (3, 25, 200)]:
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = _edges(spark, sorted(edges))
+        got = {
+            r["node"]: (r["degree"], r["triangles"])
+            for r in triangle_counts(df).collect()
+        }
+        assert got == _py_triangles(edges), f"seed {seed} mismatch"
