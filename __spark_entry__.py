@@ -1635,6 +1635,115 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, pair tier (the A-priori L2 step): part
+    pairs co-occurring in >= min_support orders, with lift in EXACT
+    integer ppm — lift = P(ab)/(P(a)P(b)) computed as
+    (c_ab * n_orders * 1e6) div (c_a * c_b), integer cross-multiplication
+    so no float division at the support/lift boundary. The pair expansion
+    is bounded per order by lines-per-order (TPC-H: <= 7) — the same
+    linearity argument as the co-supplier graph; the support filter then
+    cuts the candidate set before the lift join. A-priori pruning
+    (L2 from frequent L1 only) is the documented scale lever: items
+    below min_support can't form a frequent pair, so the expansion runs
+    on the frequent-item semi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    min_support = 2
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # Lazy scalar (1-row broadcast cross join), NOT a driver .count():
+    # registry-enumerating tooling must not pay an eager job here.
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("__n"))
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # A-priori prune: only items appearing in >= min_support orders can
+    # participate in a frequent pair.
+    frequent = item.filter(F.col("c") >= min_support)
+    opf = op.join(
+        frequent.select(F.col("p").alias("l_partkey")), "l_partkey", "left_semi"
+    )
+    a = opf.alias("a")
+    b = opf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    ca = item.select(F.col("p").alias("part_a"), F.col("c").alias("__ca"))
+    cb = item.select(F.col("p").alias("part_b"), F.col("c").alias("__cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("(support * __n * 1000000L) div (__ca * __cb)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic between-epoch corpus shuffle: every doc gets a global
+    permutation position under a seeded hash order — the 100 TB analogue
+    of `random.shuffle` (re-keying the hash seed re-shuffles; same seed
+    reproduces the epoch exactly, which is what makes training runs
+    resumable). The global numbering uses the two-phase range-partition
+    scheme (operators/surrogate.py): the only global step moves one
+    integer per partition — no single-partition sort. Hash is the
+    portable md5-60bit family so the oracle replays the identical
+    permutation."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+    from etl_pipeline_last_fm_spark.operators.surrogate import (
+        assign_surrogate_keys_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "__hk", portable_hash60(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    )
+    return assign_surrogate_keys_distributed(
+        keyed, "shuffle_pos", ["__hk", "doc_id"]
+    ).select("doc_id", "shuffle_pos")
+
+
+def q_render_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize packed training sequences: docs grouped by the
+    `pack_sequences` seq_id assignment, texts concatenated in doc order
+    with an EOS separator — the step that turns the offset plan into
+    actual model inputs. Deterministic in-group order via array_sort on
+    (doc_id, text) structs; one shuffle on seq_id. (A straddling doc
+    belongs to the sequence it STARTS in — concat-and-chunk semantics,
+    packing.py docstring.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    assign = packing_ops.pack_sequences(docs, budget=512, block_size=256)
+    return (
+        docs.join(assign.select("doc_id", "seq_id"), "doc_id")
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "<|eos|>",
+            ).alias("packed_text"),
+        )
+    )
+
+
 def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the SAME dimension (nation) joined twice under two
     roles — customer nation via orders->customer, supplier nation via
@@ -2064,6 +2173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
+        "epoch_shuffle": q_epoch_shuffle,
+        "render_packs": q_render_packs,
+        "market_basket": q_market_basket,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
         # pinned against a pure-Python reference in pytest (see docstring)
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
@@ -2730,6 +2842,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, COUNT(*) AS n
             FROM seq WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type
+        """,
+        "market_basket": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+            item AS (
+                SELECT l_partkey AS p, COUNT(*) AS c FROM op GROUP BY 1
+            ),
+            freq AS (SELECT p FROM item WHERE c >= 2),
+            opf AS (
+                SELECT op.l_orderkey, op.l_partkey FROM op
+                WHERE op.l_partkey IN (SELECT p FROM freq)
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*) AS support
+                FROM opf a JOIN opf b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            )
+            SELECT part_a, part_b, support,
+                   (support * n.n_orders * 1000000)
+                     // (ca.c * cb.c) AS lift_ppm
+            FROM pairs
+            JOIN item ca ON ca.p = part_a
+            JOIN item cb ON cb.p = part_b
+            CROSS JOIN n
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY ('0x' || substring(
+                           md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       )::BIGINT, doc_id
+                   ) AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        "render_packs": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, text,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tok_offset
+                FROM t
+            )
+            SELECT CAST(FLOOR(tok_offset / 512) AS BIGINT) AS seq_id,
+                   COUNT(*) AS n_docs,
+                   string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
+            FROM c GROUP BY 1
         """,
         "nation_trade_volume": f"""
             WITH li AS (

@@ -203,6 +203,11 @@ def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     this depth. Each round costs one join (ranks->edges on src) and one
     shuffle (sum by dst); at cluster scale edges and ranks co-partition
     on node id and the join is exchange-free.
+
+    Cache ownership: edges/nodes are persisted because the plan reads them
+    k+1 / k+2 times; the cache lives until session eviction (same note as
+    dedup's candidate persists) — loops over many graphs in one session
+    should spark.catalog.clearCache() between graphs.
     """
     edges = edges.persist()  # read by out-degree + k contribution rounds
     nodes = (

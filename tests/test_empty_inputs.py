@@ -90,3 +90,50 @@ def test_incremental_merge_with_empty_side(spark):
     ).collect()
     assert len(merged) == 1
     assert merged[0]["value_sum"] == 6.0 and merged[0]["n_rows"] == 2
+
+
+def test_graph_ops_on_empty(spark):
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        pagerank_micro,
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame([], "a long, b long")
+    assert triangle_counts(edges).count() == 0
+    directed = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_micro(directed, n_iter=2).count() == 0
+
+
+def test_corpus_drift_single_source_no_pairs(spark):
+    from etl_pipeline_last_fm_spark.operators.text import corpus_drift
+
+    d = spark.createDataFrame(
+        [(1, "a", "x y")], "doc_id long, source string, text string"
+    )
+    assert corpus_drift(d).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert corpus_drift(empty).count() == 0
+
+
+def test_merge_upsert_empty_batch_keeps_target(spark):
+    import datetime as dt
+
+    from etl_pipeline_last_fm_spark.operators.scd import merge_upsert
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view", 10.0, dt.datetime(2024, 1, 10))],
+        "event_id long, user_id long, event_type string, value double, ts timestamp_ntz",
+    )
+    out = merge_upsert(ev).collect()  # no post-cutoff rows at all
+    assert len(out) == 1 and out[0]["value"] == 10.0
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, value double, ts timestamp_ntz"
+    )
+    assert merge_upsert(empty).count() == 0
+
+
+def test_inverted_index_empty(spark):
+    from etl_pipeline_last_fm_spark.operators.text import inverted_index
+
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert inverted_index(empty).count() == 0
