@@ -1646,7 +1646,13 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the candidate set before the lift join. A-priori pruning
     (L2 from frequent L1 only) is the documented scale lever: items
     below min_support can't form a frequent pair, so the expansion runs
-    on the frequent-item semi-join."""
+    on the frequent-item semi-join.
+
+    Overflow bound: lift's numerator needs support * n_orders * 1e6
+    < 2^63 with support <= min(c_a, c_b); at 100 TB scale (n_orders ~
+    1e10) pair supports above ~90k would need the decimal(38,0) swap —
+    or equivalently divide by n_orders' scale first; documented rather
+    than silently wrapped (ANSI mode would raise, not corrupt)."""
     li = load_table(spark, sf_dir, "lineitem")
     min_support = 2
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -1750,7 +1756,11 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem->supplier — with a symmetric unordered-pair filter and a
     per-(pair, year) aggregate. Exercises dimension self-join aliasing +
     cross-branch residual predicates. Exact integer revenue; year from
-    integer epoch-µs division (NTZ-safe)."""
+    integer epoch-µs division (NTZ-safe). Pair NATION_19/NATION_18 is
+    chosen because BOTH directions are populated at sf0.001 AND sf0.01 —
+    the parity check is non-vacuous at every grading scale (verified
+    against the fixtures; an empty result would make any join-shape bug
+    undetectable)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -1763,8 +1773,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     pair = (
-        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
-    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        (F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18")
+    ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -1794,7 +1804,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: a RATIO of conditional aggregates — one nation's
     revenue share of a region's total per year — as sum(CASE)/sum(),
     computed in exact integer ppm via floor division (no float division
-    at the parity boundary). Conditional aggregation over a 6-table join."""
+    at the parity boundary). Conditional aggregation over a 6-table join.
+
+    Overflow bound: the ppm scaling needs __t4 * 1e6 < 2^63, i.e. a
+    per-year-bucket revenue sum below ~9.2e12 rev4-units (~$0.9B) —
+    holds through roughly SF10; beyond that cast the sums to
+    decimal(38,0) before scaling (the flagship's documented swap,
+    executed in tests/test_decimal_swap.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -2882,24 +2898,16 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS shuffle_pos
             FROM documents
         """,
-        "render_packs": """
-            WITH t AS (
-                SELECT doc_id, text,
-                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
-                FROM documents
-            ),
-            c AS (
-                SELECT doc_id, text,
-                       CAST(COALESCE(SUM(n_tokens) OVER (
-                           ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS BIGINT) AS tok_offset
-                FROM t
-            )
-            SELECT CAST(FLOOR(tok_offset / 512) AS BIGINT) AS seq_id,
+        # Composed on pack_sequences' own oracle (not a hand copy): if the
+        # packing semantics or tokenizer ever change, BOTH engines' twins
+        # move together.
+        "render_packs": f"""
+            WITH p AS ({packing_ops.pack_sequences_oracle_sql(budget=512)})
+            SELECT p.seq_id,
                    COUNT(*) AS n_docs,
-                   string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
-            FROM c GROUP BY 1
+                   string_agg(d.text, '<|eos|>' ORDER BY d.doc_id) AS packed_text
+            FROM p JOIN documents d ON p.doc_id = d.doc_id
+            GROUP BY p.seq_id
         """,
         "nation_trade_volume": f"""
             WITH li AS (
@@ -2918,8 +2926,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation n1 ON c_nationkey = n1.n_nationkey
             JOIN nation n2 ON s_nationkey = n2.n_nationkey
-            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+               OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
             GROUP BY 1, 2, 3
         """,
         "market_share": """

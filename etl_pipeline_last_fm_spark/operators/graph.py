@@ -74,6 +74,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation: (node, degree, triangles), every
     node in the graph present (triangles = 0 when none).
 
+    INPUT CONTRACT: ``edges`` must be distinct canonical undirected edges
+    (a < b, no duplicates, no self-loops) — duplicates would inflate
+    degrees and wedge counts. ``cosupplier_edges`` satisfies this.
+
     Degree-ordered orientation: edge {u, v} points u -> v iff
     (deg(u), u) < (deg(v), v) — a total order, so each undirected edge
     appears exactly once and each triangle closes exactly once (its
@@ -119,8 +123,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # v precedes w in the orientation order, so if edge {v, w} exists it is
     # oriented v -> w: one equi-join closes the wedge.
     closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    # left-semi: keeps exactly the wedges that close, immune to any
-    # duplicate edge a caller might feed in.
+    # left-semi dedupes only the CLOSURE side. The input contract is
+    # distinct canonical edges (a < b, no repeats — cosupplier_edges
+    # guarantees it): a duplicated input edge would inflate both the
+    # degree counts and the wedge expansion upstream of this join, so
+    # the semi join is a guard for the closure lookup, not an input
+    # dedup (tests/test_graph.py pins counts on clean inputs).
     tris = wedges.join(closer, ["v", "w"], "semi")
     credit = (
         tris.select(F.col("u").alias("node"))

@@ -593,15 +593,32 @@ def corpus_drift(docs: DataFrame) -> DataFrame:
 
     Scale shape: one census shuffle (source, token), the pair expansion is
     over the SOURCE dimension (tiny — mixtures have tens of shards, not
-    millions), the per-pair join is token-partitioned. Overflow: a_t*B
-    needs a_t * B < 2^63 — fine to ~10^9-token shards; beyond that the
-    counts sum as decimal(38,0) (same swap as the flagship's note).
+    millions), the per-pair join is token-partitioned. Overflow: the
+    BINDING term is the final scaling 1e6 * (2*A*B) < 2^63, i.e.
+    A*B < 4.6e12 — balanced shards of ~2.1M tokens each (NOT the looser
+    a_t*B per-term bound). Past that, run the same program with the
+    numerator cast to decimal(38,0) before the 1e6 scaling (Spark) /
+    HUGEINT (DuckDB) — the documented swap the flagship notes, executed
+    in tests/test_decimal_swap.py for the revenue programs; `div` on
+    decimal returns the same integral quotient.
     """
-    census = (
+    return tv_from_census(token_census(docs))
+
+
+def token_census(docs: DataFrame) -> DataFrame:
+    """Per-(source, token) counts — the ADDITIVE state behind corpus_drift:
+    censuses of disjoint batches merge by cnt-sum (order-free), which is
+    what streaming/drift.py folds incrementally."""
+    return (
         docs.select(F.col("source"), F.explode(_tokens()).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def tv_from_census(census: DataFrame) -> DataFrame:
+    """Read-time TV computation from a (source, tok, cnt) census — shared
+    by the batch operator (corpus_drift) and the streaming state reader."""
     totals = census.groupBy("source").agg(F.sum("cnt").alias("tot"))
     ca = (
         census.join(totals, "source")

@@ -1,0 +1,74 @@
+"""Streaming corpus-drift maintenance (foreachBatch additive census fold).
+
+`text.token_census` is an ADDITIVE state — censuses of disjoint document
+batches merge by per-(source, token) count sum, order-free — so the
+streaming incremental-maintenance recipe (streaming/marts.py,
+streaming/sketch.py) applies verbatim: each micro-batch folds its own
+census into the persisted state behind the at-least-once replay guard
+(last applied batch_id persisted with the state, fold no-ops on
+batch_id <= last). TV distances are computed at READ time from the state
+(`text.tv_from_census`) — the expensive pair expansion never runs inside
+the fold.
+
+With the guard + algebra, the presented drift table equals the batch
+`corpus_drift` of everything ever seen (tested, incl. a replay case).
+Same single-writer caveat as the other foreachBatch sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.operators.text import token_census, tv_from_census
+from etl_pipeline_last_fm_spark.streaming.sketch import (
+    BID_COL,
+    _read_state_or_none,
+    _strip_bid,
+    last_applied_batch,
+)
+
+
+def census_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """Fold ONE micro-batch's token census into the persisted state.
+    Module-level so the replay guard is directly testable."""
+    spark = batch_df.sparkSession
+    prev = _read_state_or_none(spark, state_path)
+    if int(batch_id) <= last_applied_batch(prev):
+        return  # replayed micro-batch, already folded
+    state = token_census(batch_df)
+    if prev is not None:
+        state = (
+            _strip_bid(prev)
+            .unionByName(state)
+            .groupBy("source", "tok")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    state = state.withColumn(BID_COL, F.lit(int(batch_id)))
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+
+def streaming_drift_maintenance(
+    stream: DataFrame, state_path: str, checkpoint: str | None = None
+):
+    """Fold each micro-batch's census into the parquet state
+    (replay-guarded). Read drift with ``read_drift``. Returns a
+    DataStreamWriter — the caller picks the trigger and calls .start()."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        census_fold_batch(batch_df, batch_id, state_path)
+
+    writer = stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_census(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(spark.read.parquet(state_path))
+
+
+def read_drift(spark: SparkSession, state_path: str) -> DataFrame:
+    """Pairwise TV distances over everything folded so far — equals
+    `corpus_drift` of the concatenated batches."""
+    return tv_from_census(read_census(spark, state_path))

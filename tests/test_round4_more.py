@@ -121,3 +121,71 @@ def test_merge_upsert_is_idempotent_reapply(spark):
     a = sorted((r["user_id"], r["value"]) for r in once.collect())
     b = sorted((r["user_id"], r["value"]) for r in twice.collect())
     assert a == b
+
+
+def _py_tv_micro(corpus_a, corpus_b):
+    """Pure-Python exact TV in micro-units: floor(1e6 * N / (2AB))."""
+    from collections import Counter
+
+    ca, cb = Counter(corpus_a), Counter(corpus_b)
+    A, B = sum(ca.values()), sum(cb.values())
+    n = sum(abs(ca.get(t, 0) * B - cb.get(t, 0) * A) for t in set(ca) | set(cb))
+    return (1_000_000 * n) // (2 * A * B)
+
+
+def test_corpus_drift_random_corpora_vs_python(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    sources = {}
+    rows = []
+    for si, s in enumerate(["a", "b", "c"]):
+        toks = [rng.choice(vocab[: 6 + 3 * si]) for _ in range(200)]
+        sources[s] = toks
+        # split each source's tokens across several docs
+        for d in range(4):
+            rows.append(
+                (si * 10 + d, s, " ".join(toks[d * 50 : (d + 1) * 50]))
+            )
+    out = {
+        (r["src_a"], r["src_b"]): r["tv_micro"]
+        for r in corpus_drift(_docs(spark, rows)).collect()
+    }
+    for x, y in [("a", "b"), ("a", "c"), ("b", "c")]:
+        assert out[(x, y)] == _py_tv_micro(sources[x], sources[y]), (x, y)
+
+
+def test_market_basket_vs_python(spark, sf_dir):
+    """The registered A-priori pair query against a pure-Python miner on
+    the real fixture."""
+    from collections import Counter
+    from itertools import combinations
+
+    import __spark_entry__ as entry
+
+    got = {
+        (r["part_a"], r["part_b"]): (r["support"], r["lift_ppm"])
+        for r in entry.q_market_basket(spark, sf_dir).collect()
+    }
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    item = Counter(p for ps in baskets.values() for p in ps)
+    pair = Counter()
+    for ps in baskets.values():
+        for a, b in combinations(sorted(ps), 2):
+            pair[(a, b)] += 1
+    n = len(baskets)
+    want = {
+        (a, b): (c, (c * n * 1_000_000) // (item[a] * item[b]))
+        for (a, b), c in pair.items()
+        if c >= 2 and item[a] >= 2 and item[b] >= 2
+    }
+    assert got == want

@@ -93,3 +93,31 @@ def test_hll_fold_replay_guard(spark, tmp_path):
     hll_fold_batch(b0, 0, state, "user_id", ["event_type"], b=4)
     assert sorted(map(tuple, read_hll_state(spark, state).collect())) == regs
     assert last_applied_batch(spark.read.parquet(state)) == 0
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_census_fold_replay_and_equivalence(spark, tmp_path):
+    from etl_pipeline_last_fm_spark.operators.text import corpus_drift
+    from etl_pipeline_last_fm_spark.streaming.drift import (
+        census_fold_batch,
+        read_drift,
+    )
+
+    state = str(tmp_path / "census_state")
+    b0 = _docs(spark, [(1, "a", "x x y"), (2, "b", "x z")])
+    b1 = _docs(spark, [(3, "a", "y z"), (4, "c", "p q")])
+
+    census_fold_batch(b0, 0, state)
+    once = sorted(map(tuple, read_drift(spark, state).collect()))
+
+    # Replay of batch 0 must be a no-op (census sums are NOT idempotent).
+    census_fold_batch(b0, 0, state)
+    assert sorted(map(tuple, read_drift(spark, state).collect())) == once
+
+    # Folding a new batch: stream state == batch corpus_drift of the union.
+    census_fold_batch(b1, 1, state)
+    want = sorted(map(tuple, corpus_drift(b0.unionByName(b1)).collect()))
+    assert sorted(map(tuple, read_drift(spark, state).collect())) == want
