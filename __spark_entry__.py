@@ -1635,6 +1635,15 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the 100 TB ANN architecture (IVF bounds
+    candidates, PQ bounds bytes), seeded so the ENTIRE index is
+    SQL-reconstructable and the oracle checks assignment, codes, probes
+    and ranks decision-for-decision (operators/similarity.py:
+    ivfpq_ann_topk_seeded)."""
+    return sim_ops.ivfpq_ann_topk_seeded(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-itemset mining, pair tier (the A-priori L2 step): part
     pairs co-occurring in >= min_support orders, with lift in EXACT
@@ -2192,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "render_packs": q_render_packs,
         "market_basket": q_market_basket,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
         # pinned against a pure-Python reference in pytest (see docstring)
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
@@ -2859,6 +2869,7 @@ def oracle_sql() -> dict[str, str]:
             FROM seq WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type
         """,
+        "sim_ann_ivfpq": sim_ops.ivfpq_ann_topk_seeded_oracle_sql(),
         "market_basket": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -748,3 +748,225 @@ def ann_recall_gate(
         .cast("int")
         .alias("recall_ok"),
     )
+
+
+def ivfpq_ann_topk_seeded(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the 100 TB ANN composition the IVF and PQ docstrings point
+    at, actually built — coarse seeded-centroid bucketing bounds the
+    CANDIDATES (each query scores only its ``nprobe`` probed lists) while
+    product quantization bounds the BYTES (candidates are scored from
+    code ids through per-query distance tables; the decoded corpus never
+    exists). This is FAISS's IVFPQ shape minus residual encoding: codes
+    quantize the raw vectors, not v - centroid (the residual variant
+    changes only the encode/table expressions; non-residual keeps the
+    whole index SQL-reconstructable and therefore value-checked —
+    the same trade every seeded twin in this module makes).
+
+    Plan shape: cluster assignment and PQ encoding are pure maps (literal
+    expressions in codegen, no join); the probe join is equi- on the
+    cluster id with the tiny query side broadcast; ADC is a fixed-order
+    4-term sum of array lookups. One shuffle total (the final per-query
+    window). All argmax/argmin/rank decisions on packed rounded integers
+    — the oracle reproduces the index, codes, probes and ranks exactly.
+    """
+    import math
+
+    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    books = pq_seed_codebooks(emb, n_subspaces, n_codes, id_col, vec_col)
+    dim = sum(len(books[m][0][1]) for m in range(n_subspaces))
+    sub = dim // n_subspaces
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+
+    def packed_scores(vec: Column) -> list[Column]:
+        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        out = []
+        for cid, ce in cents:
+            norm_c = math.sqrt(sum(x * x for x in ce))
+            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
+            out.append(_packed_assign_score(sim, cid))
+        return out
+
+    def sub_vec(col: Column, m: int) -> Column:
+        return F.slice(col, m * sub + 1, sub)
+
+    def self_dot(col: Column) -> Column:
+        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+
+    def l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
+        return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+
+    # Shared per-row precompute: subvectors + their self-dots (hoisted once,
+    # same reasoning as pq_ann_topk_seeded's measured 9.9->1.5 s note).
+    vx = v.select(
+        "id",
+        "e",
+        *[sub_vec(F.col("e"), m).alias(f"sv{m}") for m in range(n_subspaces)],
+    ).select(
+        "id",
+        "e",
+        *[F.col(f"sv{m}") for m in range(n_subspaces)],
+        *[self_dot(F.col(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
+    )
+
+    cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast(
+        "int"
+    )
+    enc_cols = []
+    for m, book in enumerate(books):
+        packed = [
+            F.floor(
+                l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+            * F.lit(1024)
+            + F.lit(cid)
+            for cid, ce in book
+        ]
+        enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
+    corpus = vx.select("id", cluster.alias("cluster"), *enc_cols)
+
+    packed_arr = F.array(*packed_scores(F.col("e")))
+    probes = F.transform(
+        F.slice(F.sort_array(packed_arr, asc=False), 1, nprobe),
+        lambda p: (F.lit(1023) - p % F.lit(1024)).cast("int"),
+    )
+    q = (
+        vx.filter(F.col("id") < n_queries)
+        .select(
+            F.col("id").alias("q_id"),
+            F.explode(probes).alias("cluster"),
+            *[
+                F.array(
+                    *[
+                        l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce)
+                        for _, ce in book
+                    ]
+                ).alias(f"dt{m}")
+                for m, book in enumerate(books)
+            ],
+        )
+    )
+
+    adc = None
+    for m in range(n_subspaces):
+        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", F.col("id").alias("cand_id"), adc.alias("__d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("__d") * 1e6 + F.lit(0.5)).asc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "cand_id",
+            half_up_round(F.col("__d"), 6).alias("approx_d"),
+            "rnk",
+        )
+    )
+
+
+def ivfpq_ann_topk_seeded_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivfpq_ann_topk_seeded``: the IVF oracle's cluster
+    assignment/probe CTEs composed with the PQ oracle's codebook/encode/
+    ADC CTEs — candidates restricted to probed lists, scored from codes."""
+    sub = dim // n_subspaces
+    packed = (
+        "(CAST(FLOOR(list_dot_product({v}, c.ce)"
+        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
+        " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
+    )
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+
+    def subv(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
+
+    enc_selects = []
+    for m in range(n_subspaces):
+        d = l2.format(a=subv("v.e", m), b=f"b.sv{m}")
+        enc_selects.append(
+            f"CAST(MIN(CAST(FLOOR({d} * 1000000.0 + 0.5) AS BIGINT) * 1024"
+            f" + b.cid) % 1024 AS INTEGER) AS c{m}"
+        )
+    adc_terms = " + ".join(
+        l2.format(a=subv("qp.qe", m), b=f"b{m}.sv{m}") for m in range(n_subspaces)
+    )
+    joins = " ".join(
+        f"JOIN books b{m} ON b{m}.cid = cp.c{m}" for m in range(n_subspaces)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        c AS (SELECT id AS cid, e AS ce FROM v WHERE id < {n_centroids}),
+        assign AS (
+            SELECT v.id, MAX({packed.format(v="v.e")}) AS best
+            FROM v CROSS JOIN c GROUP BY v.id
+        ),
+        cl AS (SELECT id, CAST(1023 - (best % 1024) AS INTEGER) AS cluster FROM assign),
+        books AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid,
+                   {", ".join(f"list_slice(e, {m * sub + 1}, {(m + 1) * sub}) AS sv{m}" for m in range(n_subspaces))}
+            FROM v WHERE id < {n_codes}
+        ),
+        b AS (SELECT * FROM books),
+        codes AS (
+            SELECT v.id, {", ".join(enc_selects)}
+            FROM v CROSS JOIN b GROUP BY v.id
+        ),
+        cp AS (
+            SELECT cl.id, cl.cluster, {", ".join(f"codes.c{m}" for m in range(n_subspaces))}
+            FROM cl JOIN codes ON cl.id = codes.id
+        ),
+        qs AS (
+            SELECT v.id AS q_id, v.e AS qe, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.id ORDER BY {packed.format(v="v.e")} DESC
+                   ) AS prn
+            FROM v CROSS JOIN c WHERE v.id < {n_queries}
+        ),
+        qp AS (SELECT q_id, qe, CAST(cid AS INTEGER) AS cluster FROM qs WHERE prn <= {nprobe}),
+        scored AS (
+            SELECT qp.q_id, cp.id AS cand_id, ({adc_terms}) AS d
+            FROM qp JOIN cp ON qp.cluster = cp.cluster AND cp.id <> qp.q_id
+            {joins}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id,
+                   FLOOR(d * 1000000.0 + 0.5) / 1000000.0 AS d_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) ASC,
+                                cand_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT q_id, cand_id, d_r AS approx_d, CAST(rn AS INTEGER) AS rnk
+        FROM ranked WHERE rn <= {k}
+    """

@@ -192,11 +192,18 @@ def main() -> None:
     n_pq = pq_ann_topk_seeded(emb, n_queries=10, k=5).count()
     t_pq = time.perf_counter() - t0
 
+    from etl_pipeline_last_fm_spark.operators.similarity import ivfpq_ann_topk_seeded
+
+    t0 = time.perf_counter()
+    n_ivfpq = ivfpq_ann_topk_seeded(emb, n_queries=10, k=5).count()
+    t_ivfpq = time.perf_counter() - t0
+
     print(
         f"sketch/window/layout at same scale: cms {t_cms:.1f}s ({n_hh} hitters), "
         f"hll {t_hll:.1f}s ({n_hll} groups), kmv {t_kmv:.1f}s ({n_kmv} groups), "
         f"hopping {t_hop:.1f}s ({n_hop} windows), zorder-write {t_zorder:.1f}s; "
-        f"vectors={n_vec}: pq-adc {t_pq:.1f}s ({n_pq} rows)"
+        f"vectors={n_vec}: pq-adc {t_pq:.1f}s ({n_pq} rows), "
+        f"ivfpq {t_ivfpq:.1f}s ({n_ivfpq} rows)"
     )
 
 

