@@ -1644,6 +1644,18 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivfpq_ann_topk_seeded(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ — the FAISS-faithful refinement: codes quantize
+    v - centroid(v) (one codebook serves every list), each probe gets its
+    own distance tables from q - centroid(probe). Codebooks are
+    re-derived RELATIONALLY by the oracle, so even the residual index
+    construction is value-checked (operators/similarity.py:
+    ivfpq_residual_ann_topk_seeded)."""
+    return sim_ops.ivfpq_residual_ann_topk_seeded(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-itemset mining, pair tier (the A-priori L2 step): part
     pairs co-occurring in >= min_support orders, with lift in EXACT
@@ -2202,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_packs": q_render_packs,
         "market_basket": q_market_basket,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
+        "sim_ann_ivfpq_residual": q_sim_ann_ivfpq_residual,
         "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
         # pinned against a pure-Python reference in pytest (see docstring)
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
@@ -2870,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY from_type, to_type
         """,
         "sim_ann_ivfpq": sim_ops.ivfpq_ann_topk_seeded_oracle_sql(),
+        "sim_ann_ivfpq_residual": sim_ops.ivfpq_residual_ann_topk_seeded_oracle_sql(),
         "market_basket": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -970,3 +970,291 @@ def ivfpq_ann_topk_seeded_oracle_sql(
         SELECT q_id, cand_id, d_r AS approx_d, CAST(rn AS INTEGER) AS rnk
         FROM ranked WHERE rn <= {k}
     """
+
+
+def ivfpq_residual_ann_topk_seeded(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL IVF-PQ — the FAISS-faithful refinement of
+    ``ivfpq_ann_topk_seeded``: codes quantize v - centroid(v) instead of
+    v, so one codebook serves every list well (raw-vector codes waste
+    their dynamic range re-encoding the coarse structure the centroid
+    already captured). The query side mirrors it: each probe gets its own
+    distance tables computed from q - centroid(probe).
+
+    Still fully value-checked: centroids are the seeded literals; the
+    residual codebooks are the residual subvectors of the ``n_codes``
+    lowest-id vectors, computed by the SAME expressions the oracle
+    re-derives relationally (bounded n_codes-row collect on the Spark
+    side, CTE on the DuckDB side); every argmin/rank is a packed rounded
+    integer. The subtraction is materialized per element on both engines
+    (zip_with / list_zip x[1]-x[2]) so the float operation sequence is
+    identical — the algebraically-equal 9-dot-product expansion would
+    NOT be bit-identical and is deliberately not used.
+
+    Plan shape identical to the non-residual composition (maps + one
+    broadcast probe join + one window); the residual subtraction adds one
+    vectorized pass per subspace.
+    """
+    import math
+
+    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    dim = len(cents[0][1])
+    sub = dim // n_subspaces
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+
+    def packed_scores(vec: Column) -> list[Column]:
+        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        out = []
+        for cid, ce in cents:
+            norm_c = math.sqrt(sum(x * x for x in ce))
+            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
+            out.append(_packed_assign_score(sim, cid))
+        return out
+
+    cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast(
+        "int"
+    )
+    # Literal centroid subvector lookup tables: element_at(csub[m], cluster+1)
+    # (seeded cids are dense 0..n_centroids-1 by construction).
+    csub = [
+        F.array(
+            *[
+                F.array(*[F.lit(x) for x in ce[m * sub : (m + 1) * sub]])
+                for _, ce in cents
+            ]
+        )
+        for m in range(n_subspaces)
+    ]
+
+    def residual_sub(vec: Column, cluster_col: Column, m: int) -> Column:
+        return F.zip_with(
+            F.slice(vec, m * sub + 1, sub),
+            F.element_at(csub[m], cluster_col + 1),
+            lambda x, y: x - y,
+        )
+
+    def self_dot(col: Column) -> Column:
+        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+
+    def l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
+        return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+
+    rx = v.withColumn("cluster", cluster).select(
+        "id",
+        "e",
+        "cluster",
+        *[residual_sub(F.col("e"), F.col("cluster"), m).alias(f"rsv{m}") for m in range(n_subspaces)],
+    ).select(
+        "id",
+        "e",
+        "cluster",
+        *[F.col(f"rsv{m}") for m in range(n_subspaces)],
+        *[self_dot(F.col(f"rsv{m}")).alias(f"rvv{m}") for m in range(n_subspaces)],
+    )
+
+    # Residual codebooks: the residual subvectors of the n_codes lowest-id
+    # vectors, computed by the expressions above (bounded collect; the
+    # oracle re-derives the same rows relationally). Positional 0-based
+    # code ids in id order, same as pq_seed_codebooks.
+    seed_rows = (
+        rx.filter(F.col("id") < n_codes)
+        .select("id", *[F.col(f"rsv{m}") for m in range(n_subspaces)])
+        .orderBy("id")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("ivfpq_residual: no seed vectors with id < n_codes")
+    books = [
+        [(pos, list(r[f"rsv{m}"])) for pos, r in enumerate(seed_rows)]
+        for m in range(n_subspaces)
+    ]
+
+    enc_cols = []
+    for m, book in enumerate(books):
+        packed = [
+            F.floor(
+                l2_from_vv(F.col(f"rvv{m}"), F.col(f"rsv{m}"), ce) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+            * F.lit(1024)
+            + F.lit(cid)
+            for cid, ce in book
+        ]
+        enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
+    corpus = rx.select("id", "cluster", *enc_cols)
+
+    packed_arr = F.array(*packed_scores(F.col("e")))
+    probes = F.transform(
+        F.slice(F.sort_array(packed_arr, asc=False), 1, nprobe),
+        lambda p: (F.lit(1023) - p % F.lit(1024)).cast("int"),
+    )
+    # Per (query, probe): residual vs the PROBED centroid, then its tables.
+    qbase = (
+        v.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("q_id"), F.col("e").alias("qe"),
+                F.explode(probes).alias("cluster"))
+        .select(
+            "q_id",
+            "cluster",
+            *[residual_sub(F.col("qe"), F.col("cluster"), m).alias(f"qr{m}") for m in range(n_subspaces)],
+        )
+        .select(
+            "q_id",
+            "cluster",
+            *[F.col(f"qr{m}") for m in range(n_subspaces)],
+            *[self_dot(F.col(f"qr{m}")).alias(f"qv{m}") for m in range(n_subspaces)],
+        )
+    )
+    q = qbase.select(
+        "q_id",
+        "cluster",
+        *[
+            F.array(
+                *[
+                    l2_from_vv(F.col(f"qv{m}"), F.col(f"qr{m}"), ce)
+                    for _, ce in book
+                ]
+            ).alias(f"dt{m}")
+            for m, book in enumerate(books)
+        ],
+    )
+
+    adc = None
+    for m in range(n_subspaces):
+        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        corpus.join(F.broadcast(q), "cluster")
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", F.col("id").alias("cand_id"), adc.alias("__d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("__d") * 1e6 + F.lit(0.5)).asc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "cand_id",
+            half_up_round(F.col("__d"), 6).alias("approx_d"),
+            "rnk",
+        )
+    )
+
+
+def ivfpq_residual_ann_topk_seeded_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``ivfpq_residual_ann_topk_seeded``: rebuilds the
+    residual codebooks RELATIONALLY (residual subvectors of the seed
+    rows, same element-wise list_zip subtraction), re-encodes, re-probes
+    and re-ranks on the same packed integers."""
+    sub = dim // n_subspaces
+    packed = (
+        "(CAST(FLOOR(list_dot_product({v}, c.ce)"
+        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
+        " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
+    )
+
+    def subv(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
+
+    def res(vec_expr: str, cent_expr: str, m: int) -> str:
+        return (
+            f"list_transform(list_zip({subv(vec_expr, m)}, {subv(cent_expr, m)}),"
+            f" x -> x[1] - x[2])"
+        )
+
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    rsv_cols = ", ".join(
+        f"{res('v.e', 'cc.ce', m)} AS rsv{m}" for m in range(n_subspaces)
+    )
+    enc_selects = []
+    for m in range(n_subspaces):
+        d = l2.format(a=f"rx.rsv{m}", b=f"b.bk{m}")
+        enc_selects.append(
+            f"CAST(MIN(CAST(FLOOR({d} * 1000000.0 + 0.5) AS BIGINT) * 1024"
+            f" + b.cid) % 1024 AS INTEGER) AS c{m}"
+        )
+    book_cols = ", ".join(f"rsv{m} AS bk{m}" for m in range(n_subspaces))
+    adc_terms = " + ".join(
+        l2.format(a=f"{res('qp.qe', 'qc.ce', m)}", b=f"b{m}.bk{m}")
+        for m in range(n_subspaces)
+    )
+    joins = " ".join(
+        f"JOIN books b{m} ON b{m}.cid = cp.c{m}" for m in range(n_subspaces)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        c AS (SELECT id AS cid, e AS ce FROM v WHERE id < {n_centroids}),
+        assign AS (
+            SELECT v.id, MAX({packed.format(v="v.e")}) AS best
+            FROM v CROSS JOIN c GROUP BY v.id
+        ),
+        cl AS (SELECT id, CAST(1023 - (best % 1024) AS INTEGER) AS cluster FROM assign),
+        rx AS (
+            SELECT v.id, cl.cluster, {rsv_cols}
+            FROM v JOIN cl ON v.id = cl.id
+                   JOIN c cc ON cc.cid = cl.cluster
+        ),
+        books AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, {book_cols}
+            FROM rx WHERE id < {n_codes}
+        ),
+        b AS (SELECT * FROM books),
+        cp AS (
+            SELECT rx.id, rx.cluster, {", ".join(enc_selects)}
+            FROM rx CROSS JOIN b GROUP BY rx.id, rx.cluster
+        ),
+        qs AS (
+            SELECT v.id AS q_id, v.e AS qe, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.id ORDER BY {packed.format(v="v.e")} DESC
+                   ) AS prn
+            FROM v CROSS JOIN c WHERE v.id < {n_queries}
+        ),
+        qp AS (
+            SELECT q_id, qe, CAST(cid AS INTEGER) AS cluster
+            FROM qs WHERE prn <= {nprobe}
+        ),
+        scored AS (
+            SELECT qp.q_id, cp.id AS cand_id, ({adc_terms}) AS d
+            FROM qp
+            JOIN c qc ON qc.cid = qp.cluster
+            JOIN cp ON qp.cluster = cp.cluster AND cp.id <> qp.q_id
+            {joins}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id,
+                   FLOOR(d * 1000000.0 + 0.5) / 1000000.0 AS d_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) ASC,
+                                cand_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT q_id, cand_id, d_r AS approx_d, CAST(rn AS INTEGER) AS rnk
+        FROM ranked WHERE rn <= {k}
+    """

@@ -72,3 +72,62 @@ def read_drift(spark: SparkSession, state_path: str) -> DataFrame:
     """Pairwise TV distances over everything folded so far — equals
     `corpus_drift` of the concatenated batches."""
     return tv_from_census(read_census(spark, state_path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming inverted-index maintenance (same additive-fold recipe)
+# ---------------------------------------------------------------------------
+
+
+def postings_census(batch_df: DataFrame) -> DataFrame:
+    """Per-(term, doc_id) term frequencies — the additive state behind
+    text.inverted_index. APPEND-ONLY corpus contract: a doc_id must appear
+    in exactly one batch (re-sending a document doubles its tf — that is
+    the dedup layer's job upstream, streaming/dedup.py)."""
+    from etl_pipeline_last_fm_spark.operators.text import _tokens
+
+    return (
+        batch_df.select(F.col("doc_id"), F.explode(_tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def postings_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """Fold ONE micro-batch's postings into the persisted state
+    (replay-guarded like every other fold in this package)."""
+    spark = batch_df.sparkSession
+    prev = _read_state_or_none(spark, state_path)
+    if int(batch_id) <= last_applied_batch(prev):
+        return
+    state = postings_census(batch_df)
+    if prev is not None:
+        # Append-only contract => (term, doc_id) keys are disjoint across
+        # batches and the merge is a plain union; the groupBy both
+        # normalizes accidental overlap deterministically (tf sums) and
+        # keeps the state one row per key.
+        state = (
+            _strip_bid(prev)
+            .unionByName(state)
+            .groupBy("term", "doc_id")
+            .agg(F.sum("tf").alias("tf"))
+        )
+    state = state.withColumn(BID_COL, F.lit(int(batch_id)))
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+
+def read_inverted_index(
+    spark: SparkSession, state_path: str, min_df: int = 2
+) -> DataFrame:
+    """Render the index from the postings state at READ time — identical
+    output contract to text.inverted_index over the concatenated batches."""
+    return (
+        _strip_bid(spark.read.parquet(state_path))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("ttf"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -186,3 +186,37 @@ def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
     out = ivfpq_ann_topk_seeded(emb, n_queries=6, k=5, nprobe=1).collect()
     assert len(out) > 0  # non-vacuous: probed lists contain candidates
     assert all(r["rnk"] <= 5 for r in out)
+
+
+def test_ivfpq_residual_runs_and_is_deterministic(spark, sf_dir):
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        ivfpq_residual_ann_topk_seeded,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, ivfpq_residual_ann_topk_seeded(emb, n_queries=6, k=5).collect()))
+    b = sorted(map(tuple, ivfpq_residual_ann_topk_seeded(emb, n_queries=6, k=5).collect()))
+    assert a == b and len(a) > 0
+    # every query that returns anything returns a dense 1..k_i rank prefix
+    by_q = {}
+    for q_id, cand, d, rnk in a:
+        by_q.setdefault(q_id, []).append(rnk)
+    for q_id, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q_id
+
+
+def test_ivfpq_residual_codes_differ_from_raw_codes(spark, sf_dir):
+    """The residual encoding is genuinely different from raw-vector
+    encoding (same seeds, same corpus) — if the subtraction were a no-op
+    the two variants would pick identical ADC rankings everywhere."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        ivfpq_ann_topk_seeded,
+        ivfpq_residual_ann_topk_seeded,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = sorted(map(tuple, ivfpq_ann_topk_seeded(emb, n_queries=8, k=5).collect()))
+    res = sorted(map(tuple, ivfpq_residual_ann_topk_seeded(emb, n_queries=8, k=5).collect()))
+    assert raw != res

@@ -121,3 +121,26 @@ def test_census_fold_replay_and_equivalence(spark, tmp_path):
     census_fold_batch(b1, 1, state)
     want = sorted(map(tuple, corpus_drift(b0.unionByName(b1)).collect()))
     assert sorted(map(tuple, read_drift(spark, state).collect())) == want
+
+
+def test_postings_fold_replay_and_equivalence(spark, tmp_path):
+    from etl_pipeline_last_fm_spark.operators.text import inverted_index
+    from etl_pipeline_last_fm_spark.streaming.drift import (
+        postings_fold_batch,
+        read_inverted_index,
+    )
+
+    state = str(tmp_path / "postings_state")
+    b0 = _docs(spark, [(1, "a", "x y x"), (2, "b", "x z")])
+    b1 = _docs(spark, [(3, "a", "y z q"), (4, "c", "x")])
+
+    postings_fold_batch(b0, 0, state)
+    once = sorted(map(tuple, read_inverted_index(spark, state, min_df=1).collect()))
+    postings_fold_batch(b0, 0, state)  # replay must be a no-op
+    assert sorted(map(tuple, read_inverted_index(spark, state, min_df=1).collect())) == once
+
+    postings_fold_batch(b1, 1, state)
+    want = sorted(
+        map(tuple, inverted_index(b0.unionByName(b1), min_df=1).collect())
+    )
+    assert sorted(map(tuple, read_inverted_index(spark, state, min_df=1).collect())) == want
