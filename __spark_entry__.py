@@ -1670,10 +1670,12 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the frequent-item semi-join.
 
     Overflow bound: lift's numerator needs support * n_orders * 1e6
-    < 2^63 with support <= min(c_a, c_b); at 100 TB scale (n_orders ~
-    1e10) pair supports above ~90k would need the decimal(38,0) swap —
-    or equivalently divide by n_orders' scale first; documented rather
-    than silently wrapped (ANSI mode would raise, not corrupt)."""
+    < 2^63; at n_orders ~ 1e10 that caps pair support at ~922 (2^63 /
+    (1e10 * 1e6)) — NOT a comfortable margin, so at that scale either
+    drop the ppm scaling to per-mille (*1e3, support cap ~920k) or cast
+    the numerator to decimal(38,0) (the executed swap in
+    tests/test_decimal_swap.py); documented rather than silently wrapped
+    (ANSI mode would raise, not corrupt)."""
     li = load_table(spark, sf_dir, "lineitem")
     min_support = 2
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -1985,6 +1987,130 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(edges, n_iter=4)
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table checksum — the 100 TB replica-validation tool:
+    each row's canonical content string hashes to a 60-bit integer
+    (portable md5 family), rows bucket by hash range, and each bucket
+    reports (n_rows, additive checksum). Comparing two copies of a table
+    is then a 64-row diff; a mismatched bucket pinpoints where to drill
+    down — no full-table compare, no ordering assumption (the checksum
+    is an order-free SUM). The sum accumulates as decimal(38,0) and is
+    folded mod 2^61 at the end — overflow-free to ~10^26 rows, exact on
+    both engines (HUGEINT on DuckDB). Row rendering uses the exact cent
+    integers, never float formatting."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        qty,
+        e2,
+        d2,
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    h = portable_hash60(row_str)
+    return (
+        li.select(h.alias("__h"))
+        .groupBy(F.pmod(F.col("__h"), F.lit(64)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(__h AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)"
+            ).alias("checksum"),
+        )
+    )
+
+
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    BOTH join sides (brand/size from part AND quantity from lineitem in
+    each disjunct) — the shape that exercises CNF extraction: Catalyst
+    must derive the common join key + pushable per-side conjuncts from
+    the disjunction instead of evaluating it post-join row by row. Exact
+    integer revenue; one row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (qty >= 1)
+            & (qty <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (qty >= 10)
+            & (qty <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (qty >= 20)
+            & (qty <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(F.sum(_rev4_col()).alias("__s4"))
+        .select(
+            (F.expr("(coalesce(__s4, 0L) + 50) div 100").cast("double") / F.lit(100.0))
+            .alias("revenue")
+        )
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (dynamic gap-merged windows inside
+    the aggregation operator — §2.11's batch form of what Structured
+    Streaming runs stateful) against a gaps-and-islands oracle: the same
+    30-minute-gap sessions derived two completely different ways. Window
+    bounds are surfaced as integer epoch-µs (NTZ-safe), values as exact
+    counts + integer cent sums."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            "user_id",
+            ts_us(F.col("session_window.start")).alias("start_us"),
+            # session_window.end = last event + gap (exclusive bound)
+            ts_us(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-4-round k-core peeling (k=3) over the co-supplier graph —
+    the community-density filter, unrolled like pagerank so the oracle
+    value-checks every surviving node and in-core degree; convergence is
+    certified in pytest against a run-to-fixpoint Python reference
+    (operators/graph.py:kcore_rounds)."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        cosupplier_edges,
+        kcore_rounds,
+    )
+
+    return kcore_rounds(
+        cosupplier_edges(load_table(spark, sf_dir, "lineitem")), k=3, n_rounds=4
+    )
+
+
 def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer LEFT OUTER JOIN orders with the join-side
     filter INSIDE the join condition (not a WHERE — zero-order customers
@@ -2197,6 +2323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "triangle_count": q_triangle_count,
         "pagerank": q_pagerank,
+        "kcore": q_kcore,
+        "disjunctive_predicates": q_disjunctive_predicates,
+        "session_window_native": q_session_window_native,
+        "table_checksum": q_table_checksum,
         "order_distribution": q_order_distribution,
         "small_qty_revenue": q_small_qty_revenue,
         "top_volume_orders": q_top_volume_orders,
@@ -2846,6 +2976,72 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": _kmv_set_ops_oracle(),
         "triangle_count": _graph_mod().triangle_counts_oracle_sql(),
         "pagerank": _graph_mod().pagerank_oracle_sql(n_iter=4),
+        "kcore": _graph_mod().kcore_rounds_oracle_sql(k=3, n_rounds=4),
+        "table_checksum": f"""
+            WITH h AS (
+                SELECT {_hash60_sql(
+                    "concat_ws('|', l_orderkey, l_linenumber, "
+                    "CAST(FLOOR(l_quantity + 0.5) AS BIGINT), "
+                    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), "
+                    "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT), "
+                    "l_returnflag, l_linestatus)"
+                )} AS h
+                FROM lineitem
+            )
+            SELECT CAST(h % 64 AS BIGINT) AS bucket,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(h) % 2305843009213693952 AS BIGINT) AS checksum
+            FROM h GROUP BY 1
+        """,
+        "disjunctive_predicates": """
+            SELECT CAST((COALESCE(CAST(SUM(
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                   ) AS BIGINT), 0) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) BETWEEN 20 AND 30)
+        """,
+        # Gaps-and-islands twin of the native session_window operator:
+        # same 30-min gap, same half-open end bound (last event + gap).
+        "session_window_native": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CAST(FLOOR(COALESCE(value, 0.0) * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ),
+            flagged AS (
+                SELECT user_id, us, cents,
+                       CASE WHEN us - LAG(us) OVER (
+                                PARTITION BY user_id ORDER BY us
+                            ) > 1800000000 THEN 1
+                            WHEN LAG(us) OVER (
+                                PARTITION BY user_id ORDER BY us
+                            ) IS NULL THEN 1
+                            ELSE 0 END AS new_sess
+                FROM ev
+            ),
+            islands AS (
+                SELECT user_id, us, cents,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sess_no
+                FROM flagged
+            )
+            SELECT user_id,
+                   CAST(MIN(us) AS BIGINT) AS start_us,
+                   CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM islands
+            GROUP BY user_id, sess_no
+        """,
         "corpus_drift": text_ops.corpus_drift_oracle_sql(),
         "inverted_index": text_ops.inverted_index_oracle_sql(),
         "merge_upsert": scd_ops.merge_upsert_oracle_sql(),
@@ -3081,6 +3277,12 @@ def oracle_sql() -> dict[str, str]:
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.
     }
+
+
+def _hash60_sql(expr: str) -> str:
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60_sql
+
+    return portable_hash60_sql(expr)
 
 
 def _graph_mod():

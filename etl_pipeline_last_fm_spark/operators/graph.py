@@ -280,3 +280,104 @@ def pagerank_oracle_sql(n_iter: int = 4) -> str:
         )
     parts.append(f"SELECT node, r AS rank_micro FROM r{n_iter}")
     return "".join(parts)
+
+
+def kcore_rounds(edges: DataFrame, k: int = 3, n_rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling: ``n_rounds`` iterations of "drop every
+    node with degree < k, recompute degrees" over the undirected graph —
+    the standard community-density filter (a node in the k-core has >= k
+    neighbors WITHIN the core). Fixed rounds (like ``pagerank_micro``)
+    rather than run-to-convergence, so the DuckDB oracle can unroll the
+    identical recurrence as CTEs and value-check every surviving node and
+    degree; convergence for a given graph is certified separately in
+    pytest against a run-to-fixpoint Python reference (peeling is
+    monotone — once the survivor set stops changing it is THE k-core, and
+    shallow fixtures converge in 2-3 rounds).
+
+    INPUT CONTRACT: distinct canonical edges (a < b), like
+    ``triangle_counts``. Scale shape: each round is one edge semi-join
+    against survivors + one degree aggregation — 2 shuffles/round,
+    linear in surviving edges; the classic distributed peeling schedule.
+    Returns (node, core_degree) for nodes surviving ``n_rounds``.
+    """
+    # localCheckpoint per round: e_{i+1}'s plan references e_i THREE
+    # times (the semi-join source plus both survivor branches), so an
+    # unpersisted loop builds a 3^n-copy plan — exponential analysis and
+    # execution (measured: minutes for n=6 on a 40-edge graph). Same
+    # lineage-truncation treatment as connected_components.
+    cur_edges = edges.select("a", "b").localCheckpoint()
+    survivors = None
+    for _ in range(n_rounds):
+        deg = (
+            cur_edges.select(F.col("a").alias("node"))
+            .unionAll(cur_edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        survivors = deg.filter(F.col("degree") >= k).select("node")
+        cur_edges = (
+            cur_edges.join(
+                survivors.withColumnRenamed("node", "a"), "a", "left_semi"
+            )
+            .join(survivors.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        survivors = survivors.localCheckpoint()
+    final_deg = (
+        cur_edges.select(F.col("a").alias("node"))
+        .unionAll(cur_edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    # Survivor nodes that lost ALL remaining edges still belong to the
+    # round-n survivor set with degree 0 only if isolated — but a node
+    # with zero in-core edges cannot meet k >= 1, so the edge-derived
+    # node set IS the survivor set for k >= 1 after the final filter:
+    return final_deg.join(survivors, "node", "left_semi")
+
+
+def kcore_rounds_oracle_sql(k: int = 3, n_rounds: int = 4) -> str:
+    """DuckDB twin over the co-supplier graph: the same ``n_rounds``
+    peeling recurrence, unrolled as CTE pairs (deg_i -> surv_i ->
+    edges_i)."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and e_{i+1}
+    # references e_i three times (source + both survivor branches) — the
+    # same 3^n blowup the Spark side breaks with localCheckpoint
+    # (measured: 234 s inlined vs sub-second materialized at sf0.001).
+    parts = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+        )
+        """
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f""",
+        deg{i} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM e{i} UNION ALL SELECT b AS node FROM e{i}
+            ) GROUP BY node
+        ),
+        surv{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE degree >= {k}),
+        e{i + 1} AS MATERIALIZED (
+            SELECT a, b FROM e{i}
+            WHERE a IN (SELECT node FROM surv{i})
+              AND b IN (SELECT node FROM surv{i})
+        )
+        """
+        )
+    last = n_rounds
+    parts.append(
+        f"""
+        SELECT node, COUNT(*) AS core_degree FROM (
+            SELECT a AS node FROM e{last} UNION ALL SELECT b AS node FROM e{last}
+        )
+        WHERE node IN (SELECT node FROM surv{last - 1})
+        GROUP BY node
+        """
+    )
+    return "".join(parts)

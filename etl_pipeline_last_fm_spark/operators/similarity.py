@@ -283,6 +283,56 @@ def _packed_assign_score(sim: Column, cid: int) -> Column:
     return s6 * F.lit(1024) + F.lit(1023 - cid)
 
 
+# Shared building blocks for the seeded ANN family (IVF / PQ / IVF-PQ /
+# residual IVF-PQ). Hoisted to module level so a change to the packed
+# encoding or the L2 evaluation order lands in ONE place per engine —
+# a per-operator copy missing a fix would silently break only that
+# operator's cross-engine parity.
+
+
+def _centroid_packed_scores(cents: list[tuple[int, list[float]]]):
+    """Factory: per-centroid packed cosine scores against literal
+    centroids (argmax-ready, see _packed_assign_score)."""
+    import math
+
+    def packed_scores(vec: Column) -> list[Column]:
+        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        out = []
+        for cid, ce in cents:
+            norm_c = math.sqrt(sum(x * x for x in ce))
+            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
+            out.append(_packed_assign_score(sim, cid))
+        return out
+
+    return packed_scores
+
+
+def _self_dot(col: Column) -> Column:
+    return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+
+
+def _sub_vec_factory(sub: int):
+    return lambda col, m: F.slice(col, m * sub + 1, sub)
+
+
+def _l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
+    """Squared L2 to a literal code given the hoisted self-dot vv:
+    vv - 2*dot(sv, ce) + cc — fixed evaluation order on both engines."""
+    return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+
+
+# DuckDB twins of the same two building blocks (format with {v} / {a},{b}).
+_PACKED_CENT_SQL = (
+    "(CAST(FLOOR(list_dot_product({v}, c.ce)"
+    " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
+    " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
+)
+_L2_SQL = (
+    "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+
 def seeded_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -325,16 +375,7 @@ def ivf_ann_topk_seeded(
     cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
-    import math
-
-    def packed_scores(vec: Column) -> list[Column]:
-        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-        out = []
-        for cid, ce in cents:
-            norm_c = math.sqrt(sum(x * x for x in ce))
-            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
-            out.append(_packed_assign_score(sim, cid))
-        return out
+    packed_scores = _centroid_packed_scores(cents)
 
     # Corpus assignment: greatest() over the packed per-centroid scores —
     # a pure map (no join, no shuffle, no corpus x centroids expansion).
@@ -381,11 +422,7 @@ def ivf_ann_topk_seeded_oracle_sql(
     index relationally (centroids = rows with id < n_centroids) and takes
     every argmax on the same packed BIGINT, so assignment, probe choice and
     final ranking match Spark decision-for-decision."""
-    packed = (
-        "(CAST(FLOOR(list_dot_product({v}, c.ce)"
-        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
-        " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
-    )
+    packed = _PACKED_CENT_SQL
     return f"""
         WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              c AS (SELECT id AS cid, e AS ce FROM v WHERE id < {n_centroids}),
@@ -568,14 +605,9 @@ def pq_ann_topk_seeded(
     # so leaving it inline multiplies the dominant cost by n_codes —
     # measured 9.9 s -> ~1.5 s at sf0.1. Same doubles (hoisting an
     # identical expression), so the oracle is unchanged.
-    def sub_vec(col: Column, m: int) -> Column:
-        return F.slice(col, m * sub + 1, sub)
-
-    def self_dot(col: Column) -> Column:
-        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
-
-    def l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
-        return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+    sub_vec = _sub_vec_factory(sub)
+    self_dot = _self_dot
+    l2_from_vv = _l2_from_vv
 
     vx = v.select(
         "id",
@@ -652,10 +684,7 @@ def pq_ann_topk_seeded_oracle_sql(
     relationally, re-encodes the corpus with the same packed argmin, and
     re-ranks on the same rounded ADC sums."""
     sub = dim // n_subspaces
-    l2 = (
-        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}))"
-    )
+    l2 = _L2_SQL
 
     def subv(expr: str, m: int) -> str:
         return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
@@ -779,31 +808,16 @@ def ivfpq_ann_topk_seeded(
     window). All argmax/argmin/rank decisions on packed rounded integers
     — the oracle reproduces the index, codes, probes and ranks exactly.
     """
-    import math
-
     cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
     books = pq_seed_codebooks(emb, n_subspaces, n_codes, id_col, vec_col)
     dim = sum(len(books[m][0][1]) for m in range(n_subspaces))
     sub = dim // n_subspaces
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
-    def packed_scores(vec: Column) -> list[Column]:
-        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-        out = []
-        for cid, ce in cents:
-            norm_c = math.sqrt(sum(x * x for x in ce))
-            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
-            out.append(_packed_assign_score(sim, cid))
-        return out
-
-    def sub_vec(col: Column, m: int) -> Column:
-        return F.slice(col, m * sub + 1, sub)
-
-    def self_dot(col: Column) -> Column:
-        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
-
-    def l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
-        return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+    packed_scores = _centroid_packed_scores(cents)
+    sub_vec = _sub_vec_factory(sub)
+    self_dot = _self_dot
+    l2_from_vv = _l2_from_vv
 
     # Shared per-row precompute: subvectors + their self-dots (hoisted once,
     # same reasoning as pq_ann_topk_seeded's measured 9.9->1.5 s note).
@@ -894,15 +908,8 @@ def ivfpq_ann_topk_seeded_oracle_sql(
     assignment/probe CTEs composed with the PQ oracle's codebook/encode/
     ADC CTEs — candidates restricted to probed lists, scored from codes."""
     sub = dim // n_subspaces
-    packed = (
-        "(CAST(FLOOR(list_dot_product({v}, c.ce)"
-        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
-        " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
-    )
-    l2 = (
-        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}))"
-    )
+    packed = _PACKED_CENT_SQL
+    l2 = _L2_SQL
 
     def subv(expr: str, m: int) -> str:
         return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
@@ -1004,27 +1011,28 @@ def ivfpq_residual_ann_topk_seeded(
     broadcast probe join + one window); the residual subtraction adds one
     vectorized pass per subspace.
     """
-    import math
-
     cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
+    if not cents:
+        raise ValueError(
+            f"ivfpq_residual: no seed centroids with {id_col} < {n_centroids}"
+        )
     dim = len(cents[0][1])
     sub = dim // n_subspaces
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
-    def packed_scores(vec: Column) -> list[Column]:
-        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-        out = []
-        for cid, ce in cents:
-            norm_c = math.sqrt(sum(x * x for x in ce))
-            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
-            out.append(_packed_assign_score(sim, cid))
-        return out
+    packed_scores = _centroid_packed_scores(cents)
 
     cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast(
         "int"
     )
-    # Literal centroid subvector lookup tables: element_at(csub[m], cluster+1)
-    # (seeded cids are dense 0..n_centroids-1 by construction).
+    # Literal centroid subvector lookup tables, POSITIONAL in `cents`
+    # order. The cluster column carries the centroid ID (a raw seed
+    # vec_id) — dense 0-based only by fixture accident — so the lookup
+    # goes through an explicit id->position literal map rather than
+    # trusting element_at(csub, cluster+1): with ids starting at 1 the
+    # positional read would silently subtract the WRONG centroid (and
+    # NULL out on the largest id). Same hazard class pq_seed_codebooks'
+    # positional-code comment documents.
     csub = [
         F.array(
             *[
@@ -1034,19 +1042,23 @@ def ivfpq_residual_ann_topk_seeded(
         )
         for m in range(n_subspaces)
     ]
+    cid_to_pos = F.create_map(
+        *[
+            F.lit(x)
+            for pos, (cid, _) in enumerate(cents)
+            for x in (cid, pos)
+        ]
+    )
 
     def residual_sub(vec: Column, cluster_col: Column, m: int) -> Column:
         return F.zip_with(
             F.slice(vec, m * sub + 1, sub),
-            F.element_at(csub[m], cluster_col + 1),
+            F.element_at(csub[m], F.element_at(cid_to_pos, cluster_col) + 1),
             lambda x, y: x - y,
         )
 
-    def self_dot(col: Column) -> Column:
-        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
-
-    def l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
-        return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+    self_dot = _self_dot
+    l2_from_vv = _l2_from_vv
 
     rx = v.withColumn("cluster", cluster).select(
         "id",
@@ -1166,11 +1178,7 @@ def ivfpq_residual_ann_topk_seeded_oracle_sql(
     rows, same element-wise list_zip subtraction), re-encodes, re-probes
     and re-ranks on the same packed integers."""
     sub = dim // n_subspaces
-    packed = (
-        "(CAST(FLOOR(list_dot_product({v}, c.ce)"
-        " / (sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c.ce, c.ce)))"
-        " * 1000000.0 + 0.5) AS BIGINT) + 2000000) * 1024 + (1023 - c.cid)"
-    )
+    packed = _PACKED_CENT_SQL
 
     def subv(expr: str, m: int) -> str:
         return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
@@ -1181,10 +1189,7 @@ def ivfpq_residual_ann_topk_seeded_oracle_sql(
             f" x -> x[1] - x[2])"
         )
 
-    l2 = (
-        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}))"
-    )
+    l2 = _L2_SQL
     rsv_cols = ", ".join(
         f"{res('v.e', 'cc.ce', m)} AS rsv{m}" for m in range(n_subspaces)
     )

@@ -707,13 +707,26 @@ def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
     fixed-size buckets (term, page_no); the single-row rendering here is
     the test-scale form of the same census.
     """
-    postings = (
+    return render_inverted_index(postings_census(docs), min_df)
+
+
+def postings_census(docs: DataFrame) -> DataFrame:
+    """Per-(term, doc_id) term frequencies — the ADDITIVE state behind
+    inverted_index: disjoint batches' censuses merge by union (one row
+    per key under an append-only corpus), which is what
+    streaming/drift.py folds incrementally."""
+    return (
         docs.select(F.col("doc_id"), F.explode(_tokens()).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def render_inverted_index(census: DataFrame, min_df: int = 2) -> DataFrame:
+    """Read-time index rendering from a (term, doc_id, tf) census —
+    shared by the batch operator and the streaming state reader."""
     return (
-        postings.groupBy("term")
+        census.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("ttf"),

@@ -228,3 +228,49 @@ def streaming_tumbling_window(
             "value_sum",
         )
     )
+
+
+def streaming_session_window(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark_minutes: int = 120,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the native session_window aggregation
+    (__spark_entry__.q_session_window_native): dynamic gap-merged session
+    state keyed by (user, session), finalized and emitted in APPEND mode
+    once the watermark passes a session's end.
+
+    Append-mode caveat (inherent to session windows, not this code):
+    sessions still inside the watermark horizon when an availableNow
+    replay ends remain in state and are NOT emitted — so "stream equals
+    batch" holds as a sandwich: every emitted row IS a batch row, and
+    every batch session that provably finalized (end < max event time -
+    watermark) IS emitted (tested exactly that way). A continuous
+    deployment flushes them as the watermark advances.
+    """
+    cents = F.floor(
+        F.coalesce(F.col(value_col), F.lit(0.0)) * 100 + F.lit(0.5)
+    ).cast("long")
+    ev = events_stream.select(
+        F.col(key_col),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        cents.alias("__cents"),
+    )
+    return (
+        ev.withWatermark("__ts", f"{watermark_minutes} minutes")
+        .groupBy(key_col, F.session_window("__ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("sum_cents"),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )

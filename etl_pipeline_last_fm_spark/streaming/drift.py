@@ -79,18 +79,14 @@ def read_drift(spark: SparkSession, state_path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def postings_census(batch_df: DataFrame) -> DataFrame:
-    """Per-(term, doc_id) term frequencies — the additive state behind
-    text.inverted_index. APPEND-ONLY corpus contract: a doc_id must appear
-    in exactly one batch (re-sending a document doubles its tf — that is
-    the dedup layer's job upstream, streaming/dedup.py)."""
-    from etl_pipeline_last_fm_spark.operators.text import _tokens
-
-    return (
-        batch_df.select(F.col("doc_id"), F.explode(_tokens()).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+# APPEND-ONLY corpus contract: a doc_id must appear in exactly one batch
+# (re-sending a document doubles its tf — that is the dedup layer's job
+# upstream, streaming/dedup.py). The census itself is text.postings_census
+# so the batch and streaming contracts can never drift.
+from etl_pipeline_last_fm_spark.operators.text import (  # noqa: E402
+    postings_census,
+    render_inverted_index,
+)
 
 
 def postings_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
@@ -119,15 +115,8 @@ def postings_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> 
 def read_inverted_index(
     spark: SparkSession, state_path: str, min_df: int = 2
 ) -> DataFrame:
-    """Render the index from the postings state at READ time — identical
-    output contract to text.inverted_index over the concatenated batches."""
-    return (
-        _strip_bid(spark.read.parquet(state_path))
-        .groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("ttf"),
-            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
-        )
-        .filter(F.col("df") >= min_df)
+    """Render the index from the postings state at READ time — the SAME
+    code path as text.inverted_index over the concatenated batches."""
+    return render_inverted_index(
+        _strip_bid(spark.read.parquet(state_path)), min_df
     )

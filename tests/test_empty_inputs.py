@@ -137,3 +137,10 @@ def test_inverted_index_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id long, source string, text string")
     assert inverted_index(empty).count() == 0
+
+
+def test_kcore_on_empty(spark):
+    from etl_pipeline_last_fm_spark.operators.graph import kcore_rounds
+
+    edges = spark.createDataFrame([], "a long, b long")
+    assert kcore_rounds(edges, k=2, n_rounds=3).count() == 0

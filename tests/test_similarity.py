@@ -174,18 +174,31 @@ def test_ivfpq_with_all_probes_equals_pq(spark, sf_dir):
     assert sorted(map(tuple, full)) == sorted(map(tuple, pq))
 
 
-def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
-    """With nprobe=1 every returned candidate must sit in its query's
-    single probed cluster — the candidate restriction is real."""
+def test_ivfpq_candidate_restriction_vs_oracle_nprobe1(spark, sf_dir):
+    """nprobe=1 pins the candidate RESTRICTION itself: the oracle computes
+    the single probed cluster independently (relational argmax + explicit
+    cluster equi-join), so strict equality proves Spark's restriction is
+    real — a regression that scored the whole corpus would produce extra
+    (or different) top-k rows and fail here, unlike a non-emptiness
+    check. Also differs from the default-nprobe parity entry, which could
+    mask a symmetric restriction bug only if BOTH engines dropped the
+    join the same way; here the oracle's join is spelled literally."""
     from etl_pipeline_last_fm_spark.operators.similarity import (
         ivfpq_ann_topk_seeded,
+        ivfpq_ann_topk_seeded_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.sources.tables import load_table
+    from tests.oracle_utils import assert_matches_oracle
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ivfpq_ann_topk_seeded(emb, n_queries=6, k=5, nprobe=1).collect()
-    assert len(out) > 0  # non-vacuous: probed lists contain candidates
-    assert all(r["rnk"] <= 5 for r in out)
+    df = ivfpq_ann_topk_seeded(emb, n_queries=6, k=5, nprobe=1)
+    assert df.count() > 0  # non-vacuous: probed lists contain candidates
+    assert_matches_oracle(
+        df,
+        ivfpq_ann_topk_seeded_oracle_sql(n_queries=6, k=5, nprobe=1),
+        sf_dir,
+        name="ivfpq_nprobe1",
+    )
 
 
 def test_ivfpq_residual_runs_and_is_deterministic(spark, sf_dir):

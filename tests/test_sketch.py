@@ -210,3 +210,42 @@ def test_kmv_state_uses_window_group_limit(spark, sf_dir):
     )
     plan = formatted_plan(kmv_state(ev, "v", ["event_type"], k=64))
     assert "WindowGroupLimit" in plan
+
+
+def test_streaming_session_window_sandwich(spark, sf_dir, tmp_path):
+    """Streaming session_window vs the batch native-session query:
+    append mode only emits watermark-finalized sessions, so equality is
+    a sandwich — emitted ⊆ batch, and batch-finalized ⊆ emitted."""
+    import __spark_entry__ as entry
+    from etl_pipeline_last_fm_spark.operators.timewindow import (
+        streaming_session_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_sess_stream")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_session_window(stream, gap_minutes=30, watermark_minutes=120)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = set(map(tuple, spark.sql("SELECT * FROM sess_stream").collect()))
+    batch = set(
+        map(tuple, entry.q_session_window_native(spark, sf_dir).collect())
+    )
+    assert got <= batch, "streamed a session the batch operator disagrees with"
+    from etl_pipeline_last_fm_spark.functions.scalar import ts_us as _ts_us
+
+    max_us = ev.agg(F.max(_ts_us(F.col("ts")))).collect()[0][0]
+    horizon = max_us - 120 * 60_000_000
+    finalized = {t for t in batch if t[2] < horizon}  # end_us < horizon
+    assert finalized <= got, "a provably-finalized session was not emitted"
+    assert len(got) > 0
