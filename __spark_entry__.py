@@ -1995,8 +1995,9 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     is then a 64-row diff; a mismatched bucket pinpoints where to drill
     down — no full-table compare, no ordering assumption (the checksum
     is an order-free SUM). The sum accumulates as decimal(38,0) and is
-    folded mod 2^61 at the end — overflow-free to ~10^26 rows, exact on
-    both engines (HUGEINT on DuckDB). Row rendering uses the exact cent
+    folded mod 2^61 at the end — overflow-free to ~10^20 rows per bucket
+    (decimal(38,0) capacity ~1e38 over 2^60-max hashes ~1.15e18), exact
+    on both engines (HUGEINT on DuckDB). Row rendering uses the exact cent
     integers, never float formatting."""
     from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
 
@@ -3010,26 +3011,33 @@ def oracle_sql() -> dict[str, str]:
         # same 30-min gap, same half-open end bound (last event + gap).
         "session_window_native": """
             WITH ev AS (
-                SELECT user_id, epoch_us(ts) AS us,
+                SELECT user_id, event_id, epoch_us(ts) AS us,
                        CAST(FLOOR(COALESCE(value, 0.0) * 100 + 0.5) AS BIGINT)
                            AS cents
                 FROM events
             ),
+            -- event_id tie-break on BOTH window clauses: without it, two
+            -- events at the same (user_id, us) could sort differently in
+            -- flagged vs islands, misaligning the running sum with its
+            -- flags (same reason the lead_lag oracle orders by (ts,
+            -- event_id)). A tie can't SPLIT a session (gap 0 <= 30 min),
+            -- but the misalignment could.
             flagged AS (
                 SELECT user_id, us, cents,
                        CASE WHEN us - LAG(us) OVER (
-                                PARTITION BY user_id ORDER BY us
+                                PARTITION BY user_id ORDER BY us, event_id
                             ) > 1800000000 THEN 1
                             WHEN LAG(us) OVER (
-                                PARTITION BY user_id ORDER BY us
+                                PARTITION BY user_id ORDER BY us, event_id
                             ) IS NULL THEN 1
-                            ELSE 0 END AS new_sess
+                            ELSE 0 END AS new_sess,
+                       event_id
                 FROM ev
             ),
             islands AS (
                 SELECT user_id, us, cents,
                        SUM(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY us
+                           PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING
                        ) AS sess_no
                 FROM flagged

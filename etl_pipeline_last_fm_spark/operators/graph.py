@@ -306,7 +306,6 @@ def kcore_rounds(edges: DataFrame, k: int = 3, n_rounds: int = 4) -> DataFrame:
     # execution (measured: minutes for n=6 on a 40-edge graph). Same
     # lineage-truncation treatment as connected_components.
     cur_edges = edges.select("a", "b").localCheckpoint()
-    survivors = None
     for _ in range(n_rounds):
         deg = (
             cur_edges.select(F.col("a").alias("node"))
@@ -322,18 +321,16 @@ def kcore_rounds(edges: DataFrame, k: int = 3, n_rounds: int = 4) -> DataFrame:
             .join(survivors.withColumnRenamed("node", "b"), "b", "left_semi")
             .localCheckpoint()
         )
-        survivors = survivors.localCheckpoint()
-    final_deg = (
+    # The edge-derived node set after round n IS the round-(n-1) survivor
+    # set (both semi-joins enforced it), so no survivor join is needed on
+    # the way out — every node still on an edge survived, and a node with
+    # zero in-core edges cannot meet k >= 1 anyway.
+    return (
         cur_edges.select(F.col("a").alias("node"))
         .unionAll(cur_edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
-    # Survivor nodes that lost ALL remaining edges still belong to the
-    # round-n survivor set with degree 0 only if isolated — but a node
-    # with zero in-core edges cannot meet k >= 1, so the edge-derived
-    # node set IS the survivor set for k >= 1 after the final filter:
-    return final_deg.join(survivors, "node", "left_semi")
 
 
 def kcore_rounds_oracle_sql(k: int = 3, n_rounds: int = 4) -> str:
@@ -376,7 +373,6 @@ def kcore_rounds_oracle_sql(k: int = 3, n_rounds: int = 4) -> str:
         SELECT node, COUNT(*) AS core_degree FROM (
             SELECT a AS node FROM e{last} UNION ALL SELECT b AS node FROM e{last}
         )
-        WHERE node IN (SELECT node FROM surv{last - 1})
         GROUP BY node
         """
     )

@@ -312,10 +312,36 @@ def main() -> None:
     n_merge = merge_upsert(ev_typed, cutoff_us=cutoff).count()
     t_merge = time.perf_counter() - t0
 
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+    from etl_pipeline_last_fm_spark.operators.graph import kcore_rounds
+
+    t0 = time.perf_counter()
+    n_core = kcore_rounds(und, k=4, n_rounds=4).count()
+    t_core = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_ck = (
+        ev_typed.select(
+            portable_hash60(
+                F.concat_ws("|", "event_id", "user_id", "event_type")
+            ).alias("__h")
+        )
+        .groupBy(F.pmod(F.col("__h"), F.lit(64)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(__h AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)"
+            ).alias("ck"),
+        )
+        .count()
+    )
+    t_ck = time.perf_counter() - t0
+
     print(
         f"graph/drift/index/merge: triangles {t_tri:.1f}s ({n_tri} nodes), "
         f"pagerank4 {t_pr:.1f}s ({n_pr} nodes), drift {t_drift:.1f}s ({n_drift} pairs), "
-        f"inverted-index {t_idx:.1f}s ({n_idx} terms), merge {t_merge:.1f}s ({n_merge} rows)"
+        f"inverted-index {t_idx:.1f}s ({n_idx} terms), merge {t_merge:.1f}s ({n_merge} rows), "
+        f"kcore4 {t_core:.1f}s ({n_core} nodes), checksum {t_ck:.1f}s ({n_ck} buckets)"
     )
 
 

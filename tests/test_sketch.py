@@ -245,7 +245,12 @@ def test_streaming_session_window_sandwich(spark, sf_dir, tmp_path):
     from etl_pipeline_last_fm_spark.functions.scalar import ts_us as _ts_us
 
     max_us = ev.agg(F.max(_ts_us(F.col("ts")))).collect()[0][0]
-    horizon = max_us - 120 * 60_000_000
+    # Spark advances the event-time watermark at MILLISECOND resolution:
+    # watermark = (floor(max/1ms) - delay_ms) * 1000, up to 999 us below
+    # the naive max_us - delay — truncate the same way or a session ending
+    # inside that sub-ms window reads as "provably finalized" while still
+    # sitting un-emitted in state.
+    horizon = (max_us // 1000 - 120 * 60_000) * 1000
     finalized = {t for t in batch if t[2] < horizon}  # end_us < horizon
     assert finalized <= got, "a provably-finalized session was not emitted"
     assert len(got) > 0
