@@ -1987,6 +1987,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(edges, n_iter=4)
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (rank splits across out-edges proportionally to
+    integer order-count weights) in exact integer micro-units — same
+    unrolled-oracle discipline as `pagerank`, now with per-edge
+    multiplication inside the floor division
+    (operators/graph.py:pagerank_weighted_micro)."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        customer_supplier_weighted_edges,
+        pagerank_weighted_micro,
+    )
+
+    edges = customer_supplier_weighted_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    return pagerank_weighted_micro(edges, n_iter=4)
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy table checksum — the 100 TB replica-validation tool:
     each row's canonical content string hashes to a 60-bit integer
@@ -2328,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_predicates": q_disjunctive_predicates,
         "session_window_native": q_session_window_native,
         "table_checksum": q_table_checksum,
+        "pagerank_weighted": q_pagerank_weighted,
         "order_distribution": q_order_distribution,
         "small_qty_revenue": q_small_qty_revenue,
         "top_volume_orders": q_top_volume_orders,
@@ -2978,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _graph_mod().triangle_counts_oracle_sql(),
         "pagerank": _graph_mod().pagerank_oracle_sql(n_iter=4),
         "kcore": _graph_mod().kcore_rounds_oracle_sql(k=3, n_rounds=4),
+        "pagerank_weighted": _graph_mod().pagerank_weighted_oracle_sql(n_iter=4),
         "table_checksum": f"""
             WITH h AS (
                 SELECT {_hash60_sql(

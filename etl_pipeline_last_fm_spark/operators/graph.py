@@ -377,3 +377,113 @@ def kcore_rounds_oracle_sql(k: int = 3, n_rounds: int = 4) -> str:
         """
     )
     return "".join(parts)
+
+
+def customer_supplier_weighted_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Directed customer -> supplier edges weighted by how many distinct
+    orders connect the pair — the natural strength signal the unweighted
+    projection throws away."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_NODE_OFFSET)).alias(
+                "dst"
+            ),
+            "o_orderkey",
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank_weighted_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Weighted PageRank, same exact-integer discipline as
+    ``pagerank_micro``: a node's rank splits across out-edges
+    PROPORTIONALLY to integer edge weights —
+
+        r_{i+1}(v) = 150000 + (85 * sum over in-edges (r_i(u) * w) div W_u) div 100
+
+    with W_u = sum of u's out-weights. Every step is int64 multiplication
+    and floor division, so the oracle's unrolled CTEs match bit-for-bit.
+    Overflow: r * w must fit int64 — r is bounded by total mass n * 1e6,
+    so with max edge weight w_max the bound is n * w_max < ~9.2e12;
+    heavier graphs scale the weights down (weights only matter as
+    per-node PROPORTIONS) or sum as decimal(38,0).
+
+    Same Pregel shape and single-linear-plan property as the unweighted
+    operator (edges/nodes persisted, ranks flow through k join+agg
+    rounds)."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("__W"))
+    ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select("dst", F.expr("(rank_micro * w) div __W").alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(PR_BASE_MICRO)
+                + F.expr("(85 * coalesce(__s, 0L)) div 100")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
+def pagerank_weighted_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled-CTE twin of ``pagerank_weighted_micro`` over the
+    order-count-weighted customer->supplier graph."""
+    parts = [
+        f"""
+        WITH ed AS (
+            SELECT src, dst, COUNT(*) AS w FROM (
+                SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                       CAST(l_suppkey AS BIGINT) + {SUPPLIER_NODE_OFFSET} AS dst,
+                       o_orderkey
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ) GROUP BY src, dst
+        ),
+        nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM ed GROUP BY src),
+        r0 AS (SELECT node, CAST({PR_INIT_MICRO} AS BIGINT) AS r FROM nodes)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        c{i} AS (
+            SELECT ed.dst AS node,
+                   CAST(SUM((r{i-1}.r * ed.w) // ow.W) AS BIGINT) AS s
+            FROM ed JOIN r{i-1} ON ed.src = r{i-1}.node
+                    JOIN ow ON ed.src = ow.src
+            GROUP BY ed.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   CAST({PR_BASE_MICRO} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+        )
+        """
+        )
+    parts.append(f"SELECT node, r AS rank_micro FROM r{n_iter}")
+    return "".join(parts)

@@ -120,3 +120,55 @@ def read_inverted_index(
     return render_inverted_index(
         _strip_bid(spark.read.parquet(state_path)), min_df
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming table-checksum maintenance (modular additive fold)
+# ---------------------------------------------------------------------------
+
+CK_MOD = 2_305_843_009_213_693_952  # 2^61
+
+
+def checksum_state(batch_df: DataFrame, hash_col: str = "__h") -> DataFrame:
+    """Per-bucket (n_rows, checksum) over pre-hashed rows — the additive
+    state behind __spark_entry__.q_table_checksum. Modular addition is
+    associative and commutative, so disjoint batches fold in any order."""
+    return (
+        batch_df.groupBy(F.pmod(F.col(hash_col), F.lit(64)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"CAST(SUM(CAST({hash_col} AS DECIMAL(38,0))) % {CK_MOD} AS BIGINT)"
+            ).alias("checksum"),
+        )
+    )
+
+
+def checksum_fold_batch(
+    batch_df: DataFrame, batch_id: int, state_path: str, hash_col: str = "__h"
+) -> None:
+    """Fold ONE micro-batch's bucket checksums into the persisted state
+    (replay-guarded; append-only row contract like the postings fold)."""
+    spark = batch_df.sparkSession
+    prev = _read_state_or_none(spark, state_path)
+    if int(batch_id) <= last_applied_batch(prev):
+        return
+    state = checksum_state(batch_df, hash_col)
+    if prev is not None:
+        state = (
+            _strip_bid(prev)
+            .unionByName(state)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.expr(f"CAST(SUM(checksum) % {CK_MOD} AS BIGINT)").alias(
+                    "checksum"
+                ),
+            )
+        )
+    state = state.withColumn(BID_COL, F.lit(int(batch_id)))
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+
+def read_checksum(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(spark.read.parquet(state_path))

@@ -185,3 +185,49 @@ def test_kcore_peels_tail_chain(spark):
         for r in kcore_rounds(e, k=2, n_rounds=4).collect()
     }
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def _py_weighted_pagerank(edges_w, n_iter):
+    """Pure-Python replica of the weighted integer recurrence."""
+    nodes = sorted({u for u, _, _ in edges_w} | {v for _, v, _ in edges_w})
+    W = {}
+    for u, _, w in edges_w:
+        W[u] = W.get(u, 0) + w
+    r = {n: PR_INIT_MICRO for n in nodes}
+    for _ in range(n_iter):
+        s = {n: 0 for n in nodes}
+        for u, v, w in edges_w:
+            s[v] += (r[u] * w) // W[u]
+        r = {n: PR_BASE_MICRO + (85 * s[n]) // 100 for n in nodes}
+    return r
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    from etl_pipeline_last_fm_spark.operators.graph import pagerank_weighted_micro
+
+    edges = [
+        (1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (4, 3, 1), (4, 1, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_weighted_micro(df, n_iter=4).collect()
+    }
+    assert got == _py_weighted_pagerank(edges, 4)
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    """With all weights equal, proportional splitting IS equal splitting:
+    (r * w) div (d * w) == r div d exactly when w divides evenly — use
+    w=1 so the identity is exact and the two operators must agree."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        pagerank_micro,
+        pagerank_weighted_micro,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    uw = spark.createDataFrame(edges, "src long, dst long")
+    w1 = spark.createDataFrame([(a, b, 1) for a, b in edges], "src long, dst long, w long")
+    a = sorted(map(tuple, pagerank_micro(uw, n_iter=3).collect()))
+    b = sorted(map(tuple, pagerank_weighted_micro(w1, n_iter=3).collect()))
+    assert a == b

@@ -144,3 +144,32 @@ def test_postings_fold_replay_and_equivalence(spark, tmp_path):
         map(tuple, inverted_index(b0.unionByName(b1), min_df=1).collect())
     )
     assert sorted(map(tuple, read_inverted_index(spark, state, min_df=1).collect())) == want
+
+
+def test_checksum_fold_replay_and_equivalence(spark, tmp_path):
+    """Streaming per-bucket checksums: replay is a no-op, and the folded
+    state equals the one-shot checksum of the concatenated batches
+    (modular addition is associative — (a+b) mod m folds batch-wise)."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+    from etl_pipeline_last_fm_spark.streaming.drift import (
+        checksum_fold_batch,
+        checksum_state,
+        read_checksum,
+    )
+
+    def hashed(rows):
+        df = spark.createDataFrame([(r,) for r in rows], "s string")
+        return df.select(portable_hash60(F.col("s")).alias("__h"))
+
+    state = str(tmp_path / "ck_state")
+    b0 = ["alpha", "beta", "gamma", "delta"]
+    b1 = ["epsilon", "zeta"]
+
+    checksum_fold_batch(hashed(b0), 0, state)
+    once = sorted(map(tuple, read_checksum(spark, state).collect()))
+    checksum_fold_batch(hashed(b0), 0, state)  # replay no-op
+    assert sorted(map(tuple, read_checksum(spark, state).collect())) == once
+
+    checksum_fold_batch(hashed(b1), 1, state)
+    want = sorted(map(tuple, checksum_state(hashed(b0 + b1)).collect()))
+    assert sorted(map(tuple, read_checksum(spark, state).collect())) == want
