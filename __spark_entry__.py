@@ -2033,16 +2033,12 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus"),
     )
     h = portable_hash60(row_str)
-    return (
-        li.select(h.alias("__h"))
-        .groupBy(F.pmod(F.col("__h"), F.lit(64)).alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr(
-                "CAST(SUM(CAST(__h AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)"
-            ).alias("checksum"),
-        )
-    )
+    # ONE definition of the bucket/checksum aggregation, shared with the
+    # streaming fold (streaming/drift.checksum_state) so the incremental
+    # 64-row summary can never drift from the batch/oracle layout.
+    from etl_pipeline_last_fm_spark.streaming.drift import checksum_state
+
+    return checksum_state(li.select(h.alias("__h")))
 
 
 def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3010,7 +3006,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(h % 64 AS BIGINT) AS bucket,
                    COUNT(*) AS n_rows,
-                   CAST(SUM(h) % 2305843009213693952 AS BIGINT) AS checksum
+                   CAST(SUM(h) % {_ck_mod()} AS BIGINT) AS checksum
             FROM h GROUP BY 1
         """,
         "disjunctive_predicates": """
@@ -3304,6 +3300,12 @@ def oracle_sql() -> dict[str, str]:
         # runtime, not a static literal the SQL twin could share); its IVF
         # plumbing is value-checked via sim_ann_ivf_seeded.
     }
+
+
+def _ck_mod() -> int:
+    from etl_pipeline_last_fm_spark.streaming.drift import CK_MOD
+
+    return CK_MOD
 
 
 def _hash60_sql(expr: str) -> str:

@@ -180,17 +180,13 @@ def triangle_counts_oracle_sql() -> str:
 
 def customer_supplier_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Directed bipartite edges customer -> supplier ("bought from"),
-    distinct; supplier ids shifted into a disjoint node space."""
-    return (
-        orders.select("o_orderkey", "o_custkey")
-        .join(lineitem.select("l_orderkey", "l_suppkey"),
-              F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_NODE_OFFSET)).alias("dst"),
-        )
-        .distinct()
-    )
+    distinct; supplier ids shifted into a disjoint node space. Defined
+    as the weighted projection with the weight dropped, so the two graph
+    families share ONE edge derivation (offset, casts, distinctness) and
+    cannot de-correlate. (Catalyst prunes the weight aggregation when
+    only src/dst are consumed... the count itself is cheap either way —
+    the distinct it replaces shuffles the same rows.)"""
+    return customer_supplier_weighted_edges(orders, lineitem).select("src", "dst")
 
 
 def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
@@ -246,6 +242,18 @@ def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     return ranks
 
 
+# Shared oracle edge derivation (weighted base; the unweighted graph is
+# its projection — mirrors the Spark-side sharing above).
+_CUSTSUPP_W_EDGE_SQL = f"""
+            SELECT src, dst, COUNT(*) AS w FROM (
+                SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                       CAST(l_suppkey AS BIGINT) + {SUPPLIER_NODE_OFFSET} AS dst,
+                       o_orderkey
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ) GROUP BY src, dst
+"""
+
+
 def pagerank_oracle_sql(n_iter: int = 4) -> str:
     """Programmatically unrolled k-iteration twin: r0, c1, r1, ..., rk as
     chained CTEs running the same integer recurrence. Exact parity by
@@ -253,9 +261,7 @@ def pagerank_oracle_sql(n_iter: int = 4) -> str:
     parts = [
         f"""
         WITH ed AS (
-            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-                   CAST(l_suppkey AS BIGINT) + {SUPPLIER_NODE_OFFSET} AS dst
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            SELECT src, dst FROM ({_CUSTSUPP_W_EDGE_SQL})
         ),
         nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
         od AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
@@ -456,12 +462,7 @@ def pagerank_weighted_oracle_sql(n_iter: int = 4) -> str:
     parts = [
         f"""
         WITH ed AS (
-            SELECT src, dst, COUNT(*) AS w FROM (
-                SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-                       CAST(l_suppkey AS BIGINT) + {SUPPLIER_NODE_OFFSET} AS dst,
-                       o_orderkey
-                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-            ) GROUP BY src, dst
+            {_CUSTSUPP_W_EDGE_SQL}
         ),
         nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
         ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM ed GROUP BY src),

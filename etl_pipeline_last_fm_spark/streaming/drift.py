@@ -29,23 +29,36 @@ from etl_pipeline_last_fm_spark.streaming.sketch import (
 )
 
 
-def census_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
-    """Fold ONE micro-batch's token census into the persisted state.
-    Module-level so the replay guard is directly testable."""
+def _guarded_fold(batch_df, batch_id, state_path, make_state, merge):
+    """Shared fold scaffolding for this module's additive states: read
+    prev -> replay guard -> merge -> stamp batch_id -> checkpoint ->
+    overwrite. One definition so a fix to the mechanics (guard probe,
+    overwrite-safety localCheckpoint) cannot be missed in a sibling.
+    (sketch.py/marts.py predate this helper and keep their proven copies;
+    their mechanics are byte-equivalent.)"""
     spark = batch_df.sparkSession
     prev = _read_state_or_none(spark, state_path)
     if int(batch_id) <= last_applied_batch(prev):
         return  # replayed micro-batch, already folded
-    state = token_census(batch_df)
+    state = make_state(batch_df)
     if prev is not None:
-        state = (
-            _strip_bid(prev)
-            .unionByName(state)
-            .groupBy("source", "tok")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
+        state = merge(_strip_bid(prev), state)
     state = state.withColumn(BID_COL, F.lit(int(batch_id)))
     state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+
+def census_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """Fold ONE micro-batch's token census into the persisted state.
+    Module-level so the replay guard is directly testable."""
+    _guarded_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        token_census,
+        lambda prev, new: prev.unionByName(new)
+        .groupBy("source", "tok")
+        .agg(F.sum("cnt").alias("cnt")),
+    )
 
 
 def streaming_drift_maintenance(
@@ -91,25 +104,34 @@ from etl_pipeline_last_fm_spark.operators.text import (  # noqa: E402
 
 def postings_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
     """Fold ONE micro-batch's postings into the persisted state
-    (replay-guarded like every other fold in this package)."""
-    spark = batch_df.sparkSession
-    prev = _read_state_or_none(spark, state_path)
-    if int(batch_id) <= last_applied_batch(prev):
-        return
-    state = postings_census(batch_df)
-    if prev is not None:
-        # Append-only contract => (term, doc_id) keys are disjoint across
-        # batches and the merge is a plain union; the groupBy both
-        # normalizes accidental overlap deterministically (tf sums) and
-        # keeps the state one row per key.
-        state = (
-            _strip_bid(prev)
-            .unionByName(state)
-            .groupBy("term", "doc_id")
-            .agg(F.sum("tf").alias("tf"))
-        )
-    state = state.withColumn(BID_COL, F.lit(int(batch_id)))
-    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    (replay-guarded like every other fold in this package). Append-only
+    contract => (term, doc_id) keys are disjoint across batches and the
+    merge is a plain union; the groupBy both normalizes accidental
+    overlap deterministically (tf sums) and keeps one row per key."""
+    _guarded_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        postings_census,
+        lambda prev, new: prev.unionByName(new)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf")),
+    )
+
+
+def streaming_postings_maintenance(
+    stream: DataFrame, state_path: str, checkpoint: str | None = None
+):
+    """Writer wrapper for postings_fold_batch (same shape as
+    streaming_drift_maintenance); read with ``read_inverted_index``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        postings_fold_batch(batch_df, batch_id, state_path)
+
+    writer = stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
 
 
 def read_inverted_index(
@@ -149,25 +171,34 @@ def checksum_fold_batch(
 ) -> None:
     """Fold ONE micro-batch's bucket checksums into the persisted state
     (replay-guarded; append-only row contract like the postings fold)."""
-    spark = batch_df.sparkSession
-    prev = _read_state_or_none(spark, state_path)
-    if int(batch_id) <= last_applied_batch(prev):
-        return
-    state = checksum_state(batch_df, hash_col)
-    if prev is not None:
-        state = (
-            _strip_bid(prev)
-            .unionByName(state)
-            .groupBy("bucket")
-            .agg(
-                F.sum("n_rows").alias("n_rows"),
-                F.expr(f"CAST(SUM(checksum) % {CK_MOD} AS BIGINT)").alias(
-                    "checksum"
-                ),
-            )
-        )
-    state = state.withColumn(BID_COL, F.lit(int(batch_id)))
-    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    _guarded_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        lambda b: checksum_state(b, hash_col),
+        lambda prev, new: prev.unionByName(new)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.expr(f"CAST(SUM(checksum) % {CK_MOD} AS BIGINT)").alias("checksum"),
+        ),
+    )
+
+
+def streaming_checksum_maintenance(
+    stream: DataFrame, state_path: str, hash_col: str = "__h",
+    checkpoint: str | None = None,
+):
+    """Writer wrapper for checksum_fold_batch (same shape as the other
+    maintenance writers); read with ``read_checksum``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        checksum_fold_batch(batch_df, batch_id, state_path, hash_col)
+
+    writer = stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
 
 
 def read_checksum(spark: SparkSession, state_path: str) -> DataFrame:
