@@ -1987,6 +1987,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(edges, n_iter=4)
 
 
+def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 completion: percent_rank and cume_dist — the two analytic
+    rank ratios not covered by rank/dense_rank/ntile elsewhere. Both are
+    exact rationals of integer ranks ((rk-1)/(n-1), cum/n); each engine
+    divides the same int64s, so the doubles agree bit-for-bit without a
+    rounding pin. Keyed per customer over order totals (cents)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(cents, F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("total_cents"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10's BAG-semantics complement to `set_ops`: EXCEPT ALL keeps
+    multiplicity (a value occurring 5 times minus 3 occurrences leaves
+    2 rows — DISTINCT-based EXCEPT would leave 0). Spark's exceptAll
+    lowers to the sum-of-signed-counts generate plan; DuckDB spells
+    EXCEPT ALL literally — the multiset semantics are what is
+    cross-checked. Quantity values of first-half-1996 lineitems minus
+    second-half occurrences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    us = ts_us(F.col("l_shipdate"))
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    h1 = li.filter((us >= _US_1996) & (us < _US_1996_07)).select(qty.alias("qty"))
+    h2 = li.filter((us >= _US_1996_07) & (us < _US_1997)).select(qty.alias("qty"))
+    return h1.exceptAll(h2)
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a deterministic tie-break: the most frequent
+    quantity per return flag (count desc, then smallest value). The
+    two-level aggregate shape (census -> per-group argmax) every
+    categorical profiler needs; expressed as a rank-1 window over the
+    census, never a collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    census = li.groupBy(F.col("l_returnflag").alias("flag"), qty.alias("qty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("flag").orderBy(F.col("cnt").desc(), F.col("qty"))
+    return (
+        census.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("flag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("n"))
+    )
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (rank splits across out-edges proportionally to
     integer order-count weights) in exact integer micro-units — same
@@ -2342,6 +2395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "table_checksum": q_table_checksum,
         "pagerank_weighted": q_pagerank_weighted,
+        "rank_metrics": q_rank_metrics,
+        "except_all": q_except_all,
+        "mode_per_group": q_mode_per_group,
         "order_distribution": q_order_distribution,
         "small_qty_revenue": q_small_qty_revenue,
         "top_volume_orders": q_top_volume_orders,
@@ -2993,6 +3049,48 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _graph_mod().pagerank_oracle_sql(n_iter=4),
         "kcore": _graph_mod().kcore_rounds_oracle_sql(k=3, n_rounds=4),
         "pagerank_weighted": _graph_mod().pagerank_weighted_oracle_sql(n_iter=4),
+        "rank_metrics": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                                o_orderkey
+                   ) AS pct_rank,
+                   CUME_DIST() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                                o_orderkey
+                   ) AS cume
+            FROM orders
+        """,
+        "except_all": f"""
+            SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) >= {_US_1996}
+              AND epoch_us(l_shipdate) <  {_US_1996_07}
+            EXCEPT ALL
+            SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) >= {_US_1996_07}
+              AND epoch_us(l_shipdate) <  {_US_1997}
+        """,
+        "mode_per_group": """
+            WITH census AS (
+                SELECT l_returnflag AS flag,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT flag, qty, cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY flag ORDER BY cnt DESC, qty
+                       ) AS rn
+                FROM census
+            )
+            SELECT flag, qty AS mode_qty, cnt AS n FROM ranked WHERE rn = 1
+        """,
         "table_checksum": f"""
             WITH h AS (
                 SELECT {_hash60_sql(
