@@ -38,6 +38,21 @@ from etl_pipeline_last_fm_spark.operators.bloom import (
     build_bloom_words,
 )
 from etl_pipeline_last_fm_spark.operators.cohort import cohort_retention
+from etl_pipeline_last_fm_spark.operators.graph import (
+    cosupplier_edges,
+    customer_supplier_edges,
+    customer_supplier_weighted_edges,
+    kcore_rounds,
+    pagerank_micro,
+    pagerank_weighted_micro,
+    triangle_counts,
+)
+from etl_pipeline_last_fm_spark.operators.scd import merge_upsert
+from etl_pipeline_last_fm_spark.operators.text import (
+    corpus_drift,
+    inverted_index,
+    token_census,
+)
 from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
 from etl_pipeline_last_fm_spark.operators.scd import scd2_apply, scd2_history
 from etl_pipeline_last_fm_spark.operators.setsim import (
@@ -85,4 +100,15 @@ __all__ = [
     "sorted_neighborhood_pairs_multipass",
     "bpe_train",
     "apply_bpe",
+    "cosupplier_edges",
+    "customer_supplier_edges",
+    "customer_supplier_weighted_edges",
+    "triangle_counts",
+    "pagerank_micro",
+    "pagerank_weighted_micro",
+    "kcore_rounds",
+    "merge_upsert",
+    "corpus_drift",
+    "inverted_index",
+    "token_census",
 ]

@@ -1,8 +1,19 @@
 """Structured Streaming variants of the ingest path (SURVEY.md §2.11, §7.6)."""
 
+from etl_pipeline_last_fm_spark.streaming.drift import (
+    streaming_checksum_maintenance,
+    streaming_drift_maintenance,
+    streaming_postings_maintenance,
+)
 from etl_pipeline_last_fm_spark.streaming.ingest import (
     stream_raw_to_ods,
     windowed_event_stats,
 )
 
-__all__ = ["stream_raw_to_ods", "windowed_event_stats"]
+__all__ = [
+    "stream_raw_to_ods",
+    "windowed_event_stats",
+    "streaming_drift_maintenance",
+    "streaming_postings_maintenance",
+    "streaming_checksum_maintenance",
+]
