@@ -1987,6 +1987,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(edges, n_iter=4)
 
 
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the FOR-ALL quantifier (Codd's ÷), the one
+    classic algebra operator no other entry exercises: customers with at
+    least one order in EVERY year of a four-year span. SQL has no
+    ALL-join, so both engines express it the standard way: per-customer
+    count of DISTINCT satisfied buckets == divisor cardinality. Years
+    are integer epoch-µs bucket arithmetic (NTZ-safe); the divisor
+    cardinality (4) is a literal, not a data-dependent scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    # Divisor = four consecutive epoch-year buckets (25..28, the
+    # fixture's densest span — verified non-vacuous at sf0.001 AND
+    # sf0.01: 60/565 qualifying customers). Integer epoch-µs year
+    # arithmetic, same bucket family as market_share.
+    return (
+        orders.withColumn("__us", ts_us(F.col("o_orderdate")))
+        .withColumn("__y", F.expr("__us div 31557600000000"))
+        .filter((F.col("__y") >= 25) & (F.col("__y") <= 28))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("__y").alias("__ny"))
+        .filter(F.col("__ny") == 4)
+        .select("o_custkey", F.col("__ny").cast("long").alias("years"))
+    )
+
+
 def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 completion: percent_rank and cume_dist — the two analytic
     rank ratios not covered by rank/dense_rank/ntile elsewhere. Both are
@@ -2398,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": q_rank_metrics,
         "except_all": q_except_all,
         "mode_per_group": q_mode_per_group,
+        "relational_division": q_relational_division,
         "order_distribution": q_order_distribution,
         "small_qty_revenue": q_small_qty_revenue,
         "top_volume_orders": q_top_volume_orders,
@@ -3074,6 +3099,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE epoch_us(l_shipdate) >= {_US_1996_07}
               AND epoch_us(l_shipdate) <  {_US_1997}
+        """,
+        "relational_division": """
+            WITH o AS (
+                SELECT o_custkey,
+                       epoch_us(o_orderdate) // 31557600000000 AS y
+                FROM orders
+            )
+            SELECT o_custkey, CAST(COUNT(DISTINCT y) AS BIGINT) AS years
+            FROM o WHERE y BETWEEN 25 AND 28
+            GROUP BY o_custkey
+            HAVING COUNT(DISTINCT y) = 4
         """,
         "mode_per_group": """
             WITH census AS (
