@@ -47,14 +47,17 @@ from etl_pipeline_last_fm_spark.operators.graph import (
     pagerank_weighted_micro,
     triangle_counts,
 )
-from etl_pipeline_last_fm_spark.operators.scd import merge_upsert
 from etl_pipeline_last_fm_spark.operators.text import (
     corpus_drift,
     inverted_index,
     token_census,
 )
 from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
-from etl_pipeline_last_fm_spark.operators.scd import scd2_apply, scd2_history
+from etl_pipeline_last_fm_spark.operators.scd import (
+    merge_upsert,
+    scd2_apply,
+    scd2_history,
+)
 from etl_pipeline_last_fm_spark.operators.setsim import (
     prefix_filter_pairs,
     prefix_filter_pairs_incremental,
