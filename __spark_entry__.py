@@ -1669,13 +1669,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     below min_support can't form a frequent pair, so the expansion runs
     on the frequent-item semi-join.
 
-    Overflow bound: lift's numerator needs support * n_orders * 1e6
-    < 2^63; at n_orders ~ 1e10 that caps pair support at ~922 (2^63 /
-    (1e10 * 1e6)) — NOT a comfortable margin, so at that scale either
-    drop the ppm scaling to per-mille (*1e3, support cap ~920k) or cast
-    the numerator to decimal(38,0) (the executed swap in
-    tests/test_decimal_swap.py); documented rather than silently wrapped
-    (ANSI mode would raise, not corrupt)."""
+    Overflow: the lift numerator support * n_orders * 1e6 exceeds int64
+    already at n_orders ~ 1e10 / support ~ 922, so it is computed as
+    decimal(38,0) UNCONDITIONALLY — never int64, never dependent on the
+    session's ANSI setting (with ansi=false an int64 product would wrap
+    SILENTLY and corrupt every lift). The DuckDB twin widens to HUGEINT
+    the same way; decimal `div` truncation == HUGEINT `//` truncation
+    (verified in tests/test_round5_ops.py). The QUOTIENT does fit int64
+    by construction: support <= min(c_a, c_b), so
+    lift_ppm <= n_orders * 1e6 / max(c_a, c_b) <= n_orders * 1e6 —
+    ~1e16 at n_orders = 1e10, comfortably inside 2^63."""
     li = load_table(spark, sf_dir, "lineitem")
     min_support = 2
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -1716,9 +1719,10 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "support",
-            F.expr("(support * __n * 1000000L) div (__ca * __cb)").alias(
-                "lift_ppm"
-            ),
+            F.expr(
+                "CAST((CAST(support AS DECIMAL(38,0)) * __n * 1000000)"
+                " div (CAST(__ca AS DECIMAL(38,0)) * __cb) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -2279,17 +2283,19 @@ def q_top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # Rotation policy (round 4): entries that have NEVER had a driver row are
-    # promoted ahead of redundant siblings of families with two or more green
-    # rounds on record — after this window, every entry that existed at
-    # rotation time has at least one CORRECTNESS_r{N} row. Operators added
-    # later in round 4 (see the past-cap section note) queue for the
-    # round-5 window. Demoted entries keep their r1-r3 driver record and
-    # still run in tests/test_oracle_parity.py at sf0.001 every pytest run.
-    # Rotation-invariant set (must stay resolvable by name for bench.py, and
-    # stays in-window as the flagship tier): pricing_summary,
-    # flagship_royalties, star_join, windowed_top_k, idempotent_append,
-    # dedup_ngram_jaccard, sim_bruteforce, dedup_minhash_lsh, sessionize.
+    # Round-5 rotation (VERDICT r4 item 1): the 35 round-4-new entries —
+    # none of which has ever had a driver row — are promoted into the
+    # graded window behind the 9 rotation-invariant bench headliners.
+    # 9 + 35 = 44; slots 45-50 are reserved for round-5-new queries and
+    # temporarily backfilled by green r1-r3 anchors until those land.
+    # Demoted entries keep their green driver rows on record (r1-r4) and
+    # still run in tests/test_oracle_parity.py at sf0.001 every pytest run;
+    # they rotate back in if their family loses its in-window
+    # representative. Rotation-invariant set (must stay resolvable by name
+    # for bench.py and stays in-window as the flagship tier):
+    # pricing_summary, flagship_royalties, star_join, windowed_top_k,
+    # idempotent_append, dedup_ngram_jaccard, sim_bruteforce,
+    # dedup_minhash_lsh, sessionize.
     return {
         # --- graded window (entries 1-50) ------------------------------
         # flagship tier: the 9 bench headliners (rotation-invariant)
@@ -2302,111 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sim_bruteforce": q_sim_bruteforce,
-        # kept family representatives (green r3, anchor their families)
-        "asof_join": q_asof_join,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "dedup_keep_list": q_dedup_keep_list,
-        "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "multimodal_meta": q_multimodal_meta,
-        "contamination": q_contamination,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        "profile_columns": q_profile_columns,
-        "scd2_history": q_scd2_history,
-        "gapfill_locf": q_gapfill_locf,
-        "expectations": q_expectations,
-        # promoted: never graded before round 4 (first driver rows)
-        "hll_vocab": q_hll_vocab,
-        "hopping_window": q_hopping_window,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "embedding_keep_list": q_embedding_keep_list,
-        "stratified_sample": q_stratified_sample,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "vocab_coverage": q_vocab_coverage,
-        "scd2_as_of": q_scd2_as_of,
-        "group_split": q_group_split,
-        "curation_funnel": q_curation_funnel,
-        "quantile_buckets": q_quantile_buckets,
-        "histogram": q_histogram,
-        "chunk_documents": q_chunk_documents,
-        "repetition": q_repetition,
-        "zorder_key": q_zorder_key,
-        "weighted_sample": q_weighted_sample,
-        "mart_incremental": q_mart_incremental,
-        "supplier_balance": q_supplier_balance,
-        "lm_score": q_lm_score,
-        "sim_ann_pq": q_sim_ann_pq,
-        # new in round 4
-        "sim_ann_ivf_recall": q_sim_ann_ivf_recall,
-        "sim_ann_pq_recall": q_sim_ann_pq_recall,
-        "grouping_sets": q_grouping_sets,
-        "kmv_quantiles": q_kmv_quantiles,
-        # new in round 4, second batch (displaced surrogate_keys /
-        # dedup_exact / text_quality / pii_scrub — each with >= 2 green
-        # driver rows on record, families still represented in-window)
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "bloom_prune_join": q_bloom_prune_join,
-        "outlier_mad": q_outlier_mad,
-        "kmv_set_ops": q_kmv_set_ops,
-        # --- past the 50-entry cap ------------------------------------
-        # Entries below down to sim_ann_lsh_multiprobe have green driver
-        # rows on record (r1-r3) and run in test_oracle_parity every
-        # pytest; they rotate back in if their family loses its in-window
-        # representative. The round-4-NEW past-cap entries (everything
-        # from dedup_sorted_neighborhood onward: SNM single/multipass,
-        # cohort, the Q5/Q3/Q13/Q17/Q18/Q7/Q8 join shapes, the graph
-        # tier, corpus drift, inverted index, MERGE, set ops,
-        # transitions, centroids, unpivot, skew profile, bpe_train) have
-        # NO driver row yet — they are first in line for the round-5
-        # window rotation; all are oracle-paired (except the two
-        # documented rows-only entries) and hold a strict parity row in
-        # every pytest run.
-        "surrogate_keys": q_surrogate_keys,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "pii_scrub": q_pii_scrub,
-        "distinct_project": q_distinct_project,
-        "case_impute": q_case_impute,
-        "scalar_subquery": q_scalar_subquery,
-        "window_analytic": q_window_analytic,
-        "union_all": q_union_all,
-        "json_extract": q_json_extract,
-        "date_partition_agg": q_date_partition_agg,
-        "mart_daily_appearances": q_mart_daily_appearances,
-        "explode_tokens": q_explode_tokens,
-        "rollup_agg": q_rollup_agg,
-        "pivot_native": q_pivot_native,
-        "lead_lag": q_lead_lag,
-        "range_join": q_range_join,
-        "funnel": q_funnel,
-        "hll_distinct": q_hll_distinct,
-        "tumbling_window": q_tumbling_window,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_rolling_fp": q_dedup_rolling_fp,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "tfidf": q_tfidf,
-        "top_ngrams": q_top_ngrams,
-        "split_assign": q_split_assign,
-        "mixture_sample": q_mixture_sample,
-        "order_limit": q_order_limit,  # O1 stays cited via flagship_royalties
-        "mart_daily_avg": q_mart_daily_avg,
-        "dedup_passages": q_dedup_passages,
-        "cdc_compact": q_cdc_compact,
-        "lang_id": q_lang_id,
-        "snapshot_diff": q_snapshot_diff,
-        "surrogate_keys_incremental": q_surrogate_keys_incremental,
-        "salted_agg": q_salted_agg,
-        "cube_agg": q_cube_agg,
-        "pivot_conditional": q_pivot_conditional,
-        "rolling_stats": q_rolling_stats,
-        "percentiles": q_percentiles,
-        "semi_join": q_semi_join,
-        "outer_join_agg": q_outer_join_agg,
-        "token_count": q_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
+        # round-4-new tier: first driver rows this round (35 entries)
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_snm_multipass": q_dedup_snm_multipass,
         "cohort_retention": q_cohort_retention,
@@ -2441,13 +2343,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket": q_market_basket,
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_ann_ivfpq_residual": q_sim_ann_ivfpq_residual,
-        "bpe_train": q_bpe_train,  # iterative merges: rows-only by design,
-        # pinned against a pure-Python reference in pytest (see docstring)
+        "bpe_train": q_bpe_train,
+        # slots 45-50: round-5 additions land here; green anchors backfill
+        "asof_join": q_asof_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "multimodal_meta": q_multimodal_meta,
+        # --- past the 50-entry cap ------------------------------------
+        # Every entry below has at least one green driver row on record
+        # (r1-r4) and a strict parity mirror in every pytest run.
+        "contamination": q_contamination,
+        "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
+        "profile_columns": q_profile_columns,
+        "scd2_history": q_scd2_history,
+        "gapfill_locf": q_gapfill_locf,
+        "expectations": q_expectations,
+        "hll_vocab": q_hll_vocab,
+        "hopping_window": q_hopping_window,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_keep_list": q_embedding_keep_list,
+        "stratified_sample": q_stratified_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "vocab_coverage": q_vocab_coverage,
+        "scd2_as_of": q_scd2_as_of,
+        "group_split": q_group_split,
+        "curation_funnel": q_curation_funnel,
+        "quantile_buckets": q_quantile_buckets,
+        "histogram": q_histogram,
+        "chunk_documents": q_chunk_documents,
+        "repetition": q_repetition,
+        "zorder_key": q_zorder_key,
+        "weighted_sample": q_weighted_sample,
+        "mart_incremental": q_mart_incremental,
+        "supplier_balance": q_supplier_balance,
+        "lm_score": q_lm_score,
+        "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_ivf_recall": q_sim_ann_ivf_recall,
+        "sim_ann_pq_recall": q_sim_ann_pq_recall,
+        "grouping_sets": q_grouping_sets,
+        "kmv_quantiles": q_kmv_quantiles,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "bloom_prune_join": q_bloom_prune_join,
+        "outlier_mad": q_outlier_mad,
+        "kmv_set_ops": q_kmv_set_ops,
+        "surrogate_keys": q_surrogate_keys,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "pii_scrub": q_pii_scrub,
+        "distinct_project": q_distinct_project,
+        "case_impute": q_case_impute,
+        "scalar_subquery": q_scalar_subquery,
+        "window_analytic": q_window_analytic,
+        "union_all": q_union_all,
+        "json_extract": q_json_extract,
+        "date_partition_agg": q_date_partition_agg,
+        "mart_daily_appearances": q_mart_daily_appearances,
+        "explode_tokens": q_explode_tokens,
+        "rollup_agg": q_rollup_agg,
+        "pivot_native": q_pivot_native,
+        "lead_lag": q_lead_lag,
+        "range_join": q_range_join,
+        "funnel": q_funnel,
+        "hll_distinct": q_hll_distinct,
+        "tumbling_window": q_tumbling_window,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_rolling_fp": q_dedup_rolling_fp,
+        "embedding_cosine_dedup": q_embedding_cosine_dedup,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "tfidf": q_tfidf,
+        "top_ngrams": q_top_ngrams,
+        "split_assign": q_split_assign,
+        "mixture_sample": q_mixture_sample,
+        "order_limit": q_order_limit,
+        "mart_daily_avg": q_mart_daily_avg,
+        "dedup_passages": q_dedup_passages,
+        "cdc_compact": q_cdc_compact,
+        "lang_id": q_lang_id,
+        "snapshot_diff": q_snapshot_diff,
+        "surrogate_keys_incremental": q_surrogate_keys_incremental,
+        "salted_agg": q_salted_agg,
+        "cube_agg": q_cube_agg,
+        "pivot_conditional": q_pivot_conditional,
+        "rolling_stats": q_rolling_stats,
+        "percentiles": q_percentiles,
+        "semi_join": q_semi_join,
+        "outer_join_agg": q_outer_join_agg,
+        "token_count": q_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
         "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
-        # recall gate (sim_ann_ivf_recall, in-window) is the oracle-checked
-        # driver row for this path, plus the fully value-checked seeded twin.
+        # recall gate (sim_ann_ivf_recall) is the oracle-checked driver row
+        # for this path, plus the fully value-checked seeded twin.
     }
-
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
@@ -3260,8 +3250,8 @@ def oracle_sql() -> dict[str, str]:
                 HAVING COUNT(*) >= 2
             )
             SELECT part_a, part_b, support,
-                   (support * n.n_orders * 1000000)
-                     // (ca.c * cb.c) AS lift_ppm
+                   CAST((CAST(support AS HUGEINT) * n.n_orders * 1000000)
+                     // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
             FROM pairs
             JOIN item ca ON ca.p = part_a
             JOIN item cb ON cb.p = part_b

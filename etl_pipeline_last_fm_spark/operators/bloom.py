@@ -9,7 +9,7 @@ match are dropped at the scan, so the shuffle moves only (matches + a
 bounded false-positive overhead) instead of the whole fact table.
 
 Reference parity: the reference joins staging to dims inside Postgres
-(reference `sql/` DDL + `dags/etl_lastfm.py` inserts) where the planner
+(reference `scripts/` DDL + `dags/from_dds_to_dm_pg.py` inserts) where the planner
 does this implicitly; on Spark at 100 TB it is the difference between
 shuffling 100 TB and shuffling the 1% that matches.
 

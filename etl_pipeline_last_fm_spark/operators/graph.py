@@ -7,7 +7,7 @@ and *entity* graphs — co-occurrence structure (which suppliers ship
 together, which documents cite each other) used for importance weighting
 and community-ish features over training corpora. The reference has no
 graph tier (its Postgres delegation stops at joins, reference
-`dags/etl_lastfm.py`); this extends the engine the same way the sketch
+`dags/from_dds_to_dm_pg.py`); this extends the engine the same way the sketch
 and ANN tiers do.
 
 Exactness: both operators are pure integer programs. Triangle counts are
@@ -40,6 +40,8 @@ contribution counts are plain int64 sums.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -189,7 +191,33 @@ def customer_supplier_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame
     return customer_supplier_weighted_edges(orders, lineitem).select("src", "dst")
 
 
-def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+@contextmanager
+def graph_caches():
+    """Deterministic release scope for the persists PageRank takes out:
+
+        with graph_caches() as handle:
+            ranks = pagerank_micro(edges, caches=handle)
+            ranks.collect()          # materialize INSIDE the scope
+        # edges/nodes caches released here
+
+    Without a scope the caches live until session eviction (documented in
+    the operator docstrings) — fine for one graph per job, but a loop over
+    many graphs silently accumulates cached data until
+    spark.catalog.clearCache(). Unpersist is lazy-safe: releasing after
+    the action keeps the k reads cheap; releasing before it merely
+    recomputes."""
+    handle: list[DataFrame] = []
+    try:
+        yield handle
+    finally:
+        for df in handle:
+            df.unpersist()
+        handle.clear()
+
+
+def pagerank_micro(
+    edges: DataFrame, n_iter: int = 4, caches: list | None = None
+) -> DataFrame:
     """Fixed-iteration PageRank in exact integer micro-units:
     r_{i+1}(v) = 150000 + (85 * sum over in-edges of (r_i(u) div out(u))) div 100.
 
@@ -209,9 +237,11 @@ def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     on node id and the join is exchange-free.
 
     Cache ownership: edges/nodes are persisted because the plan reads them
-    k+1 / k+2 times; the cache lives until session eviction (same note as
-    dedup's candidate persists) — loops over many graphs in one session
-    should spark.catalog.clearCache() between graphs.
+    k+1 / k+2 times. Pass ``caches`` (or use the ``graph_caches()`` scope)
+    to receive the persisted frames for deterministic release after the
+    returned plan is materialized; with neither, the cache lives until
+    session eviction — loops over many graphs in one session should use
+    the scope (or spark.catalog.clearCache() between graphs).
     """
     edges = edges.persist()  # read by out-degree + k contribution rounds
     nodes = (
@@ -220,6 +250,8 @@ def pagerank_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
         .distinct()
         .persist()
     )
+    if caches is not None:
+        caches.extend([edges, nodes])
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
     ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
     for _ in range(n_iter):
@@ -410,7 +442,9 @@ def customer_supplier_weighted_edges(
     )
 
 
-def pagerank_weighted_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+def pagerank_weighted_micro(
+    edges: DataFrame, n_iter: int = 4, caches: list | None = None
+) -> DataFrame:
     """Weighted PageRank, same exact-integer discipline as
     ``pagerank_micro``: a node's rank splits across out-edges
     PROPORTIONALLY to integer edge weights —
@@ -424,9 +458,8 @@ def pagerank_weighted_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     heavier graphs scale the weights down (weights only matter as
     per-node PROPORTIONS) or sum as decimal(38,0).
 
-    Same Pregel shape and single-linear-plan property as the unweighted
-    operator (edges/nodes persisted, ranks flow through k join+agg
-    rounds)."""
+    Same Pregel shape, single-linear-plan property, and ``caches`` /
+    ``graph_caches()`` release contract as the unweighted operator."""
     edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -434,6 +467,8 @@ def pagerank_weighted_micro(edges: DataFrame, n_iter: int = 4) -> DataFrame:
         .distinct()
         .persist()
     )
+    if caches is not None:
+        caches.extend([edges, nodes])
     outw = edges.groupBy("src").agg(F.sum("w").alias("__W"))
     ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
     for _ in range(n_iter):

@@ -8,7 +8,7 @@ are the standard filter for sensor-grade event streams and LLM training
 data quality cuts.
 
 Reference parity: the reference has no outlier pass (its numeric cleanup
-is the CASE-WHEN imputation, reference `dags/etl_lastfm.py` staging
+is the CASE-WHEN imputation, reference `dags/from_ods_to_dds_pg.py` staging
 update); this extends the cleaning tier the same way dedup extends its
 ON CONFLICT.
 

@@ -7,7 +7,7 @@ survive pruning (a lemma, not a probability), yet candidates still come
 from an equi-join on a small fraction of each document's tokens.
 
 Reference parity: the reference pipeline has no similarity join at all
-(its dedup is Postgres ON CONFLICT, reference `dags/etl_lastfm.py`); this
+(its dedup is Postgres ON CONFLICT, reference `dags/from_ods_to_dds_pg.py`); this
 module belongs to the LLM-training-data extension tier alongside
 dedup.py's probabilistic family.
 

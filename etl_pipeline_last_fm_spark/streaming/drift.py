@@ -25,17 +25,19 @@ from etl_pipeline_last_fm_spark.streaming.sketch import (
     BID_COL,
     _read_state_or_none,
     _strip_bid,
+    commit_state,
     last_applied_batch,
+    read_latest_state,
 )
 
 
 def _guarded_fold(batch_df, batch_id, state_path, make_state, merge):
     """Shared fold scaffolding for this module's additive states: read
-    prev -> replay guard -> merge -> stamp batch_id -> checkpoint ->
-    overwrite. One definition so a fix to the mechanics (guard probe,
-    overwrite-safety localCheckpoint) cannot be missed in a sibling.
-    (sketch.py/marts.py predate this helper and keep their proven copies;
-    their mechanics are byte-equivalent.)"""
+    prev -> replay guard -> merge -> stamp batch_id -> versioned commit.
+    One definition so a fix to the mechanics (guard probe, crash-safe
+    commit_state snapshot swap) cannot be missed in a sibling.
+    (sketch.py/marts.py predate this helper; all sinks now share
+    commit_state for the write step.)"""
     spark = batch_df.sparkSession
     prev = _read_state_or_none(spark, state_path)
     if int(batch_id) <= last_applied_batch(prev):
@@ -44,7 +46,7 @@ def _guarded_fold(batch_df, batch_id, state_path, make_state, merge):
     if prev is not None:
         state = merge(_strip_bid(prev), state)
     state = state.withColumn(BID_COL, F.lit(int(batch_id)))
-    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    commit_state(state, state_path, batch_id)
 
 
 def census_fold_batch(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
@@ -78,7 +80,7 @@ def streaming_drift_maintenance(
 
 
 def read_census(spark: SparkSession, state_path: str) -> DataFrame:
-    return _strip_bid(spark.read.parquet(state_path))
+    return _strip_bid(read_latest_state(spark, state_path))
 
 
 def read_drift(spark: SparkSession, state_path: str) -> DataFrame:
@@ -140,7 +142,7 @@ def read_inverted_index(
     """Render the index from the postings state at READ time — the SAME
     code path as text.inverted_index over the concatenated batches."""
     return render_inverted_index(
-        _strip_bid(spark.read.parquet(state_path)), min_df
+        _strip_bid(read_latest_state(spark, state_path)), min_df
     )
 
 
@@ -202,4 +204,4 @@ def streaming_checksum_maintenance(
 
 
 def read_checksum(spark: SparkSession, state_path: str) -> DataFrame:
-    return _strip_bid(spark.read.parquet(state_path))
+    return _strip_bid(read_latest_state(spark, state_path))

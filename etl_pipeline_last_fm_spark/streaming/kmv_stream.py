@@ -27,7 +27,9 @@ from etl_pipeline_last_fm_spark.streaming.sketch import (
     BID_COL,
     _read_state_or_none,
     _strip_bid,
+    commit_state,
     last_applied_batch,
+    read_latest_state,
 )
 
 
@@ -49,7 +51,7 @@ def kmv_fold_batch(
     if prev is not None:
         st = merge_kmv_states(_strip_bid(prev), st, group_cols, k=k)
     st = st.withColumn(BID_COL, F.lit(int(batch_id)))
-    st.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    commit_state(st, state_path, batch_id)
 
 
 def streaming_kmv_maintenance(
@@ -77,4 +79,4 @@ def streaming_kmv_maintenance(
 
 
 def read_kmv_state(spark: SparkSession, state_path: str) -> DataFrame:
-    return _strip_bid(spark.read.parquet(state_path))
+    return _strip_bid(read_latest_state(spark, state_path))

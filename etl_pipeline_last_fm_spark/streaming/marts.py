@@ -35,7 +35,9 @@ from etl_pipeline_last_fm_spark.streaming.sketch import (
     BID_COL,
     _read_state_or_none,
     _strip_bid,
+    commit_state,
     last_applied_batch,
+    read_latest_state,
 )
 
 
@@ -56,9 +58,7 @@ def mart_fold_batch(
     if prev is not None:
         state = merge_states([_strip_bid(prev), state], list(keys))
     state = state.withColumn(BID_COL, F.lit(int(batch_id)))
-    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        state_path
-    )
+    commit_state(state, state_path, batch_id)
 
 
 def streaming_mart_maintenance(
@@ -84,4 +84,4 @@ def streaming_mart_maintenance(
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame:
-    return _strip_bid(spark.read.parquet(state_path))
+    return _strip_bid(read_latest_state(spark, state_path))

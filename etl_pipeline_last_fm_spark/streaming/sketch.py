@@ -42,35 +42,78 @@ from etl_pipeline_last_fm_spark.operators.sketch import cms_counters
 BID_COL = "__bid"
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for any Spark path scheme (file://, hdfs://,
+    s3a://...). All state-layout probing goes through the Hadoop FS API —
+    a driver-local os.path check silently reports False for every remote
+    URI, which would make each batch overwrite the accumulated state with
+    its own partial."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def list_state_versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """Committed state snapshots under ``root``, ascending by batch_id.
+    A snapshot counts as committed only once its ``_SUCCESS`` marker
+    exists — a crash mid-write leaves a marker-less directory that every
+    reader ignores. Directory names start with ``_`` so a stray
+    ``spark.read.parquet(root)`` fails loudly (Spark skips underscore
+    children) instead of silently unioning every snapshot."""
+    fs, jroot, jvm = _hadoop_fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out: list[tuple[int, str]] = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("_v=")):
+            continue
+        try:
+            bid = int(name[3:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append((bid, str(st.getPath())))
+    return sorted(out)
+
+
+def commit_state(state_df: DataFrame, root: str, batch_id: int,
+                 retain: int = 2) -> None:
+    """Crash-safe state commit: write the new snapshot to its OWN
+    versioned directory (``root/_v=<batch_id>``), then prune snapshots
+    older than the newest ``retain``. The previous snapshot is deleted
+    only AFTER the new one's ``_SUCCESS`` exists, so at every instant at
+    least one complete copy of the state is on disk — the mode("overwrite")
+    -over-the-only-copy crash window this replaces destroyed the
+    accumulated state if the writer died mid-commit. Overwrite semantics
+    apply only WITHIN a version: a replay that crashed mid-write re-runs
+    with the same batch_id and clobbers its own partial, never a committed
+    older snapshot. The write target is never the read source, so no
+    localCheckpoint is needed to defuse the read-what-you-overwrite trap
+    (lineage is one snapshot deep by construction: prev parquet + batch)."""
+    spark = state_df.sparkSession
+    target = f"{root.rstrip('/')}/_v={int(batch_id)}"
+    state_df.write.mode("overwrite").parquet(target)
+    for _bid, p in list_state_versions(spark, root)[:-max(1, int(retain))]:
+        fs, jp, _ = _hadoop_fs(spark, p)
+        fs.delete(jp, True)
+
+
 def _read_state_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read persisted state, or None on first batch. Probed by READING,
-    not os.path.exists(): the state path is a Spark path (hdfs://, s3a://,
-    file://...) and a driver-local existence check silently reports False
-    for every remote URI — which would make each batch overwrite the
-    accumulated state with its own partial."""
-    try:
-        return spark.read.parquet(path)
-    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND on batch 0
-        # Prefer the structured error condition (stable across Spark
-        # versions and locales); message substrings only as a fallback for
-        # builds that predate error classes.
-        cond = None
-        for probe in ("getCondition", "getErrorClass"):
-            fn = getattr(exc, probe, None)
-            if callable(fn):
-                try:
-                    cond = fn()
-                except Exception:
-                    cond = None
-                if cond:
-                    break
-        if (
-            (cond is not None and "PATH_NOT_FOUND" in cond)
-            or "PATH_NOT_FOUND" in str(exc)
-            or "Path does not exist" in str(exc)
-        ):
-            return None
-        raise
+    """Latest committed state snapshot, or None before the first commit."""
+    versions = list_state_versions(spark, path)
+    if not versions:
+        return None
+    return spark.read.parquet(versions[-1][1])
+
+
+def read_latest_state(spark: SparkSession, path: str) -> DataFrame:
+    """Latest committed snapshot; raises if no commit has landed yet."""
+    prev = _read_state_or_none(spark, path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed state snapshot under {path}")
+    return prev
 
 
 def _strip_bid(df: DataFrame) -> DataFrame:
@@ -115,9 +158,7 @@ def cms_fold_batch(
     if prev is not None:
         grid = merge_cms_grids(_strip_bid(prev), grid)
     grid = grid.withColumn(BID_COL, F.lit(int(batch_id)))
-    # localCheckpoint cuts the lineage back to the (tiny) merged grid
-    # so the overwrite never reads the file it is replacing.
-    grid.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    commit_state(grid, state_path, batch_id)
 
 
 def streaming_cms_maintenance(
@@ -147,7 +188,7 @@ def streaming_cms_maintenance(
 
 
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
-    return _strip_bid(spark.read.parquet(state_path))
+    return _strip_bid(read_latest_state(spark, state_path))
 
 
 def merge_hll_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -197,7 +238,7 @@ def hll_fold_batch(
     if prev is not None:
         regs = merge_hll_registers(_strip_bid(prev), regs, group_cols)
     regs = regs.withColumn(BID_COL, F.lit(int(batch_id)))
-    regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+    commit_state(regs, state_path, batch_id)
 
 
 def streaming_hll_maintenance(
@@ -229,4 +270,4 @@ def streaming_hll_maintenance(
 
 
 def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
-    return _strip_bid(spark.read.parquet(state_path))
+    return _strip_bid(read_latest_state(spark, state_path))

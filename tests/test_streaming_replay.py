@@ -15,6 +15,7 @@ from etl_pipeline_last_fm_spark.streaming.marts import (
     read_state,
 )
 from etl_pipeline_last_fm_spark.streaming.sketch import (
+    _read_state_or_none,
     cms_fold_batch,
     hll_fold_batch,
     last_applied_batch,
@@ -57,7 +58,7 @@ def test_cms_fold_replay_is_noop(spark, tmp_path):
     # ...and replaying IT is again a no-op.
     cms_fold_batch(b1, 1, state, depth=2, width=16)
     assert _grid_map(read_cms_state(spark, state)) == want
-    assert last_applied_batch(spark.read.parquet(state)) == 1
+    assert last_applied_batch(_read_state_or_none(spark, state)) == 1
 
 
 def test_mart_fold_replay_is_noop(spark, tmp_path):
@@ -92,7 +93,7 @@ def test_hll_fold_replay_guard(spark, tmp_path):
     regs = sorted(map(tuple, read_hll_state(spark, state).collect()))
     hll_fold_batch(b0, 0, state, "user_id", ["event_type"], b=4)
     assert sorted(map(tuple, read_hll_state(spark, state).collect())) == regs
-    assert last_applied_batch(spark.read.parquet(state)) == 0
+    assert last_applied_batch(_read_state_or_none(spark, state)) == 0
 
 
 def _docs(spark, rows):
@@ -173,3 +174,65 @@ def test_checksum_fold_replay_and_equivalence(spark, tmp_path):
     checksum_fold_batch(hashed(b1), 1, state)
     want = sorted(map(tuple, checksum_state(hashed(b0 + b1)).collect()))
     assert sorted(map(tuple, read_checksum(spark, state).collect())) == want
+
+
+def test_commit_crash_safety_partial_snapshot_ignored(spark, tmp_path):
+    """A crash mid-commit (part files written, no _SUCCESS) must leave the
+    previous snapshot as the readable state — the r4 mode('overwrite')
+    layout destroyed the only copy in exactly this window. Readers key on
+    the _SUCCESS marker, so the marker-less directory is invisible, and
+    the replayed batch clobbers only its own partial."""
+    from etl_pipeline_last_fm_spark.streaming.sketch import (
+        list_state_versions,
+    )
+
+    state = str(tmp_path / "cms_state")
+    b0 = _toks(spark, ["a", "b", "a"])
+    b1 = _toks(spark, ["b", "c"])
+
+    cms_fold_batch(b0, 0, state, depth=2, width=16)
+    after_b0 = _grid_map(read_cms_state(spark, state))
+
+    # Simulate the crash: batch 1's snapshot dir exists with data but no
+    # _SUCCESS marker (write died between part files and commit marker).
+    partial = tmp_path / "cms_state" / "_v=1"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"\x00garbage, not parquet")
+
+    # Reader ignores the partial; state is still exactly post-batch-0.
+    assert [v for v, _ in list_state_versions(spark, state)] == [0]
+    assert _grid_map(read_cms_state(spark, state)) == after_b0
+    assert last_applied_batch(_read_state_or_none(spark, state)) == 0
+
+    # The streaming replay of batch 1 re-runs, clobbers its own partial,
+    # and commits on top of the intact previous snapshot.
+    cms_fold_batch(b1, 1, state, depth=2, width=16)
+    want = _grid_map(
+        merge_cms_grids(
+            cms_counters(b0, depth=2, width=16),
+            cms_counters(b1, depth=2, width=16),
+        )
+    )
+    assert _grid_map(read_cms_state(spark, state)) == want
+    assert [v for v, _ in list_state_versions(spark, state)] == [0, 1]
+
+
+def test_commit_retention_prunes_old_snapshots(spark, tmp_path):
+    """Snapshots older than the newest two are pruned AFTER the new commit
+    lands; the live snapshot always reflects the full fold history."""
+    from etl_pipeline_last_fm_spark.streaming.sketch import (
+        list_state_versions,
+    )
+
+    state = str(tmp_path / "cms_state")
+    batches = [["a"], ["b", "b"], ["c"], ["a", "c"]]
+    for i, words in enumerate(batches):
+        cms_fold_batch(_toks(spark, words), i, state, depth=2, width=16)
+
+    # retention = 2: only the two newest snapshots survive...
+    assert [v for v, _ in list_state_versions(spark, state)] == [2, 3]
+    # ...and the newest one equals the fold of ALL batches.
+    want = _grid_map(
+        cms_counters(_toks(spark, sum(batches, [])), depth=2, width=16)
+    )
+    assert _grid_map(read_cms_state(spark, state)) == want

@@ -17,6 +17,8 @@ from etl_pipeline_last_fm_spark.operators.zorder import (
 from etl_pipeline_last_fm_spark.sources.tables import load_table
 from etl_pipeline_last_fm_spark.streaming.sketch import (
     merge_cms_grids,
+    read_cms_state,
+    read_hll_state,
     streaming_cms_maintenance,
 )
 
@@ -131,7 +133,7 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
 
     got = {
         (r["__d"], r["__cell"]): r["__cnt"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_cms_state(spark, state).collect()
     }
     want = {
         (r["__d"], r["__cell"]): r["__cnt"]
@@ -190,7 +192,7 @@ def test_streaming_hll_equals_batch_estimate(spark, sf_dir, tmp_path):
         map(
             tuple,
             hll_estimate_from_registers(
-                spark.read.parquet(state), ["event_type"], b=6
+                read_hll_state(spark, state), ["event_type"], b=6
             ).collect(),
         )
     )
