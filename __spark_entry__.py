@@ -31,2260 +31,35 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
-from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
-from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
-from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
-from etl_pipeline_last_fm_spark.operators import asof as asof_oracle_mod
-from etl_pipeline_last_fm_spark.operators import cleaning as cleaning_ops
-from etl_pipeline_last_fm_spark.operators import fuzzy as fuzzy_ops
-from etl_pipeline_last_fm_spark.operators import contamination as contamination_oracle_mod
-from etl_pipeline_last_fm_spark.operators import dedup as dedup_ops
-from etl_pipeline_last_fm_spark.operators import funnel as funnel_oracle_mod
-from etl_pipeline_last_fm_spark.operators import packing as packing_ops
-from etl_pipeline_last_fm_spark.operators import profile as profile_ops
-from etl_pipeline_last_fm_spark.operators import sampling as sampling_oracle_mod
-from etl_pipeline_last_fm_spark.operators import scd as scd_ops
-from etl_pipeline_last_fm_spark.operators import timeseries as ts_ops
-from etl_pipeline_last_fm_spark.operators import similarity as sim_ops
-from etl_pipeline_last_fm_spark.operators import sketch as sketch_ops
-from etl_pipeline_last_fm_spark.operators import text as text_ops
-from etl_pipeline_last_fm_spark.operators import timewindow as tw_ops
-from etl_pipeline_last_fm_spark.operators import zorder as zorder_ops
-from etl_pipeline_last_fm_spark.sources.tables import load_table
+from etl_pipeline_last_fm_spark.registry import core, extras, llm
 
 SF001 = "/root/testdata/sf0.001"
+
+# One flat name -> callable map; tier modules own the implementations
+# (registry/core.py, registry/llm.py, registry/extras.py — split out in
+# round 5 so window rotations stop churning a 3.5k-line file).
+_ALL = {**core.QUERIES, **llm.QUERIES, **extras.QUERIES}
+
+# Back-compat: tests and tooling address queries as module attributes
+# (__spark_entry__.q_<name>); every registered query keeps that name here.
+for _n, _fn in _ALL.items():
+    globals()[f"q_{_n}"] = _fn
+del _n, _fn
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the royalties mart re-expressed over the TPC-H-ish star
     (reference dags/from_dds_to_dm_pg.py:73-79) — 3-way join + groupBy +
     sum*rate + round + order. Exercises every layer of the engine."""
-    return q_flagship_royalties(spark, SF001)
-
-
-# ---------------------------------------------------------------------------
-# Core relational queries (SURVEY.md §2 inventory)
-# ---------------------------------------------------------------------------
-
-
-def _star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — the fact-build join
-    shape (J1-J3, reference dags/from_ods_to_dds_pg.py:96-99). nation/region
-    are broadcast (tiny dims); customer-orders and orders-lineitem shuffle on
-    their keys, the scale-honest strategy for fact-to-fact joins."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
-
-
-def q_flagship_royalties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3/F2/F3/O1: ROUND(SUM(revenue) * 0.003, 2) per (date, nation),
-    ordered date asc royalties desc (reference dags/from_dds_to_dm_pg.py:73-79).
-
-    Revenue is carried as EXACT integer 1e-4-dollar units: price and
-    discount are 2-decimal data, so floor(x*100+0.5) recovers their cent
-    values exactly and rev4 = cents_price * (100 - cents_discount) is an
-    exact int64 — the SUM is order-independent (no float accumulation to
-    disagree with the oracle at a rounding boundary, the risk class the
-    incremental marts eliminated in r3) and royalties =
-    floor(sum4*3/1e5 + 0.5)/100 reproduces ROUND(SUM*0.003, 2) in one
-    exact int->double conversion (sum4*3 < 2^53 through sf well past the
-    test range; a 100 TB deployment sums as decimal(38,0) first).
-
-    Exactness also unlocks the plan win: lineitem pre-aggregates to one
-    row per order BELOW the join (legal for ANY accumulation order now),
-    so the join chain moves ~4x fewer rows — measured 1.21 s -> 0.77 s at
-    sf0.1, values identical on all 54,908 groups."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    rev4 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
-        F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    )
-    per_order = li.groupBy("l_orderkey").agg(F.sum(rev4).alias("__rev4"))
-    royalties = (
-        F.floor(
-            (F.sum("__rev4") * F.lit(3)).cast("double") / F.lit(100000.0)
-            + F.lit(0.5)
-        )
-        / F.lit(100.0)
-    )
-    return (
-        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(F.col("o_orderdate").alias("date"), F.col("n_name").alias("nation"))
-        .agg(royalties.alias("royalties"))
-        .orderBy(F.col("date"), F.col("royalties").desc())
-    )
-
-
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2-style wide aggregate (TPC-H Q1 shape) over lineitem: partial+final
-    hash aggregate, no joins — the pure-aggregation headline.
-
-    All measures are EXACT integer arithmetic end to end (the same
-    order-independence upgrade flagship_royalties got): quantity is
-    integral, price/discount/tax are 2-decimal data, so the cent recovery
-    floor(x*100+0.5) is exact; disc_price lives in 1e-4 and charge in
-    1e-6 dollar units as int64 products; and every ROUND(x, s) is the
-    pure-integer identity floor(a/b + 1/2) = (2a+b) div (2b) — the big
-    sums NEVER pass through a double (charge sums exceed 2^53 well below
-    production scale), only the final small quotient does. The oracle is
-    the same integer program, so parity is by construction."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qi = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    d2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    t2 = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
-    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qi).alias("__sq"),
-        F.sum(e2).alias("__se2"),
-        F.sum(e2 * (F.lit(100) - d2)).alias("__s4"),
-        F.sum(e2 * (F.lit(100) - d2) * (F.lit(100) + t2)).alias("__s6"),
-        F.sum(d2).alias("__sd2"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
-    return sums.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.col("__sq").cast("double").alias("sum_qty"),
-        (F.col("__se2").cast("double") / F.lit(100.0)).alias("sum_base_price"),
-        (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
-            "sum_disc_price"
-        ),
-        (F.expr("(__s6 + 5000) div 10000").cast("double") / F.lit(100.0)).alias(
-            "sum_charge"
-        ),
-        (
-            F.expr("(2 * __sq * 100 + count_order) div (2 * count_order)").cast(
-                "double"
-            )
-            / F.lit(100.0)
-        ).alias("avg_qty"),
-        (
-            F.expr("(2 * __se2 + count_order) div (2 * count_order)").cast("double")
-            / F.lit(100.0)
-        ).alias("avg_price"),
-        (
-            F.expr("(2 * __sd2 * 100 + count_order) div (2 * count_order)").cast(
-                "double"
-            )
-            / F.lit(10000.0)
-        ).alias("avg_disc"),
-        "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
-
-
-def q_distinct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: SELECT DISTINCT projection dedupe (reference
-    dags/from_ods_to_dds_pg.py:47-48,60-61) — group-by-all-cols hash agg."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct()
-
-
-def q_case_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8/P9/F1: sentinel imputation with the per-partition mean of
-    non-sentinel rows, AVG::INT with Postgres rounding (reference
-    dags/from_ods_to_dds_pg.py:74-77). Sentinel here: l_quantity <= 5 plays
-    the role of duration_sec = 0; partition = ship day."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "ship_day", F.to_date("l_shipdate")
-    )
-    w = Window.partitionBy("ship_day")
-    qty = F.col("l_quantity")
-    mean_ok = F.avg(F.when(qty > 5, qty)).over(w)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(qty <= 5, half_up_round(mean_ok).cast("int"))
-        .otherwise(qty.cast("int"))
-        .alias("qty_filled"),
-    )
-
-
-def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9/A4: uncorrelated scalar subquery — customers above the global mean
-    balance. Compiled as agg -> broadcast cross-join, evaluating the scalar
-    once (the reference gets the same via a Postgres InitPlan)."""
-    customer = load_table(spark, sf_dir, "customer")
-    threshold = customer.agg(half_up_round(F.avg("c_acctbal"), 2).alias("__thr"))
-    return (
-        customer.crossJoin(F.broadcast(threshold))
-        .filter(F.col("c_acctbal") > F.col("__thr"))
-        .select("c_custkey", "c_name", "c_acctbal")
-    )
-
-
-def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-J3 fact build: full star join, key + measure projection
-    (reference dags/from_ods_to_dds_pg.py:85-104)."""
-    return _star(spark, sf_dir).select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_orderdate",
-        "c_custkey",
-        F.col("n_name").alias("nation"),
-        F.col("r_name").alias("region"),
-        "l_quantity",
-        "l_extendedprice",
-    )
-
-
-def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 serial emulation: deterministic dense surrogate ids over a
-    DISTINCT dim projection (row_number over natural key)."""
-    part = load_table(spark, sf_dir, "part")
-    dim = part.select("p_brand").distinct()
-    return assign_surrogate_keys(dim, "brand_id", ["p_brand"]).select("brand_id", "p_brand")
-
-
-def q_surrogate_keys_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 stability across increments: batch 1 (p_size <= 25) keeps its ids
-    when batch 2 (p_size > 25) arrives; new rows number from max(id)+1
-    (serial semantics, reference scripts/ddl_dds.sql:3,9,15,24)."""
-    part = load_table(spark, sf_dir, "part")
-    dim1 = part.filter(F.col("p_size") <= 25).select("p_type").distinct()
-    keyed1 = assign_surrogate_keys(dim1, "type_id", ["p_type"])
-    dim2 = (
-        part.filter(F.col("p_size") > 25)
-        .select("p_type")
-        .distinct()
-        .join(keyed1.select("p_type"), "p_type", "left_anti")
-    )
-    keyed2 = assign_surrogate_keys(dim2, "type_id", ["p_type"], existing=keyed1)
-    return keyed1.unionByName(keyed2).select("type_id", "p_type")
-
-
-def q_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 ON CONFLICT DO NOTHING: re-ingest an overlapping window
-    (1996-1997) against already-loaded history (< 1997). Conflict key
-    (o_custkey, o_orderdate); in-batch first-writer-wins keeps min
-    o_orderkey (Appendix A.7 deterministic tiebreak)."""
-    orders = load_table(spark, sf_dir, "orders")
-    batch = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
-    )
-    existing = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
-    keys = ["o_custkey", "o_orderdate"]
-    deduped = first_writer_wins(batch, keys, tiebreaker=["o_orderkey"])
-    return deduped.join(existing.select(*keys), keys, "left_anti").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-
-
-def q_windowed_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: the chart operator — top 3 events per (day, event_type) by value
-    desc, event_id tiebreak (SURVEY.md §2.8)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
-    out = windowed_top_k(
-        ev,
-        ["day", "event_type"],
-        [F.col("value").desc(), F.col("event_id")],
-        k=3,
-        rank_col="rnk",
-    )
-    return out.select("day", "event_type", "event_id", "value", "rnk")
-
-
-def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 analytic windows: partition mean (the window form of the
-    reference's scalar-subquery imputation) + running per-user sum with an
-    explicit rows frame."""
-    ev = load_table(spark, sf_dir, "events")
-    w_type = Window.partitionBy("event_type")
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "event_type",
-        half_up_round(F.avg("value").over(w_type), 2).alias("type_avg"),
-        half_up_round(F.sum("value").over(w_run), 2).alias("user_running_sum"),
-    )
-
-
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 implicit UNION ALL (the reference's per-country append loop,
-    dags/transformed_from_s3_to_pg.py:61-67) as unionByName."""
-    ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.lit("buy").alias("kind")
-    )
-    b = ev.filter(F.col("event_type") == "signup").select(
-        "event_id", "user_id", F.lit("join").alias("kind")
-    )
-    return a.unionByName(b)
-
-
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7/P1: JSON parse + nested field projection (the reference's
-    json.loads + dict access, dags/transformed_from_s3_to_pg.py:31-45) via
-    native get_json_object — no UDF."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-
-
-def q_date_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6/F4: date-formatted partition key + per-day aggregate (the daily
-    partition unit of the whole reference pipeline, SURVEY.md §1.1)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum("value"), 2).alias("total_value"),
-        )
-    )
-
-
-def q_mart_daily_appearances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 mart analog: COUNT(*) per (day, user) — artist appearances by date
-    (reference dags/from_dds_to_dm_pg.py:61-65)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
-        .agg(F.count(F.lit(1)).alias("cnt_appearance"))
-    )
-
-
-def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 mart analog: AVG per (day, type) — avg duration by country
-    (reference dags/from_dds_to_dm_pg.py:47-52)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
-        .agg(half_up_round(F.avg("value"), 2).alias("avg_value"))
-    )
-
-
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 combinations of 2 dims)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.cube("event_type", F.date_format("ts", "yyyy-MM").alias("month")).agg(
-        F.count(F.lit(1)).alias("n"),
-        half_up_round(F.sum("value"), 2).alias("total_value"),
-    )
-
-
-def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot via conditional aggregation (engine-portable pivot form):
-    per-day average value of each event type as columns."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
-    def avg_of(t: str) -> Column:
-        return half_up_round(F.avg(F.when(F.col("event_type") == t, F.col("value"))), 2)
-
-    return ev.groupBy("day").agg(
-        avg_of("click").alias("avg_click"),
-        avg_of("view").alias("avg_view"),
-        avg_of("purchase").alias("avg_purchase"),
-        avg_of("signup").alias("avg_signup"),
-        avg_of("error").alias("avg_error"),
-    )
-
-
-def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native ``groupBy().pivot()`` — the idiomatic Spark pivot surface.
-    Values are enumerated explicitly: with an explicit list Spark skips the
-    extra distinct-values job AND the output column set is deterministic
-    (schema stability is part of the driver contract). Same result as
-    q_pivot_conditional; Catalyst compiles both to one aggregate."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
-    )
-    out = (
-        ev.groupBy("day")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
-        .agg(half_up_round(F.avg("value"), 2))
-    )
-    return out.select(
-        "day",
-        *[F.col(t).alias(f"avg_{t}") for t in ["click", "view", "purchase", "signup", "error"]],
-    )
-
-
-def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC/changelog compaction: the LATEST record per key (user), i.e.
-    last-writer-wins — the temporal mirror of the §2.7 first-writer-wins
-    arbiter. row_number over (key, ts desc, id desc) + filter compiles to
-    WindowGroupLimit: each partition keeps one row per key in-flight."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "user_id",
-            "event_id",
-            "event_type",
-            half_up_round(F.col("value"), 2).alias("last_value"),
-        )
-    )
-
-
-def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series rolling window: daily totals per event type, CALENDAR
-    7-day trailing moving average (RANGE frame over the day number, so gap
-    days shrink the window instead of silently stretching it the way a
-    ROWS frame over observed days would) and each day's share of its
-    type's total (ratio-to-report). Windows partition on event_type — the
-    tiny daily aggregate, never raw events, flows through them."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.sum("value").alias("__total"),
-    ).withColumn("__daynum", F.datediff(F.to_date("day"), F.lit("1970-01-01")))
-    w_ma = (
-        Window.partitionBy("event_type").orderBy("__daynum").rangeBetween(-6, 0)
-    )
-    w_all = Window.partitionBy("event_type")
-    return daily.select(
-        "event_type",
-        "day",
-        half_up_round(F.col("__total"), 2).alias("day_total"),
-        half_up_round(F.avg("__total").over(w_ma), 4).alias("ma7"),
-        half_up_round(
-            F.col("__total") / F.sum("__total").over(w_all) * F.lit(100.0), 4
-        ).alias("pct_of_type"),
-    )
-
-
-def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead/lag navigation windows: per-user inter-event gap in seconds."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(ts_us("ts")).over(w)
-    next_id = F.lead("event_id").over(w)
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.floor((ts_us("ts") - prev_us) / F.lit(1_000_000)).alias("gap_sec"),
-        next_id.alias("next_event_id"),
-    )
-
-
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous percentiles (median / p90) per event type — Spark
-    percentile() and DuckDB quantile_cont share linear interpolation."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        half_up_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        half_up_round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-    )
-
-
-def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigation two-phase aggregate — result-identical to a plain
-    GROUP BY, which is exactly what the oracle checks (operators/skew.py)."""
-    from etl_pipeline_last_fm_spark.operators.skew import salted_aggregate
-
-    ev = load_table(spark, sf_dir, "events")
-    out = salted_aggregate(
-        ev,
-        ["event_type"],
-        {
-            "n_events": ("count", "value"),
-            "total_value": ("sum", "value"),
-            "mean_value": ("avg", "value"),
-        },
-        buckets=16,
-    )
-    return out.select(
-        "event_type",
-        F.col("n_events"),
-        half_up_round(F.col("total_value"), 2).alias("total_value"),
-        half_up_round(F.col("mean_value"), 4).alias("mean_value"),
-    )
-
-
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (lag/flag/cumsum/aggregate window pipeline;
-    streaming-stateful twin in streaming/sessions.py)."""
-    from etl_pipeline_last_fm_spark.operators.sessions import sessionize
-
-    ev = load_table(spark, sf_dir, "events")
-    return sessionize(ev, gap_minutes=30)
-
-
-def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join + COUNT(col) null-skipping semantics: order count per
-    customer including order-less customers (capability beyond the
-    reference's inner-only joins, §2.4)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-
-
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers with at least one 1997 order."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders_1997 = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
-    )
-    return customer.join(
-        orders_1997, customer.c_custkey == orders_1997.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets with subtotals + grand total (engine capability
-    beyond the reference's flat GROUP BYs, §2.5)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            half_up_round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        )
-    )
-
-
-def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1/P2: array unnest — the reference's JSON flatten loop re-expressed
-    as explode (dags/transformed_from_s3_to_pg.py:33-40; the operators.flatten
-    path runs in the domain pipeline tests; this is the oracle-checked form
-    over testdata). posexplode also carries the element index (the rank
-    analogue)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "token"),
-    )
-
-
-def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 + LIMIT: global sort + top-n (TakeOrderedAndProject physical op —
-    no full global sort materialization)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extension operators (BASELINE.json north-star: LLM-data-pipeline ops)
-# ---------------------------------------------------------------------------
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.exact_dedup_groups(docs)
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.fingerprint(docs)
-
-
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.token_stats(docs)
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.quality_score(docs)
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.lang_id(docs)
-
-
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact pairwise Jaccard is the *verification* path; it runs on a bounded
-    # deterministic subset (doc_id < 500). The corpus has a 31-word vocab, so
-    # unigram sets overlap for nearly every pair — unbounded exact pairwise
-    # is quadratic by construction; full-corpus scale goes through
-    # dedup_minhash_lsh (banded candidates, near-linear).
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return dedup_ops.word_jaccard_pairs(docs, threshold=0.5)
-
-
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(docs, shingle_len=3, num_hashes=32, bands=8)
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Blocked (pigeonhole) form — the scale path: candidates come from
-    # equi-joined 15-bit signature chunks, not a cross join. max_hamming=3
-    # (4 chunks) is the regime where chunk blocking is selective;
-    # output-equal to the pairwise form (tests/test_dedup_blocked.py).
-    # portable=True: 60-bit md5-derived signature the DuckDB oracle
-    # recomputes bit-for-bit — full value-checked correctness (blocking has
-    # recall 1.0 by pigeonhole, so the pairwise-truth oracle is exact).
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_dups_blocked(docs, max_hamming=3, portable=True)
-
-
-def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.brute_force_topk(emb, n_queries=10, k=5)
-
-
-def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF: 16 centroids, probe 4 -> each query scores ~1/4 of the corpus.
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
-
-
-def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate for the TRAINED k-means IVF path — the one query family
-    whose per-pair output has no portable oracle (centroids come from
-    driver-side k-means). The gate is deterministic: seeded k-means on
-    fixed data. Floor 350 milli chosen from measurement: recall@5 is 0.66
-    at sf0.001 and 0.52 at sf0.01 on the near-random fixture embeddings
-    (the ANN worst case, see tests/test_similarity.py's preamble); real
-    clustered corpora sit far higher."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    truth = sim_ops.brute_force_topk(emb, n_queries=10, k=5)
-    ann = sim_ops.ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
-    return sim_ops.ann_recall_gate(truth, ann, n_queries=10, k=5, floor_milli=350)
-
-
-def q_sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate for product-quantization ADC ranking vs exact brute
-    force. PQ compresses 64 floats to 4 code bytes, so on near-random
-    embeddings (no cluster structure for the codebooks to exploit) recall
-    is intrinsically low — measured 0.20 at sf0.001 / 0.34 at sf0.01;
-    floor 100 milli pins that the 4-byte codes still carry signal. The
-    per-pair PQ output itself IS fully value-checked (sim_ann_pq)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    truth = sim_ops.brute_force_topk(emb, n_queries=10, k=5)
-    ann = sim_ops.pq_ann_topk_seeded(emb, n_queries=10, k=5)
-    return sim_ops.ann_recall_gate(truth, ann, n_queries=10, k=5, floor_milli=100)
-
-
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS beyond rollup/cube (the §2.5 generalization): four
-    explicit sets — (flag,status), (flag), (status), () — with GROUPING()
-    ids disambiguating real NULLs from subtotal rows. Compiles to a single
-    Expand + partial/final aggregate: one scan, one shuffle, regardless of
-    how many sets are requested. Quantities are integral doubles, so the
-    SUM is exact and BIGINT-castable on both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_grouping_sets")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               COUNT(*) AS n_rows,
-               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
-        FROM li_grouping_sets
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-def q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (bottom-k) sketch over cents-quantized event values per type:
-    bounded mergeable state (64 smallest distinct-value hashes) read out as
-    distinct-count estimate + p50/p90 of the distinct-value distribution.
-    The mergeable-summary family HLL registers / CMS grids / histograms
-    don't cover — and, unlike KLL/t-digest compactors (order-dependent
-    state), value-checkable to the last bit (operators/sketch.py kmv_state
-    design note). Values are quantized to cents BEFORE hashing so the hash
-    input strings are engine-identical."""
-    ev = load_table(spark, sf_dir, "events")
-    src = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents"),
-    )
-    state = sketch_ops.kmv_state(src, "v_cents", ["event_type"], k=64)
-    return sketch_ops.kmv_summary(state, ["event_type"], k=64, quantiles=(0.5, 0.9))
-
-
-def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar densification of per-user daily event aggregates: event
-    counts zero-filled (flow metric — a silent day really is zero), value
-    totals carried forward (state metric), was_observed flag. The daily
-    aggregate is rounded to cents BEFORE the fill so both engines carry
-    identical doubles forward."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("user_id"), F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        half_up_round(F.sum("value"), 2).alias("val_sum"),
-    )
-    filled = ts_ops.gapfill_daily(
-        daily, "user_id", "day", zero_cols=["n_events"], locf_cols=["val_sum"]
-    )
-    # ISO-string day for driver parity: DuckDB DATE surfaces as a midnight
-    # timestamp through pandas, so both engines emit the formatted string.
-    return filled.select(
-        "user_id",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "n_events",
-        "val_sum",
-        "was_observed",
-    )
-
-
-_GAPFILL_OBS_SQL = """
-    SELECT user_id, CAST(ts AS DATE) AS day,
-           COUNT(*) AS n_events,
-           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS val_sum
-    FROM events GROUP BY user_id, CAST(ts AS DATE)
-"""
-
-
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Warehouse snapshot diff over two deterministic views of orders:
-    'old' drops keys % 3 == 0, 'new' drops keys % 5 == 0 and re-prices
-    keys % 7 == 0 — so the diff exercises added, removed and changed
-    classes. Full outer join on the key, null-safe comparison."""
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    old = base.filter(F.col("o_orderkey") % 3 != 0)
-    new = base.filter(F.col("o_orderkey") % 5 != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            F.col("o_orderkey") % 7 == 0,
-            half_up_round(F.col("o_totalprice") * F.lit(1.1), 2),
-        ).otherwise(F.col("o_totalprice")),
-    )
-    return scd_ops.snapshot_diff(
-        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
-    )
-
-
-_SNAPDIFF_OLD_SQL = """
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM orders WHERE o_orderkey % 3 <> 0
-"""
-_SNAPDIFF_NEW_SQL = """
-    SELECT o_orderkey, o_orderstatus,
-           CASE WHEN o_orderkey % 7 = 0
-                THEN FLOOR(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0
-                ELSE o_totalprice END AS o_totalprice
-    FROM orders WHERE o_orderkey % 5 <> 0
-"""
-
-
-def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-denominated mixing: keep a deterministic (hash, id)-ordered
-    prefix of each source while its exclusive running token total is under
-    the source's budget; unbudgeted sources drop out entirely."""
-    docs = load_table(spark, sf_dir, "documents")
-    return sampling_oracle_mod.token_budget_sample(
-        docs, {"src0": 800, "src1": 400, "src2": 2000, "src3": 100}
-    )
-
-
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over documents with deterministically injected synthetic
-    contact data (the fixture corpus itself is PII-free word salad, so the
-    query plants one email, one IPv4 and one phone per doc as a function of
-    doc_id — both engines build the identical input, and the oracle
-    value-checks the md5 of the scrubbed text, not just the counts)."""
-    docs = load_table(spark, sf_dir, "documents")
-    raw = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com via 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 call 555-"),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-            F.lit("-0199"),
-        ).alias("text"),
-    )
-    return cleaning_ops.pii_scrub(raw)
-
-
-_PII_SOURCE_SQL = """
-    SELECT doc_id,
-           text || ' contact user' || CAST(doc_id AS VARCHAR)
-                || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                || '-0199' AS text
-    FROM documents
-"""
-
-
-def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy entity resolution on part names: head-token blocking
-    (equi-join, sub-quadratic) then Levenshtein <= 2 verification with the
-    threshold pushed into Spark's banded DP.
-
-    Graded WITH the hot-block guard active (max_block_size=1000): at the
-    driver's sf0.01 the largest head-token block is 269 rows, so no block is
-    dropped and the output equals the uncapped oracle — but the scale guard
-    the 100 TB plan depends on is exercised in the graded plan itself."""
-    part = load_table(spark, sf_dir, "part")
-    return fuzzy_ops.fuzzy_name_pairs(
-        part, "p_partkey", "p_name", max_dist=2, max_block_size=1000
-    )
-
-
-def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Passage-level cross-doc dedup stats: per document, the fraction of
-    its non-overlapping 8-word chunks that occur in any other document —
-    catches shared boilerplate/quotes that full-doc dedup misses."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.shared_passage_stats(docs, window_tokens=8, portable=True)
-
-
-def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-20 word bigrams (count desc, gram asc): partial+final
-    hash aggregate then TakeOrdered — no global sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.top_ngrams(docs, n=2, k=20)
-
-
-def q_sim_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-checked IVF twin: seed centroids (= embeddings of the 16 lowest
-    ids) instead of trained ones, every argmax on a packed rounded-score
-    BIGINT -> the DuckDB oracle rebuilds the identical index. Keeps the
-    trained-k-means entry (sim_ann_ivf) as the production path; this entry
-    proves the IVF plumbing (assignment, probe ranking, candidate join,
-    top-k) value-for-value."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.ivf_ann_topk_seeded(emb, n_queries=10, k=5, n_centroids=16, nprobe=4)
-
-
-def q_dedup_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # portable=True: md5-derived gram hash -> the winnowing fingerprints are
-    # reproducible in DuckDB, upgrading this from rows-only to value-checked.
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.fingerprint_overlap_pairs(docs, min_shared=5, portable=True)
-
-
-def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 6 planes -> 64 buckets for a 500-vector corpus (~8 occupants each):
-    # enough collisions for meaningful approximate neighbors. Scale the plane
-    # count with log2(corpus/target_bucket_size) in production.
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6)
-
-
-def q_sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multi-probe LSH: each query also probes the n_planes buckets one sign
-    # flip away — recall recovers most of what single-bucket LSH loses on
-    # this near-random corpus at ~(n_planes+1)/2^n_planes of brute-force
-    # cost. Oracle: the probe set collapses to a Hamming-ball predicate.
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6, probe_flips=1)
-
-
-def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Blocked (hyperplane-LSH) form — the scale path: only same-bucket pairs
-    # are scored, so work follows bucket occupancy, not corpus². The fixture
-    # embeddings are near-random (max pairwise cosine ~0.51), so a production
-    # dedup threshold (0.95) would make the check vacuous; 0.4 exercises the
-    # filter+round path with non-empty output. Oracle-paired: the planes are
-    # seed-deterministic literals, reproduced verbatim in the DuckDB SQL.
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup_ops.embedding_near_dups_blocked(emb, threshold=0.4, n_planes=6)
-
-
-def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact pairwise cosine — the verification/baseline path (bounded
-    # corpora); the blocked form above is what runs at scale.
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup_ops.embedding_near_dups(emb, threshold=0.4)
-
-
-def q_embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup resolution: blocked cosine pairs -> connected
-    components -> keep/drop list (the embedding twin of dedup_keep_list;
-    same 0.4 fixture threshold as embedding_cosine_dedup)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup_ops.embedding_keep_list(emb, threshold=0.4, n_planes=6)
-
-
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.binary_meta(docs)
-
-
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time join: each click event picks up the most recent earlier
-    view's value for the same user — the classic feature-at-prediction-time /
-    dimension-as-of lookup. Spark plan: union + one window pass per user key
-    (single shuffle, no join node at all); oracle: DuckDB's native ASOF JOIN,
-    an independent binary-search implementation."""
-    from etl_pipeline_last_fm_spark.operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(half_up_round(F.max("value"), 2).alias("rv"))
-    )
-    return asof_join(clicks, views, key_col="user_id", right_value_cols=["rv"]).select(
-        "event_id",
-        "user_id",
-        ts_us("ts").alias("click_us"),
-        "matched_rv",
-        "matched_ts_us",
-    )
-
-
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded time-range join (attribution): click→purchase pairs of the
-    same user within 10 minutes. Bucketed equi-join on (user, time-bucket) —
-    candidates follow bucket co-occupancy, never |A|×|B|; the oracle is the
-    plain BETWEEN theta-join."""
-    from etl_pipeline_last_fm_spark.operators.asof import time_range_join
-
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    return time_range_join(clicks, purchases, key_col="user_id", max_gap_us=600_000_000)
-
-
-def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment: split = pure function of
-    (salt, doc_id) via the portable hash — reproducible across engines,
-    partitionings, and cluster sizes (rand()/sample() are neither)."""
-    from etl_pipeline_last_fm_spark.operators.sampling import split_assign
-
-    docs = load_table(spark, sf_dir, "documents")
-    return split_assign(docs, id_col="doc_id").select("doc_id", "bucket", "split")
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced per-stratum subsample: 5 docs per language, ranked by
-    (hash, id) inside each stratum — the data-mixing knob. WindowGroupLimit
-    keeps only k rows per stratum in flight."""
-    from etl_pipeline_last_fm_spark.operators.sampling import stratified_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(docs, strata_col="lang", n_per_stratum=5)
-
-
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: training docs sharing >= 1 distinct 8-gram
-    with the benchmark slice (doc_id % 25 == 0 stands in for the eval set).
-    Benchmark shingles broadcast -> no corpus-side join shuffle."""
-    from etl_pipeline_last_fm_spark.operators.contamination import benchmark_contamination
-
-    docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 25 == 0)
-    train = docs.filter(F.col("doc_id") % 25 != 0)
-    return benchmark_contamination(train, bench, n=8)
-
-
-def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup resolution: MinHash-LSH pairs -> connected components
-    (iterative min-label propagation with per-round localCheckpoint) ->
-    per-cluster keep/drop list. Oracle: exact-Jaccard truth pairs closed
-    transitively by a DuckDB RECURSIVE CTE — an independent fixpoint
-    implementation."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.dedup_keep_list(docs)
-
-
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: global token offset per doc via a
-    two-phase distributed prefix sum (per-block sums -> tiny block-offset
-    window -> broadcast back), bit-equal to the oracle's naive global
-    window. The LLM-pretraining batching primitive."""
-    docs = load_table(spark, sf_dir, "documents")
-    return packing_ops.pack_sequences(docs, budget=512, block_size=256)
-
-
-def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One BPE merge-selection step: top-20 adjacent token pairs by corpus
-    frequency, deterministic (count desc, pair asc) ranking. Per-doc lead
-    window only — no global ordering over token rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    return packing_ops.pair_counts(docs, top_k=20)
-
-
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 SCD history of each customer's order priority: gaps-and-
-    islands (lag-change flag -> running-sum version -> half-open validity
-    intervals via lead). The history-keeping upgrade of the reference's
-    current-state dims (sql/init_dds.sql)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return scd_ops.scd2_history(orders)
-
-
-def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time lookup: every customer's order priority as of
-    1997-06-15 — the half-open-interval query SCD2 history exists to
-    answer (pure filter, no join)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return scd_ops.scd2_as_of(scd_ops.scd2_history(orders), "1997-06-15")
-
-
-def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling of lineitem numerics in ONE scan (wide agg ->
-    stack unpivot); oracle computes the same stats as a per-column UNION
-    ALL — deliberately different plan, same answer."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return profile_ops.profile_columns(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    )
-
-
-def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val/test assignment: hash the user (group) key so
-    no user's events straddle a split — the contamination guard split_assign
-    alone can't give."""
-    ev = load_table(spark, sf_dir, "events")
-    return sampling_oracle_mod.group_split_assign(ev, group_col="user_id").select(
-        "event_id", "user_id", "split"
-    )
-
-
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style within-doc repetition: duplicated n-gram fraction and
-    top-ngram coverage — the boilerplate/spam filters length and stopword
-    heuristics miss. Per-doc aggregation only."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.repetition_scores(docs, n=3)
-
-
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking: overlapping 64-token windows, stride 48.
-    Explodes only the cheap chunk-index sequence (the token array is
-    computed once per doc in the Project below the Generate — the
-    codegen-safe shape; see SCALING.md on generator inputs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return packing_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)
-
-
-_MIXTURE_RATES = {"en": 4000, "zh": 10000, "de": 10000, "fr": 10000, "es": 8000}
-
-
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixture-weights corpus sampling: per-language deterministic Bernoulli
-    keep rates (downsample dominant en, keep rare langs whole). Pure
-    hash-filter scan — membership is a function of (salt, doc_id) only."""
-    from etl_pipeline_last_fm_spark.operators.sampling import mixture_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return mixture_sample(docs, _MIXTURE_RATES).select("doc_id", "lang", "source")
-
-
-def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-population length buckets WITHOUT ntile's single-partition
-    window: exact percentile edges (one tiny agg) broadcast back, bucket =
-    #edges <= len. Curriculum-binning for training-data prep."""
-    docs = load_table(spark, sf_dir, "documents")
-    return profile_ops.quantile_buckets(docs, n_buckets=10)
-
-
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-derived fixed-width histogram of l_extendedprice (min/max agg
-    broadcast back, clamped floor binning) — profiling at scan speed."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return profile_ops.fixed_width_histogram(li, "l_extendedprice", n_bins=50)
-
-
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocab coverage curve: top-20 unigrams with cumulative
-    corpus share (TakeOrderedAndProject top-k; cumulative window on k rows
-    only)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return packing_ops.vocab_coverage(docs, top_k=20)
-
-
-def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-curation observability: how many docs survive each filter
-    stage (length floor -> length ceiling -> repetition cap). One metric
-    pass + one tiny conditional aggregate — the pipeline-health view every
-    curation run reports. Stages nest (each adds a predicate), so counts
-    are monotone non-increasing."""
-    docs = load_table(spark, sf_dir, "documents")
-    lengths = docs.select(
-        "doc_id",
-        "text",
-        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("__nt"),
-    )
-    # repetition (n-gram explode + two groupBys, the costliest stage) runs
-    # ONLY on docs already inside the length band — on a real corpus most
-    # docs fail the length gates and their dup fraction is never consulted
-    band = lengths.filter((F.col("__nt") >= 20) & (F.col("__nt") <= 150))
-    rep = text_ops.repetition_scores(band.select("doc_id", "text"), n=3).select(
-        "doc_id", "dup_ngram_frac"
-    )
-    m = lengths.select("doc_id", "__nt").join(rep, "doc_id", "left")
-    s1 = F.col("__nt") >= 20
-    s2 = s1 & (F.col("__nt") <= 150)
-    s3 = s2 & F.coalesce(F.col("dup_ngram_frac") <= 0.3, F.lit(False))
-    wide = m.agg(
-        F.count(F.lit(1)).alias("__all"),
-        F.sum(s1.cast("long")).alias("__s1"),
-        F.sum(s2.cast("long")).alias("__s2"),
-        F.sum(s3.cast("long")).alias("__s3"),
-    )
-    return wide.selectExpr(
-        "stack(4, '0_all', __all, '1_min_len', __s1, '2_max_len', __s2, "
-        "'3_low_repetition', __s3) AS (stage, n_docs)"
-    )
-
-
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-sequence funnel (view -> click -> purchase): per-user deepest
-    stage via three conditional-min windows over ONE user_id exchange; the
-    oracle computes the same answer with a join-per-stage plan."""
-    from etl_pipeline_last_fm_spark.operators.funnel import funnel_stages
-
-    ev = load_table(spark, sf_dir, "events")
-    return funnel_stages(ev)
-
-
-def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (tf * ln(1 + N/df), rank on the
-    rounded score so cross-engine ln() ulp noise can't flip the order)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.tfidf_top_terms(docs, top_k=3)
-
-
-def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable HyperLogLog: approx distinct event_ids per event_type next
-    to the exact count. Integer-scaled register sums make the sketch bit-
-    identical on Spark and DuckDB (operators/sketch.py); cardinality >>
-    2.5m here, so this exercises the raw-estimator branch."""
-    ev = load_table(spark, sf_dir, "events")
-    return sketch_ops.hll_distinct(ev, "event_id", ["event_type"], b=6)
-
-
-def q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL over an exploded token stream: per-source vocabulary size —
-    small cardinalities, so this exercises the linear-counting branch."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    return sketch_ops.hll_distinct(toks, "tok", ["source"], b=6)
-
-
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min heavy hitters: exact top-20 corpus tokens probed against
-    a 4x1024 salted-hash counter grid; estimate = min over rows. All
-    integer arithmetic — exact cross-engine parity, and n_cms >= n_exact
-    by construction (the CMS one-sided error bound, property-tested)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return sketch_ops.cms_heavy_hitters(docs, top_k=20)
-
-
-def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 60-min window aggregate over the event stream in integer
-    epoch-µs bucket arithmetic (NTZ-safe, timezone-render-free); the
-    streaming twin (operators/timewindow.py streaming_tumbling_window)
-    produces identical rows and is equivalence-tested."""
-    ev = load_table(spark, sf_dir, "events")
-    return tw_ops.tumbling_window_agg(ev, window_minutes=60)
-
-
-def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hopping 60/15-min windows: each event explodes into its 4 containing
-    windows (bounded expansion, not a range join), then one partial+final
-    hash aggregate on (key, win_start)."""
-    ev = load_table(spark, sf_dir, "events")
-    return tw_ops.hopping_window_agg(ev, window_minutes=60, hop_minutes=15)
-
-
-def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (seeded codebooks, ADC scoring): 64-float
-    vectors scored through 4 one-byte codes — the memory side of the ANN
-    trade (IVF/LSH bound candidates, PQ bounds bytes; compose as IVF-PQ at
-    scale). Every argmin is integer-packed, so the DuckDB oracle rebuilds
-    codebooks, codes and ranks exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.pq_ann_topk_seeded(emb, n_queries=10, k=5)
-
-
-def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality gate over lineitem/orders: all row-level
-    checks fold into ONE aggregate pass (a column per check, not a scan
-    per check); uniqueness is one groupBy; the FK check is a broadcast
-    anti-join. The quantity range is deliberately tight so violation
-    counts are non-zero and the counting machinery is actually graded."""
-    from etl_pipeline_last_fm_spark.operators.expectations import (
-        Expect,
-        run_expectations,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    checks = [
-        Expect("li_keys_not_null", "not_null", cols=["l_orderkey", "l_partkey"]),
-        Expect("li_qty_in_1_30", "range", cols=["l_quantity"], lo=1, hi=30),
-        Expect(
-            "li_price_positive",
-            "predicate",
-            predicate=F.col("l_extendedprice") > 0,
-        ),
-        Expect("li_line_unique", "unique", cols=["l_orderkey", "l_linenumber"]),
-        Expect(
-            "li_order_fk",
-            "foreign_key",
-            cols=["l_orderkey"],
-            parent=orders,
-            parent_cols=["o_orderkey"],
-        ),
-    ]
-    return run_expectations(li, checks)
-
-
-def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM document quality scoring (CCNet-style): mean per-token
-    logprob under the corpus's own smoothed unigram distribution, in exact
-    integer micro-nats (quantized on the vocab-sized census before any
-    per-doc sum — no float accumulation order anywhere)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text_ops.lm_score(docs)
-
-
-def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier census per (region, nation): count + pinned-rounded mean
-    account balance — exercises the supplier dimension (the one testdata
-    table no other query touches) through the standard broadcast-dim
-    star shape."""
-    sup = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    return (
-        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
-        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            half_up_round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
-        )
-    )
-
-
-def q_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental aggregate maintenance: the event log is split into an
-    'existing' part and a 'late batch' that OVERLAPS the same (day,
-    event_type) groups (split on a hash of event_id, not on time — the
-    merge has to actually merge), each becomes an additive partial state,
-    the states fold, and the presented mart must equal a from-scratch
-    GROUP BY over everything — which is exactly what the oracle computes.
-    O(batch)+O(mart) per update, never O(history)."""
-    from etl_pipeline_last_fm_spark.operators.incremental import (
-        additive_state,
-        merge_states,
-        present,
-    )
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
-    )
-    split = F.pmod(F.col("event_id"), F.lit(10)) < 7
-    keys = ["day", "event_type"]
-    state = additive_state(ev.filter(split), keys, "value")
-    late = additive_state(ev.filter(~split), keys, "value")
-    return present(merge_states([state, late], keys), keys)
-
-
-def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton (Z-order) interleaved layout key over (l_partkey, l_suppkey),
-    both normalized to 10 bits off their data bounds — the multi-dimension
-    data-skipping sort key `write_zordered` clusters files on. Pure bit
-    arithmetic after one bounded bounds-agg; locality + span-shrinkage
-    properties tested in tests/test_zorder_wsample.py."""
-    from etl_pipeline_last_fm_spark.operators.zorder import (
-        scaled_to_bits,
-        zorder_key,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.min("l_partkey").alias("__lox"),
-        F.max("l_partkey").alias("__hix"),
-        F.min("l_suppkey").alias("__loy"),
-        F.max("l_suppkey").alias("__hiy"),
-    )
-    j = li.select("l_orderkey", "l_partkey", "l_suppkey").crossJoin(
-        F.broadcast(bounds)
-    )
-    zk = zorder_key(
-        scaled_to_bits(F.col("l_partkey"), F.col("__lox"), F.col("__hix"), 10),
-        scaled_to_bits(F.col("l_suppkey"), F.col("__loy"), F.col("__hiy"), 10),
-        10,
-    )
-    return j.select("l_orderkey", "l_partkey", "l_suppkey", zk.alias("zkey"))
-
-
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis-Spirakis weighted sampling without replacement, inclusion
-    odds proportional to token count — hash-deterministic, partition-
-    invariant, executed as TakeOrdered (per-partition top-k, no global
-    sort)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return sampling_oracle_mod.weighted_sample(docs, k=50)
-
-
-def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity join via prefix filtering (AllPairs/SSJoin):
-    every 3-shingle-Jaccard >= 1/2 pair, over the FULL corpus — no subset
-    bound, unlike the pairwise verification path (q_dedup_ngram_jaccard),
-    because candidates come from an equi-join on each doc's rarest-token
-    prefix. LOSSLESS by lemma (operators/setsim.py docstring), so the
-    all-pairs oracle checks it on any corpus at any threshold — the exact
-    complement to dedup_minhash_lsh's probabilistic recall."""
-    from etl_pipeline_last_fm_spark.operators.setsim import prefix_filter_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return prefix_filter_pairs(docs, threshold_num=1, threshold_den=2)
-
-
-def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter join pruning (the runtime-filter lever): a 4 Kbit / 4-
-    hash filter over BUILDING-segment customer keys prunes orders before
-    the join; output is the per-priority ledger of bloom-passed vs truly-
-    matched rows. The filter is portable-hash-deterministic, so the false
-    positive overhead itself is value-checked cross-engine."""
-    from etl_pipeline_last_fm_spark.operators.bloom import bloom_prune_join_stats
-
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    return bloom_prune_join_stats(
-        orders, "o_custkey", cust, "c_custkey", "o_orderpriority"
-    )
-
-
-def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier flags: |value - median| > 3 * MAD per event_type,
-    rank-based lower medians (PERCENTILE_DISC semantics) with an integer
-    cutoff — no float constant in the decision path
-    (operators/outliers.py)."""
-    from etl_pipeline_last_fm_spark.operators.outliers import mad_outliers
-
-    return mad_outliers(load_table(spark, sf_dir, "events"), cutoff=3)
-
-
-def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-set algebra from two mergeable KMV sketches (theta-sketch
-    read-out): union / intersection cardinality and Jaccard of the
-    cents-quantized value sets of 'click' vs 'purchase' events, from two
-    256-hash bottom-k states sharing a salt (operators/sketch.py
-    kmv_set_ops)."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents")
-    a = ev.filter(F.col("event_type") == "click").select(cents)
-    b = ev.filter(F.col("event_type") == "purchase").select(cents)
-    sa = sketch_ops.kmv_state(a, "v_cents", [], k=256, salt="kmvset")
-    sb = sketch_ops.kmv_state(b, "v_cents", [], k=256, salt="kmvset")
-    return sketch_ops.kmv_set_ops(sa, sb, k=256)
-
-
-_US_1996 = 820454400000000  # 1996-01-01T00:00:00Z in epoch microseconds
-_US_1997 = 852076800000000  # 1997-01-01T00:00:00Z
-
-
-def _rev4_col() -> Column:
-    """Exact integer 1e-4-dollar revenue units (see q_flagship_royalties)."""
-    return F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
-        F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    )
-
-
-def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue per nation for EUROPE-region 1996 orders
-    where the supplying and ordering nation coincide — the 6-table join
-    whose c_nationkey = s_nationkey cross-branch equality makes join
-    ORDER matter (customer and supplier branches must meet before the
-    nation filter pays off). Exact integer revenue; date bounds as epoch-
-    microsecond integers through ts_us (NTZ-safe, the repo's timestamp
-    convention)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (ts_us(F.col("o_orderdate")) >= F.lit(_US_1996))
-        & (ts_us(F.col("o_orderdate")) < F.lit(_US_1997))
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "EUROPE"
-    )
-    rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
-    return (
-        rev.groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(_rev4_col()).alias("__s4"))
-        .select(
-            "nation",
-            (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
-                "revenue"
-            ),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("nation"))
-    )
-
-
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
-    revenue — selective dim filter + two date inequalities on different
-    tables + aggregate + total-order LIMIT (l_orderkey tie-break so the
-    top-10 set is engine-deterministic). Exact integer revenue."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        ts_us(F.col("l_shipdate")) > F.lit(_US_1996)
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        ts_us(F.col("o_orderdate")) < F.lit(_US_1996)
-    )
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev4_col()).alias("__s4"))
-        .select(
-            "l_orderkey",
-            "o_orderdate",
-            "o_orderpriority",
-            (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
-                "revenue"
-            ),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
-        .limit(10)
-    )
-
-
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention triangle: distinct users per (first-activity week,
-    weeks since) — integer epoch-µs week buckets, no calendar rendering,
-    COUNT(DISTINCT) exact (operators/cohort.py; HLL is the documented
-    approximate swap at extreme user cardinality)."""
-    from etl_pipeline_last_fm_spark.operators.cohort import cohort_retention
-
-    return cohort_retention(load_table(spark, sf_dir, "events"))
-
-
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative BPE tokenizer training (6 merges) on a bounded corpus
-    sample — the learned merge table. Rows-only by design, like the
-    trained-k-means IVF: the per-iteration argmax feeds the next
-    iteration's input, which no single SQL statement can express; the
-    algorithm is instead pinned against a pure-Python greedy reference in
-    tests/test_round4_ops.py (including the overlapping-run case), and
-    determinism is tested by double-run equality."""
-    from etl_pipeline_last_fm_spark.operators.packing import bpe_train
-
-    # Memoized per sf_dir: bpe_train runs EAGERLY (driver-loop iterations,
-    # unavoidable for this op), but queries()-enumerating tooling (the
-    # plan-shape guard iterates all entries) should not pay the full
-    # training job per construction.
-    if sf_dir not in _BPE_CACHE:
-        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-        _BPE_CACHE[sf_dir] = bpe_train(docs, n_merges=6)
-    return spark.createDataFrame(
-        _BPE_CACHE[sf_dir],
-        "step int, left string, right string, merged string, pair_count long",
-    )
-
-
-_BPE_CACHE: dict[str, list] = {}
-
-
-def q_dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-pass sorted-neighborhood: forward + reversed-text sort keys,
-    candidates unioned before one shared verification — the classic
-    recall repair for pairs differing at the sort key's start (the
-    single-pass blindness is demonstrated in
-    tests/test_round4_ops.py::test_snm_multipass_catches_head_variant)."""
-    from etl_pipeline_last_fm_spark.operators.setsim import (
-        sorted_neighborhood_pairs_multipass,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return sorted_neighborhood_pairs_multipass(docs, window=10)
-
-
-def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-neighborhood blocking (the 4th classic strategy beside
-    banding / pigeonhole / prefix): global rank WITHOUT a global sort
-    (two-phase range-partition numbering), window-10 candidate equi-join
-    with bounded fan-out, exact-Jaccard verification. Recall limited to
-    sort-adjacent pairs by design (operators/setsim.py docstring); the
-    oracle replicates the window exactly."""
-    from etl_pipeline_last_fm_spark.operators.setsim import (
-        sorted_neighborhood_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return sorted_neighborhood_pairs(docs, window=10)
-
-
-_US_1996_07 = 836179200000000  # 1996-07-01T00:00:00Z in epoch microseconds
-
-
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 beyond UNION ALL: INTERSECT and EXCEPT (distinct set
-    semantics) — customers segmented by when they ordered (both halves of
-    1996 / first only / second only). Spark's intersect/subtract lower to
-    aggregate + join plans; the oracle uses the SQL set operators
-    literally, so the set SEMANTICS (distinctness, NULL handling) are the
-    thing cross-checked."""
-    orders = load_table(spark, sf_dir, "orders")
-    us = ts_us(F.col("o_orderdate"))
-    pre = orders.filter((us >= _US_1996) & (us < _US_1996_07)).select("o_custkey")
-    post = orders.filter(
-        (us >= _US_1996_07) & (us < _US_1997)
-    ).select("o_custkey")
-    both = pre.intersect(post).select("o_custkey", F.lit("both").alias("segment"))
-    only_pre = pre.subtract(post).select("o_custkey", F.lit("h1_only").alias("segment"))
-    only_post = post.subtract(pre).select("o_custkey", F.lit("h2_only").alias("segment"))
-    return both.unionByName(only_pre).unionByName(only_post)
-
-
-def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-sequence mining: the global event-type transition matrix
-    (from, to, n) over each user's time-ordered stream — the Markov-chain
-    census behind next-action models and funnel diagnostics. One lead()
-    window per user (single shuffle on user_id), integer epoch-µs
-    ordering with event_id tie-break (NTZ-safe, engine-deterministic)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        ts_us(F.col("ts")), F.col("event_id")
-    )
-    return (
-        ev.select(
-            F.col("event_type").alias("from_type"),
-            F.lead("event_type").over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids in EXACT integer micro-units: each
-    component is quantized floor(x*1e6+0.5) BEFORE summation (both
-    engines widen the same float32 to the same double, so the quantized
-    int64s agree bit-for-bit and the sums are order-free), centroid =
-    sum div n. The vector-aggregate pattern (posexplode -> groupBy
-    (label, pos)) that cluster-assignment / class-prototype steps use;
-    one shuffle, fan-out = dim per row."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select("label", F.posexplode("embedding").alias("pos0", "comp"))
-        .select(
-            "label",
-            (F.col("pos0") + 1).alias("pos"),  # 1-based, matches SQL subscripts
-            F.floor(F.col("comp").cast("double") * 1e6 + F.lit(0.5))
-            .cast("long")
-            .alias("q"),
-        )
-        .groupBy("label", "pos")
-        .agg(F.sum("q").alias("__s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            "pos",
-            # Spark `div` and DuckDB `//` both truncate toward zero
-            # (verified: -7 div 2 = -3 on BOTH) — safe on negative sums.
-            F.expr("__s div n").alias("centroid_micro"),
-            "n",
-        )
-    )
-
-
-def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composition — the 100 TB ANN architecture (IVF bounds
-    candidates, PQ bounds bytes), seeded so the ENTIRE index is
-    SQL-reconstructable and the oracle checks assignment, codes, probes
-    and ranks decision-for-decision (operators/similarity.py:
-    ivfpq_ann_topk_seeded)."""
-    return sim_ops.ivfpq_ann_topk_seeded(load_table(spark, sf_dir, "embeddings"))
-
-
-def q_sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RESIDUAL IVF-PQ — the FAISS-faithful refinement: codes quantize
-    v - centroid(v) (one codebook serves every list), each probe gets its
-    own distance tables from q - centroid(probe). Codebooks are
-    re-derived RELATIONALLY by the oracle, so even the residual index
-    construction is value-checked (operators/similarity.py:
-    ivfpq_residual_ann_topk_seeded)."""
-    return sim_ops.ivfpq_residual_ann_topk_seeded(
-        load_table(spark, sf_dir, "embeddings")
-    )
-
-
-def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-itemset mining, pair tier (the A-priori L2 step): part
-    pairs co-occurring in >= min_support orders, with lift in EXACT
-    integer ppm — lift = P(ab)/(P(a)P(b)) computed as
-    (c_ab * n_orders * 1e6) div (c_a * c_b), integer cross-multiplication
-    so no float division at the support/lift boundary. The pair expansion
-    is bounded per order by lines-per-order (TPC-H: <= 7) — the same
-    linearity argument as the co-supplier graph; the support filter then
-    cuts the candidate set before the lift join. A-priori pruning
-    (L2 from frequent L1 only) is the documented scale lever: items
-    below min_support can't form a frequent pair, so the expansion runs
-    on the frequent-item semi-join.
-
-    Overflow: the lift numerator support * n_orders * 1e6 exceeds int64
-    already at n_orders ~ 1e10 / support ~ 922, so it is computed as
-    decimal(38,0) UNCONDITIONALLY — never int64, never dependent on the
-    session's ANSI setting (with ansi=false an int64 product would wrap
-    SILENTLY and corrupt every lift). The DuckDB twin widens to HUGEINT
-    the same way; decimal `div` truncation == HUGEINT `//` truncation
-    (verified in tests/test_round5_ops.py). The QUOTIENT does fit int64
-    by construction: support <= min(c_a, c_b), so
-    lift_ppm <= n_orders * 1e6 / max(c_a, c_b) <= n_orders * 1e6 —
-    ~1e16 at n_orders = 1e10, comfortably inside 2^63."""
-    li = load_table(spark, sf_dir, "lineitem")
-    min_support = 2
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    # Lazy scalar (1-row broadcast cross join), NOT a driver .count():
-    # registry-enumerating tooling must not pay an eager job here.
-    n_orders = op.agg(F.countDistinct("l_orderkey").alias("__n"))
-    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    # A-priori prune: only items appearing in >= min_support orders can
-    # participate in a frequent pair.
-    frequent = item.filter(F.col("c") >= min_support)
-    opf = op.join(
-        frequent.select(F.col("p").alias("l_partkey")), "l_partkey", "left_semi"
-    )
-    a = opf.alias("a")
-    b = opf.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= min_support)
-    )
-    ca = item.select(F.col("p").alias("part_a"), F.col("c").alias("__ca"))
-    cb = item.select(F.col("p").alias("part_b"), F.col("c").alias("__cb"))
-    return (
-        pairs.join(ca, "part_a")
-        .join(cb, "part_b")
-        .crossJoin(F.broadcast(n_orders))
-        .select(
-            "part_a",
-            "part_b",
-            "support",
-            F.expr(
-                "CAST((CAST(support AS DECIMAL(38,0)) * __n * 1000000)"
-                " div (CAST(__ca AS DECIMAL(38,0)) * __cb) AS BIGINT)"
-            ).alias("lift_ppm"),
-        )
-    )
-
-
-def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic between-epoch corpus shuffle: every doc gets a global
-    permutation position under a seeded hash order — the 100 TB analogue
-    of `random.shuffle` (re-keying the hash seed re-shuffles; same seed
-    reproduces the epoch exactly, which is what makes training runs
-    resumable). The global numbering uses the two-phase range-partition
-    scheme (operators/surrogate.py): the only global step moves one
-    integer per partition — no single-partition sort. Hash is the
-    portable md5-60bit family so the oracle replays the identical
-    permutation."""
-    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
-    from etl_pipeline_last_fm_spark.operators.surrogate import (
-        assign_surrogate_keys_distributed,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    keyed = docs.withColumn(
-        "__hk", portable_hash60(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
-    )
-    return assign_surrogate_keys_distributed(
-        keyed, "shuffle_pos", ["__hk", "doc_id"]
-    ).select("doc_id", "shuffle_pos")
-
-
-def q_render_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize packed training sequences: docs grouped by the
-    `pack_sequences` seq_id assignment, texts concatenated in doc order
-    with an EOS separator — the step that turns the offset plan into
-    actual model inputs. Deterministic in-group order via array_sort on
-    (doc_id, text) structs; one shuffle on seq_id. (A straddling doc
-    belongs to the sequence it STARTS in — concat-and-chunk semantics,
-    packing.py docstring.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    assign = packing_ops.pack_sequences(docs, budget=512, block_size=256)
-    return (
-        docs.join(assign.select("doc_id", "seq_id"), "doc_id")
-        .groupBy("seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
-                    lambda s: s["text"],
-                ),
-                "<|eos|>",
-            ).alias("packed_text"),
-        )
-    )
-
-
-def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: the SAME dimension (nation) joined twice under two
-    roles — customer nation via orders->customer, supplier nation via
-    lineitem->supplier — with a symmetric unordered-pair filter and a
-    per-(pair, year) aggregate. Exercises dimension self-join aliasing +
-    cross-branch residual predicates. Exact integer revenue; year from
-    integer epoch-µs division (NTZ-safe). Pair NATION_19/NATION_18 is
-    chosen because BOTH directions are populated at sf0.001 AND sf0.01 —
-    the parity check is non-vacuous at every grading scale (verified
-    against the fixtures; an empty result would make any join-shape bug
-    undetectable)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    pair = (
-        (F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18")
-    ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(n1), customer.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nk"))
-        .filter(pair)
-        .withColumn("__us", ts_us(F.col("o_orderdate")))
-        .groupBy(
-            "cust_nation",
-            "supp_nation",
-            F.expr("__us div 31557600000000").alias("epoch_year_bucket"),
-        )
-        .agg(F.sum(_rev4_col()).alias("__s4"))
-        .select(
-            "cust_nation",
-            "supp_nation",
-            "epoch_year_bucket",
-            (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
-                "volume"
-            ),
-        )
-    )
-
-
-def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: a RATIO of conditional aggregates — one nation's
-    revenue share of a region's total per year — as sum(CASE)/sum(),
-    computed in exact integer ppm via floor division (no float division
-    at the parity boundary). Conditional aggregation over a 6-table join.
-
-    Overflow bound: the ppm scaling needs __t4 * 1e6 < 2^63, i.e. a
-    per-year-bucket revenue sum below ~9.2e12 rev4-units (~$0.9B) —
-    holds through roughly SF10; beyond that cast the sums to
-    decimal(38,0) before scaling (the flagship's documented swap,
-    executed in tests/test_decimal_swap.py)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    sn = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    target = F.when(F.col("supp_nation") == "NATION_3", _rev4_col()).otherwise(F.lit(0))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(F.col("r_name") == "AMERICA")
-        .join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(sn), supplier.s_nationkey == F.col("s_nk"))
-        .withColumn("__us", ts_us(F.col("o_orderdate")))
-        .groupBy(F.expr("__us div 31557600000000").alias("epoch_year_bucket"))
-        .agg(
-            F.sum(target).alias("__t4"),
-            F.sum(_rev4_col()).alias("__a4"),
-        )
-        .select(
-            "epoch_year_bucket",
-            F.expr("(__t4 * 1000000) div __a4").alias("share_ppm"),
-        )
-    )
-
-
-def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT (melt) — the inverse of the pivot family (§2.5): the wide
-    per-(returnflag, linestatus) aggregate turned into long
-    (group, metric, value) rows, the shape BI sinks and metric stores
-    ingest. Spark's native DataFrame.unpivot (an Expand node — no
-    shuffle, no UDF) against DuckDB's SQL UNPIVOT. Values are exact
-    integer counts/sums rendered as int64."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    wide = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).alias("sum_qty"),
-        F.sum(e2).alias("sum_price_cents"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    return wide.unpivot(
-        ids=["l_returnflag", "l_linestatus"],
-        values=["sum_qty", "sum_price_cents", "n_rows"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    )
-
-
-def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew diagnostic — the census run BEFORE choosing a salted
-    vs plain shuffle plan (operators/skew.py is the mitigation; this is
-    the detector): per candidate key column, distinct key count, total
-    rows, the heaviest key's row count, and its share in exact ppm
-    (integer cross-multiplication, no float division). One groupBy per
-    key at full parallelism; the per-key census never leaves the
-    executors (max/sum re-aggregate)."""
-    li = load_table(spark, sf_dir, "lineitem")
-
-    def profile(col: str) -> DataFrame:
-        per_key = li.groupBy(F.col(col).alias("__k")).agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        return per_key.agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum("__n").alias("n_rows"),
-            F.max("__n").alias("max_key_rows"),
-        ).select(
-            F.lit(col).alias("key_col"),
-            "n_keys",
-            "n_rows",
-            "max_key_rows",
-            F.expr("(max_key_rows * 1000000) div n_rows").alias("top_share_ppm"),
-        )
-
-    return (
-        profile("l_orderkey")
-        .unionByName(profile("l_partkey"))
-        .unionByName(profile("l_suppkey"))
-        .unionByName(profile("l_returnflag"))
-    )
-
-
-def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise source-shard drift: EXACT total-variation distance between
-    token unigram distributions in integer micro-units — the mixture
-    health check before training. Pure rational of the token counts (no
-    ln(), unlike KL), shared-vocabulary collapse so one inner join per
-    pair, pair expansion over the tiny SOURCE dimension only
-    (operators/text.py:corpus_drift)."""
-    return text_ops.corpus_drift(load_table(spark, sf_dir, "documents"))
-
-
-def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Posting-list build: per term its df, total tf, and the sorted
-    doc-id posting list (comma-joined so the value hash covers list
-    CONTENT, not array formatting). The retrieval primitive behind
-    contamination audits and BM25 (operators/text.py:inverted_index)."""
-    return text_ops.inverted_index(load_table(spark, sf_dir, "documents"))
-
-
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI MERGE INTO semantics (update + insert + delete in one pass)
-    over the event log — the general upsert whose insert-only special
-    case is the reference's ON CONFLICT DO NOTHING (SURVEY §2.7). Two
-    per-key compactions + full-outer + CASE, all shuffling on user_id
-    (operators/scd.py:merge_upsert)."""
-    return scd_ops.merge_upsert(load_table(spark, sf_dir, "events"))
-
-
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation over the co-supplier graph
-    (suppliers appearing in the same order), via DEGREE-ORDERED
-    orientation — the curse-of-the-last-reducer fix that bounds the wedge
-    join's fan-out at O(sqrt(m)) per node on any degree distribution. The
-    oracle derives the identical counts through the naive id-ordered
-    3-way join: two independent algorithms agreeing node-for-node.
-    (Small-SF caveat, operators/graph.py: tiny supplier cardinality makes
-    this graph near-complete — density is a fixture artifact, not a plan
-    property; production co-occurrence graphs are sparse.)"""
-    from etl_pipeline_last_fm_spark.operators.graph import (
-        cosupplier_edges,
-        triangle_counts,
-    )
-
-    return triangle_counts(cosupplier_edges(load_table(spark, sf_dir, "lineitem")))
-
-
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-4-iteration PageRank in EXACT integer micro-units over the
-    customer->supplier purchase graph: every step is int64 floor division
-    and summation, so the ranks match the oracle's 4 unrolled CTEs
-    value-for-value by construction — an ITERATIVE algorithm with full
-    hash-level cross-engine parity (unlike float PageRank, whose
-    accumulation order drifts; and unlike k-means/BPE, whose data-driven
-    control flow forces rows-only grading). Pregel shape: one join + one
-    shuffle per round, ranks stay (node, int64)."""
-    from etl_pipeline_last_fm_spark.operators.graph import (
-        customer_supplier_edges,
-        pagerank_micro,
-    )
-
-    edges = customer_supplier_edges(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-    return pagerank_micro(edges, n_iter=4)
-
-
-def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational DIVISION — the FOR-ALL quantifier (Codd's ÷), the one
-    classic algebra operator no other entry exercises: customers with at
-    least one order in EVERY year of a four-year span. SQL has no
-    ALL-join, so both engines express it the standard way: per-customer
-    count of DISTINCT satisfied buckets == divisor cardinality. Years
-    are integer epoch-µs bucket arithmetic (NTZ-safe); the divisor
-    cardinality (4) is a literal, not a data-dependent scalar."""
-    orders = load_table(spark, sf_dir, "orders")
-    # Divisor = four consecutive epoch-year buckets (25..28, the
-    # fixture's densest span — verified non-vacuous at sf0.001 AND
-    # sf0.01: 60/565 qualifying customers). Integer epoch-µs year
-    # arithmetic, same bucket family as market_share.
-    return (
-        orders.withColumn("__us", ts_us(F.col("o_orderdate")))
-        .withColumn("__y", F.expr("__us div 31557600000000"))
-        .filter((F.col("__y") >= 25) & (F.col("__y") <= 28))
-        .groupBy("o_custkey")
-        .agg(F.countDistinct("__y").alias("__ny"))
-        .filter(F.col("__ny") == 4)
-        .select("o_custkey", F.col("__ny").cast("long").alias("years"))
-    )
-
-
-def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 completion: percent_rank and cume_dist — the two analytic
-    rank ratios not covered by rank/dense_rank/ntile elsewhere. Both are
-    exact rationals of integer ranks ((rk-1)/(n-1), cum/n); each engine
-    divides the same int64s, so the doubles agree bit-for-bit without a
-    rounding pin. Keyed per customer over order totals (cents)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    w = Window.partitionBy("o_custkey").orderBy(cents, F.col("o_orderkey"))
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        cents.alias("total_cents"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
-
-
-def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10's BAG-semantics complement to `set_ops`: EXCEPT ALL keeps
-    multiplicity (a value occurring 5 times minus 3 occurrences leaves
-    2 rows — DISTINCT-based EXCEPT would leave 0). Spark's exceptAll
-    lowers to the sum-of-signed-counts generate plan; DuckDB spells
-    EXCEPT ALL literally — the multiset semantics are what is
-    cross-checked. Quantity values of first-half-1996 lineitems minus
-    second-half occurrences."""
-    li = load_table(spark, sf_dir, "lineitem")
-    us = ts_us(F.col("l_shipdate"))
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    h1 = li.filter((us >= _US_1996) & (us < _US_1996_07)).select(qty.alias("qty"))
-    h2 = li.filter((us >= _US_1996_07) & (us < _US_1997)).select(qty.alias("qty"))
-    return h1.exceptAll(h2)
-
-
-def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group MODE with a deterministic tie-break: the most frequent
-    quantity per return flag (count desc, then smallest value). The
-    two-level aggregate shape (census -> per-group argmax) every
-    categorical profiler needs; expressed as a rank-1 window over the
-    census, never a collect."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    census = li.groupBy(F.col("l_returnflag").alias("flag"), qty.alias("qty")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w = Window.partitionBy("flag").orderBy(F.col("cnt").desc(), F.col("qty"))
-    return (
-        census.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("flag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("n"))
-    )
-
-
-def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank (rank splits across out-edges proportionally to
-    integer order-count weights) in exact integer micro-units — same
-    unrolled-oracle discipline as `pagerank`, now with per-edge
-    multiplication inside the floor division
-    (operators/graph.py:pagerank_weighted_micro)."""
-    from etl_pipeline_last_fm_spark.operators.graph import (
-        customer_supplier_weighted_edges,
-        pagerank_weighted_micro,
-    )
-
-    edges = customer_supplier_weighted_edges(
-        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
-    )
-    return pagerank_weighted_micro(edges, n_iter=4)
-
-
-def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-entropy table checksum — the 100 TB replica-validation tool:
-    each row's canonical content string hashes to a 60-bit integer
-    (portable md5 family), rows bucket by hash range, and each bucket
-    reports (n_rows, additive checksum). Comparing two copies of a table
-    is then a 64-row diff; a mismatched bucket pinpoints where to drill
-    down — no full-table compare, no ordering assumption (the checksum
-    is an order-free SUM). The sum accumulates as decimal(38,0) and is
-    folded mod 2^61 at the end — overflow-free to ~10^20 rows per bucket
-    (decimal(38,0) capacity ~1e38 over 2^60-max hashes ~1.15e18), exact
-    on both engines (HUGEINT on DuckDB). Row rendering uses the exact cent
-    integers, never float formatting."""
-    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
-
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    d2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    row_str = F.concat_ws(
-        "|",
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
-        qty,
-        e2,
-        d2,
-        F.col("l_returnflag"),
-        F.col("l_linestatus"),
-    )
-    h = portable_hash60(row_str)
-    # ONE definition of the bucket/checksum aggregation, shared with the
-    # streaming fold (streaming/drift.checksum_state) so the incremental
-    # 64-row summary can never drift from the batch/oracle layout.
-    from etl_pipeline_last_fm_spark.streaming.drift import checksum_state
-
-    return checksum_state(li.select(h.alias("__h")))
-
-
-def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
-    BOTH join sides (brand/size from part AND quantity from lineitem in
-    each disjunct) — the shape that exercises CNF extraction: Catalyst
-    must derive the common join key + pushable per-side conjuncts from
-    the disjunction instead of evaluating it post-join row by row. Exact
-    integer revenue; one row out."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    clause = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & (F.col("p_size").between(1, 15))
-            & (qty >= 1)
-            & (qty <= 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & (F.col("p_size").between(1, 25))
-            & (qty >= 10)
-            & (qty <= 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & (F.col("p_size").between(1, 35))
-            & (qty >= 20)
-            & (qty <= 30)
-        )
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(clause)
-        .agg(F.sum(_rev4_col()).alias("__s4"))
-        .select(
-            (F.expr("(coalesce(__s4, 0L) + 50) div 100").cast("double") / F.lit(100.0))
-            .alias("revenue")
-        )
-    )
-
-
-def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window (dynamic gap-merged windows inside
-    the aggregation operator — §2.11's batch form of what Structured
-    Streaming runs stateful) against a gaps-and-islands oracle: the same
-    30-minute-gap sessions derived two completely different ways. Window
-    bounds are surfaced as integer epoch-µs (NTZ-safe), values as exact
-    counts + integer cent sums."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5)).cast(
-        "long"
-    )
-    return (
-        ev.groupBy(
-            "user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
-        .select(
-            "user_id",
-            ts_us(F.col("session_window.start")).alias("start_us"),
-            # session_window.end = last event + gap (exclusive bound)
-            ts_us(F.col("session_window.end")).alias("end_us"),
-            "n_events",
-            "sum_cents",
-        )
-    )
-
-
-def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-4-round k-core peeling (k=3) over the co-supplier graph —
-    the community-density filter, unrolled like pagerank so the oracle
-    value-checks every surviving node and in-core degree; convergence is
-    certified in pytest against a run-to-fixpoint Python reference
-    (operators/graph.py:kcore_rounds)."""
-    from etl_pipeline_last_fm_spark.operators.graph import (
-        cosupplier_edges,
-        kcore_rounds,
-    )
-
-    return kcore_rounds(
-        cosupplier_edges(load_table(spark, sf_dir, "lineitem")), k=3, n_rounds=4
-    )
-
-
-def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: customer LEFT OUTER JOIN orders with the join-side
-    filter INSIDE the join condition (not a WHERE — zero-order customers
-    must survive), per-customer order count, then the distribution of
-    those counts. Exercises outer-join-with-residual-condition +
-    two-level reaggregation, a plan shape no other entry covers."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    )
-    per_cust = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))  # count(col): NULLs excluded
-    )
-    return per_cust.groupBy("c_count").agg(
-        F.count(F.lit(1)).alias("custdist")
-    )
-
-
-def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated per-group AVG subquery (lineitems below
-    20% of their part's average quantity), decorrelated to a join against
-    the per-part aggregate. The 0.2*avg comparison is EXACT integer
-    cross-multiplication: qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum —
-    no float division anywhere in the predicate, so the boundary rows
-    match the oracle bit-for-bit. Output = total price of those lines / 7
-    (weekly-revenue-loss framing) with the pure-integer round identity."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.sum(qty).alias("__sq"), F.count(F.lit(1)).alias("__cnt")
-    )
-    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == F.col("__pk"))
-        .filter(qty * F.lit(5) * F.col("__cnt") < F.col("__sq"))
-        .agg(F.sum(e2).alias("__se2"))
-        .select(
-            (F.expr("(2 * coalesce(__se2, 0L) * 100 + 700) div 1400").cast("double")
-             / F.lit(100.0)).alias("avg_weekly_loss")
-        )
-    )
-
-
-def q_top_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING on a grouped SUM feeding an IN-subquery
-    (expressed as the decorrelated join Spark plans it as), rejoined to
-    orders+customer, top-100 by o_totalprice with o_orderkey tie-break.
-    sum_qty is exact integer."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("sum_qty"))
-        .filter(F.col("sum_qty") > 150)
-    )
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .select(
-            "c_name", "c_custkey", "l_orderkey",
-            F.col("o_orderdate").alias("orderdate"),
-            F.col("o_totalprice").alias("totalprice"),
-            "sum_qty",
-        )
-        .orderBy(F.col("totalprice").desc(), F.col("l_orderkey"))
-        .limit(100)
-    )
+    return core.q_flagship_royalties(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
     # Round-5 rotation (VERDICT r4 item 1): the 35 round-4-new entries —
-    # none of which has ever had a driver row — are promoted into the
+    # none of which had ever had a driver row — are promoted into the
     # graded window behind the 9 rotation-invariant bench headliners.
     # 9 + 35 = 44; slots 45-50 are reserved for round-5-new queries and
     # temporarily backfilled by green r1-r3 anchors until those land.
@@ -2296,1213 +71,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pricing_summary, flagship_royalties, star_join, windowed_top_k,
     # idempotent_append, dedup_ngram_jaccard, sim_bruteforce,
     # dedup_minhash_lsh, sessionize.
-    return {
+    out = {
         # --- graded window (entries 1-50) ------------------------------
         # flagship tier: the 9 bench headliners (rotation-invariant)
-        "flagship_royalties": q_flagship_royalties,
-        "pricing_summary": q_pricing_summary,
-        "star_join": q_star_join,
-        "windowed_top_k": q_windowed_top_k,
-        "idempotent_append": q_idempotent_append,
-        "sessionize": q_sessionize,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "sim_bruteforce": q_sim_bruteforce,
+        "flagship_royalties": _ALL["flagship_royalties"],
+        "pricing_summary": _ALL["pricing_summary"],
+        "star_join": _ALL["star_join"],
+        "windowed_top_k": _ALL["windowed_top_k"],
+        "idempotent_append": _ALL["idempotent_append"],
+        "sessionize": _ALL["sessionize"],
+        "dedup_ngram_jaccard": _ALL["dedup_ngram_jaccard"],
+        "dedup_minhash_lsh": _ALL["dedup_minhash_lsh"],
+        "sim_bruteforce": _ALL["sim_bruteforce"],
         # round-4-new tier: first driver rows this round (35 entries)
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        "dedup_snm_multipass": q_dedup_snm_multipass,
-        "cohort_retention": q_cohort_retention,
-        "regional_revenue": q_regional_revenue,
-        "shipping_priority": q_shipping_priority,
-        "triangle_count": q_triangle_count,
-        "pagerank": q_pagerank,
-        "kcore": q_kcore,
-        "disjunctive_predicates": q_disjunctive_predicates,
-        "session_window_native": q_session_window_native,
-        "table_checksum": q_table_checksum,
-        "pagerank_weighted": q_pagerank_weighted,
-        "rank_metrics": q_rank_metrics,
-        "except_all": q_except_all,
-        "mode_per_group": q_mode_per_group,
-        "relational_division": q_relational_division,
-        "order_distribution": q_order_distribution,
-        "small_qty_revenue": q_small_qty_revenue,
-        "top_volume_orders": q_top_volume_orders,
-        "corpus_drift": q_corpus_drift,
-        "inverted_index": q_inverted_index,
-        "merge_upsert": q_merge_upsert,
-        "set_ops": q_set_ops,
-        "session_transitions": q_session_transitions,
-        "label_centroids": q_label_centroids,
-        "unpivot_metrics": q_unpivot_metrics,
-        "key_skew_profile": q_key_skew_profile,
-        "nation_trade_volume": q_nation_trade_volume,
-        "market_share": q_market_share,
-        "epoch_shuffle": q_epoch_shuffle,
-        "render_packs": q_render_packs,
-        "market_basket": q_market_basket,
-        "sim_ann_ivfpq": q_sim_ann_ivfpq,
-        "sim_ann_ivfpq_residual": q_sim_ann_ivfpq_residual,
-        "bpe_train": q_bpe_train,
+        "dedup_sorted_neighborhood": _ALL["dedup_sorted_neighborhood"],
+        "dedup_snm_multipass": _ALL["dedup_snm_multipass"],
+        "cohort_retention": _ALL["cohort_retention"],
+        "regional_revenue": _ALL["regional_revenue"],
+        "shipping_priority": _ALL["shipping_priority"],
+        "triangle_count": _ALL["triangle_count"],
+        "pagerank": _ALL["pagerank"],
+        "kcore": _ALL["kcore"],
+        "disjunctive_predicates": _ALL["disjunctive_predicates"],
+        "session_window_native": _ALL["session_window_native"],
+        "table_checksum": _ALL["table_checksum"],
+        "pagerank_weighted": _ALL["pagerank_weighted"],
+        "rank_metrics": _ALL["rank_metrics"],
+        "except_all": _ALL["except_all"],
+        "mode_per_group": _ALL["mode_per_group"],
+        "relational_division": _ALL["relational_division"],
+        "order_distribution": _ALL["order_distribution"],
+        "small_qty_revenue": _ALL["small_qty_revenue"],
+        "top_volume_orders": _ALL["top_volume_orders"],
+        "corpus_drift": _ALL["corpus_drift"],
+        "inverted_index": _ALL["inverted_index"],
+        "merge_upsert": _ALL["merge_upsert"],
+        "set_ops": _ALL["set_ops"],
+        "session_transitions": _ALL["session_transitions"],
+        "label_centroids": _ALL["label_centroids"],
+        "unpivot_metrics": _ALL["unpivot_metrics"],
+        "key_skew_profile": _ALL["key_skew_profile"],
+        "nation_trade_volume": _ALL["nation_trade_volume"],
+        "market_share": _ALL["market_share"],
+        "epoch_shuffle": _ALL["epoch_shuffle"],
+        "render_packs": _ALL["render_packs"],
+        "market_basket": _ALL["market_basket"],
+        "sim_ann_ivfpq": _ALL["sim_ann_ivfpq"],
+        "sim_ann_ivfpq_residual": _ALL["sim_ann_ivfpq_residual"],
+        "bpe_train": _ALL["bpe_train"],
         # slots 45-50: round-5 additions land here; green anchors backfill
-        "asof_join": q_asof_join,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "dedup_keep_list": q_dedup_keep_list,
-        "sim_ann_ivf_seeded": q_sim_ann_ivf_seeded,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "multimodal_meta": q_multimodal_meta,
+        "asof_join": _ALL["asof_join"],
+        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
+        "dedup_keep_list": _ALL["dedup_keep_list"],
+        "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],
+        "fuzzy_name_pairs": _ALL["fuzzy_name_pairs"],
+        "multimodal_meta": _ALL["multimodal_meta"],
         # --- past the 50-entry cap ------------------------------------
         # Every entry below has at least one green driver row on record
         # (r1-r4) and a strict parity mirror in every pytest run.
-        "contamination": q_contamination,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        "profile_columns": q_profile_columns,
-        "scd2_history": q_scd2_history,
-        "gapfill_locf": q_gapfill_locf,
-        "expectations": q_expectations,
-        "hll_vocab": q_hll_vocab,
-        "hopping_window": q_hopping_window,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "embedding_keep_list": q_embedding_keep_list,
-        "stratified_sample": q_stratified_sample,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "vocab_coverage": q_vocab_coverage,
-        "scd2_as_of": q_scd2_as_of,
-        "group_split": q_group_split,
-        "curation_funnel": q_curation_funnel,
-        "quantile_buckets": q_quantile_buckets,
-        "histogram": q_histogram,
-        "chunk_documents": q_chunk_documents,
-        "repetition": q_repetition,
-        "zorder_key": q_zorder_key,
-        "weighted_sample": q_weighted_sample,
-        "mart_incremental": q_mart_incremental,
-        "supplier_balance": q_supplier_balance,
-        "lm_score": q_lm_score,
-        "sim_ann_pq": q_sim_ann_pq,
-        "sim_ann_ivf_recall": q_sim_ann_ivf_recall,
-        "sim_ann_pq_recall": q_sim_ann_pq_recall,
-        "grouping_sets": q_grouping_sets,
-        "kmv_quantiles": q_kmv_quantiles,
-        "dedup_prefix_filter": q_dedup_prefix_filter,
-        "bloom_prune_join": q_bloom_prune_join,
-        "outlier_mad": q_outlier_mad,
-        "kmv_set_ops": q_kmv_set_ops,
-        "surrogate_keys": q_surrogate_keys,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "pii_scrub": q_pii_scrub,
-        "distinct_project": q_distinct_project,
-        "case_impute": q_case_impute,
-        "scalar_subquery": q_scalar_subquery,
-        "window_analytic": q_window_analytic,
-        "union_all": q_union_all,
-        "json_extract": q_json_extract,
-        "date_partition_agg": q_date_partition_agg,
-        "mart_daily_appearances": q_mart_daily_appearances,
-        "explode_tokens": q_explode_tokens,
-        "rollup_agg": q_rollup_agg,
-        "pivot_native": q_pivot_native,
-        "lead_lag": q_lead_lag,
-        "range_join": q_range_join,
-        "funnel": q_funnel,
-        "hll_distinct": q_hll_distinct,
-        "tumbling_window": q_tumbling_window,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_rolling_fp": q_dedup_rolling_fp,
-        "embedding_cosine_dedup": q_embedding_cosine_dedup,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "tfidf": q_tfidf,
-        "top_ngrams": q_top_ngrams,
-        "split_assign": q_split_assign,
-        "mixture_sample": q_mixture_sample,
-        "order_limit": q_order_limit,
-        "mart_daily_avg": q_mart_daily_avg,
-        "dedup_passages": q_dedup_passages,
-        "cdc_compact": q_cdc_compact,
-        "lang_id": q_lang_id,
-        "snapshot_diff": q_snapshot_diff,
-        "surrogate_keys_incremental": q_surrogate_keys_incremental,
-        "salted_agg": q_salted_agg,
-        "cube_agg": q_cube_agg,
-        "pivot_conditional": q_pivot_conditional,
-        "rolling_stats": q_rolling_stats,
-        "percentiles": q_percentiles,
-        "semi_join": q_semi_join,
-        "outer_join_agg": q_outer_join_agg,
-        "token_count": q_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "sim_ann_lsh_multiprobe": q_sim_ann_lsh_multiprobe,
-        "sim_ann_ivf": q_sim_ann_ivf,  # trained k-means: rows-only; its
-        # recall gate (sim_ann_ivf_recall) is the oracle-checked driver row
-        # for this path, plus the fully value-checked seeded twin.
+        # Rows-only by documented design: bpe_train (in-window, iterative
+        # merge trace pinned to a pure-Python reference in pytest) and
+        # sim_ann_ivf (trained k-means; its recall gate sim_ann_ivf_recall
+        # plus the seeded twin are the oracle-checked driver rows).
+        "contamination": _ALL["contamination"],
+        "token_budget_sample": _ALL["token_budget_sample"],
+        "pack_sequences": _ALL["pack_sequences"],
+        "profile_columns": _ALL["profile_columns"],
+        "scd2_history": _ALL["scd2_history"],
+        "gapfill_locf": _ALL["gapfill_locf"],
+        "expectations": _ALL["expectations"],
+        "hll_vocab": _ALL["hll_vocab"],
+        "hopping_window": _ALL["hopping_window"],
+        "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
+        "embedding_keep_list": _ALL["embedding_keep_list"],
+        "stratified_sample": _ALL["stratified_sample"],
+        "bpe_pair_counts": _ALL["bpe_pair_counts"],
+        "vocab_coverage": _ALL["vocab_coverage"],
+        "scd2_as_of": _ALL["scd2_as_of"],
+        "group_split": _ALL["group_split"],
+        "curation_funnel": _ALL["curation_funnel"],
+        "quantile_buckets": _ALL["quantile_buckets"],
+        "histogram": _ALL["histogram"],
+        "chunk_documents": _ALL["chunk_documents"],
+        "repetition": _ALL["repetition"],
+        "zorder_key": _ALL["zorder_key"],
+        "weighted_sample": _ALL["weighted_sample"],
+        "mart_incremental": _ALL["mart_incremental"],
+        "supplier_balance": _ALL["supplier_balance"],
+        "lm_score": _ALL["lm_score"],
+        "sim_ann_pq": _ALL["sim_ann_pq"],
+        "sim_ann_ivf_recall": _ALL["sim_ann_ivf_recall"],
+        "sim_ann_pq_recall": _ALL["sim_ann_pq_recall"],
+        "grouping_sets": _ALL["grouping_sets"],
+        "kmv_quantiles": _ALL["kmv_quantiles"],
+        "dedup_prefix_filter": _ALL["dedup_prefix_filter"],
+        "bloom_prune_join": _ALL["bloom_prune_join"],
+        "outlier_mad": _ALL["outlier_mad"],
+        "kmv_set_ops": _ALL["kmv_set_ops"],
+        "surrogate_keys": _ALL["surrogate_keys"],
+        "dedup_exact": _ALL["dedup_exact"],
+        "text_quality": _ALL["text_quality"],
+        "pii_scrub": _ALL["pii_scrub"],
+        "distinct_project": _ALL["distinct_project"],
+        "case_impute": _ALL["case_impute"],
+        "scalar_subquery": _ALL["scalar_subquery"],
+        "window_analytic": _ALL["window_analytic"],
+        "union_all": _ALL["union_all"],
+        "json_extract": _ALL["json_extract"],
+        "date_partition_agg": _ALL["date_partition_agg"],
+        "mart_daily_appearances": _ALL["mart_daily_appearances"],
+        "explode_tokens": _ALL["explode_tokens"],
+        "rollup_agg": _ALL["rollup_agg"],
+        "pivot_native": _ALL["pivot_native"],
+        "lead_lag": _ALL["lead_lag"],
+        "range_join": _ALL["range_join"],
+        "funnel": _ALL["funnel"],
+        "hll_distinct": _ALL["hll_distinct"],
+        "tumbling_window": _ALL["tumbling_window"],
+        "dedup_simhash": _ALL["dedup_simhash"],
+        "dedup_rolling_fp": _ALL["dedup_rolling_fp"],
+        "embedding_cosine_dedup": _ALL["embedding_cosine_dedup"],
+        "sim_ann_lsh": _ALL["sim_ann_lsh"],
+        "tfidf": _ALL["tfidf"],
+        "top_ngrams": _ALL["top_ngrams"],
+        "split_assign": _ALL["split_assign"],
+        "mixture_sample": _ALL["mixture_sample"],
+        "order_limit": _ALL["order_limit"],
+        "mart_daily_avg": _ALL["mart_daily_avg"],
+        "dedup_passages": _ALL["dedup_passages"],
+        "cdc_compact": _ALL["cdc_compact"],
+        "lang_id": _ALL["lang_id"],
+        "snapshot_diff": _ALL["snapshot_diff"],
+        "surrogate_keys_incremental": _ALL["surrogate_keys_incremental"],
+        "salted_agg": _ALL["salted_agg"],
+        "cube_agg": _ALL["cube_agg"],
+        "pivot_conditional": _ALL["pivot_conditional"],
+        "rolling_stats": _ALL["rolling_stats"],
+        "percentiles": _ALL["percentiles"],
+        "semi_join": _ALL["semi_join"],
+        "outer_join_agg": _ALL["outer_join_agg"],
+        "token_count": _ALL["token_count"],
+        "text_fingerprint": _ALL["text_fingerprint"],
+        "sim_ann_lsh_multiprobe": _ALL["sim_ann_lsh_multiprobe"],
+        "sim_ann_ivf": _ALL["sim_ann_ivf"],
     }
-
-# ---------------------------------------------------------------------------
-# DuckDB oracles
-# ---------------------------------------------------------------------------
-
-_STAR_SQL = """
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey  = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-"""
+    assert set(out) == set(_ALL), (
+        sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from etl_pipeline_last_fm_spark.operators.dedup import (
-        embedding_near_dups_blocked_oracle_sql,
-        embedding_near_dups_oracle_sql,
-        minhash_lsh_pairs_oracle_sql,
-    )
-    from etl_pipeline_last_fm_spark.operators.sessions import sessionize_oracle_sql
-    from etl_pipeline_last_fm_spark.operators.similarity import lsh_ann_topk_oracle_sql
-    from etl_pipeline_last_fm_spark.operators.text import (
-        EN_STOPWORDS,
-        lang_id_oracle_sql,
-        quality_oracle_sql,
-    )
-
-    en_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return {
-        # Same exact-integer revenue units as the Spark side: rev4 is an
-        # exact int64 per line, the SUM is order-free, and the only float
-        # op is one int->double conversion + division — bit-identical by
-        # construction, not empirically. (CAST AS BIGINT defuses DuckDB's
-        # HUGEINT SUM, the known hash-parity gotcha.)
-        "flagship_royalties": """
-            WITH per_order AS (
-                SELECT l_orderkey,
-                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
-                            AS BIGINT) AS rev4
-                FROM lineitem GROUP BY l_orderkey
-            )
-            SELECT o_orderdate AS date, n_name AS nation,
-                   FLOOR(CAST(CAST(SUM(rev4) AS BIGINT) * 3 AS DOUBLE) / 100000.0 + 0.5)
-                     / 100.0 AS royalties
-            FROM per_order
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey  = c_custkey
-            JOIN nation   ON c_nationkey = n_nationkey
-            JOIN region   ON n_regionkey = r_regionkey
-            GROUP BY 1, 2
-        """,
-        # Same exact-integer program as the Spark side (see
-        # q_pricing_summary docstring): cent recovery per row, int64 sums,
-        # pure-integer rounding (2a+b) // (2b) — parity by construction.
-        "pricing_summary": """
-            WITH cents AS (
-                SELECT l_returnflag, l_linestatus,
-                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS e2,
-                       CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d2,
-                       CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS t2
-                FROM lineitem
-            ),
-            s AS (
-                SELECT l_returnflag, l_linestatus,
-                       CAST(SUM(q) AS BIGINT) AS sq,
-                       CAST(SUM(e2) AS BIGINT) AS se2,
-                       CAST(SUM(e2 * (100 - d2)) AS BIGINT) AS s4,
-                       CAST(SUM(e2 * (100 - d2) * (100 + t2)) AS BIGINT) AS s6,
-                       CAST(SUM(d2) AS BIGINT) AS sd2,
-                       COUNT(*) AS n
-                FROM cents GROUP BY 1, 2
-            )
-            SELECT l_returnflag, l_linestatus,
-                   CAST(sq AS DOUBLE) AS sum_qty,
-                   CAST(se2 AS DOUBLE) / 100.0 AS sum_base_price,
-                   CAST((s4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
-                   CAST((s6 + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
-                   CAST((2 * sq * 100 + n) // (2 * n) AS DOUBLE) / 100.0 AS avg_qty,
-                   CAST((2 * se2 + n) // (2 * n) AS DOUBLE) / 100.0 AS avg_price,
-                   CAST((2 * sd2 * 100 + n) // (2 * n) AS DOUBLE) / 10000.0 AS avg_disc,
-                   n AS count_order
-            FROM s
-        """,
-        "distinct_project": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-        "case_impute": """
-            SELECT l_orderkey, l_linenumber,
-                   CAST(CASE WHEN l_quantity <= 5
-                             THEN FLOOR(AVG(CASE WHEN l_quantity > 5 THEN l_quantity END)
-                                        OVER (PARTITION BY CAST(l_shipdate AS DATE)) + 0.5)
-                             ELSE l_quantity END AS INTEGER) AS qty_filled
-            FROM lineitem
-        """,
-        "scalar_subquery": """
-            SELECT c_custkey, c_name, c_acctbal
-            FROM customer
-            WHERE c_acctbal > (SELECT FLOOR(AVG(c_acctbal) * 100.0 + 0.5) / 100.0 FROM customer)
-        """,
-        "star_join": f"""
-            SELECT l_orderkey, l_linenumber, o_orderdate, c_custkey,
-                   n_name AS nation, r_name AS region, l_quantity, l_extendedprice
-            {_STAR_SQL}
-        """,
-        "surrogate_keys": """
-            SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id, p_brand
-            FROM (SELECT DISTINCT p_brand FROM part)
-        """,
-        "surrogate_keys_incremental": """
-            WITH b1 AS (SELECT DISTINCT p_type FROM part WHERE p_size <= 25),
-                 -- NOT EXISTS (not NOT IN): NULL-key semantics must match
-                 -- the Spark side's anti-join (see li_order_fk note).
-                 b2 AS (SELECT DISTINCT p_type FROM part p2 WHERE p_size > 25
-                        AND NOT EXISTS (SELECT 1 FROM b1
-                                        WHERE b1.p_type = p2.p_type)),
-                 u AS (SELECT p_type, 0 AS batch FROM b1
-                       UNION ALL SELECT p_type, 1 AS batch FROM b2)
-            SELECT CAST(ROW_NUMBER() OVER (ORDER BY batch, p_type) AS BIGINT) AS type_id, p_type
-            FROM u
-        """,
-        "idempotent_append": """
-            WITH batch AS (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
-                                             ORDER BY o_orderkey) AS rn
-                FROM orders
-                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-                  AND o_orderdate <  TIMESTAMP '1998-01-01'
-            )
-            SELECT o_orderkey, o_custkey, o_orderdate
-            FROM batch b
-            WHERE rn = 1
-              AND NOT EXISTS (
-                  SELECT 1 FROM orders e
-                  WHERE e.o_orderdate < TIMESTAMP '1997-01-01'
-                    AND e.o_custkey = b.o_custkey
-                    AND e.o_orderdate = b.o_orderdate
-              )
-        """,
-        "windowed_top_k": """
-            SELECT day, event_type, event_id, value, rnk FROM (
-                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id, value,
-                       CAST(ROW_NUMBER() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), event_type
-                                               ORDER BY value DESC, event_id) AS INTEGER) AS rnk
-                FROM events
-            ) WHERE rnk <= 3
-        """,
-        "window_analytic": """
-            SELECT event_id, event_type,
-                   FLOOR(AVG(value) OVER (PARTITION BY event_type) * 100.0 + 0.5) / 100.0 AS type_avg,
-                   FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         * 100.0 + 0.5) / 100.0 AS user_running_sum
-            FROM events
-        """,
-        "union_all": """
-            SELECT event_id, user_id, 'buy' AS kind FROM events WHERE event_type = 'purchase'
-            UNION ALL
-            SELECT event_id, user_id, 'join' AS kind FROM events WHERE event_type = 'signup'
-        """,
-        "json_extract": """
-            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-            FROM events
-        """,
-        "date_partition_agg": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
-                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
-            FROM events GROUP BY 1
-        """,
-        "mart_daily_appearances": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, COUNT(*) AS cnt_appearance
-            FROM events GROUP BY 1, 2
-        """,
-        "mart_daily_avg": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-                   FLOOR(AVG(value) * 100.0 + 0.5) / 100.0 AS avg_value
-            FROM events GROUP BY 1, 2
-        """,
-        "explode_tokens": """
-            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-                       FROM documents WHERE doc_id < 50)
-            SELECT doc_id, CAST(x.i AS INTEGER) AS pos, x.tok AS token
-            FROM (SELECT doc_id,
-                         unnest(list_transform(range(len(toks)),
-                                i -> struct_pack(i := i, tok := toks[i+1]))) AS x
-                  FROM t)
-        """,
-        "order_limit": """
-            SELECT o_orderkey, o_custkey, o_totalprice
-            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-        """,
-        "outer_join_agg": """
-            SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
-            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-            GROUP BY c_custkey, c_name
-        """,
-        "semi_join": """
-            SELECT c_custkey, c_name FROM customer c
-            WHERE EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= TIMESTAMP '1997-01-01'
-                            AND o.o_orderdate <  TIMESTAMP '1998-01-01')
-        """,
-        "rollup_agg": """
-            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_price
-            FROM lineitem
-            GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "sessionize": sessionize_oracle_sql(30),
-        "salted_agg": """
-            SELECT event_type, COUNT(*) AS n_events,
-                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value,
-                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS mean_value
-            FROM events GROUP BY event_type
-        """,
-        "cube_agg": """
-            SELECT event_type, strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
-                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
-            FROM events
-            GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
-        """,
-        "pivot_conditional": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,
-                   FLOOR(AVG(CASE WHEN event_type = 'view'     THEN value END) * 100.0 + 0.5) / 100.0 AS avg_view,
-                   FLOOR(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 100.0 + 0.5) / 100.0 AS avg_purchase,
-                   FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
-                   FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
-            FROM events GROUP BY 1
-        """,
-        "cdc_compact": """
-            WITH ranked AS (
-                SELECT user_id, event_id, event_type,
-                       FLOOR(value * 100.0 + 0.5) / 100.0 AS last_value,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts DESC, event_id DESC) AS rn
-                FROM events
-            )
-            SELECT user_id, event_id, event_type, last_value
-            FROM ranked WHERE rn = 1
-        """,
-        "rolling_stats": """
-            WITH daily AS (
-                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                       SUM(value) AS total
-                FROM events GROUP BY 1, 2
-            )
-            SELECT event_type, day,
-                   FLOOR(total * 100.0 + 0.5) / 100.0 AS day_total,
-                   FLOOR(AVG(total) OVER (PARTITION BY event_type
-                                          ORDER BY datediff('day', DATE '1970-01-01',
-                                                            CAST(day AS DATE))
-                                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-                         * 10000.0 + 0.5) / 10000.0 AS ma7,
-                   FLOOR(total / SUM(total) OVER (PARTITION BY event_type) * 100.0
-                         * 10000.0 + 0.5) / 10000.0 AS pct_of_type
-            FROM daily
-        """,
-        "lead_lag": """
-            SELECT event_id, user_id,
-                   CAST(FLOOR((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS BIGINT)
-                       AS gap_sec,
-                   lead(event_id) OVER w AS next_event_id
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        """,
-        "percentiles": """
-            SELECT event_type,
-                   FLOOR(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
-                   FLOOR(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
-            FROM events GROUP BY event_type
-        """,
-        # extensions (SQL-expressible subset)
-        "dedup_exact": """
-            SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-            FROM documents GROUP BY md5(text)
-        """,
-        "text_fingerprint": """
-            SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
-        """,
-        "token_count": r"""
-            SELECT doc_id,
-                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]'))
-                        AS BIGINT) AS n_bpe_tokens,
-                   CAST(length(text) AS BIGINT) AS n_chars_computed
-            FROM documents
-        """,
-        "text_quality": quality_oracle_sql(),
-        "lang_id": lang_id_oracle_sql(),
-        "dedup_ngram_jaccard": """
-            WITH words AS (
-                SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS w
-                FROM documents WHERE doc_id < 500
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-                FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   FLOOR(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) * 10000.0 + 0.5) / 10000.0
-                       AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
-        """,
-        "sim_bruteforce": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-                 q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
-                 scored AS (
-                     SELECT q_id, v.vec_id AS cand_id,
-                            list_dot_product(qe, e)
-                              / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
-                              AS sim
-                     FROM q JOIN v ON v.vec_id <> q.q_id
-                 ),
-                 ranked AS (
-                     SELECT q_id, cand_id,
-                            FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
-                            ROW_NUMBER() OVER (
-                                PARTITION BY q_id
-                                ORDER BY FLOOR(sim * 1000000.0 + 0.5) DESC, cand_id
-                            ) AS rn
-                     FROM scored
-                 )
-            SELECT q_id, cand_id, sim_r AS sim, CAST(rn AS INTEGER) AS rnk
-            FROM ranked WHERE rn <= 5
-        """,
-        "multimodal_meta": """
-            SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS content_sha
-            FROM documents
-        """,
-        # LSH-family oracles: minhash via the exact-Jaccard truth set (LSH
-        # recall is 1.0 on this corpus — see minhash_lsh_pairs_oracle_sql
-        # docstring); hyperplane buckets via seed-deterministic plane
-        # literals baked into the SQL.
-        "dedup_minhash_lsh": minhash_lsh_pairs_oracle_sql(shingle_len=3, verify_threshold=0.5),
-        "embedding_cosine_dedup": embedding_near_dups_blocked_oracle_sql(
-            threshold=0.4, n_planes=6
-        ),
-        "embedding_keep_list": dedup_ops.embedding_keep_list_oracle_sql(
-            threshold=0.4, n_planes=6
-        ),
-        "embedding_cosine_pairs": embedding_near_dups_oracle_sql(threshold=0.4),
-        "sim_ann_lsh": lsh_ann_topk_oracle_sql(n_queries=10, k=5, n_planes=6),
-        "sim_ann_lsh_multiprobe": lsh_ann_topk_oracle_sql(
-            n_queries=10, k=5, n_planes=6, probe_flips=1
-        ),
-        "pivot_native": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,
-                   FLOOR(AVG(CASE WHEN event_type = 'view'     THEN value END) * 100.0 + 0.5) / 100.0 AS avg_view,
-                   FLOOR(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 100.0 + 0.5) / 100.0 AS avg_purchase,
-                   FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
-                   FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
-            FROM events GROUP BY 1
-        """,
-        "asof_join": asof_oracle_mod.asof_join_oracle_sql("click", "view"),
-        "range_join": asof_oracle_mod.time_range_join_oracle_sql(
-            "click", "purchase", max_gap_us=600_000_000
-        ),
-        "split_assign": sampling_oracle_mod.split_assign_oracle_sql(),
-        "stratified_sample": sampling_oracle_mod.stratified_sample_oracle_sql(
-            strata_col="lang", n_per_stratum=5
-        ),
-        "contamination": contamination_oracle_mod.benchmark_contamination_oracle_sql(n=8),
-        "tfidf": text_ops.tfidf_oracle_sql(top_k=3),
-        "dedup_keep_list": dedup_ops.dedup_keep_list_oracle_sql(),
-        "pack_sequences": packing_ops.pack_sequences_oracle_sql(budget=512),
-        "bpe_pair_counts": packing_ops.pair_counts_oracle_sql(top_k=20),
-        "vocab_coverage": packing_ops.vocab_coverage_oracle_sql(top_k=20),
-        "scd2_history": scd_ops.scd2_history_oracle_sql(),
-        "scd2_as_of": scd_ops.scd2_as_of_oracle_sql("1997-06-15"),
-        "profile_columns": profile_ops.profile_columns_oracle_sql(
-            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-        ),
-        "group_split": sampling_oracle_mod.group_split_assign_oracle_sql(),
-        "curation_funnel": f"""
-            WITH rep AS ({text_ops.repetition_scores_oracle_sql(n=3)}),
-            m AS (
-                SELECT d.doc_id,
-                       CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS nt,
-                       r.dup_ngram_frac
-                FROM documents d JOIN rep r ON d.doc_id = r.doc_id
-            ),
-            wide AS (
-                SELECT COUNT(*) AS n_all,
-                       SUM(CASE WHEN nt >= 20 THEN 1 ELSE 0 END) AS s1,
-                       SUM(CASE WHEN nt >= 20 AND nt <= 150 THEN 1 ELSE 0 END) AS s2,
-                       SUM(CASE WHEN nt >= 20 AND nt <= 150
-                                 AND dup_ngram_frac <= 0.3 THEN 1 ELSE 0 END) AS s3
-                FROM m
-            )
-            -- CASTs: DuckDB SUM(INTEGER) yields HUGEINT -> pandas float64,
-            -- which the driver's string value-hash sees as '446.0' vs
-            -- Spark's BIGINT '446'.
-            SELECT '0_all' AS stage, CAST(n_all AS BIGINT) AS n_docs FROM wide
-            UNION ALL SELECT '1_min_len', CAST(s1 AS BIGINT) FROM wide
-            UNION ALL SELECT '2_max_len', CAST(s2 AS BIGINT) FROM wide
-            UNION ALL SELECT '3_low_repetition', CAST(s3 AS BIGINT) FROM wide
-        """,
-        "funnel": funnel_oracle_mod.funnel_stages_oracle_sql(),
-        "quantile_buckets": profile_ops.quantile_buckets_oracle_sql(n_buckets=10),
-        "histogram": profile_ops.fixed_width_histogram_oracle_sql(
-            "l_extendedprice", n_bins=50
-        ),
-        "mixture_sample": sampling_oracle_mod.mixture_sample_oracle_sql(_MIXTURE_RATES),
-        "chunk_documents": packing_ops.chunk_documents_oracle_sql(
-            chunk_tokens=64, overlap=16
-        ),
-        "repetition": text_ops.repetition_scores_oracle_sql(n=3),
-        "dedup_simhash": dedup_ops.simhash_near_dups_oracle_sql(max_hamming=3),
-        "dedup_rolling_fp": text_ops.fingerprint_overlap_oracle_sql(
-            min_shared=5, k=16, window=8
-        ),
-        "sim_ann_ivf_seeded": sim_ops.ivf_ann_topk_seeded_oracle_sql(
-            n_queries=10, k=5, n_centroids=16, nprobe=4
-        ),
-        "pii_scrub": cleaning_ops.pii_scrub_oracle_sql(_PII_SOURCE_SQL),
-        "fuzzy_name_pairs": fuzzy_ops.fuzzy_name_pairs_oracle_sql(
-            "part", "p_partkey", "p_name", max_dist=2, max_block_size=1000
-        ),
-        "dedup_passages": dedup_ops.shared_passage_stats_oracle_sql(window_tokens=8),
-        "top_ngrams": text_ops.top_ngrams_oracle_sql(n=2, k=20),
-        "gapfill_locf": (
-            "SELECT user_id, strftime(day, '%Y-%m-%d') AS day,"
-            " n_events, val_sum, was_observed FROM ("
-            + ts_ops.gapfill_daily_oracle_sql(
-                _GAPFILL_OBS_SQL, "user_id", "day",
-                zero_cols=["n_events"], locf_cols=["val_sum"],
-            )
-            + ")"
-        ),
-        "snapshot_diff": scd_ops.snapshot_diff_oracle_sql(
-            _SNAPDIFF_OLD_SQL, _SNAPDIFF_NEW_SQL,
-            ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
-        ),
-        "token_budget_sample": sampling_oracle_mod.token_budget_sample_oracle_sql(
-            {"src0": 800, "src1": 400, "src2": 2000, "src3": 100}
-        ),
-        # round-3: portable sketches + time windows
-        "hll_distinct": sketch_ops.hll_distinct_oracle_sql(
-            "events", "event_id", ["event_type"], b=6
-        ),
-        "hll_vocab": sketch_ops.hll_distinct_oracle_sql(
-            "(SELECT * FROM (SELECT source,"
-            " unnest(string_split(trim(text), ' ')) AS tok"
-            " FROM documents) WHERE tok <> '') t",
-            "tok",
-            ["source"],
-            b=6,
-        ),
-        "cms_heavy_hitters": sketch_ops.cms_heavy_hitters_oracle_sql(top_k=20),
-        "kmv_quantiles": sketch_ops.kmv_quantiles_oracle_sql(
-            "events",
-            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
-            "event_type",
-            k=64,
-            quantiles=(0.5, 0.9),
-        ),
-        # Same text runs on both engines: GROUPING SETS and GROUPING() are
-        # ANSI; only the grouping-id cast is pinned to INT on both sides.
-        "grouping_sets": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-                   CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-                   COUNT(*) AS n_rows,
-                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
-            FROM lineitem
-            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                    (l_returnflag), (l_linestatus), ())
-        """,
-        "tumbling_window": tw_ops.tumbling_window_oracle_sql(window_minutes=60),
-        "hopping_window": tw_ops.hopping_window_oracle_sql(
-            window_minutes=60, hop_minutes=15
-        ),
-        "weighted_sample": sampling_oracle_mod.weighted_sample_oracle_sql(k=50),
-        "lm_score": text_ops.lm_score_oracle_sql(),
-        # Assertion oracles for the recall gates: the gate outcome (not the
-        # trained index's pair output) is the portable, deterministic value.
-        # 1000*hits >= floor*truth is computed engine-side in exact integer
-        # arithmetic; the oracle pins the expected verdict and the constants.
-        "sim_ann_ivf_recall": """
-            SELECT 10 AS n_queries, 5 AS k, CAST(50 AS BIGINT) AS n_truth,
-                   350 AS recall_floor_milli, 1 AS recall_ok
-        """,
-        "sim_ann_pq_recall": """
-            SELECT 10 AS n_queries, 5 AS k, CAST(50 AS BIGINT) AS n_truth,
-                   100 AS recall_floor_milli, 1 AS recall_ok
-        """,
-        "sim_ann_pq": sim_ops.pq_ann_topk_seeded_oracle_sql(
-            n_queries=10, k=5, n_subspaces=4, n_codes=16, dim=64
-        ),
-        "expectations": """
-            SELECT 'li_keys_not_null' AS check_name,
-                   CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-                   COUNT(*) AS n_checked
-            FROM lineitem
-            UNION ALL
-            SELECT 'li_qty_in_1_30',
-                   CAST(SUM(CASE WHEN l_quantity IS NULL
-                                   OR l_quantity < 1 OR l_quantity > 30
-                                 THEN 1 ELSE 0 END) AS BIGINT),
-                   COUNT(*)
-            FROM lineitem
-            UNION ALL
-            SELECT 'li_price_positive',
-                   CAST(SUM(CASE WHEN NOT (l_extendedprice > 0)
-                                 THEN 1 ELSE 0 END) AS BIGINT),
-                   COUNT(*)
-            FROM lineitem
-            UNION ALL
-            SELECT 'li_line_unique',
-                   CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT),
-                   CAST(COALESCE(SUM(c), 0) AS BIGINT)
-            FROM (SELECT COUNT(*) AS c FROM lineitem
-                  GROUP BY l_orderkey, l_linenumber)
-            UNION ALL
-            -- NOT EXISTS, not NOT IN: NOT IN returns NULL (row not
-            -- counted) for a NULL child key and zero rows if ANY parent
-            -- key is NULL — both diverge from Spark's left_anti, which
-            -- counts NULL-keyed children as orphans.
-            SELECT 'li_order_fk',
-                   (SELECT COUNT(*) FROM lineitem li
-                    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                      WHERE o.o_orderkey = li.l_orderkey)),
-                   COUNT(*)
-            FROM lineitem
-        """,
-        "supplier_balance": """
-            SELECT r_name AS region, n_name AS nation,
-                   COUNT(*) AS n_suppliers,
-                   FLOOR(AVG(s_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal
-            FROM supplier
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name, n_name
-        """,
-        "mart_incremental": """
-            WITH cents AS (
-                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
-                FROM events
-            )
-            SELECT day, event_type,
-                   CAST(SUM(v) AS BIGINT) / 100.0 AS value_sum,
-                   FLOOR(CAST(SUM(v) AS BIGINT)
-                         / (COUNT(v) * 100.0) * 10000.0 + 0.5) / 10000.0
-                       AS value_avg,
-                   COUNT(v) AS n_rows
-            FROM cents
-            GROUP BY day, event_type
-        """,
-        "zorder_key": f"""
-            WITH b AS (
-                SELECT MIN(l_partkey) AS lox, MAX(l_partkey) AS hix,
-                       MIN(l_suppkey) AS loy, MAX(l_suppkey) AS hiy
-                FROM lineitem
-            ),
-            s AS (
-                SELECT l_orderkey, l_partkey, l_suppkey,
-                       {zorder_ops.scaled_to_bits_sql("l_partkey", "lox", "hix", 10)} AS xs,
-                       {zorder_ops.scaled_to_bits_sql("l_suppkey", "loy", "hiy", 10)} AS ys
-                FROM lineitem, b
-            )
-            SELECT l_orderkey, l_partkey, l_suppkey,
-                   {zorder_ops.zorder_key_sql("xs", "ys", 10)} AS zkey
-            FROM s
-        """,
-        "dedup_prefix_filter": _setsim_oracle(),
-        "dedup_sorted_neighborhood": _snm_oracle(),
-        "dedup_snm_multipass": _snm_multipass_oracle(),
-        "cohort_retention": _cohort_oracle(),
-        "regional_revenue": f"""
-            WITH li AS (
-                SELECT l_orderkey, l_suppkey,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
-                FROM lineitem
-            )
-            SELECT n_name AS nation,
-                   CAST((CAST(SUM(rev4) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
-                       AS revenue
-            FROM li
-            JOIN orders   ON l_orderkey = o_orderkey
-                         AND epoch_us(o_orderdate) >= {_US_1996}
-                         AND epoch_us(o_orderdate) <  {_US_1997}
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-            JOIN nation   ON c_nationkey = n_nationkey
-            JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
-            GROUP BY 1
-        """,
-        "shipping_priority": f"""
-            WITH li AS (
-                SELECT l_orderkey, l_shipdate,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
-                FROM lineitem
-                WHERE epoch_us(l_shipdate) > {_US_1996}
-            )
-            SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   CAST((CAST(SUM(rev4) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
-                       AS revenue
-            FROM li
-            JOIN orders   ON l_orderkey = o_orderkey
-                         AND epoch_us(o_orderdate) < {_US_1996}
-            JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
-            GROUP BY 1, 2, 3
-            ORDER BY revenue DESC, o_orderdate, l_orderkey
-            LIMIT 10
-        """,
-        "bloom_prune_join": _bloom_oracle(),
-        "outlier_mad": _outliers_oracle(),
-        "kmv_set_ops": _kmv_set_ops_oracle(),
-        "triangle_count": _graph_mod().triangle_counts_oracle_sql(),
-        "pagerank": _graph_mod().pagerank_oracle_sql(n_iter=4),
-        "kcore": _graph_mod().kcore_rounds_oracle_sql(k=3, n_rounds=4),
-        "pagerank_weighted": _graph_mod().pagerank_weighted_oracle_sql(n_iter=4),
-        "rank_metrics": """
-            SELECT o_custkey, o_orderkey,
-                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
-                   PERCENT_RANK() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
-                                o_orderkey
-                   ) AS pct_rank,
-                   CUME_DIST() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
-                                o_orderkey
-                   ) AS cume
-            FROM orders
-        """,
-        "except_all": f"""
-            SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
-            FROM lineitem
-            WHERE epoch_us(l_shipdate) >= {_US_1996}
-              AND epoch_us(l_shipdate) <  {_US_1996_07}
-            EXCEPT ALL
-            SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
-            FROM lineitem
-            WHERE epoch_us(l_shipdate) >= {_US_1996_07}
-              AND epoch_us(l_shipdate) <  {_US_1997}
-        """,
-        "relational_division": """
-            WITH o AS (
-                SELECT o_custkey,
-                       epoch_us(o_orderdate) // 31557600000000 AS y
-                FROM orders
-            )
-            SELECT o_custkey, CAST(COUNT(DISTINCT y) AS BIGINT) AS years
-            FROM o WHERE y BETWEEN 25 AND 28
-            GROUP BY o_custkey
-            HAVING COUNT(DISTINCT y) = 4
-        """,
-        "mode_per_group": """
-            WITH census AS (
-                SELECT l_returnflag AS flag,
-                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
-                       COUNT(*) AS cnt
-                FROM lineitem GROUP BY 1, 2
-            ),
-            ranked AS (
-                SELECT flag, qty, cnt,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY flag ORDER BY cnt DESC, qty
-                       ) AS rn
-                FROM census
-            )
-            SELECT flag, qty AS mode_qty, cnt AS n FROM ranked WHERE rn = 1
-        """,
-        "table_checksum": f"""
-            WITH h AS (
-                SELECT {_hash60_sql(
-                    "concat_ws('|', l_orderkey, l_linenumber, "
-                    "CAST(FLOOR(l_quantity + 0.5) AS BIGINT), "
-                    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), "
-                    "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT), "
-                    "l_returnflag, l_linestatus)"
-                )} AS h
-                FROM lineitem
-            )
-            SELECT CAST(h % 64 AS BIGINT) AS bucket,
-                   COUNT(*) AS n_rows,
-                   CAST(SUM(h) % {_ck_mod()} AS BIGINT) AS checksum
-            FROM h GROUP BY 1
-        """,
-        "disjunctive_predicates": """
-            SELECT CAST((COALESCE(CAST(SUM(
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
-                   ) AS BIGINT), 0) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-                   AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) BETWEEN 1 AND 11)
-               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-                   AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) BETWEEN 10 AND 20)
-               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-                   AND CAST(FLOOR(l_quantity + 0.5) AS BIGINT) BETWEEN 20 AND 30)
-        """,
-        # Gaps-and-islands twin of the native session_window operator:
-        # same 30-min gap, same half-open end bound (last event + gap).
-        "session_window_native": """
-            WITH ev AS (
-                SELECT user_id, event_id, epoch_us(ts) AS us,
-                       CAST(FLOOR(COALESCE(value, 0.0) * 100 + 0.5) AS BIGINT)
-                           AS cents
-                FROM events
-            ),
-            -- event_id tie-break on BOTH window clauses: without it, two
-            -- events at the same (user_id, us) could sort differently in
-            -- flagged vs islands, misaligning the running sum with its
-            -- flags (same reason the lead_lag oracle orders by (ts,
-            -- event_id)). A tie can't SPLIT a session (gap 0 <= 30 min),
-            -- but the misalignment could.
-            flagged AS (
-                SELECT user_id, us, cents,
-                       CASE WHEN us - LAG(us) OVER (
-                                PARTITION BY user_id ORDER BY us, event_id
-                            ) > 1800000000 THEN 1
-                            WHEN LAG(us) OVER (
-                                PARTITION BY user_id ORDER BY us, event_id
-                            ) IS NULL THEN 1
-                            ELSE 0 END AS new_sess,
-                       event_id
-                FROM ev
-            ),
-            islands AS (
-                SELECT user_id, us, cents,
-                       SUM(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING
-                       ) AS sess_no
-                FROM flagged
-            )
-            SELECT user_id,
-                   CAST(MIN(us) AS BIGINT) AS start_us,
-                   CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
-                   COUNT(*) AS n_events,
-                   CAST(SUM(cents) AS BIGINT) AS sum_cents
-            FROM islands
-            GROUP BY user_id, sess_no
-        """,
-        "corpus_drift": text_ops.corpus_drift_oracle_sql(),
-        "inverted_index": text_ops.inverted_index_oracle_sql(),
-        "merge_upsert": scd_ops.merge_upsert_oracle_sql(),
-        "set_ops": f"""
-            WITH pre AS (
-                SELECT o_custkey FROM orders
-                WHERE epoch_us(o_orderdate) >= {_US_1996}
-                  AND epoch_us(o_orderdate) <  {_US_1996_07}
-            ),
-            post AS (
-                SELECT o_custkey FROM orders
-                WHERE epoch_us(o_orderdate) >= {_US_1996_07}
-                  AND epoch_us(o_orderdate) <  {_US_1997}
-            )
-            SELECT o_custkey, 'both' AS segment
-            FROM (SELECT o_custkey FROM pre INTERSECT SELECT o_custkey FROM post)
-            UNION ALL
-            SELECT o_custkey, 'h1_only' AS segment
-            FROM (SELECT o_custkey FROM pre EXCEPT SELECT o_custkey FROM post)
-            UNION ALL
-            SELECT o_custkey, 'h2_only' AS segment
-            FROM (SELECT o_custkey FROM post EXCEPT SELECT o_custkey FROM pre)
-        """,
-        "session_transitions": """
-            WITH seq AS (
-                SELECT event_type AS from_type,
-                       LEAD(event_type) OVER (
-                           PARTITION BY user_id
-                           ORDER BY epoch_us(ts), event_id
-                       ) AS to_type
-                FROM events
-            )
-            SELECT from_type, to_type, COUNT(*) AS n
-            FROM seq WHERE to_type IS NOT NULL
-            GROUP BY from_type, to_type
-        """,
-        "sim_ann_ivfpq": sim_ops.ivfpq_ann_topk_seeded_oracle_sql(),
-        "sim_ann_ivfpq_residual": sim_ops.ivfpq_residual_ann_topk_seeded_oracle_sql(),
-        "market_basket": """
-            WITH op AS (
-                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ),
-            n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
-            item AS (
-                SELECT l_partkey AS p, COUNT(*) AS c FROM op GROUP BY 1
-            ),
-            freq AS (SELECT p FROM item WHERE c >= 2),
-            opf AS (
-                SELECT op.l_orderkey, op.l_partkey FROM op
-                WHERE op.l_partkey IN (SELECT p FROM freq)
-            ),
-            pairs AS (
-                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-                       COUNT(*) AS support
-                FROM opf a JOIN opf b
-                  ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-                GROUP BY 1, 2
-                HAVING COUNT(*) >= 2
-            )
-            SELECT part_a, part_b, support,
-                   CAST((CAST(support AS HUGEINT) * n.n_orders * 1000000)
-                     // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
-            FROM pairs
-            JOIN item ca ON ca.p = part_a
-            JOIN item cb ON cb.p = part_b
-            CROSS JOIN n
-        """,
-        "epoch_shuffle": """
-            SELECT doc_id,
-                   CAST(ROW_NUMBER() OVER (
-                       ORDER BY ('0x' || substring(
-                           md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)
-                       )::BIGINT, doc_id
-                   ) AS BIGINT) AS shuffle_pos
-            FROM documents
-        """,
-        # Composed on pack_sequences' own oracle (not a hand copy): if the
-        # packing semantics or tokenizer ever change, BOTH engines' twins
-        # move together.
-        "render_packs": f"""
-            WITH p AS ({packing_ops.pack_sequences_oracle_sql(budget=512)})
-            SELECT p.seq_id,
-                   COUNT(*) AS n_docs,
-                   string_agg(d.text, '<|eos|>' ORDER BY d.doc_id) AS packed_text
-            FROM p JOIN documents d ON p.doc_id = d.doc_id
-            GROUP BY p.seq_id
-        """,
-        "nation_trade_volume": f"""
-            WITH li AS (
-                SELECT l_orderkey, l_suppkey,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
-                FROM lineitem
-            )
-            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-                   epoch_us(o_orderdate) // 31557600000000 AS epoch_year_bucket,
-                   CAST((CAST(SUM(rev4) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
-                       AS volume
-            FROM li
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation n1 ON c_nationkey = n1.n_nationkey
-            JOIN nation n2 ON s_nationkey = n2.n_nationkey
-            WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
-               OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
-            GROUP BY 1, 2, 3
-        """,
-        "market_share": """
-            WITH li AS (
-                SELECT l_orderkey, l_suppkey,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
-                FROM lineitem
-            )
-            SELECT epoch_us(o_orderdate) // 31557600000000 AS epoch_year_bucket,
-                   (CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN rev4 ELSE 0 END)
-                         AS BIGINT) * 1000000)
-                     // CAST(SUM(rev4) AS BIGINT) AS share_ppm
-            FROM li
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation n1 ON c_nationkey = n1.n_nationkey
-            JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation n2 ON s_nationkey = n2.n_nationkey
-            GROUP BY 1
-        """,
-        "unpivot_metrics": """
-            WITH wide AS (
-                SELECT l_returnflag, l_linestatus,
-                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
-                           AS sum_qty,
-                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
-                            AS BIGINT) AS sum_price_cents,
-                       COUNT(*) AS n_rows
-                FROM lineitem GROUP BY 1, 2
-            )
-            SELECT l_returnflag, l_linestatus, metric, value
-            FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price_cents, n_rows))
-        """,
-        "key_skew_profile": """
-            WITH
-            p1 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
-            p2 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey),
-            p3 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
-            p4 AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_returnflag)
-            SELECT 'l_orderkey' AS key_col, COUNT(*) AS n_keys,
-                   CAST(SUM(n) AS BIGINT) AS n_rows,
-                   CAST(MAX(n) AS BIGINT) AS max_key_rows,
-                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
-                       AS top_share_ppm
-            FROM p1
-            UNION ALL
-            SELECT 'l_partkey', COUNT(*), CAST(SUM(n) AS BIGINT),
-                   CAST(MAX(n) AS BIGINT),
-                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
-            FROM p2
-            UNION ALL
-            SELECT 'l_suppkey', COUNT(*), CAST(SUM(n) AS BIGINT),
-                   CAST(MAX(n) AS BIGINT),
-                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
-            FROM p3
-            UNION ALL
-            SELECT 'l_returnflag', COUNT(*), CAST(SUM(n) AS BIGINT),
-                   CAST(MAX(n) AS BIGINT),
-                   (CAST(MAX(n) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
-            FROM p4
-        """,
-        "label_centroids": """
-            WITH comp AS (
-                SELECT label,
-                       generate_subscripts(embedding, 1) AS pos,
-                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
-                            AS BIGINT) AS q
-                FROM embeddings
-            ),
-            s AS (
-                SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
-                FROM comp GROUP BY label, pos
-            )
-            SELECT label, CAST(pos AS INTEGER) AS pos,
-                   sq // n AS centroid_micro, n
-            FROM s
-        """,
-        "order_distribution": """
-            WITH per_cust AS (
-                SELECT c_custkey, COUNT(o_orderkey) AS c_count
-                FROM customer LEFT JOIN orders
-                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-                GROUP BY c_custkey
-            )
-            SELECT c_count, COUNT(*) AS custdist
-            FROM per_cust GROUP BY c_count
-        """,
-        "small_qty_revenue": """
-            WITH q AS (
-                SELECT l_partkey,
-                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS e2
-                FROM lineitem
-            ),
-            pa AS (
-                SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
-                       COUNT(*) AS cnt
-                FROM q GROUP BY l_partkey
-            )
-            SELECT CAST((2 * COALESCE(CAST(SUM(e2) AS BIGINT), 0) * 100 + 700)
-                        // 1400 AS DOUBLE) / 100.0 AS avg_weekly_loss
-            FROM q
-            JOIN part ON q.l_partkey = p_partkey AND p_brand = 'Brand#11'
-            JOIN pa ON pa.l_partkey = q.l_partkey
-            WHERE 5 * q.qty * pa.cnt < pa.sq
-        """,
-        "top_volume_orders": """
-            WITH big AS (
-                SELECT l_orderkey,
-                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
-                           AS sum_qty
-                FROM lineitem GROUP BY l_orderkey
-                HAVING sum_qty > 150
-            )
-            SELECT c_name, c_custkey, l_orderkey,
-                   o_orderdate AS orderdate, o_totalprice AS totalprice, sum_qty
-            FROM big
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            ORDER BY totalprice DESC, l_orderkey
-            LIMIT 100
-        """,
-        # still rows-only: sim_ann_ivf (centroids are trained from data at
-        # runtime, not a static literal the SQL twin could share); its IVF
-        # plumbing is value-checked via sim_ann_ivf_seeded.
-    }
-
-
-def _ck_mod() -> int:
-    from etl_pipeline_last_fm_spark.streaming.drift import CK_MOD
-
-    return CK_MOD
-
-
-def _hash60_sql(expr: str) -> str:
-    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60_sql
-
-    return portable_hash60_sql(expr)
-
-
-def _graph_mod():
-    from etl_pipeline_last_fm_spark.operators import graph
-
-    return graph
-
-
-def _setsim_oracle() -> str:
-    from etl_pipeline_last_fm_spark.operators.setsim import (
-        prefix_filter_pairs_oracle_sql,
-    )
-
-    return prefix_filter_pairs_oracle_sql(threshold_num=1, threshold_den=2)
-
-
-def _snm_oracle() -> str:
-    from etl_pipeline_last_fm_spark.operators.setsim import (
-        sorted_neighborhood_pairs_oracle_sql,
-    )
-
-    return sorted_neighborhood_pairs_oracle_sql(window=10)
-
-
-def _cohort_oracle() -> str:
-    from etl_pipeline_last_fm_spark.operators.cohort import (
-        cohort_retention_oracle_sql,
-    )
-
-    return cohort_retention_oracle_sql()
-
-
-def _snm_multipass_oracle() -> str:
-    from etl_pipeline_last_fm_spark.operators.setsim import (
-        sorted_neighborhood_pairs_oracle_sql,
-    )
-
-    return sorted_neighborhood_pairs_oracle_sql(window=10, multipass=True)
-
-
-def _bloom_oracle() -> str:
-    from etl_pipeline_last_fm_spark.operators.bloom import (
-        bloom_prune_join_stats_oracle_sql,
-    )
-
-    return bloom_prune_join_stats_oracle_sql(
-        "orders",
-        "o_custkey",
-        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
-        "c_custkey",
-        "o_orderpriority",
-    )
-
-
-def _outliers_oracle() -> str:
-    from etl_pipeline_last_fm_spark.operators.outliers import (
-        mad_outliers_oracle_sql,
-    )
-
-    return mad_outliers_oracle_sql(cutoff=3)
-
-
-def _kmv_set_ops_oracle() -> str:
-    cents = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v"
-    return sketch_ops.kmv_set_ops_oracle_sql(
-        f"SELECT {cents} FROM events WHERE event_type = 'click'",
-        f"SELECT {cents} FROM events WHERE event_type = 'purchase'",
-        k=256,
-        salt="kmvset",
-    )
+    return {**core.oracles(), **llm.oracles(), **extras.oracles()}
