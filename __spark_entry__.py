@@ -33,14 +33,14 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_last_fm_spark.registry import core, extras, llm
+from etl_pipeline_last_fm_spark.registry import core, extras, llm, round5
 
 SF001 = "/root/testdata/sf0.001"
 
 # One flat name -> callable map; tier modules own the implementations
 # (registry/core.py, registry/llm.py, registry/extras.py — split out in
 # round 5 so window rotations stop churning a 3.5k-line file).
-_ALL = {**core.QUERIES, **llm.QUERIES, **extras.QUERIES}
+_ALL = {**core.QUERIES, **llm.QUERIES, **extras.QUERIES, **round5.QUERIES}
 
 # Back-compat: tests and tooling address queries as module attributes
 # (__spark_entry__.q_<name>); every registered query keeps that name here.
@@ -119,20 +119,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivfpq": _ALL["sim_ann_ivfpq"],
         "sim_ann_ivfpq_residual": _ALL["sim_ann_ivfpq_residual"],
         "bpe_train": _ALL["bpe_train"],
-        # slots 45-50: round-5 additions land here; green anchors backfill
-        "asof_join": _ALL["asof_join"],
-        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
-        "dedup_keep_list": _ALL["dedup_keep_list"],
+        # slots 45-50: round-5 additions (registry/round5.py)
+        "streaming_mart_fold": _ALL["streaming_mart_fold"],
+        "label_propagation": _ALL["label_propagation"],
+        "bfs_hops": _ALL["bfs_hops"],
+        "kmv_expr": _ALL["kmv_expr"],
+        "kmeans_train": _ALL["kmeans_train"],
+        "sole_late_supplier": _ALL["sole_late_supplier"],
+        # --- past the 50-entry cap ------------------------------------
+        # First in line for the round-6 rotation: round-5-new entries
+        # with no driver row yet (oracle-paired, pytest-mirrored).
+        "priority_promises": _ALL["priority_promises"],
+        "important_parts": _ALL["important_parts"],
+        "supplier_part_counts": _ALL["supplier_part_counts"],
+        "idle_customers": _ALL["idle_customers"],
+        # Every entry below has at least one green driver row on record
+        # (r1-r4) and a strict parity mirror in every pytest run.
         "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],
         "fuzzy_name_pairs": _ALL["fuzzy_name_pairs"],
         "multimodal_meta": _ALL["multimodal_meta"],
-        # --- past the 50-entry cap ------------------------------------
-        # Every entry below has at least one green driver row on record
-        # (r1-r4) and a strict parity mirror in every pytest run.
-        # Rows-only by documented design: bpe_train (in-window, iterative
-        # merge trace pinned to a pure-Python reference in pytest) and
-        # sim_ann_ivf (trained k-means; its recall gate sim_ann_ivf_recall
-        # plus the seeded twin are the oracle-checked driver rows).
+        "asof_join": _ALL["asof_join"],
+        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
+        "dedup_keep_list": _ALL["dedup_keep_list"],
+        # Rows-only by documented design: sim_ann_ivf only (numpy-trained
+        # k-means; its recall gate sim_ann_ivf_recall, the seeded twin,
+        # AND the round-5 relational kmeans_train are the value-checked
+        # driver rows for that path). bpe_train gained a full unrolled-CTE
+        # oracle in round 5 and is value-checked like everything else.
         "contamination": _ALL["contamination"],
         "token_budget_sample": _ALL["token_budget_sample"],
         "pack_sequences": _ALL["pack_sequences"],
@@ -222,4 +235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**core.oracles(), **llm.oracles(), **extras.oracles()}
+    return {
+        **core.oracles(),
+        **llm.oracles(),
+        **extras.oracles(),
+        **round5.oracles(),
+    }

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SUPPLIER_NODE_OFFSET = 1_000_000_000  # disjoint node id spaces (cust vs supp)
@@ -522,4 +522,175 @@ def pagerank_weighted_oracle_sql(n_iter: int = 4) -> str:
         """
         )
     parts.append(f"SELECT node, r AS rank_micro FROM r{n_iter}")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: deterministic label propagation + multi-source BFS
+# ---------------------------------------------------------------------------
+
+_COSUPP_EDGE_SQL = """
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+"""
+
+
+def label_propagation_rounds(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection):
+    label_0(v) = v; each round EVERY node simultaneously adopts the
+    PLURALITY label among its neighbors' current labels, ties broken by
+    smallest label — (count DESC, label ASC) argmax, so the whole run is a
+    pure function of the edge set, unlike the classic random-visit-order
+    LPA. Min-label propagation (dedup.connected_components) finds
+    components; plurality voting finds DENSE communities inside one.
+
+    INPUT CONTRACT: distinct canonical undirected edges (a < b), like
+    ``triangle_counts``. Fixed rounds so the DuckDB oracle can unroll the
+    identical recurrence (GROUP BY votes + per-node argmax window per
+    round).
+
+    Scale shape: each round is one ranks-sized join on src + one
+    (node, label) count aggregation + one per-node window — 3 shuffles
+    on the node key, all linear in |E|; at cluster scale edges and labels
+    co-partition on node id. ``labels`` is referenced once per round, so
+    the plan is linear in depth; k is small (3-4) by contract.
+    Returns (node, label) — nodes sharing a label share a community.
+    """
+    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()  # read k+1 times; truncate the pair-expansion lineage
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(n_rounds):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(n_rounds: int = 3) -> str:
+    """Unrolled-CTE twin over the co-supplier graph: votes_i (GROUP BY) +
+    l_i (ROW_NUMBER argmax, count DESC / label ASC) per round. Every CTE
+    MATERIALIZED — same blowup note as the k-core oracle."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED ({_COSUPP_EDGE_SQL}),
+        und AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b AS src, a AS dst FROM e
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS label FROM und
+        )
+        """
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        v{i} AS MATERIALIZED (
+            SELECT und.dst AS node, l{i-1}.label, COUNT(*) AS c
+            FROM und JOIN l{i-1} ON und.src = l{i-1}.node
+            GROUP BY 1, 2
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY node ORDER BY c DESC, label ASC
+                       ) AS rn
+                FROM v{i}
+            ) WHERE rn = 1
+        )
+        """
+        )
+    parts.append(
+        f"SELECT node, CAST(label AS BIGINT) AS label FROM l{n_rounds}"
+    )
+    return "".join(parts)
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Multi-source BFS over the undirected graph: hop distance from the
+    nearest seed, bounded by ``n_rounds`` relaxations —
+
+        d_0(v) = 0 if v in seeds
+        d_{i+1}(v) = min(d_i(v), 1 + min over neighbors u of d_i(u))
+
+    the Bellman-Ford/Pregel relaxation with unit weights. Only nodes
+    reached within ``n_rounds`` hops appear in the output (frontier
+    semantics); exact integers throughout.
+
+    INPUT CONTRACT: ``edges`` distinct canonical (a < b); ``seeds`` a
+    one-column (node) DataFrame, deduplicated here.
+
+    Scale shape: each round joins the CURRENT distance table to edges on
+    the node key and re-aggregates min — 2 shuffles/round, linear in |E|.
+    ``dist`` is referenced twice per round (carry + relax), so each round
+    localCheckpoints — the same 2^n lineage-blowup treatment as k-core's
+    3^n (measured there; the mechanism is identical).
+    """
+    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    dist = seeds.select(F.col("node").cast("long").alias("node")).distinct().select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint()
+    for _ in range(n_rounds):
+        relax = (
+            und.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def bfs_hops_oracle_sql(seed_sql: str, n_rounds: int = 3) -> str:
+    """Unrolled-CTE twin over the co-supplier graph: d_{i+1} = min over
+    (carry UNION ALL relax) per round, seeds from ``seed_sql`` (one
+    ``node`` column). MATERIALIZED for the same 2^n reason."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED ({_COSUPP_EDGE_SQL}),
+        und AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b AS src, a AS dst FROM e
+        ),
+        d0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(node AS BIGINT) AS node,
+                   CAST(0 AS BIGINT) AS hops
+            FROM ({seed_sql})
+        )
+        """
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+                SELECT node, hops FROM d{i-1}
+                UNION ALL
+                SELECT und.dst AS node, d{i-1}.hops + 1 AS hops
+                FROM und JOIN d{i-1} ON und.src = d{i-1}.node
+            ) GROUP BY node
+        )
+        """
+        )
+    parts.append(f"SELECT node, hops FROM d{n_rounds}")
     return "".join(parts)

@@ -445,3 +445,93 @@ def apply_bpe(
     # when the non-cheap expression is referenced from a CHILD projection)
     encoded = docs.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("toks"))
     return encoded.select("doc_id", "toks", F.size("toks").alias("n_toks"))
+
+
+def bpe_train_oracle_sql(n_merges: int = 6, doc_pred: str = "doc_id < 500") -> str:
+    """Unrolled-CTE DuckDB twin of ``bpe_train`` — the k-core/PageRank
+    trick applied to BPE training (VERDICT r4 item 8), refuting this
+    module's earlier "no single SQL statement can express it" at FIXED
+    n_merges: each iteration is (pair count self-join) -> (argmax with
+    the same count-desc/left-asc/right-asc tie-break) -> (greedy
+    left-to-right rewrite).
+
+    The greedy fold is replayed RELATIONALLY by run parity: a merge
+    candidate at position p conflicts only with one at p-1, and
+    consecutive matches occur only when left == right (t[p+1] cannot be
+    both the pair's right and its left otherwise), so greedy
+    left-to-right == "keep even offsets within each maximal run of
+    consecutive match positions". That independent derivation agreeing
+    with the fold's accumulator semantics step for step IS the
+    cross-check; rebuilt sequences renumber by row_number.
+
+    MATERIALIZED everywhere: t_{i} feeds the pair join (twice), the match
+    join (twice) and the rebuild — inlined, the usual exponential-plan
+    blowup."""
+    parts = [
+        f"""
+        WITH t0 AS MATERIALIZED (
+            SELECT doc_id, unnest(t) AS tok,
+                   unnest(range(1, len(t) + 1)) AS pos
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents WHERE {doc_pred})
+        )
+        """
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        pc{i} AS MATERIALIZED (
+            SELECT a.tok AS l, b.tok AS r, COUNT(*) AS n
+            FROM t{p} a JOIN t{p} b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+        ),
+        p{i} AS MATERIALIZED (
+            SELECT l, r, CAST(n AS BIGINT) AS n FROM pc{i}
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT a.doc_id, a.pos
+            FROM t{p} a
+            JOIN t{p} b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1, p{i}
+            WHERE a.tok = p{i}.l AND b.tok = p{i}.r
+        ),
+        k{i} AS MATERIALIZED (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       pos - MIN(pos) OVER (PARTITION BY doc_id, grp) AS off
+                FROM (
+                    SELECT doc_id, pos,
+                           pos - ROW_NUMBER() OVER (
+                               PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM m{i}
+                )
+            ) WHERE off % 2 = 0
+        ),
+        t{i} AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN taken THEN (SELECT l || r FROM p{i})
+                        ELSE tok END AS tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS pos
+            FROM (
+                SELECT t.doc_id, t.pos, t.tok,
+                       EXISTS (SELECT 1 FROM k{i} x
+                               WHERE x.doc_id = t.doc_id
+                                 AND x.pos = t.pos) AS taken
+                FROM t{p} t
+                WHERE NOT EXISTS (SELECT 1 FROM k{i} x
+                                  WHERE x.doc_id = t.doc_id
+                                    AND x.pos = t.pos - 1)
+            )
+        )
+        """
+        )
+    selects = [
+        f"""SELECT CAST({i} AS INTEGER) AS step, l AS "left", r AS "right",
+                   l || r AS merged, n AS pair_count FROM p{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    parts.append("\n        UNION ALL\n        ".join(selects))
+    return "".join(parts)

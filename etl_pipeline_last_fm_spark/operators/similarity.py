@@ -1263,3 +1263,150 @@ def ivfpq_residual_ann_topk_seeded_oracle_sql(
         SELECT q_id, cand_id, d_r AS approx_d, CAST(rn AS INTEGER) AS rnk
         FROM ranked WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-5: fully-relational, exact-integer Lloyd's k-means (trained
+# centroids as a VALUE-CHECKED distributed program, VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lloyd_relational(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as a pure relational program in exact integer
+    micro-units — the TRAINED-centroid path the rows-only ``sim_ann_ivf``
+    could never value-check, made bit-reproducible:
+
+    * vectors explode to (id, dim, xv) with xv = floor(x * 1e6 + 0.5)
+      int64 (the float->double widening is exact; the rounding formula is
+      the house parity trick);
+    * seeds = the k lowest-id vectors verbatim (pure SQL selection, so
+      the oracle rebuilds the identical start state);
+    * assignment = argmin over integer squared L2 — (xv-cv)^2 sums,
+      bounded by dims * (2e6)^2 ~ 2.6e14 << 2^63 — ties broken by cid;
+    * update = per-(cid, dim) SUM(xv) div COUNT (both engines truncate
+      toward zero, verified incl. negatives); empty clusters carry their
+      previous centroid via left-join coalesce.
+
+    Every step is int64 arithmetic, so ``n_iters`` rounds match the
+    oracle's unrolled CTEs value-for-value by construction — Lloyd's is
+    deterministic once seeding is; float k-means never survives
+    cross-engine accumulation-order drift, fixed-point does.
+
+    Scale shape: per iteration one dim-key join (|rows| x k expansion —
+    k is small by contract) + one (id, cid) aggregate + one per-id argmax
+    window + one (cid, dim) aggregate, all shuffling on bounded keys;
+    centroids are k * dims rows. localCheckpoint per round truncates the
+    iterative lineage (same treatment as the graph tier). In production
+    the TRAINING input is a bounded sample (cf. kmeans_centroids) — the
+    full corpus pays only the assignment map.
+
+    Returns (cluster_id, dim, centroid_micro) — k * dims rows.
+    """
+    x = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "xd"),
+        )
+        .select(
+            "id", "dim",
+            F.floor(F.col("xd") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long").alias("xv"),
+        )
+        .localCheckpoint()
+    )
+    cents = x.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), "dim", F.col("xv").alias("cv")
+    ).localCheckpoint()
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    for _ in range(n_iters):
+        diff = F.col("xv") - F.col("cv")
+        dists = (
+            x.join(cents, "dim")
+            .select("id", "cid", (diff * diff).alias("__d"))
+            .groupBy("id", "cid")
+            .agg(F.sum("__d").alias("dist"))
+        )
+        assign = (
+            dists.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "cid")
+        )
+        sums = (
+            x.join(assign, "id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(xv) div count(1)").alias("nv"))
+        )
+        cents = (
+            cents.join(sums, ["cid", "dim"], "left")
+            .select("cid", "dim", F.coalesce("nv", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return cents.select(
+        F.col("cid").alias("cluster_id"), "dim",
+        F.col("cv").alias("centroid_micro"),
+    )
+
+
+def kmeans_lloyd_oracle_sql(
+    k: int = 8, n_iters: int = 2, dims: int = 64
+) -> str:
+    """Unrolled-CTE twin of ``kmeans_lloyd_relational`` over the
+    embeddings table. MATERIALIZED CTEs (x and each c_i feed multiple
+    consumers — the usual inlining blowup guard)."""
+    parts = [
+        f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id AS id, i AS dim,
+                   CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS xv
+            FROM embeddings, range({dims}) t(i)
+        ),
+        c0 AS MATERIALIZED (
+            SELECT id AS cid, dim, xv AS cv FROM x WHERE id < {k}
+        )
+        """
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT x.id, c.cid,
+                   CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS dist
+            FROM x JOIN c{i-1} c ON x.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT id, cid FROM (
+                SELECT id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY id ORDER BY dist ASC, cid ASC
+                       ) AS rn
+                FROM d{i}
+            ) WHERE rn = 1
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT a.cid, x.dim,
+                   CAST(SUM(x.xv) AS BIGINT) // COUNT(*) AS nv
+            FROM x JOIN a{i} a ON x.id = a.id
+            GROUP BY 1, 2
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT c.cid, c.dim, COALESCE(s.nv, c.cv) AS cv
+            FROM c{i-1} c LEFT JOIN s{i} s
+              ON c.cid = s.cid AND c.dim = s.dim
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT cid AS cluster_id, dim, CAST(cv AS BIGINT) AS centroid_micro
+        FROM c{n_iters}
+        """
+    )
+    return "".join(parts)

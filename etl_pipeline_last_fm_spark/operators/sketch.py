@@ -658,3 +658,129 @@ def kmv_set_ops_oracle_sql(
             END AS jaccard_est
         FROM ms, cb, sa, sb
     """
+
+
+def kmv_expr(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    state_c: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style readout of the set EXPRESSION (A ∪ B) ∖ C from
+    three (ungrouped) KMV states sharing a salt — the ``kmv_set_ops``
+    two-set algebra generalized to an expression TREE (VERDICT r4 item 8):
+    one bounded sample answers an arbitrary and/or/not combination.
+
+    Estimator: merged = bottom-k of A∪B∪C (two associative merges). The
+    membership lemma extends to NEGATION: θ_merged <= θ_X for every input
+    X (more values can only shrink the kth hash), so a merged-sample
+    member that belongs to X necessarily sits in X's own bottom-k — which
+    makes ABSENCE from X's state a proof of absence from X, and the
+    expression flag ((in A or in B) and not in C) exact for every sample
+    member. Then |E|_est = (c_E / n_m) * |A∪B∪C|_est, the same a-priori
+    proportion readout (and the same floor(x+0.5) double arithmetic) as
+    the two-set operator.
+
+    Exactness branch: n_m < k means the merged state holds EVERY distinct
+    value of A∪B∪C, so c_E IS |E| — sf0.001 exercises this branch while
+    sf0.01 exercises the estimate branch.
+
+    Scale: three |state| = k inputs, all driver-free; the readout is a
+    handful of k-row joins and one-row aggregates.
+    """
+    merged = merge_kmv_states(
+        merge_kmv_states(state_a, state_b, [], k), state_c, [], k
+    )
+    flagged = (
+        merged.join(
+            state_a.select("__v").withColumn("__ina", F.lit(1)), "__v", "left"
+        )
+        .join(state_b.select("__v").withColumn("__inb", F.lit(1)), "__v", "left")
+        .join(state_c.select("__v").withColumn("__inc", F.lit(1)), "__v", "left")
+    )
+    in_expr = (
+        (F.col("__ina").isNotNull() | F.col("__inb").isNotNull())
+        & F.col("__inc").isNull()
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.max("__h").alias("hk"),
+        F.sum(in_expr.cast("long")).alias("c"),
+    )
+    u = F.when(F.col("n_m") < k, F.col("n_m").cast("long")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_M) / (F.col("hk") + 1).cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    expr_est = F.when(F.col("n_m") < k, F.col("c").cast("long")).otherwise(
+        F.floor(
+            F.col("c").cast("double")
+            * u.cast("double")
+            / F.col("n_m").cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return stats.select(
+        expr_est.alias("n_expr_est"),
+        u.alias("n_union_est"),
+        F.col("n_m").cast("long").alias("n_sample"),
+        (F.col("n_m") < k).cast("int").alias("is_exact"),
+    )
+
+
+def kmv_expr_oracle_sql(
+    sql_a: str, sql_b: str, sql_c: str, k: int = 256, salt: str = "kmvset"
+) -> str:
+    """DuckDB twin of kmv_state(x3, shared salt) |> kmv_expr. Each input
+    SELECTs one column ``v``."""
+    h = portable_hash60_sql(f"'{salt}:' || CAST(v AS VARCHAR)")
+
+    def bk(name: str, sql: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT v, h FROM (
+                SELECT v, {h} AS h,
+                       ROW_NUMBER() OVER (ORDER BY {h}, v) AS rk
+                FROM (SELECT DISTINCT v FROM ({sql}))
+            ) WHERE rk <= {k}
+        )"""
+
+    u_sql = f"""CASE WHEN n_m < {k} THEN n_m
+                 ELSE FLOOR({float(k - 1)!r} * {_KMV_M!r}
+                            / CAST(hk + 1 AS DOUBLE) + 0.5)
+            END"""
+    return f"""
+        WITH
+        {bk("sta", sql_a)},
+        {bk("stb", sql_b)},
+        {bk("stc", sql_c)},
+        merged AS (
+            SELECT v, h FROM (
+                SELECT v, h, ROW_NUMBER() OVER (ORDER BY h, v) AS rk
+                FROM (SELECT DISTINCT v, h FROM (
+                    SELECT * FROM sta UNION ALL
+                    SELECT * FROM stb UNION ALL
+                    SELECT * FROM stc))
+            ) WHERE rk <= {k}
+        ),
+        ms AS (
+            SELECT COUNT(*) AS n_m, MAX(h) AS hk,
+                   COUNT(*) FILTER (
+                       WHERE (EXISTS (SELECT 1 FROM sta WHERE sta.v = merged.v)
+                           OR EXISTS (SELECT 1 FROM stb WHERE stb.v = merged.v))
+                         AND NOT EXISTS (SELECT 1 FROM stc WHERE stc.v = merged.v)
+                   ) AS c
+            FROM merged
+        )
+        SELECT
+            CAST(CASE WHEN n_m < {k} THEN c
+                 ELSE FLOOR(CAST(c AS DOUBLE)
+                            * CAST({u_sql} AS DOUBLE)
+                            / CAST(n_m AS DOUBLE) + 0.5)
+            END AS BIGINT) AS n_expr_est,
+            CAST({u_sql} AS BIGINT) AS n_union_est,
+            CAST(n_m AS BIGINT) AS n_sample,
+            CAST(CASE WHEN n_m < {k} THEN 1 ELSE 0 END AS INT) AS is_exact
+        FROM ms
+    """

@@ -129,10 +129,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training (6 merges) on a bounded corpus
-    sample — the learned merge table. Rows-only by design, like the
-    trained-k-means IVF: the per-iteration argmax feeds the next
-    iteration's input, which no single SQL statement can express; the
-    algorithm is instead pinned against a pure-Python greedy reference in
+    sample — the learned merge table. VALUE-CHECKED since round 5: the
+    whole training run unrolls into one SQL statement at fixed n_merges
+    (packing.bpe_train_oracle_sql — pair-count self-join, argmax with the
+    identical tie-break, and the greedy left-to-right rewrite replayed
+    relationally by run parity), so the driver hash-compares every merge
+    step. Also pinned against a pure-Python greedy reference in
     tests/test_round4_ops.py (including the overlapping-run case), and
     determinism is tested by double-run equality."""
     from etl_pipeline_last_fm_spark.operators.packing import bpe_train
@@ -959,6 +961,9 @@ def oracles() -> dict[str, str]:
 
     en_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return {
+        "bpe_train": packing_ops.bpe_train_oracle_sql(
+            n_merges=6, doc_pred="doc_id < 500"
+        ),
         "dedup_sorted_neighborhood": _snm_oracle(),
         "dedup_snm_multipass": _snm_multipass_oracle(),
         "cohort_retention": _cohort_oracle(),

@@ -1,0 +1,466 @@
+"""Round-5 additions: driver-visible streaming fold, BPE training trace,
+sketch set-expressions, decontamination, and further graph / TPC-H plan
+shapes. Ordering lives in __spark_entry__.py; this module only implements.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.registry.extras import (
+    _rev4_col,
+    _US_1996,
+    _US_1996_07,
+)
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+
+def q_streaming_mart_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible twin of the run_pipeline_streaming DM path (VERDICT
+    r4 item 4): a REAL Structured Streaming query — file source,
+    maxFilesPerTrigger=1, availableNow trigger, foreachBatch — folds
+    per-date exact-integer revenue state through streaming/marts.py's
+    replay-guarded `mart_fold_batch` + crash-safe `commit_state`, then the
+    presented mart is returned as the graded result. The oracle is the
+    BATCH mart SQL over the same rows: the additive-state contract
+    (present∘merge∘state == present∘state∘union for ANY split) is what
+    makes a 3-micro-batch fold value-identical to the one-shot aggregate,
+    regardless of which files land in which micro-batch.
+
+    The value fed to the state is rev4/100 (centi-units of the exact
+    1e-4-dollar integer), so additive_state's floor(x*100+0.5) recovers
+    rev4 EXACTLY per row (the double round-trip error is « 0.5).
+
+    Driver-side materialization note: the presented mart (one row per
+    order date, ~2.4k keys at any SF — bounded by the calendar, not the
+    data) is collected once so the temp streaming workspace (source files,
+    checkpoint, state) can be removed before returning; the returned
+    DataFrame is a local-relation rebuild of those rows."""
+    from etl_pipeline_last_fm_spark.operators.incremental import present
+    from etl_pipeline_last_fm_spark.streaming.marts import (
+        read_state,
+        streaming_mart_maintenance,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderdate").alias("date"),
+            (_rev4_col().cast("double") / F.lit(100.0)).alias("rev_cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_streamfold_")
+    try:
+        src = os.path.join(tmp, "src")
+        state = os.path.join(tmp, "state")
+        ck = os.path.join(tmp, "ck")
+        rows.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_mart_maintenance(
+                stream, state, ["date"], "rev_cents", checkpoint=ck
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = present(read_state(spark, state), ["date"])
+        schema = out.schema
+        collected = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(collected, schema)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic plurality-vote label propagation over the co-supplier
+    graph, 3 synchronous rounds (operators/graph.py
+    label_propagation_rounds) — the community-detection sibling of the
+    min-label connected components the dedup tier uses. Oracle: the same
+    recurrence unrolled as MATERIALIZED CTEs."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        cosupplier_edges,
+        label_propagation_rounds,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return label_propagation_rounds(cosupplier_edges(li), n_rounds=3)
+
+
+#: Seed predicate for the BFS query — density-independent (a key-space
+#: stripe, never a nation filter that can be EMPTY at small SF; an empty
+#: seed set makes the oracle comparison vacuously green).
+_BFS_SEED_SQL = "SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 7 = 1"
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.py bfs_hops): hop distance from
+    the nearest seeded supplier over the co-supplier graph, 3 relaxation
+    rounds — frontier semantics, exact integer hops. Oracle: unrolled
+    min-relaxation CTEs."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        bfs_hops,
+        cosupplier_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    seeds = sup.filter(F.col("s_suppkey") % 7 == 1).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return bfs_hops(cosupplier_edges(li), seeds, n_rounds=3)
+
+
+_US_DAY = 86_400_000_000  # one day in epoch microseconds
+
+
+def q_priority_promises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of 1996-H1 orders where EXISTS a
+    lineitem shipped more than 80 days after the order date (the schema
+    has no l_commitdate; the late-shipment predicate plays its role).
+    The EXISTS lowers to a left-semi join — orders is the probe side, the
+    qualifying-lineitem set the build side; one shuffle on orderkey."""
+    from etl_pipeline_last_fm_spark.functions.scalar import ts_us
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    h1 = orders.filter(
+        (ts_us(F.col("o_orderdate")) >= F.lit(_US_1996))
+        & (ts_us(F.col("o_orderdate")) < F.lit(_US_1996_07))
+    )
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(
+        ts_us(F.col("l_shipdate")) > ts_us(F.col("o_orderdate")) + F.lit(80 * _US_DAY)
+    ).select(F.col("l_orderkey").alias("__k"))
+    return (
+        h1.join(late, h1.o_orderkey == F.col("__k"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp in this schema): parts whose revenue
+    exceeds fraction 1/10000 of GLOBAL revenue — a grouped HAVING against
+    an uncorrelated global scalar. The comparison is the integer
+    cross-multiplication sum_part * 10000 > total (never a float
+    threshold), so the cut is exact; revenue presents as the usual
+    rev4-div-cents double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev4_col()).alias("__s4"))
+    total = per_part.agg(F.sum("__s4").alias("__t4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__s4") * F.lit(10_000) > F.col("__t4"))
+        .select(
+            "l_partkey",
+            (F.expr("(2 * __s4 + 100) div 200").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (p_brand, p_size)
+    for mid-size parts, EXCLUDING suppliers from a NOT IN subquery
+    (negative account balance — the complaints analogue). NOT IN over a
+    non-null key column lowers to an anti-join; the count distinct rides
+    one (brand, size) shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("__bad")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_size") <= 15)),
+                li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == F.col("__bad"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers that were the ONLY late shipper inside a
+    multi-supplier order — EXISTS(another supplier in the order) AND NOT
+    EXISTS(another LATE supplier in the order), late = shipped > 60 days
+    after the order date. The two quantifiers lower to a semi- and an
+    anti-join against per-order supplier sets; top 20 by count with name
+    tie-break."""
+    from etl_pipeline_last_fm_spark.functions.scalar import ts_us
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    osupp = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (
+                ts_us(F.col("l_shipdate"))
+                > ts_us(F.col("o_orderdate")) + F.lit(60 * _US_DAY)
+            ).alias("late"),
+        )
+        .groupBy("ok", "sk")
+        .agg(F.max(F.col("late").cast("int")).alias("late"))
+    )
+    late = osupp.filter(F.col("late") == 1).select("ok", "sk")
+    other = osupp.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
+    other_exists = late.join(
+        other,
+        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    )
+    other_late = osupp.filter(F.col("late") == 1).select(
+        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
+    )
+    sole = other_exists.join(
+        other_late,
+        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("sk") == supplier.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance-sum of customers with
+    above-average positive balance and NO large order (o_totalprice >
+    300k; plain "no orders at all" is VACUOUS on this dataset — every
+    customer orders ~10 times, so the anti-join predicate moves to the
+    rarer event) — an uncorrelated scalar AVG subquery plus a NOT EXISTS
+    anti-join. The average is computed in exact integer cents (sum div
+    count, truncating) so the cut is engine-identical; the balance sum
+    presents as cents/100."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    cust = customer.select("c_custkey", "c_nationkey", cents.alias("__bal"))
+    avg_pos = cust.filter(F.col("__bal") > 0).agg(
+        F.expr("sum(__bal) div count(1)").alias("__avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("__bal") > F.col("__avg"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 300_000).select(
+                F.col("o_custkey").alias("__oc")
+            ),
+            F.col("c_custkey") == F.col("__oc"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("__bal").cast("double") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+def q_kmv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set-EXPRESSION readout (operators/sketch.py
+    kmv_expr): distinct value-cents seen in clicks or views but never in
+    purchases — |(A ∪ B) ∖ C| — from three shared-salt bottom-k states.
+    (Value cents, not user_id: every user does everything on this
+    fixture, which makes the user-id expression empty — a vacuous
+    oracle.) sf0.001 has ~200 distinct cents per type, landing in the
+    exact-below-k branch; sf0.01 has ~1.8k, landing in the estimate
+    branch — one query exercises both."""
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_expr, kmv_state
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def st(etype: str):
+        return kmv_state(
+            ev.filter(F.col("event_type") == etype),
+            cents, [], k=256, salt="kmvexpr",
+        )
+
+    return kmv_expr(st("click"), st("view"), st("purchase"), k=256)
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means centroids as a VALUE-CHECKED distributed program
+    (operators/similarity.py kmeans_lloyd_relational): 2 Lloyd iterations
+    from the k lowest-id seeds, exact integer micro-units end to end —
+    the trained-centroid path that the rows-only `sim_ann_ivf` delegates
+    to driver-side numpy, now with a cross-engine oracle (VERDICT r4
+    item 8). Output: (cluster_id, dim, centroid_micro), k x dims rows."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        kmeans_lloyd_relational,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_relational(emb, k=8, n_iters=2)
+
+
+QUERIES = {
+    "bfs_hops": q_bfs_hops,
+    "kmeans_train": q_kmeans_train,
+    "kmv_expr": q_kmv_expr,
+    "idle_customers": q_idle_customers,
+    "important_parts": q_important_parts,
+    "label_propagation": q_label_propagation,
+    "priority_promises": q_priority_promises,
+    "sole_late_supplier": q_sole_late_supplier,
+    "streaming_mart_fold": q_streaming_mart_fold,
+    "supplier_part_counts": q_supplier_part_counts,
+}
+
+
+def oracles() -> dict[str, str]:
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        bfs_hops_oracle_sql,
+        label_propagation_oracle_sql,
+    )
+
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_expr_oracle_sql
+
+    def _ev(etype: str) -> str:
+        return (
+            "SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v "
+            f"FROM events WHERE event_type = '{etype}'"
+        )
+
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        kmeans_lloyd_oracle_sql,
+    )
+
+    return {
+        "kmeans_train": kmeans_lloyd_oracle_sql(k=8, n_iters=2, dims=64),
+        "kmv_expr": kmv_expr_oracle_sql(
+            _ev("click"), _ev("view"), _ev("purchase"), k=256, salt="kmvexpr"
+        ),
+        "label_propagation": label_propagation_oracle_sql(n_rounds=3),
+        "bfs_hops": bfs_hops_oracle_sql(_BFS_SEED_SQL, n_rounds=3),
+        "priority_promises": f"""
+            WITH late AS (
+                SELECT DISTINCT l_orderkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE epoch_us(l_shipdate)
+                      > epoch_us(o_orderdate) + 80 * {_US_DAY}
+            )
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE epoch_us(o_orderdate) >= {_US_1996}
+              AND epoch_us(o_orderdate) < {_US_1996_07}
+              AND o_orderkey IN (SELECT l_orderkey FROM late)
+            GROUP BY 1
+        """,
+        "important_parts": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                            AS BIGINT) AS s4
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT CAST(SUM(s4) AS BIGINT) AS t4 FROM pp)
+            SELECT l_partkey,
+                   CAST((2 * s4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+            FROM pp, t
+            WHERE s4 * 10000 > t4
+        """,
+        "supplier_part_counts": """
+            SELECT p_brand, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 15
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "sole_late_supplier": f"""
+            WITH osupp AS (
+                SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       MAX(CASE WHEN epoch_us(l_shipdate)
+                                 > epoch_us(o_orderdate) + 60 * {_US_DAY}
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            sole AS (
+                SELECT o1.ok, o1.sk FROM osupp o1
+                WHERE o1.late = 1
+                  AND EXISTS (SELECT 1 FROM osupp o2
+                              WHERE o2.ok = o1.ok AND o2.sk <> o1.sk)
+                  AND NOT EXISTS (SELECT 1 FROM osupp o3
+                                  WHERE o3.ok = o1.ok AND o3.sk <> o1.sk
+                                    AND o3.late = 1)
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM sole JOIN supplier ON sk = s_suppkey
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "idle_customers": """
+            WITH cust AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+                FROM customer
+            ),
+            a AS (
+                SELECT CAST(SUM(bal) AS BIGINT) // COUNT(*) AS avgbal
+                FROM cust WHERE bal > 0
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(CAST(SUM(bal) AS BIGINT) AS DOUBLE) / 100.0
+                     AS totacctbal
+            FROM cust, a
+            WHERE bal > avgbal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY 1
+        """,
+        # The BATCH mart over the same rows: per-row exact rev4 recovery,
+        # int64 sums (CAST defuses HUGEINT), presentation divisions as
+        # single IEEE double ops with the floor(x*10^s+0.5)/10^s trick —
+        # identical to operators/incremental.present on the Spark side.
+        "streaming_mart_fold": """
+            WITH rev AS (
+                SELECT o_orderdate AS date,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                         AS rev4
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            st AS (
+                SELECT date,
+                       CAST(SUM(rev4) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM rev GROUP BY date
+            )
+            SELECT date,
+                   CAST(s AS DOUBLE) / 100.0 AS value_sum,
+                   FLOOR(CAST(s AS DOUBLE) / (c * 100.0) * 10000 + 0.5)
+                     / 10000.0 AS value_avg,
+                   c AS n_rows
+            FROM st
+        """,
+    }
