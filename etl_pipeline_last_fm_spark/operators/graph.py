@@ -146,17 +146,23 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts_oracle_sql() -> str:
-    """DuckDB twin over the same co-supplier graph, but via the NAIVE
-    id-ordered 3-way join (a < b edges chain a<b<c directly) — an
-    independent derivation of the identical per-node counts."""
-    return """
-        WITH e AS (
+#: Canonical co-supplier edge derivation shared by every oracle over
+#: this graph (triangles, k-core, LPA, BFS) — one definition to keep in
+#: sync with ``cosupplier_edges``.
+_COSUPP_EDGE_SQL = """
             SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
             FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
             JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
               ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
-        ),
+"""
+
+
+def triangle_counts_oracle_sql() -> str:
+    """DuckDB twin over the same co-supplier graph, but via the NAIVE
+    id-ordered 3-way join (a < b edges chain a<b<c directly) — an
+    independent derivation of the identical per-node counts."""
+    return f"""
+        WITH e AS ({_COSUPP_EDGE_SQL}),
         deg AS (
             SELECT node, COUNT(*) AS degree FROM (
                 SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
@@ -380,13 +386,8 @@ def kcore_rounds_oracle_sql(k: int = 3, n_rounds: int = 4) -> str:
     # same 3^n blowup the Spark side breaks with localCheckpoint
     # (measured: 234 s inlined vs sub-second materialized at sf0.001).
     parts = [
-        """
-        WITH e0 AS MATERIALIZED (
-            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
-            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
-            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
-              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
-        )
+        f"""
+        WITH e0 AS MATERIALIZED ({_COSUPP_EDGE_SQL})
         """
     ]
     for i in range(n_rounds):
@@ -529,12 +530,26 @@ def pagerank_weighted_oracle_sql(n_iter: int = 4) -> str:
 # Round-5 additions: deterministic label propagation + multi-source BFS
 # ---------------------------------------------------------------------------
 
-_COSUPP_EDGE_SQL = """
-            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
-            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
-            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
-              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
-"""
+def undirected(edges: DataFrame) -> DataFrame:
+    """Both orientations of a canonical (a < b) edge list, lineage-truncated
+    — the shared expansion for every neighbor-propagation operator (LPA,
+    BFS). localCheckpoint: the result is read k+1 times by iterative
+    consumers, and it truncates the upstream pair-expansion lineage."""
+    return (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+
+
+#: Oracle twin of ``undirected`` over the co-supplier graph — shared CTE
+#: prefix for the LPA and BFS oracle builders.
+_UND_CTE = f"""
+        WITH e AS MATERIALIZED ({_COSUPP_EDGE_SQL}),
+        und AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b AS src, a AS dst FROM e
+        )"""
 
 
 def label_propagation_rounds(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
@@ -558,9 +573,7 @@ def label_propagation_rounds(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
     the plan is linear in depth; k is small (3-4) by contract.
     Returns (node, label) — nodes sharing a label share a community.
     """
-    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint()  # read k+1 times; truncate the pair-expansion lineage
+    und = undirected(edges)
     nodes = und.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
@@ -585,12 +598,8 @@ def label_propagation_oracle_sql(n_rounds: int = 3) -> str:
     l_i (ROW_NUMBER argmax, count DESC / label ASC) per round. Every CTE
     MATERIALIZED — same blowup note as the k-core oracle."""
     parts = [
-        f"""
-        WITH e AS MATERIALIZED ({_COSUPP_EDGE_SQL}),
-        und AS MATERIALIZED (
-            SELECT a AS src, b AS dst FROM e
-            UNION ALL SELECT b AS src, a AS dst FROM e
-        ),
+        _UND_CTE
+        + """,
         l0 AS MATERIALIZED (
             SELECT DISTINCT src AS node, src AS label FROM und
         )
@@ -641,9 +650,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, n_rounds: int = 3) -> DataFrame
     localCheckpoints — the same 2^n lineage-blowup treatment as k-core's
     3^n (measured there; the mechanism is identical).
     """
-    und = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint()
+    und = undirected(edges)
     dist = seeds.select(F.col("node").cast("long").alias("node")).distinct().select(
         "node", F.lit(0).cast("long").alias("hops")
     ).localCheckpoint()
@@ -666,12 +673,8 @@ def bfs_hops_oracle_sql(seed_sql: str, n_rounds: int = 3) -> str:
     (carry UNION ALL relax) per round, seeds from ``seed_sql`` (one
     ``node`` column). MATERIALIZED for the same 2^n reason."""
     parts = [
-        f"""
-        WITH e AS MATERIALIZED ({_COSUPP_EDGE_SQL}),
-        und AS MATERIALIZED (
-            SELECT a AS src, b AS dst FROM e
-            UNION ALL SELECT b AS src, a AS dst FROM e
-        ),
+        _UND_CTE
+        + f""",
         d0 AS MATERIALIZED (
             SELECT DISTINCT CAST(node AS BIGINT) AS node,
                    CAST(0 AS BIGINT) AS hops

@@ -353,9 +353,16 @@ def bpe_train(
     def esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace("'", "\\'")
 
+    # Empty tokens (from runs of spaces) are dropped: with every symbol
+    # non-empty, merged = left + right is always LONGER than left, so a
+    # just-merged tail can never equal `left` and re-trigger — the
+    # precondition both the fold's greedy argument and the oracle's
+    # run-parity replay rely on.
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), " ").alias("__toks"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), " "), lambda t: t != F.lit("")
+        ).alias("__toks"),
     ).persist()
     merges: list[tuple[int, str, str, str, int]] = []
     try:
@@ -428,7 +435,8 @@ def apply_bpe(
     def esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace("'", "\\'")
 
-    expr = f"split(trim({text_col}), ' ')"
+    # Same empty-token drop as bpe_train (train/apply consistency).
+    expr = f"filter(split(trim({text_col}), ' '), t -> t != '')"
     for _step, left, right, merged, _n in merges:
         expr = f"""aggregate(
             {expr},
@@ -472,7 +480,9 @@ def bpe_train_oracle_sql(n_merges: int = 6, doc_pred: str = "doc_id < 500") -> s
         WITH t0 AS MATERIALIZED (
             SELECT doc_id, unnest(t) AS tok,
                    unnest(range(1, len(t) + 1)) AS pos
-            FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM (SELECT doc_id,
+                         list_filter(string_split(trim(text), ' '),
+                                     x -> x <> '') AS t
                   FROM documents WHERE {doc_pred})
         )
         """
@@ -488,7 +498,11 @@ def bpe_train_oracle_sql(n_merges: int = 6, doc_pred: str = "doc_id < 500") -> s
             GROUP BY 1, 2
         ),
         p{i} AS MATERIALIZED (
+            -- n >= 2 encodes the operator's early stop: once no pair
+            -- repeats, p is empty, t carries forward unchanged, and all
+            -- remaining trace steps emit zero rows — exactly the break.
             SELECT l, r, CAST(n AS BIGINT) AS n FROM pc{i}
+            WHERE n >= 2
             ORDER BY n DESC, l ASC, r ASC LIMIT 1
         ),
         m{i} AS MATERIALIZED (

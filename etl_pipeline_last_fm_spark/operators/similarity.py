@@ -1285,8 +1285,9 @@ def kmeans_lloyd_relational(
     * vectors explode to (id, dim, xv) with xv = floor(x * 1e6 + 0.5)
       int64 (the float->double widening is exact; the rounding formula is
       the house parity trick);
-    * seeds = the k lowest-id vectors verbatim (pure SQL selection, so
-      the oracle rebuilds the identical start state);
+    * seeds = the k lowest ids PRESENT, verbatim (pure SQL selection —
+      DISTINCT + ORDER BY + LIMIT — so the oracle rebuilds the identical
+      start state, and sparse or offset id spaces still yield k seeds);
     * assignment = argmin over integer squared L2 — (xv-cv)^2 sums,
       bounded by dims * (2e6)^2 ~ 2.6e14 << 2^63 — ties broken by cid;
     * update = per-(cid, dim) SUM(xv) div COUNT (both engines truncate
@@ -1320,7 +1321,11 @@ def kmeans_lloyd_relational(
         )
         .localCheckpoint()
     )
-    cents = x.filter(F.col("id") < k).select(
+    # Seeds are the k LOWEST IDS PRESENT (TakeOrdered + semi-join), not a
+    # literal `id < k` — a sampled input whose ids all exceed k would
+    # otherwise silently train zero clusters.
+    seed_ids = x.select("id").distinct().orderBy("id").limit(k)
+    cents = x.join(seed_ids, "id", "left_semi").select(
         F.col("id").alias("cid"), "dim", F.col("xv").alias("cv")
     ).localCheckpoint()
     w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
@@ -1368,7 +1373,8 @@ def kmeans_lloyd_oracle_sql(
             FROM embeddings, range({dims}) t(i)
         ),
         c0 AS MATERIALIZED (
-            SELECT id AS cid, dim, xv AS cv FROM x WHERE id < {k}
+            SELECT id AS cid, dim, xv AS cv FROM x
+            WHERE id IN (SELECT DISTINCT id FROM x ORDER BY id LIMIT {k})
         )
         """
     ]

@@ -682,8 +682,10 @@ def kmv_expr(
     the two-set operator.
 
     Exactness branch: n_m < k means the merged state holds EVERY distinct
-    value of A∪B∪C, so c_E IS |E| — sf0.001 exercises this branch while
-    sf0.01 exercises the estimate branch.
+    value of A∪B∪C, so c_E IS |E| exactly. (Both registered fixture SFs
+    saturate the sample and take the ESTIMATE branch; the exact branch is
+    pinned by tests/test_round5_ops.py on sub-k synthetic sets, truth
+    equality plus DuckDB parity.)
 
     Scale: three |state| = k inputs, all driver-free; the readout is a
     handful of k-row joins and one-row aggregates.

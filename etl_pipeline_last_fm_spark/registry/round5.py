@@ -286,9 +286,10 @@ def q_kmv_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases — |(A ∪ B) ∖ C| — from three shared-salt bottom-k states.
     (Value cents, not user_id: every user does everything on this
     fixture, which makes the user-id expression empty — a vacuous
-    oracle.) sf0.001 has ~200 distinct cents per type, landing in the
-    exact-below-k branch; sf0.01 has ~1.8k, landing in the estimate
-    branch — one query exercises both."""
+    oracle.) The 3-set UNION exceeds k = 256 at both fixture SFs (~950
+    distinct cents even at sf0.001), so this query always takes the
+    ESTIMATE branch; the exact-below-k branch is pinned separately in
+    tests/test_round5_ops.py on sub-k synthetic sets."""
     from etl_pipeline_last_fm_spark.operators.sketch import kmv_expr, kmv_state
 
     ev = load_table(spark, sf_dir, "events")

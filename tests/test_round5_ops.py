@@ -77,3 +77,99 @@ def test_graph_caches_scope_releases_persists(spark):
         assert len(handle) == 2
         kept = list(handle)
     assert all(not df.storageLevel.useMemory for df in kept)
+
+
+def test_kmv_expr_exact_branch_truth_and_parity(spark):
+    """Sub-k synthetic sets: the merged sample holds the whole union
+    (n_m < k), so kmv_expr must return the EXACT |(A ∪ B) \\ C| with
+    is_exact=1 — and the oracle's exact CASE arm must agree bit for bit.
+    (Both registered fixture SFs saturate the sample, so this branch has
+    no driver row; this test is its pin.)"""
+    import duckdb
+    import hashlib
+
+    from etl_pipeline_last_fm_spark.operators.sketch import (
+        kmv_expr,
+        kmv_expr_oracle_sql,
+        kmv_state,
+    )
+
+    a_vals = list(range(1, 31))          # 1..30
+    b_vals = list(range(20, 51))         # 20..50
+    c_vals = list(range(40, 61))         # 40..60
+    truth = len((set(a_vals) | set(b_vals)) - set(c_vals))  # 1..39 -> 39
+
+    def df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    def st(vals):
+        return kmv_state(df(vals), "v", [], k=256, salt="kmvexpr")
+
+    got = kmv_expr(st(a_vals), st(b_vals), st(c_vals), k=256).first()
+    assert got["is_exact"] == 1
+    assert got["n_expr_est"] == truth
+    assert got["n_union_est"] == len(set(a_vals) | set(b_vals) | set(c_vals))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta(v BIGINT); CREATE TABLE tb(v BIGINT); CREATE TABLE tc(v BIGINT)")
+    con.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in a_vals])
+    con.executemany("INSERT INTO tb VALUES (?)", [(v,) for v in b_vals])
+    con.executemany("INSERT INTO tc VALUES (?)", [(v,) for v in c_vals])
+    odf = con.execute(
+        kmv_expr_oracle_sql(
+            "SELECT v FROM ta", "SELECT v FROM tb", "SELECT v FROM tc",
+            k=256, salt="kmvexpr",
+        )
+    ).df()
+
+    def vh(rows):
+        return hashlib.md5(
+            "\n".join(sorted(",".join(str(v) for v in r) for r in rows)).encode()
+        ).hexdigest()
+
+    sp = [[got[c] for c in sorted(["n_expr_est", "n_union_est", "n_sample", "is_exact"])]]
+    od = odf[sorted(odf.columns)].values.tolist()
+    assert vh(sp) == vh(od)
+
+
+def test_kmeans_lloyd_offset_id_space_trains_k_clusters(spark):
+    """Seeding takes the k lowest ids PRESENT: shifting every vec_id by
+    +1000 must still produce k full clusters (the old `id < k` predicate
+    silently trained zero)."""
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        kmeans_lloyd_relational,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    out = kmeans_lloyd_relational(shifted, k=8, n_iters=1).toPandas()
+    assert out.cluster_id.nunique() == 8
+    assert len(out) == 8 * 64
+    assert out.cluster_id.min() == 1000
+
+
+def test_bpe_train_early_stop_and_empty_tokens_match_oracle(spark):
+    """Operator and oracle agree on (a) the n>=2 early stop — a corpus
+    whose pairs exhaust after one merge yields ONE trace row on both
+    sides — and (b) empty-token handling (double spaces are dropped at
+    tokenization, preserving the run-parity precondition merged != left)."""
+    import duckdb
+
+    from etl_pipeline_last_fm_spark.operators.packing import (
+        bpe_train,
+        bpe_train_oracle_sql,
+    )
+
+    rows = [(1, "a b c"), (2, "a b d"), (3, "x  y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    assert merges == [(1, "a", "b", "ab", 2)]  # stops after one merge
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = sorted(
+        map(tuple, con.execute(bpe_train_oracle_sql(6, "doc_id >= 0")).fetchall())
+    )
+    assert oracle == sorted(merges)
