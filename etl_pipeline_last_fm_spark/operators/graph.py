@@ -697,3 +697,115 @@ def bfs_hops_oracle_sql(seed_sql: str, n_rounds: int = 3) -> str:
         )
     parts.append(f"SELECT node, hops FROM d{n_rounds}")
     return "".join(parts)
+
+
+def cosupplier_weighted_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical co-supplier edges with an integer strength weight: the
+    number of distinct orders the pair shared. The unweighted
+    ``cosupplier_edges`` is this projection with the count dropped."""
+    os_ = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a = os_.alias("a")
+    b = os_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+#: Oracle twin of ``cosupplier_weighted_edges``.
+_COSUPP_W_EDGE_SQL = """
+            SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l1
+            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+            GROUP BY 1, 2
+"""
+
+
+def sssp_rounds(
+    edges: DataFrame, seeds: DataFrame, n_rounds: int = 3
+) -> DataFrame:
+    """Multi-source single-source-shortest-paths over the undirected
+    WEIGHTED graph, bounded to ``n_rounds`` min-plus relaxations —
+
+        d_0(v) = 0 for seeds
+        d_{i+1}(v) = min(d_i(v), min over neighbors u of d_i(u) + w(u,v))
+
+    Bellman-Ford's relaxation with integer weights; after k rounds the
+    distances are exact for every shortest path of <= k EDGES (frontier
+    semantics like ``bfs_hops``, whose unit-weight case this
+    generalizes). Pure int64 arithmetic -> oracle parity by construction.
+
+    INPUT CONTRACT: ``edges`` distinct canonical (a, b, w) with a < b and
+    integer w >= 0; ``seeds`` one ``node`` column. Scale shape identical
+    to bfs_hops: 2 shuffles/round on the node key, localCheckpoint per
+    round against the 2^n carry+relax lineage.
+    """
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        relax = und.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def sssp_rounds_oracle_sql(seed_sql: str, n_rounds: int = 3) -> str:
+    """Unrolled-CTE twin of ``sssp_rounds`` over the weighted co-supplier
+    graph (min over carry UNION ALL weighted relax, per round)."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED ({_COSUPP_W_EDGE_SQL}),
+        und AS MATERIALIZED (
+            SELECT a AS src, b AS dst, w FROM e
+            UNION ALL SELECT b AS src, a AS dst, w FROM e
+        ),
+        d0 AS MATERIALIZED (
+            SELECT DISTINCT CAST(node AS BIGINT) AS node,
+                   CAST(0 AS BIGINT) AS dist
+            FROM ({seed_sql})
+        )
+        """
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d{i-1}
+                UNION ALL
+                SELECT und.dst AS node, d{i-1}.dist + und.w AS dist
+                FROM und JOIN d{i-1} ON und.src = d{i-1}.node
+            ) GROUP BY node
+        )
+        """
+        )
+    parts.append(f"SELECT node, dist FROM d{n_rounds}")
+    return "".join(parts)

@@ -319,9 +319,29 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_relational(emb, k=8, n_iters=2)
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths (operators/graph.py
+    sssp_rounds): min-plus Bellman-Ford relaxation over the
+    order-count-weighted co-supplier graph, 3 rounds, same seed stripe as
+    bfs_hops — whose unit-weight case this generalizes. Exact integer
+    distances; oracle = unrolled weighted-relaxation CTEs."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        cosupplier_weighted_edges,
+        sssp_rounds,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    seeds = sup.filter(F.col("s_suppkey") % 7 == 1).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return sssp_rounds(cosupplier_weighted_edges(li), seeds, n_rounds=3)
+
+
 QUERIES = {
     "bfs_hops": q_bfs_hops,
     "kmeans_train": q_kmeans_train,
+    "sssp": q_sssp,
     "kmv_expr": q_kmv_expr,
     "idle_customers": q_idle_customers,
     "important_parts": q_important_parts,
@@ -351,8 +371,11 @@ def oracles() -> dict[str, str]:
         kmeans_lloyd_oracle_sql,
     )
 
+    from etl_pipeline_last_fm_spark.operators.graph import sssp_rounds_oracle_sql
+
     return {
         "kmeans_train": kmeans_lloyd_oracle_sql(k=8, n_iters=2, dims=64),
+        "sssp": sssp_rounds_oracle_sql(_BFS_SEED_SQL, n_rounds=3),
         "kmv_expr": kmv_expr_oracle_sql(
             _ev("click"), _ev("view"), _ev("purchase"), k=256, salt="kmvexpr"
         ),

@@ -344,6 +344,85 @@ def main() -> None:
         f"kcore4 {t_core:.1f}s ({n_core} nodes), checksum {t_ck:.1f}s ({n_ck} buckets)"
     )
 
+    # --- round-5 wave: epoch shuffle, render packs, LPA, BFS, k-means,
+    # theta-expression readout ---------------------------------------------
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        bfs_hops,
+        label_propagation_rounds,
+    )
+    from etl_pipeline_last_fm_spark.operators.similarity import (
+        kmeans_lloyd_relational,
+    )
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_expr
+    from etl_pipeline_last_fm_spark.operators.surrogate import (
+        assign_surrogate_keys_distributed,
+    )
+
+    keyed = docs.select("doc_id").withColumn(
+        "__hk",
+        portable_hash60(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))),
+    )
+    t0 = time.perf_counter()
+    n_shuf = assign_surrogate_keys_distributed(
+        keyed, "shuffle_pos", ["__hk", "doc_id"]
+    ).count()
+    t_shuf = time.perf_counter() - t0
+
+    assign = pack_sequences(docs, budget=512, block_size=4096)
+    t0 = time.perf_counter()
+    n_rp = (
+        docs.join(assign.select("doc_id", "seq_id"), "doc_id")
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda st: st["text"],
+                ),
+                "<|eos|>",
+            ).alias("packed_text"),
+        )
+        .count()
+    )
+    t_rp = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_lpa = label_propagation_rounds(und, n_rounds=3).count()
+    t_lpa = time.perf_counter() - t0
+
+    seeds = spark.range(0, n_nodes, 97).select(F.col("id").alias("node"))
+    t0 = time.perf_counter()
+    n_bfs = bfs_hops(und, seeds, n_rounds=3).count()
+    t_bfs = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_km = kmeans_lloyd_relational(emb, k=8, n_iters=2).count()
+    t_km = time.perf_counter() - t0
+
+    from etl_pipeline_last_fm_spark.operators.sketch import kmv_state as _kst
+
+    cents_col = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def _st(et):
+        return _kst(
+            ev_typed.filter(F.col("event_type") == et).select(cents_col.alias("v")),
+            "v", [], k=256, salt="smoke",
+        )
+
+    t0 = time.perf_counter()
+    n_kx = kmv_expr(_st("click"), _st("view"), _st("purchase"), k=256).count()
+    t_kx = time.perf_counter() - t0
+
+    print(
+        f"round-5 wave: epoch-shuffle {t_shuf:.1f}s ({n_shuf} docs), "
+        f"render-packs {t_rp:.1f}s ({n_rp} packs), lpa3 {t_lpa:.1f}s ({n_lpa} nodes), "
+        f"bfs3 {t_bfs:.1f}s ({n_bfs} reached), kmeans-lloyd2 {t_km:.1f}s ({n_km} rows), "
+        f"kmv-expr {t_kx:.1f}s ({n_kx} row)"
+    )
+
+
 
 if __name__ == "__main__":
     main()

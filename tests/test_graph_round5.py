@@ -101,3 +101,19 @@ def test_hub_skew_degree_ordered_orientation_bounds_wedges(spark):
     assert tri[0] == 5
     assert sum(tri.values()) == 15  # 5 triangles x 3 participating nodes
     assert tri[11] == 0
+
+
+def test_sssp_weighted_path_graph(spark):
+    """Weighted path 1-2-3-4 (w=5,1,1) seeded at 1, 3 rounds: min-plus
+    relaxation accumulates edge weights; node ordering of relaxations
+    cannot matter (hand-computed distances)."""
+    from etl_pipeline_last_fm_spark.operators.graph import sssp_rounds
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (3, 4, 1), (1, 3, 9)],
+        "a long, b long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_rounds(e, seeds, 3).collect()}
+    # 1->3 direct costs 9, via 2 costs 6; 1->4 via 2,3 costs 7 (3 edges).
+    assert got == {1: 0, 2: 5, 3: 6, 4: 7}
