@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": _ALL["supplier_part_counts"],
         "idle_customers": _ALL["idle_customers"],
         "sssp": _ALL["sssp"],
+        "event_pattern": _ALL["event_pattern"],
+        "incremental_join": _ALL["incremental_join"],
         # Every entry below has at least one green driver row on record
         # (r1-r4) and a strict parity mirror in every pytest run.
         "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],

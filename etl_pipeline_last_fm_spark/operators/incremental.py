@@ -77,3 +77,58 @@ def present(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         ),
         F.col("c").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: incremental JOIN maintenance (delta rules)
+# ---------------------------------------------------------------------------
+
+
+def incremental_join_batches(
+    a_batches: Sequence[DataFrame],
+    b_batches: Sequence[DataFrame],
+    on: Sequence[str],
+) -> DataFrame:
+    """Maintain a materialized inner join incrementally over batched
+    arrivals on BOTH sides — the classic delta rule
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    folded over k rounds. Round t pays |ΔA_t| ⋈ |B_<t| + |A_<t| ⋈ |ΔB_t|
+    + |ΔA_t| ⋈ |ΔB_t| — O(delta × state), never O(history × history) —
+    which is the only sane contract for a 100 TB join maintained daily
+    (the reference recomputes its joins from scratch each run; this is
+    the incremental-aggregate contract of this module extended from
+    GROUP BY to ⋈). At cluster scale A/B/M states are bucketed on the
+    join key so every delta join is exchange-free on the state side.
+
+    Correctness is an algebraic identity — after round t the maintained
+    M equals (A_0 ∪..∪ A_t) ⋈ (B_0 ∪..∪ B_t) for ANY batching of either
+    side, including keys whose matching rows arrive in different rounds
+    (the two one-sided terms) or the same round (the ΔΔ term). That
+    identity is the registered query's oracle (the plain one-shot join)
+    and is property-tested under splits that exercise all three terms.
+
+    Bag semantics (inner join of multisets) — no dedup anywhere, exactly
+    like the one-shot join. States are localCheckpoint-ed per round:
+    M is referenced once but A/B states feed two consumers each (the
+    delta join + the state union), the usual 2^n lineage guard.
+    """
+    assert len(a_batches) == len(b_batches)
+    on = list(on)
+    a_state = b_state = m_state = None
+    for da, db in zip(a_batches, b_batches):
+        terms = []
+        if b_state is not None:
+            terms.append(da.join(b_state, on))
+        if a_state is not None:
+            terms.append(a_state.join(db, on))
+        terms.append(da.join(db, on))
+        delta = terms[0]
+        for t in terms[1:]:
+            delta = delta.unionByName(t)
+        m_state = delta if m_state is None else m_state.unionByName(delta)
+        m_state = m_state.localCheckpoint()
+        a_state = (da if a_state is None else a_state.unionByName(da)).localCheckpoint()
+        b_state = (db if b_state is None else b_state.unionByName(db)).localCheckpoint()
+    return m_state

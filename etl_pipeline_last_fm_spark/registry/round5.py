@@ -338,8 +338,62 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_rounds(cosupplier_weighted_edges(li), seeds, n_rounds=3)
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance by delta rules (operators/
+    incremental.py incremental_join_batches): orders arrive in 3 batches
+    keyed o_orderkey % 3, lineitem in 3 batches keyed l_linenumber % 3 —
+    deliberately DIFFERENT batchings, so an order's lines land in other
+    rounds than the order row and all three delta terms (ΔA⋈B, A⋈ΔB,
+    ΔA⋈ΔB) fire. The maintained join then aggregates to per-date counts
+    and exact-integer revenue; the oracle is the plain one-shot join —
+    the maintenance identity IS the check."""
+    from etl_pipeline_last_fm_spark.operators.incremental import (
+        incremental_join_batches,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        _rev4_col().alias("rev4"),
+    )
+    a_batches = [
+        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i) for i in range(3)
+    ]
+    b_batches = [
+        li.filter(F.pmod(F.col("l_linenumber"), F.lit(3)) == i).drop("l_linenumber")
+        for i in range(3)
+    ]
+    m = incremental_join_batches(a_batches, b_batches, ["o_orderkey"])
+    return (
+        m.groupBy(F.col("o_orderdate").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev4").alias("rev4_sum"),
+        )
+    )
+
+
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (operators/patterns.py): per user, leftmost
+    non-overlapping matches of 'a view, then any clicks, then a purchase'
+    (regex vc*p) over the (epoch-µs, event_id)-ordered symbol encoding of
+    their event stream — ORDER-sensitive funnel semantics neither stage
+    counting nor adjacent-pair transitions can express."""
+    from etl_pipeline_last_fm_spark.operators.patterns import (
+        match_event_pattern,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return match_event_pattern(ev, "vc*p")
+
+
 QUERIES = {
     "bfs_hops": q_bfs_hops,
+    "event_pattern": q_event_pattern,
+    "incremental_join": q_incremental_join,
     "kmeans_train": q_kmeans_train,
     "sssp": q_sssp,
     "kmv_expr": q_kmv_expr,
@@ -372,10 +426,25 @@ def oracles() -> dict[str, str]:
     )
 
     from etl_pipeline_last_fm_spark.operators.graph import sssp_rounds_oracle_sql
+    from etl_pipeline_last_fm_spark.operators.patterns import (
+        match_event_pattern_oracle_sql,
+    )
 
     return {
+        "event_pattern": match_event_pattern_oracle_sql("vc*p"),
         "kmeans_train": kmeans_lloyd_oracle_sql(k=8, n_iters=2, dims=64),
         "sssp": sssp_rounds_oracle_sql(_BFS_SEED_SQL, n_rounds=3),
+        # The one-shot join IS the oracle: the delta-rule fold must equal
+        # it for any batching (the maintenance identity).
+        "incremental_join": """
+            SELECT o_orderdate AS date,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS rev4_sum
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
         "kmv_expr": kmv_expr_oracle_sql(
             _ev("click"), _ev("view"), _ev("purchase"), k=256, salt="kmvexpr"
         ),

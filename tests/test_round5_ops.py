@@ -173,3 +173,77 @@ def test_bpe_train_early_stop_and_empty_tokens_match_oracle(spark):
         map(tuple, con.execute(bpe_train_oracle_sql(6, "doc_id >= 0")).fetchall())
     )
     assert oracle == sorted(merges)
+
+
+def test_incremental_join_delta_rule_all_terms(spark):
+    """Hand-sized bag-semantics check where matching rows arrive in
+    DIFFERENT rounds: key 1 has A in batch 0 and B in batches 0+2
+    (exercising ΔΔ and A_old⋈ΔB), key 2 has A in batch 1 / B in batch 0
+    (ΔA⋈B_old), and key 3 is A-only (must not appear). Duplicate B rows
+    for key 1 check multiset semantics."""
+    from etl_pipeline_last_fm_spark.operators.incremental import (
+        incremental_join_batches,
+    )
+
+    A = [[(1, "a1")], [(2, "a2")], [(3, "a3")]]
+    B = [[(1, 10), (2, 20)], [], [(1, 11), (1, 11)]]
+    a_b = [spark.createDataFrame(r or [(None, None)], "k long, av string")
+           .filter(F.col("k").isNotNull()) for r in A]
+    b_b = [spark.createDataFrame(r or [(None, None)], "k long, bv long")
+           .filter(F.col("k").isNotNull()) for r in B]
+    m = incremental_join_batches(a_b, b_b, ["k"])
+    got = sorted(map(tuple, m.collect()))
+    want = sorted([(1, "a1", 10), (1, "a1", 11), (1, "a1", 11), (2, "a2", 20)])
+    assert got == want
+
+
+def test_incremental_join_equals_one_shot_for_any_split(spark):
+    """The maintenance identity on fixture data: 3x3 batching of orders
+    (by orderkey) and lineitem (by linenumber — different batching) must
+    equal the one-shot join row-for-row."""
+    from etl_pipeline_last_fm_spark.operators.incremental import (
+        incremental_join_batches,
+    )
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    a_b = [orders.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(3)]
+    b_b = [li.filter(F.pmod("l_linenumber", F.lit(3)) == i).drop("l_linenumber")
+           for i in range(3)]
+    m = incremental_join_batches(a_b, b_b, ["o_orderkey"])
+    one_shot = orders.join(li.drop("l_linenumber"), "o_orderkey")
+    assert m.count() == one_shot.count()
+    assert (
+        sorted(map(tuple, m.collect())) == sorted(map(tuple, one_shot.collect()))
+    )
+
+
+def test_event_pattern_nonoverlapping_and_deterministic(spark):
+    """Leftmost non-overlapping semantics on a crafted stream: vcvcp has
+    ONE vc*p match — and it is "vcp" starting at index 2, because c*
+    only matches CONSECUTIVE clicks (the match attempt at index 0 dies
+    when the second v blocks the required p); vpvp has two matches."""
+    from etl_pipeline_last_fm_spark.operators.patterns import (
+        match_event_pattern,
+    )
+
+    from datetime import datetime
+
+    rows = []
+    seq = {1: ["view", "click", "view", "click", "purchase"],
+           2: ["view", "purchase", "view", "purchase"]}
+    eid = 0
+    for uid, events in seq.items():
+        for i, et in enumerate(events):
+            rows.append((eid, uid, et, datetime(2024, 1, 1, 0, i, 0), 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {r["user_id"]: (r["n_matches"], r["first_match"])
+           for r in match_event_pattern(ev, "vc*p").collect()}
+    assert got == {1: (1, "vcp"), 2: (2, "vp")}
