@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _ALL["sssp"],
         "event_pattern": _ALL["event_pattern"],
         "incremental_join": _ALL["incremental_join"],
+        "streaming_join": _ALL["streaming_join"],
         # Every entry below has at least one green driver row on record
         # (r1-r4) and a strict parity mirror in every pytest run.
         "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],

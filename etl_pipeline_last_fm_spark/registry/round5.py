@@ -390,9 +390,76 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_event_pattern(ev, "vc*p")
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `incremental_join` (streaming/ivm.py): a REAL
+    availableNow stream of TAGGED deltas — orders rows as side 'a',
+    lineitem rows as side 'b', written as 3 files so both sides' deltas
+    spread across micro-batches — maintains the materialized join via the
+    per-batch delta rule under the versioned-commit replay guard; the
+    maintained M then aggregates to the same per-date shape, oracle = the
+    plain one-shot join. Same bounded driver materialization + temp
+    cleanup as q_streaming_mart_fold."""
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_join_state,
+        streaming_join_maintenance,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = (
+        orders.select(
+            F.lit("a").alias("side"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("a_date"),
+            F.lit(None).cast("long").alias("b_rev4"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("b").alias("side"),
+                F.col("l_orderkey").alias("k"),
+                F.lit(None).cast(orders.schema["o_orderdate"].dataType).alias(
+                    "a_date"
+                ),
+                _rev4_col().alias("b_rev4"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_streamjoin_")
+    try:
+        src = os.path.join(tmp, "src")
+        root = os.path.join(tmp, "state")
+        ck = os.path.join(tmp, "ck")
+        tagged.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(tagged.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_join_maintenance(stream, root, ["k"], checkpoint=ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            read_join_state(spark, root)
+            .groupBy(F.col("a_date").alias("date"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("b_rev4").alias("rev4_sum"),
+            )
+        )
+        schema = out.schema
+        collected = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(collected, schema)
+
+
 QUERIES = {
     "bfs_hops": q_bfs_hops,
     "event_pattern": q_event_pattern,
+    "streaming_join": q_streaming_join,
     "incremental_join": q_incremental_join,
     "kmeans_train": q_kmeans_train,
     "sssp": q_sssp,
@@ -432,6 +499,17 @@ def oracles() -> dict[str, str]:
 
     return {
         "event_pattern": match_event_pattern_oracle_sql("vc*p"),
+        # The delta-rule maintenance identity again: the streamed fold
+        # must equal the one-shot join (same oracle as incremental_join).
+        "streaming_join": """
+            SELECT o_orderdate AS date,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS rev4_sum
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
         "kmeans_train": kmeans_lloyd_oracle_sql(k=8, n_iters=2, dims=64),
         "sssp": sssp_rounds_oracle_sql(_BFS_SEED_SQL, n_rounds=3),
         # The one-shot join IS the oracle: the delta-rule fold must equal

@@ -9,6 +9,9 @@ from etl_pipeline_last_fm_spark.streaming.ingest import (
     stream_raw_to_ods,
     windowed_event_stats,
 )
+from etl_pipeline_last_fm_spark.streaming.ivm import (
+    streaming_join_maintenance,
+)
 
 __all__ = [
     "stream_raw_to_ods",
@@ -16,4 +19,5 @@ __all__ = [
     "streaming_drift_maintenance",
     "streaming_postings_maintenance",
     "streaming_checksum_maintenance",
+    "streaming_join_maintenance",
 ]
