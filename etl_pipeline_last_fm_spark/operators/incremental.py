@@ -84,6 +84,31 @@ def present(state: DataFrame, keys: Sequence[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def join_delta(
+    da: DataFrame,
+    db: DataFrame,
+    a_state: DataFrame | None,
+    b_state: DataFrame | None,
+    on: Sequence[str],
+) -> DataFrame:
+    """One application of the join delta rule:
+    Δ(A ⋈ B) = ΔA ⋈ B_old ∪ A_old ⋈ ΔB ∪ ΔA ⋈ ΔB. THE single home of
+    the identity — both the batch fold (incremental_join_batches) and the
+    streaming fold (streaming/ivm.py) call this, so the two paths cannot
+    drift (bag semantics, null-key behavior, future state-side hints)."""
+    on = list(on)
+    terms = []
+    if b_state is not None:
+        terms.append(da.join(b_state, on))
+    if a_state is not None:
+        terms.append(a_state.join(db, on))
+    terms.append(da.join(db, on))
+    delta = terms[0]
+    for t in terms[1:]:
+        delta = delta.unionByName(t)
+    return delta
+
+
 def incremental_join_batches(
     a_batches: Sequence[DataFrame],
     b_batches: Sequence[DataFrame],
@@ -114,19 +139,17 @@ def incremental_join_batches(
     M is referenced once but A/B states feed two consumers each (the
     delta join + the state union), the usual 2^n lineage guard.
     """
-    assert len(a_batches) == len(b_batches)
+    if len(a_batches) != len(b_batches):
+        raise ValueError(
+            f"batch lists must pair up: {len(a_batches)} != {len(b_batches)}"
+            " (pad the shorter side with empty frames)"
+        )
+    if not a_batches:
+        raise ValueError("incremental_join_batches needs at least one batch")
     on = list(on)
     a_state = b_state = m_state = None
     for da, db in zip(a_batches, b_batches):
-        terms = []
-        if b_state is not None:
-            terms.append(da.join(b_state, on))
-        if a_state is not None:
-            terms.append(a_state.join(db, on))
-        terms.append(da.join(db, on))
-        delta = terms[0]
-        for t in terms[1:]:
-            delta = delta.unionByName(t)
+        delta = join_delta(da, db, a_state, b_state, on)
         m_state = delta if m_state is None else m_state.unionByName(delta)
         m_state = m_state.localCheckpoint()
         a_state = (da if a_state is None else a_state.unionByName(da)).localCheckpoint()

@@ -101,14 +101,19 @@ def match_event_pattern(
     enc = encode_event_strings(
         events, alphabet, user_col, type_col, ts_col, tiebreak_col
     )
+    # Pattern passed as a COLUMN LITERAL (F.lit / the builtin's literal
+    # conversion), never interpolated into SQL text: f-string-into-F.expr
+    # mangles backslashes (SQL literal parsing eats them -> silent
+    # cross-engine divergence on patterns like v\\dp) and breaks on
+    # quotes (injection surface). Verified live in review.
     return enc.select(
         "user_id",
         F.length("events_str").cast("long").alias("n_events"),
-        F.expr(f"regexp_count(events_str, '{pattern}')")
+        F.regexp_count("events_str", F.lit(pattern))
         .cast("long")
         .alias("n_matches"),
         F.coalesce(
-            F.expr(f"regexp_extract(events_str, '{pattern}', 0)"), F.lit("")
+            F.regexp_extract("events_str", pattern, 0), F.lit("")
         ).alias("first_match"),
     )
 
@@ -122,6 +127,9 @@ def match_event_pattern_oracle_sql(
     case = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in sorted(alphabet.items())
     )
+    # DuckDB standard string literals do not process backslashes, so only
+    # single quotes need escaping for a safe SQL literal.
+    pattern = pattern.replace("'", "''")
     return f"""
         WITH enc AS (
             SELECT user_id,

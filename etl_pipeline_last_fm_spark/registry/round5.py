@@ -474,6 +474,20 @@ QUERIES = {
 }
 
 
+#: The one-shot join aggregate both IVM queries grade against — the
+#: delta-rule maintenance identity, defined ONCE so the batch and
+#: streaming entries cannot drift.
+_JOIN_MAINTENANCE_ORACLE = """
+    SELECT o_orderdate AS date,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS rev4_sum
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""
+
+
 def oracles() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.graph import (
         bfs_hops_oracle_sql,
@@ -501,28 +515,12 @@ def oracles() -> dict[str, str]:
         "event_pattern": match_event_pattern_oracle_sql("vc*p"),
         # The delta-rule maintenance identity again: the streamed fold
         # must equal the one-shot join (same oracle as incremental_join).
-        "streaming_join": """
-            SELECT o_orderdate AS date,
-                   CAST(COUNT(*) AS BIGINT) AS n_lines,
-                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
-                        AS BIGINT) AS rev4_sum
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-            GROUP BY 1
-        """,
+        "streaming_join": _JOIN_MAINTENANCE_ORACLE,
         "kmeans_train": kmeans_lloyd_oracle_sql(k=8, n_iters=2, dims=64),
         "sssp": sssp_rounds_oracle_sql(_BFS_SEED_SQL, n_rounds=3),
         # The one-shot join IS the oracle: the delta-rule fold must equal
         # it for any batching (the maintenance identity).
-        "incremental_join": """
-            SELECT o_orderdate AS date,
-                   CAST(COUNT(*) AS BIGINT) AS n_lines,
-                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
-                        AS BIGINT) AS rev4_sum
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-            GROUP BY 1
-        """,
+        "incremental_join": _JOIN_MAINTENANCE_ORACLE,
         "kmv_expr": kmv_expr_oracle_sql(
             _ev("click"), _ev("view"), _ev("purchase"), k=256, salt="kmvexpr"
         ),

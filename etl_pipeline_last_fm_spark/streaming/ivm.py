@@ -9,9 +9,13 @@ the delta rule
 
     ΔM = ΔA ⋈ B_state ∪ A_state ⋈ ΔB ∪ ΔA ⋈ ΔB
 
-then appends ΔA/ΔB to the side states and ΔM to the join state — three
-reads of kilobyte-to-gigabyte STATE per batch, never a rescan of
-history. All three states ride the crash-safe versioned commit protocol
+then appends ΔA/ΔB to the side states and ΔM to the join state. The
+delta rule bounds the JOIN COMPUTE to O(|Δ| × matched-state); the
+snapshot COMMIT in this implementation still rewrites each full state
+per batch (commit_state writes whole versioned snapshots — at true
+materialized-join scale the commit layout must become append/partitioned
+so the I/O matches the compute bound; the algebra is unchanged). All
+three states ride the crash-safe versioned commit protocol
 (streaming/sketch.py commit_state) under ONE shared replay guard: the
 batch_id is stamped into each state and the fold no-ops when replayed,
 because ΔM appends (unlike HLL maxima) double-count on replay.
@@ -28,8 +32,14 @@ seen — for ANY split of either side across batches, including replays.
 
 Scale: at cluster scale the three states are bucketed on the join key so
 every per-batch delta join is exchange-free on the state side; the
-per-batch cost is O(|Δ| × matched-state), the only sane contract for a
-100 TB join maintained daily.
+per-batch JOIN cost is O(|Δ| × matched-state) — with the append-layout
+caveat above for the write side.
+
+State-retention coupling: the crash-window read of pre-batch versions
+relies on commit_state's default retain=2 keeping v=batch_id-1 alive
+while v=batch_id is being written; the fold asserts the invariant (m
+state present => both pre-batch side states present) and raises instead
+of silently refolding from empty.
 """
 
 from __future__ import annotations
@@ -39,6 +49,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_last_fm_spark.operators.incremental import join_delta
 from etl_pipeline_last_fm_spark.streaming.sketch import (
     BID_COL,
     _read_state_or_none,
@@ -89,28 +100,45 @@ def join_fold_batch(
     prev_m = _read_state_or_none(spark, m_path)
     if int(batch_id) <= last_applied_batch(prev_m):
         return  # replayed micro-batch, already folded
+    # Tagged-schema contract, VALIDATED (not just implied): columns are
+    # exactly {side} ∪ on ∪ a_-prefixed payload ∪ b_-prefixed payload. A
+    # payload column without its side prefix would otherwise be silently
+    # dropped from the maintained state; an on-key with a side prefix
+    # would be selected twice and break the join.
+    cols = set(batch_df.columns)
+    bad_on = [k for k in on if k.startswith(("a_", "b_"))]
+    if bad_on:
+        raise ValueError(f"join keys must not use side prefixes: {bad_on}")
+    stray = cols - {side_col} - set(on) - {
+        c for c in cols if c.startswith(("a_", "b_"))
+    }
+    if stray:
+        raise ValueError(
+            f"unprefixed payload columns would be dropped: {sorted(stray)};"
+            " name side-a payloads a_* and side-b payloads b_*"
+        )
     da = batch_df.filter(F.col(side_col) == "a").drop(side_col)
     db = batch_df.filter(F.col(side_col) == "b").drop(side_col)
-    # Drop all-null padding columns: the tagged union carries both sides'
-    # payloads; a side's frame keeps the join key + its own payload.
     a_cols = on + [c for c in da.columns if c.startswith("a_")]
     b_cols = on + [c for c in db.columns if c.startswith("b_")]
     da = da.select(*a_cols)
     db = db.select(*b_cols)
     prev_a = _read_state_before(spark, a_path, int(batch_id))
     prev_b = _read_state_before(spark, b_path, int(batch_id))
+    if prev_m is not None and (prev_a is None or prev_b is None):
+        # m exists => at least one earlier fold committed => both side
+        # states MUST have a pre-batch version (commit_state retain >= 2
+        # keeps it). Hitting this means retention was lowered or state
+        # dirs were tampered with; refolding from empty would silently
+        # discard all accumulated side state.
+        raise RuntimeError(
+            f"pre-batch side state missing under {state_root} for batch"
+            f" {batch_id} while m state exists — retention too aggressive?"
+        )
     a_state = _strip_bid(prev_a) if prev_a is not None else None
     b_state = _strip_bid(prev_b) if prev_b is not None else None
 
-    terms = []
-    if b_state is not None:
-        terms.append(da.join(b_state, on))
-    if a_state is not None:
-        terms.append(a_state.join(db, on))
-    terms.append(da.join(db, on))
-    delta = terms[0]
-    for t in terms[1:]:
-        delta = delta.unionByName(t)
+    delta = join_delta(da, db, a_state, b_state, on)
     if prev_m is not None:
         delta = _strip_bid(prev_m).unionByName(delta)
 

@@ -247,3 +247,51 @@ def test_event_pattern_nonoverlapping_and_deterministic(spark):
     got = {r["user_id"]: (r["n_matches"], r["first_match"])
            for r in match_event_pattern(ev, "vc*p").collect()}
     assert got == {1: (1, "vcp"), 2: (2, "vp")}
+
+
+def test_event_pattern_backslash_class_cross_engine(spark):
+    """Regression for the F.expr interpolation bug: a pattern with a
+    regex class escape (\\d via a symbol alphabet producing digits) must
+    count identically in Spark and DuckDB — the old f-string-into-SQL
+    form silently ate the backslash on the Spark side."""
+    import duckdb
+    from datetime import datetime
+
+    from etl_pipeline_last_fm_spark.operators.patterns import (
+        match_event_pattern,
+        match_event_pattern_oracle_sql,
+    )
+
+    alphabet = {"view": "v", "click": "1", "purchase": "p",
+                "signup": "s", "error": "e"}
+    rows = [(0, 1, "view", datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, 1, "click", datetime(2024, 1, 1, 0, 1), 1.0),
+            (2, 1, "purchase", datetime(2024, 1, 1, 0, 2), 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = match_event_pattern(ev, r"v\dp", alphabet).first()
+    assert got["n_matches"] == 1 and got["first_match"] == "v1p"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_id BIGINT, user_id BIGINT, "
+                "event_type VARCHAR, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?,?,?,?,?)", rows)
+    orow = con.execute(
+        match_event_pattern_oracle_sql(r"v\dp", alphabet)
+    ).fetchone()
+    assert orow[2] == 1 and orow[3] == "v1p"
+
+
+def test_incremental_join_batches_rejects_bad_inputs(spark):
+    import pytest
+
+    from etl_pipeline_last_fm_spark.operators.incremental import (
+        incremental_join_batches,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "k long, a string")
+    with pytest.raises(ValueError, match="pair up"):
+        incremental_join_batches([df], [], ["k"])
+    with pytest.raises(ValueError, match="at least one"):
+        incremental_join_batches([], [], ["k"])

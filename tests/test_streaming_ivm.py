@@ -94,9 +94,25 @@ def test_streaming_join_maintenance_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     got = sorted(map(tuple, read_join_state(spark, root).collect()))
     a = _tagged(spark, rows).filter("side = 'a'").select("k", "a_val")
     b = _tagged(spark, rows).filter("side = 'b'").select("k", "b_val")
     want = sorted(map(tuple, a.join(b, "k").collect()))
     assert got == want
+
+
+def test_join_fold_rejects_unprefixed_payload_and_prefixed_keys(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "jst")
+    bad = spark.createDataFrame(
+        [("a", 1, "x")], "side string, k long, payload string"
+    )
+    with pytest.raises(ValueError, match="unprefixed payload"):
+        join_fold_batch(bad, 0, root, ["k"])
+    bad2 = spark.createDataFrame(
+        [("a", 1, "x")], "side string, a_id long, a_val string"
+    )
+    with pytest.raises(ValueError, match="side prefixes"):
+        join_fold_batch(bad2, 0, root, ["a_id"])
