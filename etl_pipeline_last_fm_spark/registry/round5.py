@@ -158,7 +158,9 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     an uncorrelated global scalar. The comparison is the integer
     cross-multiplication sum_part * 10000 > total (never a float
     threshold), so the cut is exact; revenue presents as the usual
-    rev4-div-cents double."""
+    rev4-div-cents double. The cross-multiply is the overflow-prone term
+    at scale; the decimal(38,0) swap is EXECUTED and proven
+    value-identical in tests/test_decimal_swap.py."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.sum(_rev4_col()).alias("__s4"))
     total = per_part.agg(F.sum("__s4").alias("__t4"))

@@ -54,3 +54,28 @@ def test_decimal38_rounding_identity_matches(spark, sf_dir):
     assert {r["l_returnflag"]: r["r"] for r in as_int} == {
         r["l_returnflag"]: int(r["r"]) for r in as_dec
     }
+
+
+def test_decimal38_cross_multiply_threshold_matches(spark, sf_dir):
+    """important_parts' HAVING cut is the integer cross-multiplication
+    s4 * 10000 > total — the product is the overflow-prone term at scale
+    (total rev4 crosses 2^63/10^4 around ~10^10 lineitem rows). The
+    documented swap widens the cross-multiply to decimal(38,0); this
+    proves the swapped predicate selects the identical part set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev4()).alias("s4"))
+    total = per_part.agg(F.sum("s4").alias("t4"))
+    base = per_part.crossJoin(F.broadcast(total))
+    as_int = sorted(
+        r["l_partkey"]
+        for r in base.filter(F.col("s4") * F.lit(10_000) > F.col("t4")).collect()
+    )
+    as_dec = sorted(
+        r["l_partkey"]
+        for r in base.filter(
+            F.expr(
+                "CAST(s4 AS DECIMAL(38,0)) * 10000 > CAST(t4 AS DECIMAL(38,0))"
+            )
+        ).collect()
+    )
+    assert as_int == as_dec and len(as_int) > 0
