@@ -201,9 +201,15 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers that were the ONLY late shipper inside a
     multi-supplier order — EXISTS(another supplier in the order) AND NOT
     EXISTS(another LATE supplier in the order), late = shipped > 60 days
-    after the order date. The two quantifiers lower to a semi- and an
-    anti-join against per-order supplier sets; top 20 by count with name
-    tie-break."""
+    after the order date. The quantifiers are DECORRELATED into per-order
+    counts — for a late supplier, "another supplier exists" ⟺
+    n_suppliers >= 2 and "no other late supplier" ⟺ n_late == 1 — so the
+    plan is one per-(order, supplier) aggregate + one per-order aggregate
+    + one join, with NO self-joins (the first-cut semi+anti form scanned
+    the fact table three times with zero exchange reuse — measured in the
+    round-5 plan audit; this form scans it once). The oracle keeps the
+    literal EXISTS/NOT-EXISTS derivation, so two different lowerings must
+    agree. Top 20 by count with name tie-break."""
     from etl_pipeline_last_fm_spark.functions.scalar import ts_us
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -222,21 +228,18 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ok", "sk")
         .agg(F.max(F.col("late").cast("int")).alias("late"))
+        # Referenced twice (per-order rollup + late filter): truncate the
+        # fact-join lineage so the scan runs once, not per consumer.
+        .localCheckpoint()
     )
-    late = osupp.filter(F.col("late") == 1).select("ok", "sk")
-    other = osupp.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
-    other_exists = late.join(
-        other,
-        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-        "left_semi",
+    per_order = osupp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("late").alias("__n_late"),
     )
-    other_late = osupp.filter(F.col("late") == 1).select(
-        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
-    )
-    sole = other_exists.join(
-        other_late,
-        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
-        "left_anti",
+    sole = (
+        osupp.filter(F.col("late") == 1)
+        .join(per_order, "ok")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
     )
     return (
         sole.groupBy("sk")
