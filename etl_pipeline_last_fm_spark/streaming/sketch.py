@@ -75,6 +75,21 @@ def list_state_versions(spark: SparkSession, root: str) -> list[tuple[int, str]]
             continue
         if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
             out.append((bid, str(st.getPath())))
+    if not out:
+        # Legacy-layout tripwire (ADVICE r5 item 3): a pre-versioning state
+        # directory holds bare parquet part files at the root. Returning []
+        # would silently treat a populated durable state as "first batch"
+        # and restart the fold from empty — silent data loss. Fail loudly
+        # and point at the one-shot migration instead.
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith("part-"):
+                raise ValueError(
+                    f"state root {root!r} holds a flat (pre-versioning) "
+                    "parquet snapshot; migrate once with: "
+                    "commit_state(spark.read.parquet(root_tmp), root, "
+                    "batch_id=-1) after moving the old files to root_tmp"
+                )
     return sorted(out)
 
 

@@ -22,7 +22,7 @@ import pytest
 
 from etl_pipeline_last_fm_spark.operators.similarity import (
     brute_force_topk,
-    ivf_ann_topk,
+    ivf_ann_topk_trained,
     ivf_ann_topk_seeded,
     lsh_ann_topk,
 )
@@ -67,9 +67,11 @@ def test_lsh_multiprobe_recall_monotone(truth):
 
 def test_ivf_ann_recall(truth):
     emb, truth_pairs, _ = truth
-    rows = ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4).collect()
+    rows = ivf_ann_topk_trained(
+        emb, n_queries=10, k=5, n_centroids=16, nprobe=4
+    ).collect()
     r = _recall(rows, truth_pairs)
-    assert r >= 0.4, f"ivf: recall@5 {r:.2f} < floor 0.4"
+    assert r >= 0.6, f"ivf: recall@5 {r:.2f} < floor 0.6"
 
 
 def test_ivf_seeded_recall_and_shape(truth):
@@ -93,7 +95,9 @@ def test_ann_sims_are_exact_for_scored_pairs(truth):
     emb, _, truth_sims = truth
     for rows in (
         lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6, probe_flips=2).collect(),
-        ivf_ann_topk(emb, n_queries=10, k=5, n_centroids=16, nprobe=4).collect(),
+        ivf_ann_topk_trained(
+            emb, n_queries=10, k=5, n_centroids=16, nprobe=4
+        ).collect(),
     ):
         for r in rows:
             if (r.q_id, r.cand_id) in truth_sims:

@@ -236,3 +236,27 @@ def test_commit_retention_prunes_old_snapshots(spark, tmp_path):
         cms_counters(_toks(spark, sum(batches, [])), depth=2, width=16)
     )
     assert _grid_map(read_cms_state(spark, state)) == want
+
+
+def test_legacy_flat_state_layout_raises(spark, tmp_path):
+    """ADVICE r5 item 3: a pre-versioning state directory (bare parquet
+    part files at the root, no _v=* snapshot) must raise, not be silently
+    treated as an empty first-batch state — that would restart a durable
+    fold from zero and lose the accumulated counts."""
+    import pytest
+
+    from etl_pipeline_last_fm_spark.streaming.sketch import (
+        commit_state,
+        list_state_versions,
+    )
+
+    root = str(tmp_path / "legacy_state")
+    spark.range(5).write.parquet(root)  # the old flat layout
+    with pytest.raises(ValueError, match="flat .pre-versioning."):
+        list_state_versions(spark, root)
+
+    # A properly versioned root (even alongside stray non-part files such
+    # as _SUCCESS markers at the top level) still lists normally.
+    root2 = str(tmp_path / "versioned_state")
+    commit_state(spark.range(5), root2, batch_id=0)
+    assert [b for b, _ in list_state_versions(spark, root2)] == [0]
