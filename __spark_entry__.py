@@ -32,14 +32,20 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_last_fm_spark.registry import core, extras, llm, round5
+from etl_pipeline_last_fm_spark.registry import core, extras, llm, round5, round6
 
 SF001 = "/root/testdata/sf0.001"
 
 # One flat name -> callable map; tier modules own the implementations
 # (registry/{core,llm,extras,round5}.py — split out in round 5 so window
 # rotations stop churning a 3.5k-line file).
-_ALL = {**core.QUERIES, **llm.QUERIES, **extras.QUERIES, **round5.QUERIES}
+_ALL = {
+    **core.QUERIES,
+    **llm.QUERIES,
+    **extras.QUERIES,
+    **round5.QUERIES,
+    **round6.QUERIES,
+}
 
 # Back-compat: tests and tooling address queries as module attributes
 # (__spark_entry__.q_<name>); every registered query keeps that name here.
@@ -232,6 +238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_expr": _ALL["kmv_expr"],
         "kmeans_train": _ALL["kmeans_train"],
         "sole_late_supplier": _ALL["sole_late_supplier"],
+        # round-6-queue tier: new this round, first in line for the
+        # round-7 rotation (oracle-paired, pytest-attested).
+        "event_pattern_measures": _ALL["event_pattern_measures"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree
@@ -245,4 +254,5 @@ def oracle_sql() -> dict[str, str]:
         **llm.oracles(),
         **extras.oracles(),
         **round5.oracles(),
+        **round6.oracles(),
     }

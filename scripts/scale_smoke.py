@@ -105,13 +105,7 @@ def main() -> None:
     n_sess = sessionize(ev).count()
     t_sess = time.perf_counter() - t0
 
-    ev_typed = ev.withColumn(
-        "event_type",
-        F.element_at(
-            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")),
-            (F.pmod(F.xxhash64(F.col("event_id") + 29), F.lit(4)) + 1).cast("int"),
-        ),
-    )
+    ev_typed = _with_event_types(ev)
     t0 = time.perf_counter()
     n_funnel = funnel_stages(ev_typed).count()
     t_funnel = time.perf_counter() - t0
@@ -422,7 +416,110 @@ def main() -> None:
         f"kmv-expr {t_kx:.1f}s ({n_kx} row)"
     )
 
+    round6_wave(spark, ev_typed, n_events)
+
+
+
+def _with_event_types(ev):
+    """The ONE definition of the synthetic event-type column, shared by
+    the full run and the round-6 fast path so both smoke the same data."""
+    return ev.withColumn(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")),
+            (F.pmod(F.xxhash64(F.col("event_id") + 29), F.lit(4)) + 1).cast("int"),
+        ),
+    )
+
+
+def _typed_events(spark, n_events: int):
+    return _with_event_types(synth_events(spark, n_events))
+
+
+def round6_wave(spark, ev_typed, n_events: int) -> None:
+    """Round-6 smoke (VERDICT r5 item 7): the operators the round-5 wave
+    missed — MATCH_RECOGNIZE-lite (+ per-match MEASURES), the IVM 3-batch
+    fold, and the Q21 decorrelated shape. Structural bounds:
+    pattern = one user-key shuffle + a linear regex scan per user string;
+    measures adds a per-match explode, no extra shuffle;
+    IVM = O(delta x state) join work per round, never O(history^2);
+    Q21 = ONE fact scan + two aggregates + one join (the decorrelation)."""
+    from etl_pipeline_last_fm_spark.operators.incremental import (
+        incremental_join_batches,
+    )
+    from etl_pipeline_last_fm_spark.operators.patterns import (
+        match_event_pattern,
+        match_event_pattern_measures,
+    )
+
+    t0 = time.perf_counter()
+    n_pat = match_event_pattern(ev_typed, "vc*p").count()
+    t_pat = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pm = match_event_pattern_measures(ev_typed, "vc*p").count()
+    t_pm = time.perf_counter() - t0
+
+    # IVM fold: orders-like side a (1 row/key), lineitem-like side b
+    # (~10 rows/key), each split into 3 delta batches.
+    n_keys = max(n_events // 10, 1)
+    a = spark.range(n_keys).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(2400)).alias("a_v"),
+    )
+    b = spark.range(n_events).select(
+        F.pmod(F.xxhash64(F.col("id") + 5), F.lit(n_keys)).alias("k"),
+        F.pmod(F.xxhash64(F.col("id") + 11), F.lit(10_000)).alias("b_v"),
+        F.col("id").alias("rid"),
+    )
+    a_batches = [a.filter(F.pmod(F.col("k"), F.lit(3)) == i) for i in range(3)]
+    b_batches = [b.filter(F.pmod(F.col("rid"), F.lit(3)) == i).drop("rid") for i in range(3)]
+    t0 = time.perf_counter()
+    n_ivm = incremental_join_batches(a_batches, b_batches, ["k"]).count()
+    t_ivm = time.perf_counter() - t0
+
+    # Q21 decorrelated shape over a synthetic (order, supplier, late) fact:
+    # per-(ok, sk) rollup -> per-ok counts -> one join; ONE scan of li21.
+    li21 = spark.range(n_events).select(
+        F.pmod(F.xxhash64(F.col("id") + 17), F.lit(n_keys)).alias("ok"),
+        F.pmod(F.xxhash64(F.col("id") + 23), F.lit(400)).alias("sk"),
+        (F.pmod(F.xxhash64(F.col("id") + 31), F.lit(10)) < 2).alias("late"),
+    )
+    t0 = time.perf_counter()
+    osupp = (
+        li21.groupBy("ok", "sk")
+        .agg(F.max(F.col("late").cast("int")).alias("late"))
+        .localCheckpoint()
+    )
+    per_order = osupp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("__n_supp"), F.sum("late").alias("__n_late")
+    )
+    n_q21 = (
+        osupp.filter(F.col("late") == 1)
+        .join(per_order, "ok")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .count()
+    )
+    t_q21 = time.perf_counter() - t0
+
+    print(
+        f"round-6 wave: pattern {t_pat:.1f}s ({n_pat} users), "
+        f"pattern-measures {t_pm:.1f}s ({n_pm} matches), "
+        f"ivm-3batch {t_ivm:.1f}s ({n_ivm} rows), "
+        f"q21-decorr {t_q21:.1f}s ({n_q21} suppliers)"
+    )
+
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 3 and sys.argv[3] == "round6":
+        # Fast path: only the round-6 wave (docs corpus not needed).
+        n_events = int(sys.argv[2])
+        spark = get_spark(app_name="scale-smoke-r6")
+        ev = _typed_events(spark, n_events)
+        ev.count()
+        round6_wave(spark, ev, n_events)
+    else:
+        main()

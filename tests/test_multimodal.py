@@ -98,3 +98,149 @@ def test_sniff_format_magic_bytes(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- BMP codec: the REAL decode branch (round 6) ----------------------
+
+
+def _bmp_px():
+    import numpy as np
+
+    # 3x2 RGB with distinct channel values; width 3 forces row padding
+    # (3*3=9 bytes -> stride 12), the classic BMP decode bug.
+    return np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        ],
+        dtype=np.uint8,
+    )
+
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    px = _bmp_px()
+    assert np.array_equal(bmp_decode(bmp_encode(px)), px)
+
+
+def test_bmp_decode_top_down_layout():
+    """Negative height = top-down row order; decode must normalize it so
+    both layouts yield the same array."""
+    import struct
+
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    px = _bmp_px()
+    b = bytearray(bmp_encode(px))
+    h = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -h)
+    # rows must now be stored top-down: flip the pixel array block
+    stride = (px.shape[1] * 3 + 3) // 4 * 4
+    rows = [bytes(b[54 + i * stride : 54 + (i + 1) * stride]) for i in range(h)]
+    b[54:] = b"".join(reversed(rows))
+    assert np.array_equal(bmp_decode(bytes(b)), px)
+
+
+def test_bmp_decode_rejects_other_depths():
+    import struct
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    b = bytearray(bmp_encode(_bmp_px()))
+    struct.pack_into("<H", b, 28, 8)  # claim 8-bpp
+    with pytest.raises(NotImplementedError, match="24-bpp"):
+        bmp_decode(bytes(b))
+    with pytest.raises(ValueError, match="magic"):
+        bmp_decode(b"not a bitmap")
+
+
+def test_bmp_resize_nearest_exact():
+    """4x4 -> 2x2 nearest-neighbor picks the pixel-center samples —
+    hand-checked indices (2i+1)*4//4 = 1,3."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        bmp_resize_nearest,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = bmp_decode(bmp_resize_nearest(bmp_encode(px), 2, 2))
+    assert np.array_equal(out, px[[1, 3]][:, [1, 3]])
+
+
+def test_image_stats_exact_sums(spark):
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_encode,
+        image_stats,
+    )
+
+    px = _bmp_px()
+    df = spark.createDataFrame(
+        [(1, bmp_encode(px)), (2, b"plain text")],
+        "media_id long, content binary",
+    )
+    [r] = image_stats(df, on_undecodable="skip").collect()
+    assert (r.media_id, r.width, r.height, r.n_px) == (1, 3, 2, 6)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (
+        int(px[:, :, 0].sum()),
+        int(px[:, :, 1].sum()),
+        int(px[:, :, 2].sum()),
+    )
+    with pytest.raises(Exception, match="BMP|magic"):
+        image_stats(df, on_undecodable="error").collect()
+
+
+def test_resize_and_features_are_real_for_bmp(spark):
+    """fake=False now WORKS on BMP payloads: resize re-encodes a valid
+    BMP at the target size, and features come from decoded pixels (a
+    uniform gray image -> exact channel means, all mass in one luma
+    bin)."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        FEATURE_DIM,
+        bmp_decode,
+        bmp_encode,
+    )
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        extract_features as ef,
+    )
+
+    px = np.full((6, 5, 3), 100, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bmp_encode(px), {"modality": "image", "mime": "image/bmp",
+                              "width": 5, "height": 6, "duration_ms": None})],
+        "media_id long, content binary, meta struct<modality: string, "
+        "mime: string, width: int, height: int, duration_ms: int>",
+    )
+    [rr] = resize(media, 3, 2, fake=False).collect()
+    got = bmp_decode(bytes(rr.content))
+    assert got.shape == (2, 3, 3) and (got == 100).all()
+    assert rr.meta.width == 3 and rr.meta.height == 2
+
+    [fr] = ef(media, fake=False).collect()
+    f = fr.feature
+    assert len(f) == FEATURE_DIM
+    # schema is array<float> (float32): compare at float32 precision
+    assert f[:4] == pytest.approx([5.0, 6.0, 5.0 / 6.0, 30.0], rel=1e-6)
+    assert f[4:7] == [100.0, 100.0, 100.0]  # channel means, exact
+    assert f[7] == 100.0  # luma mean: (299+587+114)*100//1000 = 100
+    # luma 100 -> bin 3; all mass there.
+    hist = f[8:16]
+    assert hist[100 // 32] == 1.0 and sum(hist) == 1.0
