@@ -241,6 +241,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6-queue tier: new this round, first in line for the
         # round-7 rotation (oracle-paired, pytest-attested).
         "event_pattern_measures": _ALL["event_pattern_measures"],
+        # The TPC-H completion wave: Q6, Q15, Q10, Q12, Q14, Q2, Q9, Q20
+        # — with these the full 22-query analogue suite is implemented.
+        "forecast_revenue": _ALL["forecast_revenue"],
+        "top_supplier": _ALL["top_supplier"],
+        "returned_revenue": _ALL["returned_revenue"],
+        "shipmode_priority": _ALL["shipmode_priority"],
+        "promo_revenue": _ALL["promo_revenue"],
+        "min_cost_supplier": _ALL["min_cost_supplier"],
+        "product_profit": _ALL["product_profit"],
+        "dominant_suppliers": _ALL["dominant_suppliers"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

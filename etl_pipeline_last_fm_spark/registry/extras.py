@@ -33,6 +33,7 @@ from etl_pipeline_last_fm_spark.sources.tables import load_table
 
 _US_1996 = 820454400000000  # 1996-01-01T00:00:00Z in epoch microseconds
 _US_1997 = 852076800000000  # 1997-01-01T00:00:00Z
+_US_DAY = 86_400_000_000  # one day in epoch microseconds
 
 
 def _rev4_col() -> Column:

@@ -16,6 +16,7 @@ from etl_pipeline_last_fm_spark.registry.extras import (
     _rev4_col,
     _US_1996,
     _US_1996_07,
+    _US_DAY,
 )
 from etl_pipeline_last_fm_spark.sources.tables import load_table
 
@@ -120,9 +121,6 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("node")
     )
     return bfs_hops(cosupplier_edges(li), seeds, n_rounds=3)
-
-
-_US_DAY = 86_400_000_000  # one day in epoch microseconds
 
 
 def q_priority_promises(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,3 +219,21 @@ def test_priority_promises_pushes_h1_filter_into_exists(spark, sf_dir):
     )
     assert n_orders_scans == 2, plan
     assert plan.count(f">= {_US_1996}") == n_orders_scans, plan
+
+def test_forecast_revenue_filters_reach_the_scan(spark, sf_dir):
+    """The TPC-H Q6 analogue is the pushdown showcase: its date range and
+    quantity bound must land in PushedFilters (row-group pruning at
+    100 TB), and the scan must read exactly the 4 referenced columns.
+    Guards the round-6 switch from ts_us() range predicates (wrapped in
+    unix_micros(cast(...)) — unpushable) to raw-column comparisons."""
+    from etl_pipeline_last_fm_spark.registry.round6 import q_forecast_revenue
+
+    plan = formatted_plan(q_forecast_revenue(spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
+    assert "LessThan(l_quantity,24.0)" in pushed, pushed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read, read
+    assert "l_orderkey" not in read and "l_tax" not in read, read
