@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": _ALL["min_cost_supplier"],
         "product_profit": _ALL["product_profit"],
         "dominant_suppliers": _ALL["dominant_suppliers"],
+        # Round-6 analytics wave: link prediction, order-dependent decay
+        # fold, last-touch attribution.
+        "link_prediction": _ALL["link_prediction"],
+        "ema_decay": _ALL["ema_decay"],
+        "attribution": _ALL["attribution"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

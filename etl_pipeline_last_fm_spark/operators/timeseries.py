@@ -100,3 +100,82 @@ def gapfill_daily_oracle_sql(
         FROM cal LEFT JOIN obs o
           ON cal.{key_col} = o.{key_col} AND cal.{date_col} = o.{date_col}
     """
+
+
+# --- Exponential decay fold (round 6) ----------------------------------
+
+
+def ema_halflife(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponential moving average with α = ½ and zero init —
+    the ORDER-DEPENDENT recurrence  s₀ = 0,  sᵢ = (sᵢ₋₁ + vᵢ) div 2
+    over events sorted by (epoch-µs, tiebreak), in exact integer cents
+    (α = ½ keeps the whole trajectory in integers; the division
+    truncates toward zero on BOTH engines — Spark's double→long cast
+    and DuckDB's integer ``//`` — including for negative running sums,
+    so refund-style negative values stay bit-identical too). This is
+    the one aggregation class a commutative SUM/AVG cannot express:
+    the result depends on event ORDER, not just the multiset.
+
+    Plan shape: one shuffle to the key, array_sort(collect_list) for the
+    deterministic order (shuffle-order-proof — same device as the
+    MATCH_RECOGNIZE encode), then F.aggregate folds the recurrence
+    inside codegen. Per-key state is one long; per-key cost is the
+    key's own history. A streaming twin would carry s as its fold
+    state — the recurrence is associative-composable under (s, n)
+    pairs only for α = ½ per-element steps, which is exactly what the
+    batch fold replays. Oracle: list_reduce(list_prepend(0, list(v
+    ORDER BY ...)), (acc, x) -> (acc + x) // 2)."""
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+
+    cents = half_up_round(F.col(value_col) * 100).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_us(F.col(ts_col)).alias("us"),
+                F.col(tiebreak_col).alias("tb"),
+                cents.alias("v"),
+            )
+        )
+    )
+    return (
+        events.groupBy(F.col(key_col).alias("key"))
+        .agg(arr.alias("__a"))
+        .select(
+            F.col("key").alias(key_col),
+            F.size("__a").cast("long").alias("n_events"),
+            F.aggregate(
+                "__a",
+                F.lit(0).cast("long"),
+                # Truncating halve: double→long cast truncates toward
+                # zero, matching DuckDB // for negative sums too (floor
+                # would differ by 1 there). Exact: cents « 2^53.
+                lambda acc, s: ((acc + s["v"]) / F.lit(2)).cast("long"),
+            ).alias("ema_cents"),
+        )
+    )
+
+
+def ema_halflife_oracle_sql(table: str = "events") -> str:
+    """DuckDB twin of ``ema_halflife``: the same zero-init ½-decay fold
+    via list_reduce over the (ts, tiebreak)-ordered value list."""
+    return f"""
+        SELECT user_id,
+               CAST(LEN(l) AS BIGINT) AS n_events,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), l),
+                   (acc, x) -> (acc + x) // 2
+               ) AS BIGINT) AS ema_cents
+        FROM (
+            SELECT user_id,
+                   list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ORDER BY epoch_us(ts), event_id) AS l
+            FROM {table}
+            GROUP BY user_id
+        )
+    """

@@ -354,6 +354,54 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name")
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the 1996 part
+    co-purchase graph (operators/graph.py link_prediction_scores):
+    top-100 NON-adjacent part pairs by exact-integer-ppm neighborhood
+    overlap, candidates = length-2 paths, totally ordered cut. The
+    co-PURCHASE graph (not co-supplier — that one is near-complete on
+    this data, which would make every non-edge vacuous) restricted to
+    1996 orders keeps the wedge count ~8e5 at sf0.01; the operator's
+    max_middle_degree cap is the documented 100 TB hub bound."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction_scores,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    op = li.join(
+        orders.filter(
+            (F.col("o_orderdate") >= _D_1996) & (F.col("o_orderdate") < _D_1997)
+        ).select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_partkey")
+    return link_prediction_scores(copurchase_edges(op), top_k=100)
+
+
+def q_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ½-decay EMA of event values (operators/timeseries.py
+    ema_halflife): the ORDER-DEPENDENT integer recurrence s = (s+v) div 2
+    folded over the (ts, event_id)-sorted history — the aggregation class
+    plain SUM/AVG can't express. Bit-identical across engines because
+    α = ½ keeps every step in integers."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_halflife
+
+    return ema_halflife(load_table(spark, sf_dir, "events"))
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/attribution.py): purchases
+    credited to the type of the last view/click within 7 days, else
+    'none' — one running-accumulator window pass per user, credit in
+    exact cents."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "event_pattern_measures": q_event_pattern_measures,
     "forecast_revenue": q_forecast_revenue,
@@ -364,6 +412,9 @@ QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "product_profit": q_product_profit,
     "dominant_suppliers": q_dominant_suppliers,
+    "link_prediction": q_link_prediction,
+    "ema_decay": q_ema_decay,
+    "attribution": q_attribution,
 }
 
 
@@ -372,10 +423,37 @@ def oracles() -> dict[str, str]:
         match_event_pattern_measures_oracle_sql,
     )
 
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        last_touch_attribution_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        link_prediction_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        ema_halflife_oracle_sql,
+    )
+
+    copurchase_1996_sql = f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE epoch_us(o_orderdate) >= {_US_1996}
+              AND epoch_us(o_orderdate) < {_US_1997}
+        )
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM op x JOIN op y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    """
+
     return {
         "event_pattern_measures": match_event_pattern_measures_oracle_sql(
             "vc*p"
         ),
+        "link_prediction": link_prediction_oracle_sql(
+            copurchase_1996_sql, top_k=100
+        ),
+        "ema_decay": ema_halflife_oracle_sql(),
+        "attribution": last_touch_attribution_oracle_sql(),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

@@ -128,3 +128,130 @@ def test_measures_consistent_with_summary_counts(spark, sf_dir):
         .collect()
     }
     assert mx == per_match
+
+
+# --- Round-6 analytics wave: link prediction / EMA / attribution ------
+
+
+def test_ema_halflife_hand_fold(spark):
+    """s0=0; fold (s+v) div 2 over (ts, event_id) order: values 10,20,30
+    dollars -> cents 1000,2000,3000 -> 500, 1250, 2125."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_halflife
+
+    ev = _events(spark, {1: ["view", "view", "view"]}).withColumn(
+        "value", (F.col("event_id") + 1).cast("double") * 10
+    )
+    [r] = ema_halflife(ev).collect()
+    assert (r["user_id"], r["n_events"], r["ema_cents"]) == (1, 3, 2125)
+
+
+def test_ema_halflife_is_order_dependent(spark):
+    """Reversing the event order changes the fold — the property that
+    separates this class from commutative aggregation."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_halflife
+
+    ev = _events(spark, {1: ["view", "view", "view"]}).withColumn(
+        "value", (F.col("event_id") + 1).cast("double") * 10
+    )
+    rev = ev.withColumn(
+        "ts", F.timestamp_micros(F.lit(1_700_000_000_000_000) - F.col("event_id"))
+    )
+    [a] = ema_halflife(ev).collect()
+    [b] = ema_halflife(rev).collect()
+    assert a["ema_cents"] == 2125 and b["ema_cents"] == 1375  # 30,20,10 order
+
+
+def test_last_touch_attribution_credit_rules(spark):
+    """touch-in-window -> credited to the LAST touch's type; stale touch
+    -> none; no touch -> none; touches after the purchase don't count."""
+    from datetime import datetime
+
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+
+    day = 24 * 3600
+    rows = [
+        # user 1: view then click then purchase (click is last touch)
+        (0, 1, "view", datetime.fromtimestamp(0), 1.0),
+        (1, 1, "click", datetime.fromtimestamp(day), 1.0),
+        (2, 1, "purchase", datetime.fromtimestamp(2 * day), 10.0),
+        # user 2: touch 8 days before purchase -> stale -> none
+        (3, 2, "view", datetime.fromtimestamp(0), 1.0),
+        (4, 2, "purchase", datetime.fromtimestamp(9 * day), 20.0),
+        # user 3: touch only AFTER the purchase -> none
+        (5, 3, "purchase", datetime.fromtimestamp(0), 40.0),
+        (6, 3, "click", datetime.fromtimestamp(day), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    got = {
+        r["channel"]: (r["n_conversions"], r["attributed_cents"])
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got == {"click": (1, 1000), "none": (2, 6000)}
+
+
+def test_link_prediction_on_square_graph(spark):
+    """Cycle a-b-c-d-a: the two diagonals are the only non-adjacent
+    pairs, each with cn=2 common neighbors and Jaccard 2/(2+2-2)=1."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
+    )
+    got = sorted(
+        (r["u"], r["v"], r["cn"], r["jaccard_ppm"])
+        for r in link_prediction_scores(edges).collect()
+    )
+    assert got == [(1, 3, 2, 1_000_000), (2, 4, 2, 1_000_000)]
+
+
+def test_link_prediction_hub_cap_drops_hub_wedges(spark):
+    """Star hub + one path: capping middle degree at 2 removes wedges
+    through the hub but keeps those through degree-2 nodes."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    # hub 1 - {2,3,4,5}; path 2-6-7.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 6), (6, 7)], "a long, b long"
+    )
+    full = {(r["u"], r["v"]) for r in link_prediction_scores(edges).collect()}
+    capped = {
+        (r["u"], r["v"])
+        for r in link_prediction_scores(edges, max_middle_degree=2).collect()
+    }
+    assert (2, 3) in full and (2, 3) not in capped  # wedge through hub 1
+    assert (2, 7) in full and (2, 7) in capped  # wedge through node 6
+
+
+def test_ema_halflife_negative_values_match_duckdb(spark):
+    """Refund-style negatives: the halve must TRUNCATE toward zero on
+    both engines (floor would diverge by 1 cent) — Spark vs a direct
+    DuckDB list_reduce replay on the same rows."""
+    import duckdb
+
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_halflife
+
+    vals = [-10.0, 3.0, -7.0, 5.0, -1.0]
+    ev = _events(spark, {1: ["view"] * len(vals)})
+    ev = ev.withColumn(
+        "value",
+        F.element_at(
+            F.array(*[F.lit(v) for v in vals]), F.col("event_id").cast("int") + 1
+        ),
+    )
+    [r] = ema_halflife(ev).collect()
+    cents = [int(v * 100) for v in vals]
+    [(want,)] = duckdb.sql(
+        f"SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"{cents}::BIGINT[]), (acc, x) -> (acc + x) // 2)"
+    ).fetchall()
+    assert r["ema_cents"] == want
