@@ -8,7 +8,10 @@ batch shapes — is real and tested. The codec surface splits in two:
 - BMP (24-bpp uncompressed) is decoded/encoded/resized FOR REAL with pure
   struct + numpy arithmetic (``bmp_decode``/``bmp_encode``/
   ``bmp_resize_nearest``/``image_stats``) — no codec library needed.
-- Entropy-coded formats (JPEG/PNG/video) DO need decode libraries
+- WAV (16-bit PCM) likewise: ``wav_decode``/``wav_encode``/``audio_stats``
+  walk the RIFF chunk list with struct arithmetic alone, so the audio
+  modality has a real decode path too.
+- Entropy-coded formats (JPEG/PNG/MP3/video) DO need decode libraries
   (PIL/ffmpeg/etc.) absent from this container, so those branches raise
   NotImplementedError by default, or emit a DETERMINISTIC FAKE result
   (seeded by content hash) when ``fake=True`` so downstream plumbing
@@ -60,6 +63,9 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "t
 # (route by container format, quarantine unknowns) costs one substring
 # compare per row, JVM-side.
 _MAGIC = [
+    # "WAVE" at offset 8 inside a RIFF container — more specific than any
+    # prefix signature, so it sits first (first entry wins).
+    ("wav", "57415645", 8),
     ("bmp", "424D", 0),
     ("jpeg", "FFD8FF", 0),
     ("png", "89504E47", 0),
@@ -205,6 +211,158 @@ def image_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
     )
 
 
+# --- WAV codec: REAL, zero-dependency ---------------------------------
+# 16-bit PCM WAV (RIFF) is parseable with struct arithmetic alone — the
+# audio sibling of the BMP branch. The NotImplementedError stubs now
+# cover only entropy-coded media (JPEG/MP3/video).
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an (n,) or (n, ch) int16 array as 16-bit PCM WAV."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"expected int16 (n,) or (n, ch), got {samples.shape} {samples.dtype}")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved frames
+    block = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM WAV to ((n, ch) int16 array, sample_rate).
+    Walks the RIFF chunk list (fmt may be preceded by LIST/JUNK chunks
+    and padded to even length — the classic WAV parser bugs); rejects
+    compressed formats and other bit depths loudly."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        if pos + 8 + size > len(content):
+            # declared size past EOF: a truncated payload must FAIL (the
+            # bmp_decode contract), never yield silently-short stats.
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(content) - pos - 8} available"
+            )
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # ValueError (not struct.error) so the quarantine catch works.
+        raise ValueError(f"bad WAV fmt chunk ({len(fmt)} bytes, need 16)")
+    audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decoded natively "
+            f"(got format={audio_fmt}, bits={bits})"
+        )
+    if ch < 1 or rate < 1:
+        raise ValueError(f"bad WAV channels/rate {ch}/{rate}")
+    n = len(data) // (ch * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return samples, rate
+
+
+def _signal_stats(samples: np.ndarray) -> tuple[int, int, int]:
+    """(sum_abs over all channels, max_abs, channel-0 strict sign-change
+    count) in exact int64 — the ONE definition shared by audio_stats and
+    _wav_features so the stats and the feature vector cannot diverge."""
+    a = samples.astype(np.int64)
+    ab = np.abs(a)
+    ch0 = a[:, 0] if a.shape[0] else np.zeros(0, dtype=np.int64)
+    nz = ch0[ch0 != 0]
+    zc = int((np.sign(nz[1:]) != np.sign(nz[:-1])).sum()) if nz.size > 1 else 0
+    return int(ab.sum()), int(ab.max()) if a.size else 0, zc
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, sum_abs long, max_abs long, zero_crossings long"
+)
+
+
+def audio_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
+    """Decode WAV payloads and emit exact-integer signal statistics:
+    duration in whole ms (n·1000 div rate — truncating, engine-portable),
+    per-payload |amplitude| sum/max and sign-change count (channel 0) —
+    the triage a crawl pipeline runs to drop silence/clipped audio.
+    Same contract as ``image_stats``: non-WAV rows raise by default,
+    ``on_undecodable='skip'`` quarantines them."""
+    if on_undecodable not in ("error", "skip"):
+        raise ValueError(f"on_undecodable must be error|skip, got {on_undecodable!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "sum_abs", "max_abs", "zero_crossings")
+            out = {k: [] for k in cols}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, rate = wav_decode(bytes(c))
+                except (ValueError, NotImplementedError):
+                    if on_undecodable == "skip":
+                        continue
+                    raise
+                sum_abs, max_abs, zc = _signal_stats(samples)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(samples.shape[1])
+                out["n_samples"].append(samples.shape[0])
+                out["duration_ms"].append(samples.shape[0] * 1000 // rate)
+                out["sum_abs"].append(sum_abs)
+                out["max_abs"].append(max_abs)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def _wav_features(content: bytes) -> list[float]:
+    """REAL decode-based features for WAV payloads, same FEATURE_DIM
+    slot layout as images: [rate, n_samples, channels, duration_s,
+    mean_abs, peak_abs, zero-cross fraction, rms] + 8-bin |amplitude|
+    histogram (fractions of int16 full scale). Deterministic sample
+    arithmetic throughout (rms is the one sqrt, over an exact sum)."""
+    samples, rate = wav_decode(content)
+    a = samples.astype(np.int64)
+    n = max(a.shape[0], 1)
+    sum_abs, max_abs, zc = _signal_stats(samples)
+    ch0 = a[:, 0] if a.shape[0] else np.zeros(0, dtype=np.int64)
+    hist = np.bincount(
+        np.minimum(np.abs(ch0) // 4096, 7), minlength=8
+    )[:8] / n
+    feats = [
+        float(rate), float(a.shape[0]), float(a.shape[1]), a.shape[0] / rate,
+        sum_abs / max(a.size, 1), float(max_abs),
+        zc / n, float(np.sqrt((ch0 * ch0).sum() / n)),
+        *hist,
+    ]
+    assert len(feats) == FEATURE_DIM
+    return [float(x) for x in feats]
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic fake 'decoded' features: seeded by the content digest,
     so results are stable across runs/executors. CLEARLY A STUB."""
@@ -298,10 +456,10 @@ def _bmp_features(content: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; the one legitimate
-    Python hop). BMP payloads featurize FOR REAL (dimensions + channel
-    means + luma histogram from the decoded pixels); other formats raise
-    NotImplementedError unless ``fake=True`` (digest-seeded stub vectors).
-    """
+    Python hop). BMP and WAV payloads featurize FOR REAL (decoded pixels /
+    samples → the 16-slot layout documented on _bmp_features and
+    _wav_features); other formats raise NotImplementedError unless
+    ``fake=True`` (digest-seeded stub vectors)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -312,10 +470,13 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     feats.append(_fake_features(b))
                 elif b[:2] == b"BM":
                     feats.append(_bmp_features(b))
+                elif b[8:12] == b"WAVE" and b[:4] == b"RIFF":
+                    feats.append(_wav_features(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP decode requires codec libraries not present in "
-                        "this environment; pass fake=True for the deterministic stub"
+                        "non-BMP/WAV decode requires codec libraries not present "
+                        "in this environment; pass fake=True for the deterministic "
+                        "stub"
                     )
             yield pd.DataFrame(
                 {

@@ -244,3 +244,154 @@ def test_resize_and_features_are_real_for_bmp(spark):
     # luma 100 -> bin 3; all mass there.
     hist = f[8:16]
     assert hist[100 // 32] == 1.0 and sum(hist) == 1.0
+
+
+# --- WAV codec: the REAL audio decode branch (round 6) ----------------
+
+
+def _wav_samples():
+    import numpy as np
+
+    # Mono ramp crossing zero twice: -3,-1,2,4,-5,6 (int16).
+    return np.array([-3, -1, 2, 4, -5, 6], dtype=np.int16)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    mono = _wav_samples()
+    got, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and np.array_equal(got[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    got2, _ = wav_decode(wav_encode(stereo))
+    assert np.array_equal(got2, stereo)
+
+
+def test_wav_decode_skips_leading_chunks_and_odd_padding():
+    """A LIST chunk with ODD size before fmt/data exercises the RIFF
+    word-alignment rule — the classic WAV parser bug."""
+    import struct
+
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    mono = _wav_samples()
+    b = wav_encode(mono, 8000)
+    # splice an odd-sized LIST chunk right after the WAVE tag
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = b[:12] + junk + b[12:]
+    got, rate = wav_decode(spliced)
+    assert rate == 8000 and np.array_equal(got[:, 0], mono)
+
+
+def test_wav_decode_rejects_non_pcm_and_garbage():
+    import struct
+
+    import pytest
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        wav_decode,
+        wav_encode,
+    )
+
+    b = bytearray(wav_encode(_wav_samples()))
+    struct.pack_into("<H", b, 20, 85)  # claim MP3 (format 85)
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        wav_decode(bytes(b))
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"not audio at all")
+
+
+def test_audio_stats_exact_integers(spark):
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        audio_stats,
+        wav_encode,
+    )
+
+    mono = _wav_samples()  # |sum|=21, max=6, zc: -1->2, 4->-5, -5->6 = 3
+    df = spark.createDataFrame(
+        [(1, wav_encode(mono, 8000)), (2, b"junk")],
+        "media_id long, content binary",
+    )
+    [r] = audio_stats(df, on_undecodable="skip").collect()
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 6)
+    assert r.duration_ms == 6 * 1000 // 8000 == 0
+    assert (r.sum_abs, r.max_abs, r.zero_crossings) == (21, 6, 3)
+
+
+def test_wav_features_and_sniff(spark):
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        FEATURE_DIM,
+        sniff_format,
+        wav_encode,
+    )
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        extract_features as ef,
+    )
+
+    mono = np.full(100, 1000, dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, wav_encode(mono, 16000), {"modality": "audio", "mime": "audio/wav",
+                                       "width": None, "height": None,
+                                       "duration_ms": None})],
+        "media_id long, content binary, meta struct<modality: string, "
+        "mime: string, width: int, height: int, duration_ms: int>",
+    )
+    [s] = sniff_format(media).select("sniffed").collect()
+    assert s.sniffed == "wav"
+    [fr] = ef(media, fake=False).collect()
+    f = fr.feature
+    assert len(f) == FEATURE_DIM
+    assert f[:4] == [16000.0, 100.0, 1.0, pytest.approx(100 / 16000)]
+    assert f[4] == 1000.0 and f[5] == 1000.0  # mean_abs, peak
+    assert f[6] == 0.0 and f[7] == 1000.0  # no crossings; rms of constant
+    assert f[8] == 1.0 and sum(f[8:16]) == 1.0  # |1000|//4096 -> bin 0
+
+
+def test_wav_decode_rejects_truncated_zero_rate_and_short_fmt(spark):
+    """The three quarantine escapes caught in review: truncated data
+    chunk, rate=0, and a short fmt chunk must all raise ValueError (so
+    audio_stats skip-mode quarantines them, not struct/ZeroDivision
+    errors crashing the stage)."""
+    import struct
+
+    import pytest
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        audio_stats,
+        wav_decode,
+        wav_encode,
+    )
+
+    good = wav_encode(_wav_samples(), 8000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        wav_decode(good[:-3])
+    zero_rate = bytearray(good)
+    struct.pack_into("<I", zero_rate, 24, 0)
+    with pytest.raises(ValueError, match="channels/rate"):
+        wav_decode(bytes(zero_rate))
+    short_fmt = (
+        good[:12]
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="fmt chunk"):
+        wav_decode(short_fmt)
+    # and skip-mode quarantines all three instead of crashing
+    df = spark.createDataFrame(
+        [(1, good[:-3]), (2, bytes(zero_rate)), (3, short_fmt), (4, good)],
+        "media_id long, content binary",
+    )
+    assert [r.media_id for r in audio_stats(df, on_undecodable="skip")
+            .collect()] == [4]
