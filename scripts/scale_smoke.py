@@ -417,6 +417,7 @@ def main() -> None:
     )
 
     round6_wave(spark, ev_typed, n_events)
+    round6b_wave(spark, ev_typed, n_events)
 
 
 
@@ -513,6 +514,53 @@ def round6_wave(spark, ev_typed, n_events: int) -> None:
 
 
 
+def round6b_wave(spark, ev_typed, n_events: int) -> None:
+    """Second round-6 smoke: the analytics wave (link prediction, EMA
+    fold, attribution). Structural bounds: link prediction's wedge join
+    is Sigma deg(m)^2 — with items AND orders both growing with n the
+    per-item degree stays ~constant, so wedges grow linearly (the
+    hub-cap parameter is the bound when degree grows instead);
+    EMA/attribution are one key shuffle + a linear per-key fold/window."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction_scores,
+    )
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_halflife
+
+    # order/item co-occurrence over an n/10 slice: orders AND items grow
+    # with the data (m/5 orders x 5 lines, m/20 items), so per-item
+    # degree (~80) stays flat and both the wedge count and the candidate
+    # group count grow linearly — the bound the operator documents. The
+    # slice keeps the smoke's absolute cost proportionate; growth is
+    # what's being measured, and the slice scales 1:1 with n.
+    m = max(n_events // 10, 1000)
+    n_items = max(m // 20, 10)
+    op = spark.range(m).select(
+        (F.col("id") / 5).cast("long").alias("l_orderkey"),
+        F.pmod(F.xxhash64(F.col("id") + 41), F.lit(n_items)).alias("l_partkey"),
+    )
+    t0 = time.perf_counter()
+    n_lp = link_prediction_scores(copurchase_edges(op), top_k=100).count()
+    t_lp = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_ema = ema_halflife(ev_typed).count()
+    t_ema = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_att = last_touch_attribution(ev_typed).count()
+    t_att = time.perf_counter() - t0
+
+    print(
+        f"round-6b wave: link-pred {t_lp:.1f}s ({n_lp} rows), "
+        f"ema {t_ema:.1f}s ({n_ema} users), "
+        f"attribution {t_att:.1f}s ({n_att} channels)"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[3] == "round6":
         # Fast path: only the round-6 wave (docs corpus not needed).
@@ -521,5 +569,6 @@ if __name__ == "__main__":
         ev = _typed_events(spark, n_events)
         ev.count()
         round6_wave(spark, ev, n_events)
+        round6b_wave(spark, ev, n_events)
     else:
         main()
