@@ -255,7 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fold, last-touch attribution.
         "link_prediction": _ALL["link_prediction"],
         "ema_decay": _ALL["ema_decay"],
+        "ema_fold": _ALL["ema_fold"],
         "attribution": _ALL["attribution"],
+        "trend_fit": _ALL["trend_fit"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

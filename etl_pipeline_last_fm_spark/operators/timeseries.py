@@ -131,33 +131,12 @@ def ema_halflife(
     pairs only for α = ½ per-element steps, which is exactly what the
     batch fold replays. Oracle: list_reduce(list_prepend(0, list(v
     ORDER BY ...)), (acc, x) -> (acc + x) // 2)."""
-    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
-
-    cents = half_up_round(F.col(value_col) * 100).cast("long")
-    arr = F.array_sort(
-        F.collect_list(
-            F.struct(
-                ts_us(F.col(ts_col)).alias("us"),
-                F.col(tiebreak_col).alias("tb"),
-                cents.alias("v"),
-            )
-        )
-    )
-    return (
-        events.groupBy(F.col(key_col).alias("key"))
-        .agg(arr.alias("__a"))
-        .select(
-            F.col("key").alias(key_col),
-            F.size("__a").cast("long").alias("n_events"),
-            F.aggregate(
-                "__a",
-                F.lit(0).cast("long"),
-                # Truncating halve: double→long cast truncates toward
-                # zero, matching DuckDB // for negative sums too (floor
-                # would differ by 1 there). Exact: cents « 2^53.
-                lambda acc, s: ((acc + s["v"]) / F.lit(2)).cast("long"),
-            ).alias("ema_cents"),
-        )
+    return _ema_batch_state(
+        events, key_col, ts_col, value_col, tiebreak_col
+    ).select(
+        F.col("key").alias(key_col),
+        F.size("__a").cast("long").alias("n_events"),
+        F.aggregate("__a", F.lit(0).cast("long"), _halve).alias("ema_cents"),
     )
 
 
@@ -178,4 +157,205 @@ def ema_halflife_oracle_sql(table: str = "events") -> str:
             FROM {table}
             GROUP BY user_id
         )
+    """
+
+
+def _halve(acc, s):
+    """ONE truncating ½-decay step (acc + v) div 2 — shared by the
+    one-shot fold and the batch fold so the maintenance identity cannot
+    drift. The double→long cast truncates toward zero, matching DuckDB
+    ``//`` for negative sums too (floor would differ by 1 there); exact
+    while |acc + v| « 2^53 (values are cents)."""
+    return ((acc + s["v"]) / F.lit(2)).cast("long")
+
+
+def _ema_batch_state(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key sorted value array + order boundaries for one batch."""
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+
+    cents = half_up_round(F.col(value_col) * 100).cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_us(F.col(ts_col)).alias("us"),
+                F.col(tiebreak_col).alias("tb"),
+                cents.alias("v"),
+            )
+        )
+    )
+    return events.groupBy(F.col(key_col).alias("key")).agg(arr.alias("__a"))
+
+
+def ema_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold one time-slice batch into per-key EMA state — the
+    NON-commutative sibling of the additive mart folds: because the
+    recurrence depends on event ORDER, batches must arrive as
+    time-ordered slices (the Kafka-partition-per-key delivery model).
+    The state carries the fold frontier (max (us, tiebreak) seen); a
+    batch containing an event at or before a key's frontier RAISES
+    (raise_error inside the fold expression — fail loud, never silently
+    corrupt the trajectory). Within a batch, order is recovered by the
+    same array_sort device as the one-shot fold, so the composition
+    identity  fold(fold(s, A), B) == fold(s, A++B)  holds exactly for
+    time-split batches — that identity IS the oracle of the graded
+    query.
+
+    State schema: (key, n_events, ema_cents, max_us, max_tb)."""
+    b = _ema_batch_state(batch, key_col, ts_col, value_col, tiebreak_col)
+    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    if state is None:
+        return b.select(
+            "key",
+            F.size("__a").cast("long").alias("n_events"),
+            F.aggregate(
+                "__a", F.lit(0).cast("long"), _halve
+            ).alias("ema_cents"),
+            last["us"].alias("max_us"),
+            last["tb"].alias("max_tb"),
+        )
+    s = state.select(
+        "key",
+        F.col("n_events").alias("__sn"),
+        F.col("ema_cents").alias("__se"),
+        F.col("max_us").alias("__su"),
+        F.col("max_tb").alias("__st"),
+    )
+    j = s.join(b, "key", "full_outer")
+    has_batch, has_state = F.col("__a").isNotNull(), F.col("__sn").isNotNull()
+    in_order = (
+        ~has_batch
+        | ~has_state
+        | (first["us"] > F.col("__su"))
+        | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
+    )
+    init = F.coalesce(F.col("__se"), F.lit(0).cast("long"))
+    folded = F.aggregate(
+        F.coalesce(F.col("__a"), F.array()), init, _halve
+    )
+    return j.select(
+        "key",
+        (F.coalesce(F.col("__sn"), F.lit(0).cast("long"))
+         + F.coalesce(F.size("__a").cast("long"), F.lit(0).cast("long")))
+        .alias("n_events"),
+        F.when(
+            ~in_order,
+            F.raise_error(
+                F.concat(
+                    F.lit("ema_fold_batch: out-of-order batch for key "),
+                    F.col("key").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(folded).alias("ema_cents"),
+        F.coalesce(last["us"], F.col("__su")).alias("max_us"),
+        F.coalesce(last["tb"], F.col("__st")).alias("max_tb"),
+    )
+
+
+def incremental_ema_batches(
+    batches: list[DataFrame],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold a time-ordered batch sequence through ``ema_fold_batch`` and
+    present (key, n_events, ema_cents) — must equal ``ema_halflife`` over
+    the union for ANY time-split batching (the ordered-fold maintenance
+    identity; the one-shot fold is the oracle). localCheckpoint per round
+    truncates the state lineage, the iterative-operator house rule."""
+    state = None
+    for batch in batches:
+        state = ema_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ).localCheckpoint()
+    assert state is not None, "need at least one batch"
+    return state.select(
+        F.col("key").alias(key_col), "n_events", "ema_cents"
+    )
+
+
+def trend_fit(
+    events: DataFrame,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group ordinary-least-squares TREND: the slope of value (cents)
+    against time (whole days), from the closed form
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    computed ENTIRELY in integers and presented as exact ppm-cents/day
+    via cross-multiplied truncating division. Every product is widened
+    to decimal(38,0) UNCONDITIONALLY (house rule): n·Σxy passes 2^63
+    already at sf0.1 (day indices ~2e4, cents ~5e6, rows ~1e5/group).
+    One partial+final aggregate — the cheapest possible plan; no window,
+    no sort, no second pass."""
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+
+    group_cols = group_cols or ["event_type"]
+    x = (ts_us(F.col(ts_col)) / F.lit(86_400_000_000)).cast("long")  # day idx
+    y = half_up_round(F.col(value_col) * 100).cast("long")
+    d38 = "decimal(38,0)"
+    agged = events.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(x.cast(d38)).alias("__sx"),
+        F.sum(y.cast(d38)).alias("__sy"),
+        F.sum((x * y).cast(d38)).alias("__sxy"),
+        F.sum((x * x).cast(d38)).alias("__sxx"),
+    )
+    return agged.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        # per-row products stay int64 (they can't overflow row-wise);
+        # the SUMS and their cross-multiplies are the decimal terms.
+        # NULLIF: a group confined to ONE day index has denominator 0
+        # (no trend is estimable) — slope NULL, never DIVIDE_BY_ZERO
+        # aborting the job under ANSI.
+        F.expr(
+            "CAST((__n * __sxy - __sx * __sy) * 1000000"
+            " div NULLIF(__n * __sxx - __sx * __sx, 0) AS BIGINT)"
+        ).alias("slope_ppm_cents_per_day"),
+    )
+
+
+def trend_fit_oracle_sql(
+    group_cols: list[str] | None = None, table: str = "events"
+) -> str:
+    """DuckDB twin: identical integer closed form in HUGEINT (whose //
+    matches decimal div — house rule)."""
+    gc = ", ".join(group_cols or ["event_type"])
+    return f"""
+        WITH s AS (
+            SELECT {gc},
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x * x) AS HUGEINT) AS sxx
+            FROM (
+                SELECT {gc},
+                       epoch_us(ts) // 86400000000 AS x,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+                FROM {table}
+            )
+            GROUP BY {gc}
+        )
+        SELECT {gc},
+               CAST(n AS BIGINT) AS n,
+               CAST((n * sxy - sx * sy) * 1000000
+                    // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+                   AS slope_ppm_cents_per_day
+        FROM s
     """

@@ -390,6 +390,28 @@ def q_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema_halflife(load_table(spark, sf_dir, "events"))
 
 
+def q_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold maintenance identity for the NON-commutative EMA
+    (operators/timeseries.py incremental_ema_batches): the events table
+    split into 3 fixed time slices and folded through per-key state
+    carrying the fold frontier — must equal the one-shot ema_halflife
+    for any time-split batching, and that one-shot IS the oracle (the
+    incremental_join pattern, extended to an order-dependent operator;
+    out-of-order batches raise instead of corrupting the trajectory)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        incremental_ema_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    return incremental_ema_batches(batches)
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution (operators/attribution.py): purchases
     credited to the type of the last view/click within 7 days, else
@@ -400,6 +422,16 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value-vs-day (operators/timeseries.py
+    trend_fit): the closed-form slope in exact integers, cross-multiplied
+    to ppm-cents/day, every sum widened to decimal(38,0)/HUGEINT (n·Σxy
+    passes 2^63 at bench SF). One partial+final aggregate."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import trend_fit
+
+    return trend_fit(load_table(spark, sf_dir, "events"))
 
 
 QUERIES = {
@@ -414,7 +446,9 @@ QUERIES = {
     "dominant_suppliers": q_dominant_suppliers,
     "link_prediction": q_link_prediction,
     "ema_decay": q_ema_decay,
+    "ema_fold": q_ema_fold,
     "attribution": q_attribution,
+    "trend_fit": q_trend_fit,
 }
 
 
@@ -431,6 +465,7 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.timeseries import (
         ema_halflife_oracle_sql,
+        trend_fit_oracle_sql,
     )
 
     copurchase_1996_sql = f"""
@@ -453,7 +488,11 @@ def oracles() -> dict[str, str]:
             copurchase_1996_sql, top_k=100
         ),
         "ema_decay": ema_halflife_oracle_sql(),
+        # The one-shot fold IS the oracle: the 3-batch frontier fold
+        # must equal it (ordered-fold maintenance identity).
+        "ema_fold": ema_halflife_oracle_sql(),
         "attribution": last_touch_attribution_oracle_sql(),
+        "trend_fit": trend_fit_oracle_sql(),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

@@ -255,3 +255,79 @@ def test_ema_halflife_negative_values_match_duckdb(spark):
         f"{cents}::BIGINT[]), (acc, x) -> (acc + x) // 2)"
     ).fetchall()
     assert r["ema_cents"] == want
+
+
+def test_ema_fold_batches_equal_one_shot(spark):
+    """Ordered-fold maintenance identity: any time-split batching of the
+    stream folds to the same state as the one-shot fold."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        ema_halflife,
+        incremental_ema_batches,
+    )
+
+    ev = _events(
+        spark, {1: ["view"] * 7, 2: ["click"] * 4}
+    ).withColumn("value", (F.col("event_id") * 3 + 1).cast("double"))
+    cut1, cut2 = datetime(2024, 1, 1, 0, 2, 30), datetime(2024, 1, 1, 0, 4, 30)
+    batches = [
+        ev.filter(F.col("ts") < cut1),
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.filter(F.col("ts") >= cut2),
+    ]
+    one_shot = {
+        r["user_id"]: (r["n_events"], r["ema_cents"])
+        for r in ema_halflife(ev).collect()
+    }
+    folded = {
+        r["user_id"]: (r["n_events"], r["ema_cents"])
+        for r in incremental_ema_batches(batches).collect()
+    }
+    assert folded == one_shot and len(folded) == 2
+
+
+def test_ema_fold_raises_on_out_of_order_batch(spark):
+    """A batch at or before a key's fold frontier must FAIL LOUD — the
+    non-commutative fold can't absorb late data silently."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        incremental_ema_batches,
+    )
+
+    ev = _events(spark, {1: ["view"] * 4})
+    cut = datetime(2024, 1, 1, 0, 1, 30)
+    late_then_early = [ev.filter(F.col("ts") >= cut), ev.filter(F.col("ts") < cut)]
+    with pytest.raises(Exception, match="out-of-order"):
+        incremental_ema_batches(late_then_early).collect()
+
+
+def test_trend_fit_recovers_exact_linear_slope(spark):
+    """Values exactly linear in the day index (y = 250 + 35 cents/day)
+    -> slope_ppm = 35,000,000 exactly; a constant series -> slope 0."""
+    from datetime import datetime, timedelta
+
+    from etl_pipeline_last_fm_spark.operators.timeseries import trend_fit
+
+    rows = []
+    for d in range(10):
+        ts = datetime(2024, 1, 1) + timedelta(days=d)
+        rows.append((d, 1, "lin", ts, (250 + 35 * (ts - datetime(1970, 1, 1)).days) / 100.0))
+        rows.append((100 + d, 1, "flat", ts, 7.77))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    got = {
+        r["event_type"]: (r["n"], r["slope_ppm_cents_per_day"])
+        for r in trend_fit(ev).collect()
+    }
+    assert got == {"lin": (10, 35_000_000), "flat": (10, 0)}
+
+
+def test_trend_fit_single_day_group_yields_null_not_error(spark):
+    """A group confined to one day index has OLS denominator 0 — slope
+    must be NULL (no trend estimable), never DIVIDE_BY_ZERO under ANSI."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import trend_fit
+
+    ev = _events(spark, {1: ["view", "view"]})  # same calendar day
+    [r] = trend_fit(ev).collect()
+    assert r["n"] == 2 and r["slope_ppm_cents_per_day"] is None
