@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_fold": _ALL["ema_fold"],
         "attribution": _ALL["attribution"],
         "trend_fit": _ALL["trend_fit"],
+        "collocations": _ALL["collocations"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -750,3 +750,100 @@ def inverted_index_oracle_sql(min_df: int = 2, table: str = "documents") -> str:
                string_agg(doc_id, ',' ORDER BY doc_id) AS postings
         FROM p GROUP BY term HAVING COUNT(*) >= {min_df}
     """
+
+
+def collocations(
+    docs: DataFrame, min_count: int = 10, top_k: int = 100
+) -> DataFrame:
+    """Top-k collocations: adjacent word pairs ranked by LIFT —
+    corpus_tokens · c(a,b) / (c(a) · c(b)) — the association measure
+    behind phrase detection / tokenizer-merge candidates (PMI's
+    monotone argument, kept in exact integer ppm so no log/float enters
+    the parity boundary). ``min_count`` suppresses the unstable
+    low-frequency tail (textbook collocation practice), and the top-k
+    cut is totally ordered by (lift, a, b).
+
+    Scale shape: one token explode for unigram counts, one slice-pair
+    explode for bigram counts (both partial+final hash aggregates), two
+    joins against vocabulary-sized count tables (vocab grows sublinearly
+    in the corpus; AQE broadcasts when small), a broadcast 1-row total,
+    TakeOrdered for the cut. The ×N·10⁶ cross-multiply is decimal(38,0)
+    — it passes 2^63 at ~5e6 corpus tokens, i.e. already at bench SF."""
+    base = docs.select(_tokens().alias("__toks"))
+    uni = (
+        base.select(F.explode("__toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("__ca"))
+    )
+    total = uni.agg(F.sum("__ca").cast("decimal(38,0)").alias("__n"))
+    pairs = (
+        base.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__toks", 1, F.size("__toks") - 1).alias("a"),
+                    F.slice("__toks", 2, F.size("__toks") - 1).alias("b"),
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    return (
+        pairs.join(uni, "a")
+        .join(
+            uni.select(F.col("a").alias("b"), F.col("__ca").alias("__cb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.expr(
+                "CAST(CAST(c_ab AS DECIMAL(38,0)) * __n * 1000000"
+                " div (CAST(__ca AS DECIMAL(38,0)) * __cb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
+def collocations_oracle_sql(
+    min_count: int = 10, top_k: int = 100, table: str = "documents"
+) -> str:
+    """DuckDB twin: identical counts and HUGEINT cross-multiplied lift."""
+    return f"""
+        WITH t AS (
+            SELECT string_split(trim(text), ' ') AS toks FROM {table}
+        ),
+        uni AS (
+            SELECT unnest(toks) AS a FROM t
+        ),
+        cu AS (
+            SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM uni GROUP BY 1
+        ),
+        n AS (SELECT CAST(SUM(ca) AS HUGEINT) AS n FROM cu),
+        bi AS (
+            SELECT toks[i] AS a, toks[i + 1] AS b
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+        ),
+        cb AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM bi GROUP BY 1, 2
+            HAVING COUNT(*) >= {min_count}
+        )
+        SELECT cb.a, cb.b, c_ab,
+               CAST(CAST(c_ab AS HUGEINT) * n.n * 1000000
+                    // (CAST(x.ca AS HUGEINT) * y.ca) AS BIGINT)
+                   AS lift_ppm
+        FROM cb
+        JOIN cu x ON cb.a = x.a
+        JOIN cu y ON cb.b = y.a
+        CROSS JOIN n
+        ORDER BY lift_ppm DESC, cb.a, cb.b
+        LIMIT {top_k}
+    """

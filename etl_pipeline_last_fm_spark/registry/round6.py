@@ -434,6 +434,16 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_fit(load_table(spark, sf_dir, "events"))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by exact-integer-ppm lift over the documents
+    corpus (operators/text.py collocations) — PMI-style phrase detection
+    with no log/float at the parity boundary; the ×N·10⁶ cross-multiply
+    is decimal(38,0)/HUGEINT (passes 2^63 at bench SF)."""
+    from etl_pipeline_last_fm_spark.operators.text import collocations
+
+    return collocations(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "event_pattern_measures": q_event_pattern_measures,
     "forecast_revenue": q_forecast_revenue,
@@ -449,6 +459,7 @@ QUERIES = {
     "ema_fold": q_ema_fold,
     "attribution": q_attribution,
     "trend_fit": q_trend_fit,
+    "collocations": q_collocations,
 }
 
 
@@ -462,6 +473,9 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.graph import (
         link_prediction_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.text import (
+        collocations_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.timeseries import (
         ema_halflife_oracle_sql,
@@ -493,6 +507,7 @@ def oracles() -> dict[str, str]:
         "ema_fold": ema_halflife_oracle_sql(),
         "attribution": last_touch_attribution_oracle_sql(),
         "trend_fit": trend_fit_oracle_sql(),
+        "collocations": collocations_oracle_sql(),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

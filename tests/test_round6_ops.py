@@ -331,3 +331,26 @@ def test_trend_fit_single_day_group_yields_null_not_error(spark):
     ev = _events(spark, {1: ["view", "view"]})  # same calendar day
     [r] = trend_fit(ev).collect()
     assert r["n"] == 2 and r["slope_ppm_cents_per_day"] is None
+
+
+def test_collocations_lift_hand_computed(spark):
+    """Corpus 'x y' x4 + 'x z' x4 + 'w w' x2: N=20 tokens; pair (x,y)
+    has c_ab=4, c_x=8, c_y=4 -> lift = 20*4/(8*4) = 2.5 -> 2_500_000
+    ppm; (w,w) c_ab=2, c_w=4 -> 20*2/16 = 2.5 too; tie broken by word."""
+    from etl_pipeline_last_fm_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(4)]
+        + [(10 + i, "x z") for i in range(4)]
+        + [(20 + i, "w w") for i in range(2)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["a"], r["b"], r["c_ab"], r["lift_ppm"])
+        for r in collocations(docs, min_count=2, top_k=10).collect()
+    ]
+    assert got == [
+        ("w", "w", 2, 2_500_000),
+        ("x", "y", 4, 2_500_000),
+        ("x", "z", 4, 2_500_000),
+    ]
