@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": _ALL["attribution"],
         "trend_fit": _ALL["trend_fit"],
         "collocations": _ALL["collocations"],
+        "session_concurrency": _ALL["session_concurrency"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -444,6 +444,23 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(load_table(spark, sf_dir, "documents"))
 
 
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency over the sessionized events
+    (operators/intervals.py): per session, how many sessions are open at
+    its start instant — the two-phase prefix-sum sweep (bucketed running
+    sums + a calendar-bounded carry), never one global window. The
+    oracle replays the same sweep as a single DuckDB window."""
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency,
+    )
+    from etl_pipeline_last_fm_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_concurrency(
+        sessionize(ev), key_cols=["user_id", "session_seq"]
+    )
+
+
 QUERIES = {
     "event_pattern_measures": q_event_pattern_measures,
     "forecast_revenue": q_forecast_revenue,
@@ -460,7 +477,21 @@ QUERIES = {
     "attribution": q_attribution,
     "trend_fit": q_trend_fit,
     "collocations": q_collocations,
+    "session_concurrency": q_session_concurrency,
 }
+
+
+def _session_concurrency_oracle() -> str:
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.sessions import (
+        sessionize_oracle_sql,
+    )
+
+    return interval_concurrency_oracle_sql(
+        sessionize_oracle_sql(), key_cols=["user_id", "session_seq"]
+    )
 
 
 def oracles() -> dict[str, str]:
@@ -508,6 +539,7 @@ def oracles() -> dict[str, str]:
         "attribution": last_touch_attribution_oracle_sql(),
         "trend_fit": trend_fit_oracle_sql(),
         "collocations": collocations_oracle_sql(),
+        "session_concurrency": _session_concurrency_oracle(),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

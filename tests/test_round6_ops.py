@@ -354,3 +354,74 @@ def test_collocations_lift_hand_computed(spark):
         ("x", "y", 4, 2_500_000),
         ("x", "z", 4, 2_500_000),
     ]
+
+
+def test_interval_concurrency_hand_checked_with_carry(spark):
+    """Three intervals: A [0,10], B [5,20], C [19,25] (minutes). At A's
+    start 1 open; at B's start A still open -> 2; at C's start B open
+    (point arithmetic: 19 < 20) -> 2. A tiny bucket (10 min) forces B
+    and C to read their counts THROUGH the carry — the two-phase sweep's
+    cross-bucket path — and a touching pair (D starts exactly when B
+    ends) counts as concurrent (starts sort before ends)."""
+    from datetime import datetime, timedelta
+
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    m = lambda x: t0 + timedelta(minutes=x)  # noqa: E731
+    iv = spark.createDataFrame(
+        [(1, 1, m(0), m(10)), (2, 1, m(5), m(20)), (3, 1, m(19), m(25)),
+         (4, 1, m(20), m(30))],
+        "user_id long, session_seq long, session_start timestamp,"
+        " session_end timestamp",
+    )
+    got = {
+        r["user_id"]: r["n_concurrent"]
+        for r in interval_concurrency(
+            iv, ["user_id", "session_seq"], bucket_us=600_000_000
+        ).collect()
+    }
+    # D starts at B's end instant: closed intervals -> B,C,D all open.
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3}
+
+
+def test_interval_concurrency_bucket_size_invariance(spark, sf_dir):
+    """The sweep is a pure function of the interval set: bucket size
+    (the parallelism knob) must not change a single count."""
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency,
+    )
+    from etl_pipeline_last_fm_spark.operators.sessions import sessionize
+    from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+    iv = sessionize(load_table(spark, sf_dir, "events"))
+    keys = ["user_id", "session_seq"]
+    a = {(r["user_id"], r["session_seq"]): r["n_concurrent"]
+         for r in interval_concurrency(iv, keys).collect()}
+    b = {(r["user_id"], r["session_seq"]): r["n_concurrent"]
+         for r in interval_concurrency(iv, keys, bucket_us=3_600_000_000)
+         .collect()}
+    assert a == b and len(a) > 0
+
+
+def test_interval_concurrency_simultaneous_starts(spark):
+    """All intervals starting at the SAME microsecond are mutually open:
+    each must report the full count, not an order-dependent prefix."""
+    from datetime import datetime
+
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 1, 1, 1)
+    iv = spark.createDataFrame(
+        [(u, 1, t0, t1) for u in (1, 2, 3)],
+        "user_id long, session_seq long, session_start timestamp,"
+        " session_end timestamp",
+    )
+    got = {r["user_id"]: r["n_concurrent"]
+           for r in interval_concurrency(iv, ["user_id", "session_seq"])
+           .collect()}
+    assert got == {1: 3, 2: 3, 3: 3}
