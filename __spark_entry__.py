@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_fit": _ALL["trend_fit"],
         "collocations": _ALL["collocations"],
         "session_concurrency": _ALL["session_concurrency"],
+        "contingency_chi2": _ALL["contingency_chi2"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

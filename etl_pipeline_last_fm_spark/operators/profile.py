@@ -284,3 +284,90 @@ def quantiles_from_histogram(
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def contingency_chi2(
+    df: DataFrame, row_col: str = "lang", col_col: str = "source"
+) -> DataFrame:
+    """Per-cell χ² contingency terms for two categorical columns — the
+    drift/independence test a corpus monitor runs on (lang × source),
+    entirely in exact integers. The full table INCLUDES zero cells
+    (every row-category × col-category pair; absent observations are
+    the interesting ones), built by cross-joining the two marginal
+    aggregates and left-joining observed counts.
+
+    Exact arithmetic: with O observed, R/C marginals, N total,
+        cell_chi2_ppm = (((O·N − R·C)² div (R·C)) · 10⁶) div N
+        expected_micro = (R·C · 10⁶) div N
+    — dividing by R·C BEFORE the ppm scale keeps every intermediate
+    inside decimal(38,0)/HUGEINT up to ~10⁹ rows per category pair
+    (squaring first then scaling would overflow at ~10⁸); the two-step
+    truncation IS the statistic's definition, replayed identically by
+    the oracle. Spark's ``div`` ALWAYS returns int64 regardless of
+    decimal operands, so the first quotient is re-cast to decimal(38,0)
+    before the ppm multiply — without that, the chain silently drops to
+    int64 mid-expression and diverges from the HUGEINT oracle around
+    N ~ 10⁷ (ANSI overflow or wraparound). Marginals are categorical
+    dims (bounded cardinality), so the cross join and the 1-row N are
+    broadcast-safe; they derive from the cell counts, so the fact table
+    is scanned ONCE (the cell table is consumed four ways →
+    localCheckpoint, the twice-consumed-subtree rule)."""
+    o = (
+        df.groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .localCheckpoint()
+    )
+    r = o.groupBy(row_col).agg(F.sum("__o").alias("__r"))
+    c = o.groupBy(col_col).agg(F.sum("__o").alias("__c"))
+    n = o.agg(F.sum("__o").alias("__n"))
+    return (
+        r.crossJoin(F.broadcast(c))
+        .join(o, [row_col, col_col], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            row_col,
+            col_col,
+            F.coalesce(F.col("__o"), F.lit(0)).cast("long").alias("observed"),
+            F.expr(
+                "CAST(CAST(__r AS DECIMAL(38,0)) * __c * 1000000"
+                " div __n AS BIGINT)"
+            ).alias("expected_micro"),
+            F.expr(
+                "CAST(CAST("
+                "(CAST(COALESCE(__o, 0) AS DECIMAL(38,0)) * __n"
+                " - CAST(__r AS DECIMAL(38,0)) * __c)"
+                " * (CAST(COALESCE(__o, 0) AS DECIMAL(38,0)) * __n"
+                " - CAST(__r AS DECIMAL(38,0)) * __c)"
+                " div (CAST(__r AS DECIMAL(38,0)) * __c)"
+                " AS DECIMAL(38,0))"  # div yields int64: re-widen
+                " * 1000000 div __n AS BIGINT)"
+            ).alias("cell_chi2_ppm"),
+        )
+    )
+
+
+def contingency_chi2_oracle_sql(
+    row_col: str = "lang", col_col: str = "source", table: str = "documents"
+) -> str:
+    """DuckDB twin: identical HUGEINT divide-first arithmetic."""
+    return f"""
+        WITH o AS (
+            SELECT {row_col}, {col_col}, CAST(COUNT(*) AS BIGINT) AS o
+            FROM {table} GROUP BY 1, 2
+        ),
+        r AS (SELECT {row_col}, CAST(COUNT(*) AS HUGEINT) AS r
+              FROM {table} GROUP BY 1),
+        c AS (SELECT {col_col}, CAST(COUNT(*) AS HUGEINT) AS c
+              FROM {table} GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM {table})
+        SELECT r.{row_col}, c.{col_col},
+               CAST(COALESCE(o.o, 0) AS BIGINT) AS observed,
+               CAST(r.r * c.c * 1000000 // n.n AS BIGINT) AS expected_micro,
+               CAST((CAST(COALESCE(o.o, 0) AS HUGEINT) * n.n - r.r * c.c)
+                    * (CAST(COALESCE(o.o, 0) AS HUGEINT) * n.n - r.r * c.c)
+                    // (r.r * c.c) * 1000000 // n.n AS BIGINT)
+                   AS cell_chi2_ppm
+        FROM r CROSS JOIN c
+        LEFT JOIN o ON o.{row_col} = r.{row_col} AND o.{col_col} = c.{col_col}
+        CROSS JOIN n
+    """

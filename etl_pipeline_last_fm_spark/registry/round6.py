@@ -461,6 +461,16 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell χ² contingency terms for (lang × source) on documents
+    (operators/profile.py contingency_chi2) — the corpus-drift
+    independence statistic, exact-integer divide-first arithmetic,
+    zero cells included."""
+    from etl_pipeline_last_fm_spark.operators.profile import contingency_chi2
+
+    return contingency_chi2(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "event_pattern_measures": q_event_pattern_measures,
     "forecast_revenue": q_forecast_revenue,
@@ -478,6 +488,7 @@ QUERIES = {
     "trend_fit": q_trend_fit,
     "collocations": q_collocations,
     "session_concurrency": q_session_concurrency,
+    "contingency_chi2": q_contingency_chi2,
 }
 
 
@@ -504,6 +515,9 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.graph import (
         link_prediction_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.profile import (
+        contingency_chi2_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.text import (
         collocations_oracle_sql,
@@ -540,6 +554,7 @@ def oracles() -> dict[str, str]:
         "trend_fit": trend_fit_oracle_sql(),
         "collocations": collocations_oracle_sql(),
         "session_concurrency": _session_concurrency_oracle(),
+        "contingency_chi2": contingency_chi2_oracle_sql(),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

@@ -418,6 +418,7 @@ def main() -> None:
 
     round6_wave(spark, ev_typed, n_events)
     round6b_wave(spark, ev_typed, n_events)
+    round6c_wave(spark, ev_typed, n_events)
 
 
 
@@ -561,6 +562,71 @@ def round6b_wave(spark, ev_typed, n_events: int) -> None:
     )
 
 
+def round6c_wave(spark, ev_typed, n_events: int) -> None:
+    """Third round-6 smoke: the late-wave operators. Bounds:
+    session_concurrency = one key shuffle (sessionize) + bucketed sweep
+    (parallel within-day running sums + calendar-bounded carry);
+    collocations = two hash aggregates + vocab-sized joins, linear in
+    tokens; trend_fit = ONE partial+final aggregate; ema_fold = 3x the
+    one-shot fold cost (per-batch frontier state, O(keys) state rows);
+    contingency_chi2 = ONE fact scan; marginals derive from the cell counts."""
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency,
+    )
+    from etl_pipeline_last_fm_spark.operators.profile import contingency_chi2
+    from etl_pipeline_last_fm_spark.operators.text import collocations
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        incremental_ema_batches,
+        trend_fit,
+    )
+
+    t0 = time.perf_counter()
+    n_sc = interval_concurrency(
+        sessionize(ev_typed), ["user_id", "session_seq"]
+    ).count()
+    t_sc = time.perf_counter() - t0
+
+    docs = synth_docs(spark, max(n_events // 10, 1000))
+    docs.count()
+    t0 = time.perf_counter()
+    n_col = collocations(docs, min_count=10, top_k=100).count()
+    t_col = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_tf = trend_fit(ev_typed).count()
+    t_tf = time.perf_counter() - t0
+
+    # time-ordered thirds by the synthetic clock (id * 47s spacing)
+    base = 1_700_000_000_000_000
+    c1 = base + (n_events * 47_000_000) // 3
+    c2 = base + (2 * n_events * 47_000_000) // 3
+    us = F.unix_micros(F.col("ts"))
+    batches = [
+        ev_typed.filter(us < c1),
+        ev_typed.filter((us >= c1) & (us < c2)),
+        ev_typed.filter(us >= c2),
+    ]
+    t0 = time.perf_counter()
+    n_ef = incremental_ema_batches(batches).count()
+    t_ef = time.perf_counter() - t0
+
+    cats = spark.range(n_events).select(
+        F.concat(F.lit("l"), F.pmod(F.xxhash64("id"), F.lit(4))).alias("lang"),
+        F.concat(F.lit("s"), F.pmod(F.xxhash64(F.col("id") + 3), F.lit(20))).alias("source"),
+    )
+    t0 = time.perf_counter()
+    n_x2 = contingency_chi2(cats).count()
+    t_x2 = time.perf_counter() - t0
+
+    print(
+        f"round-6c wave: concurrency {t_sc:.1f}s ({n_sc} sessions), "
+        f"collocations {t_col:.1f}s ({n_col} rows), "
+        f"trend-fit {t_tf:.1f}s ({n_tf} groups), "
+        f"ema-fold {t_ef:.1f}s ({n_ef} users), "
+        f"chi2 {t_x2:.1f}s ({n_x2} cells)"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[3] == "round6":
         # Fast path: only the round-6 wave (docs corpus not needed).
@@ -570,5 +636,6 @@ if __name__ == "__main__":
         ev.count()
         round6_wave(spark, ev, n_events)
         round6b_wave(spark, ev, n_events)
+        round6c_wave(spark, ev, n_events)
     else:
         main()

@@ -425,3 +425,27 @@ def test_interval_concurrency_simultaneous_starts(spark):
            for r in interval_concurrency(iv, ["user_id", "session_seq"])
            .collect()}
     assert got == {1: 3, 2: 3, 3: 3}
+
+
+def test_contingency_chi2_hand_computed_with_zero_cell(spark):
+    """2x2 with one empty cell: rows a:{x:4}, b:{x:2, y:2}; N=8.
+    Cell (a,y): O=0, R=4, C=2 -> E_micro = 1_000_000,
+    chi2_ppm = ((0-8)^2 div 8)*1e6 div 8 = 1_000_000."""
+    from etl_pipeline_last_fm_spark.operators.profile import contingency_chi2
+
+    docs = spark.createDataFrame(
+        [(i, "a", "x") for i in range(4)]
+        + [(10, "b", "x"), (11, "b", "x"), (12, "b", "y"), (13, "b", "y")],
+        "doc_id long, lang string, source string",
+    )
+    got = {
+        (r["lang"], r["source"]): (
+            r["observed"], r["expected_micro"], r["cell_chi2_ppm"]
+        )
+        for r in contingency_chi2(docs).collect()
+    }
+    assert got[("a", "y")] == (0, 1_000_000, 1_000_000)
+    # (a,x): O=4, R=4, C=6 -> O*N - R*C = 32-24 = 8; 64 div 24 = 2;
+    # *1e6 div 8 = 250_000; E_micro = 24e6 div 8 = 3_000_000.
+    assert got[("a", "x")] == (4, 3_000_000, 250_000)
+    assert len(got) == 4  # full cross product incl. the zero cell
