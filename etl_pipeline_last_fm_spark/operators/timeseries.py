@@ -359,3 +359,125 @@ def trend_fit_oracle_sql(
                    AS slope_ppm_cents_per_day
         FROM s
     """
+
+
+def cusum_alarms(
+    events: DataFrame,
+    drift_cents: int = 0,
+    threshold_cents: int = 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key one-sided CUSUM change-point statistics — the sequential
+    level-shift detector: sᵢ = max(0, sᵢ₋₁ + (vᵢ − k)) with drift
+    allowance k and alarm threshold h. Instead of folding the recurrence,
+    it uses the closed form  sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)  with
+    P = running sum of (v − k) — the whole detector is running windows
+    plus a lag inside ONE key-partition sort, in exact integer cents.
+    Output per key: final statistic (the value at the last event, picked
+    by max_by on the row number — order-deterministic on both engines),
+    path maximum, and the number of UPWARD h-crossings (alarm count).
+
+    Scale shape: one shuffle to the key; every window shares the same
+    (key, ts, tiebreak) sort, so Spark evaluates them in a single
+    WindowExec chain — per-key cost is the key's own history."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+
+    dev = half_up_round(F.col(value_col) * 100).cast("long") - F.lit(drift_cents)
+    us = ts_us(F.col(ts_col))
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(us.asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_row = Window.partitionBy(key_col).orderBy(
+        us.asc(), F.col(tiebreak_col).asc()
+    )
+    # Stage the prefix sum first — window-of-window is illegal on both
+    # engines, and the staged selects still share one sort/partition.
+    prefixed = events.select(
+        F.col(key_col).alias("__k"),
+        F.row_number().over(w_row).cast("long").alias("__rn"),
+        F.sum(dev).over(w_run).alias("__p"),
+    )
+    w2 = (
+        Window.partitionBy("__k")
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2_row = Window.partitionBy("__k").orderBy("__rn")
+    # Stage s before lagging it — the oracle's stepped/lagged CTE split,
+    # mirrored, so the statistic is specified exactly once.
+    stepped = prefixed.select(
+        "__k",
+        "__rn",
+        (
+            F.col("__p")
+            - F.least(F.lit(0).cast("long"), F.min("__p").over(w2))
+        ).alias("__s"),
+    ).select(
+        "__k",
+        "__rn",
+        "__s",
+        F.lag("__s", 1, 0).over(w2_row).alias("__prev"),
+    )
+    h = F.lit(threshold_cents).cast("long")
+    return stepped.groupBy(F.col("__k").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("__s", "__rn").alias("cusum_final"),
+        F.max("__s").alias("cusum_max"),
+        F.sum(
+            ((F.col("__s") >= h) & (F.col("__prev") < h)).cast("long")
+        ).alias("n_alarms"),
+    )
+
+
+def cusum_alarms_oracle_sql(
+    drift_cents: int = 0,
+    threshold_cents: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB twin: identical closed-form windows; final value via
+    arg_max on the row number."""
+    return f"""
+        WITH prefixed AS (
+            SELECT user_id,
+                   row_number() OVER w_row AS rn,
+                   CAST(SUM(dev) OVER w_run AS BIGINT) AS p
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         - {drift_cents} AS dev
+                FROM {table}
+            )
+            WINDOW w_row AS (PARTITION BY user_id ORDER BY us, event_id),
+                   w_run AS (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING)
+        ), stepped AS (
+            -- window SUM(BIGINT) is HUGEINT in DuckDB: pin s back to
+            -- BIGINT or every downstream aggregate renders as float.
+            SELECT user_id, rn,
+                   CAST(p - LEAST(CAST(0 AS BIGINT),
+                             MIN(p) OVER (PARTITION BY user_id ORDER BY rn
+                                          ROWS UNBOUNDED PRECEDING))
+                        AS BIGINT) AS s
+            FROM prefixed
+        ), lagged AS (
+            SELECT *, COALESCE(lag(s) OVER (PARTITION BY user_id
+                                            ORDER BY rn), 0) AS prev
+            FROM stepped
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(arg_max(s, rn) AS BIGINT) AS cusum_final,
+               CAST(MAX(s) AS BIGINT) AS cusum_max,
+               CAST(SUM(CASE WHEN s >= {threshold_cents}
+                              AND prev < {threshold_cents}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+        FROM lagged
+        GROUP BY user_id
+    """

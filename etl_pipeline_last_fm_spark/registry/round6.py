@@ -471,6 +471,23 @@ def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contingency_chi2(load_table(spark, sf_dir, "documents"))
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM level-shift detector over event values
+    (operators/timeseries.py cusum_alarms): the recurrence
+    s = max(0, s + (v − k)) evaluated through its running-window closed
+    form (prefix sum minus running minimum) — exact integer cents, final
+    statistic / path max / upward-crossing alarm count; drift allowance
+    k = 5000 cents, threshold h = 20000 cents (both branches of the
+    alarm predicate execute at sf0.001 and sf0.01)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import cusum_alarms
+
+    return cusum_alarms(
+        load_table(spark, sf_dir, "events"),
+        drift_cents=5_000,
+        threshold_cents=20_000,
+    )
+
+
 QUERIES = {
     "event_pattern_measures": q_event_pattern_measures,
     "forecast_revenue": q_forecast_revenue,
@@ -489,6 +506,7 @@ QUERIES = {
     "collocations": q_collocations,
     "session_concurrency": q_session_concurrency,
     "contingency_chi2": q_contingency_chi2,
+    "cusum": q_cusum,
 }
 
 
@@ -523,6 +541,7 @@ def oracles() -> dict[str, str]:
         collocations_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.timeseries import (
+        cusum_alarms_oracle_sql,
         ema_halflife_oracle_sql,
         trend_fit_oracle_sql,
     )
@@ -555,6 +574,9 @@ def oracles() -> dict[str, str]:
         "collocations": collocations_oracle_sql(),
         "session_concurrency": _session_concurrency_oracle(),
         "contingency_chi2": contingency_chi2_oracle_sql(),
+        "cusum": cusum_alarms_oracle_sql(
+            drift_cents=5_000, threshold_cents=20_000
+        ),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

@@ -449,3 +449,24 @@ def test_contingency_chi2_hand_computed_with_zero_cell(spark):
     # *1e6 div 8 = 250_000; E_micro = 24e6 div 8 = 3_000_000.
     assert got[("a", "x")] == (4, 3_000_000, 250_000)
     assert len(got) == 4  # full cross product incl. the zero cell
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """Hand fold of s = max(0, s + (v-k)) with k=$1, h=$2 over values
+    3,-4,2,2,-5,4 dollars: s=200,0,100,200,0,300 cents ->
+    final 300, max 300, upward crossings of 200: at i=1 (s=200, prev 0),
+    i=4 (s=200, prev 100), i=6 (s=300, prev 0) -> 3 alarms."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import cusum_alarms
+
+    vals = [3.0, -4.0, 2.0, 2.0, -5.0, 4.0]
+    ev = _events(spark, {1: ["view"] * len(vals)})
+    ev = ev.withColumn(
+        "value",
+        F.element_at(
+            F.array(*[F.lit(v) for v in vals]), F.col("event_id").cast("int") + 1
+        ),
+    )
+    [r] = cusum_alarms(ev, drift_cents=100, threshold_cents=200).collect()
+    assert (r["n_events"], r["cusum_final"], r["cusum_max"], r["n_alarms"]) == (
+        6, 300, 300, 3,
+    )
