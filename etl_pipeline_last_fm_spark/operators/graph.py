@@ -854,6 +854,11 @@ def link_prediction_scores(
     taken to a cap: a part in half the orders predicts nothing); at
     100 TB that cap is what keeps the quadratic term bounded, and the
     scores it drops are exactly the noise ones. Default None = exact."""
+    # edges feeds BOTH the wedge expansion (via undirected) and the
+    # final anti-join: truncate once so the (possibly expensive) edge
+    # derivation runs a single time (the twice-consumed-subtree rule —
+    # without this the co-purchase build scanned its fact join twice).
+    edges = edges.localCheckpoint()
     und = undirected(edges)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     mid_in = und.select(F.col("src").alias("u"), F.col("dst").alias("m"))

@@ -576,6 +576,7 @@ def round6c_wave(spark, ev_typed, n_events: int) -> None:
     from etl_pipeline_last_fm_spark.operators.profile import contingency_chi2
     from etl_pipeline_last_fm_spark.operators.text import collocations
     from etl_pipeline_last_fm_spark.operators.timeseries import (
+        cusum_alarms,
         incremental_ema_batches,
         trend_fit,
     )
@@ -618,12 +619,17 @@ def round6c_wave(spark, ev_typed, n_events: int) -> None:
     n_x2 = contingency_chi2(cats).count()
     t_x2 = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    n_cu = cusum_alarms(ev_typed, drift_cents=5_000, threshold_cents=20_000).count()
+    t_cu = time.perf_counter() - t0
+
     print(
         f"round-6c wave: concurrency {t_sc:.1f}s ({n_sc} sessions), "
         f"collocations {t_col:.1f}s ({n_col} rows), "
         f"trend-fit {t_tf:.1f}s ({n_tf} groups), "
         f"ema-fold {t_ef:.1f}s ({n_ef} users), "
-        f"chi2 {t_x2:.1f}s ({n_x2} cells)"
+        f"chi2 {t_x2:.1f}s ({n_x2} cells), "
+        f"cusum {t_cu:.1f}s ({n_cu} users)"
     )
 
 
