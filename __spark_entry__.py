@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_concurrency": _ALL["session_concurrency"],
         "contingency_chi2": _ALL["contingency_chi2"],
         "cusum": _ALL["cusum"],
+        "hashed_features": _ALL["hashed_features"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

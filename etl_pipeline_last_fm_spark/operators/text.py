@@ -847,3 +847,49 @@ def collocations_oracle_sql(
         ORDER BY lift_ppm DESC, cb.a, cb.b
         LIMIT {top_k}
     """
+
+
+def hashed_features(
+    docs: DataFrame, n_buckets: int = 64, salt: str = "feathash"
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al.): sparse per-document
+    token-count vectors with bucket = portable_hash(salt:token) mod
+    n_buckets — the vocabulary-free vectorization a tokenizer-less
+    training pipeline uses (no vocab build, no dictionary shuffle, fixed
+    feature width by construction). Output is the SPARSE relational form
+    (doc_id, bucket, cnt) with zero buckets absent — assembling a dense
+    array is a per-row transform downstream; the sparse rows are what
+    hash-compare cleanly and what a feature store ingests.
+
+    Scale shape: one token explode + one (doc, bucket) hash aggregate —
+    map-side partial combine collapses the explode before the shuffle.
+    The portable-hash family keeps the oracle able to recompute the
+    exact bucket of every token (production would swap xxhash64 — same
+    operator, cheaper digest)."""
+    tok = F.explode(_tokens()).alias("__t")
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.lit(salt), F.lit(":"), F.col("__t"))),
+        F.lit(n_buckets),
+    ).cast("int")
+    return (
+        docs.select("doc_id", tok)
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_features_oracle_sql(
+    n_buckets: int = 64, salt: str = "feathash", table: str = "documents"
+) -> str:
+    """DuckDB twin: identical md5-prefix portable hash and bucketing."""
+    h = portable_hash60_sql(f"'{salt}:' || t")
+    return f"""
+        SELECT doc_id, CAST({h} % {n_buckets} AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+            FROM {table}
+        )
+        GROUP BY 1, 2
+    """

@@ -488,6 +488,16 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer over documents (operators/text.py
+    hashed_features): vocabulary-free sparse token-count vectors,
+    bucket = portable_hash(salt:token) mod 64 — one explode + one hash
+    aggregate with map-side combine."""
+    from etl_pipeline_last_fm_spark.operators.text import hashed_features
+
+    return hashed_features(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "event_pattern_measures": q_event_pattern_measures,
     "forecast_revenue": q_forecast_revenue,
@@ -507,6 +517,7 @@ QUERIES = {
     "session_concurrency": q_session_concurrency,
     "contingency_chi2": q_contingency_chi2,
     "cusum": q_cusum,
+    "hashed_features": q_hashed_features,
 }
 
 
@@ -539,6 +550,7 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.text import (
         collocations_oracle_sql,
+        hashed_features_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.timeseries import (
         cusum_alarms_oracle_sql,
@@ -577,6 +589,7 @@ def oracles() -> dict[str, str]:
         "cusum": cusum_alarms_oracle_sql(
             drift_cents=5_000, threshold_cents=20_000
         ),
+        "hashed_features": hashed_features_oracle_sql(),
         "forecast_revenue": f"""
             WITH s AS (
                 SELECT CAST(SUM(

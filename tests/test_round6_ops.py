@@ -470,3 +470,24 @@ def test_cusum_closed_form_matches_recurrence(spark):
     assert (r["n_events"], r["cusum_final"], r["cusum_max"], r["n_alarms"]) == (
         6, 300, 300, 3,
     )
+
+
+def test_hashed_features_bucket_determinism_and_counts(spark):
+    """Same token always lands in the same bucket; counts sum to the
+    token count; buckets stay within [0, n_buckets)."""
+    from etl_pipeline_last_fm_spark.operators.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a a a"), (3, "b")],
+        "doc_id long, text string",
+    )
+    rows = hashed_features(docs, n_buckets=8).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < 8
+        by_doc.setdefault(r["doc_id"], []).append((r["bucket"], r["cnt"]))
+    assert sum(c for _, c in by_doc[1]) == 4
+    # 'a' bucket identical across docs: doc2's single bucket equals the
+    # bucket where doc1 counted 'a' twice.
+    a_bucket_doc1 = next(b for b, c in by_doc[1] if c == 2)
+    assert by_doc[2] == [(a_bucket_doc1, 3)]
