@@ -261,3 +261,109 @@ def test_wav_roundtrip_arbitrary_payloads(n, ch, rate, seed):
     )
     got, got_rate = wav_decode(wav_encode(s, rate))
     assert got_rate == rate and np.array_equal(got, s)
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 30)),  # (start_min, len_min)
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(iv=intervals_strategy, bucket_min=st.sampled_from([7, 60, 10_000]))
+@settings(**SETTINGS)
+def test_interval_concurrency_matches_bruteforce(spark, iv, bucket_min):
+    """Sweep == brute force (count intervals j with start_j <= start_i
+    <= end_j, closed semantics) for ANY bucket size — including buckets
+    smaller than typical intervals, maximally exercising the carry."""
+    from etl_pipeline_last_fm_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    rows = [
+        (i, 1,
+         datetime(2024, 1, 1) + timedelta(minutes=s),
+         datetime(2024, 1, 1) + timedelta(minutes=s + l))
+        for i, (s, l) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, session_seq long, session_start timestamp,"
+        " session_end timestamp",
+    )
+    got = {
+        r["user_id"]: r["n_concurrent"]
+        for r in interval_concurrency(
+            df, ["user_id", "session_seq"], bucket_us=bucket_min * 60_000_000
+        ).collect()
+    }
+    want = {}
+    for i, (s, l) in enumerate(iv):
+        want[i] = sum(1 for (s2, l2) in iv if s2 <= s <= s2 + l2)
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_collocations_match_bruteforce_lift(spark, texts):
+    from etl_pipeline_last_fm_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["a"], r["b"], r["c_ab"], r["lift_ppm"])
+        for r in collocations(docs, min_count=1, top_k=1000).collect()
+    )
+    uni: dict = {}
+    bi: dict = {}
+    for t in texts:
+        toks = t.strip().split(" ")  # mirrors split(trim(text), ' ')
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(toks, toks[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+    n = sum(uni.values())
+    want = sorted(
+        (x, y, c, c * n * 1_000_000 // (uni[x] * uni[y]))
+        for (x, y), c in bi.items()
+    )
+    assert got == want
+
+
+@given(streams=streams_strategy, k=st.integers(-200, 200), h=st.integers(1, 400))
+@settings(**SETTINGS)
+def test_cusum_closed_form_matches_recurrence_fold(spark, streams, k, h):
+    """Closed form == the literal recurrence s = max(0, s + (v - k)),
+    with path max and upward h-crossing count, for arbitrary drift and
+    threshold."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import cusum_alarms
+
+    rows = _event_rows(streams)
+    got = {
+        r["user_id"]: (r["cusum_final"], r["cusum_max"], r["n_alarms"])
+        for r in cusum_alarms(
+            _mk_events(spark, rows), drift_cents=k, threshold_cents=h
+        ).collect()
+    }
+    want = {}
+    for uid in {r[1] for r in rows}:
+        evs = sorted((r for r in rows if r[1] == uid), key=lambda r: (r[3], r[0]))
+        s = mx = alarms = 0
+        prev = 0
+        for r in evs:
+            cents = int(r[4] * 100 + (0.5 if r[4] >= 0 else -0.5))
+            s = max(0, s + cents - k)
+            mx = max(mx, s)
+            if s >= h and prev < h:
+                alarms += 1
+            prev = s
+        want[uid] = (s, mx, alarms)
+    assert got == want
