@@ -238,8 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_expr": _ALL["kmv_expr"],
         "kmeans_train": _ALL["kmeans_train"],
         "sole_late_supplier": _ALL["sole_late_supplier"],
-        # round-6-queue tier: new this round, first in line for the
-        # round-7 rotation (oracle-paired, pytest-attested).
+        # round-6-queue tier (20 entries, positions 51+): new this
+        # round, first in line for the round-7 rotation — every entry
+        # oracle-paired, parity-green at sf0.001 AND driver-simulated
+        # green at sf0.01 (verify drive.py 164/164 at round close).
         "event_pattern_measures": _ALL["event_pattern_measures"],
         # The TPC-H completion wave: Q6, Q15, Q10, Q12, Q14, Q2, Q9, Q20
         # — with these the full 22-query analogue suite is implemented.
