@@ -63,12 +63,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # Round-6 rotation (VERDICT r5 item 1): the 8 round-5-queue entries
-    # (never driver-graded) enter behind the 9 rotation-invariant bench
-    # headliners; the remaining 33 slots backfill with the LONGEST-
-    # UNEXERCISED green anchors — all 18 whose newest driver row is
-    # round 2, then the 15 oldest of the round-3 tier. Demoted entries
-    # keep their driver rows on record and still run in
+    # Round-7 rotation (VERDICT r6 item 1): the 19 round-6-queue entries —
+    # the only never-driver-graded queries left — enter behind the 9
+    # rotation-invariant bench headliners (slots 10-28); the remaining 22
+    # slots backfill with the LONGEST-UNEXERCISED green anchors (the head
+    # of the past-the-cap line as ordered at the round-6 close: the rest
+    # of the round-3-graded tier, lead_lag .. pack_sequences). After this
+    # window is graded, EVERY registry entry has a driver row on record.
+    # Demoted entries keep their driver rows and still run in
     # tests/test_oracle_parity.py at sf0.001 every pytest run; they rotate
     # back in if their family loses its in-window representative.
     # The graded prefix is PINNED by tests/test_graded_window.py — edit
@@ -89,60 +91,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ALL["dedup_ngram_jaccard"],
         "dedup_minhash_lsh": _ALL["dedup_minhash_lsh"],
         "sim_bruteforce": _ALL["sim_bruteforce"],
-        # round-5-queue tier: first driver rows this round (8 entries,
-        # VERDICT r5 item 1) — TPC-H Q4/Q11/Q16/Q22 shapes, weighted
-        # SSSP, MATCH_RECOGNIZE-lite, and the IVM pair.
-        "priority_promises": _ALL["priority_promises"],
-        "important_parts": _ALL["important_parts"],
-        "supplier_part_counts": _ALL["supplier_part_counts"],
-        "idle_customers": _ALL["idle_customers"],
-        "sssp": _ALL["sssp"],
-        "event_pattern": _ALL["event_pattern"],
-        "incremental_join": _ALL["incremental_join"],
-        "streaming_join": _ALL["streaming_join"],
-        # longest-unexercised tier: green anchors whose newest driver
-        # row is round 2 (18 entries; sim_ann_ivf rides this wave to its
-        # FIRST value-checked row — its oracle landed this round) ...
-        "order_limit": _ALL["order_limit"],
-        "mart_daily_avg": _ALL["mart_daily_avg"],
-        "dedup_passages": _ALL["dedup_passages"],
-        "cdc_compact": _ALL["cdc_compact"],
-        "lang_id": _ALL["lang_id"],
-        "snapshot_diff": _ALL["snapshot_diff"],
-        "surrogate_keys_incremental": _ALL["surrogate_keys_incremental"],
-        "salted_agg": _ALL["salted_agg"],
-        "cube_agg": _ALL["cube_agg"],
-        "pivot_conditional": _ALL["pivot_conditional"],
-        "rolling_stats": _ALL["rolling_stats"],
-        "percentiles": _ALL["percentiles"],
-        "semi_join": _ALL["semi_join"],
-        "outer_join_agg": _ALL["outer_join_agg"],
-        "token_count": _ALL["token_count"],
-        "text_fingerprint": _ALL["text_fingerprint"],
-        "sim_ann_lsh_multiprobe": _ALL["sim_ann_lsh_multiprobe"],
-        "sim_ann_ivf": _ALL["sim_ann_ivf"],
-        # ... then round 3 (15 entries), oldest first.
-        "surrogate_keys": _ALL["surrogate_keys"],
-        "dedup_exact": _ALL["dedup_exact"],
-        "text_quality": _ALL["text_quality"],
-        "pii_scrub": _ALL["pii_scrub"],
-        "distinct_project": _ALL["distinct_project"],
-        "case_impute": _ALL["case_impute"],
-        "scalar_subquery": _ALL["scalar_subquery"],
-        "window_analytic": _ALL["window_analytic"],
-        "union_all": _ALL["union_all"],
-        "json_extract": _ALL["json_extract"],
-        "date_partition_agg": _ALL["date_partition_agg"],
-        "mart_daily_appearances": _ALL["mart_daily_appearances"],
-        "explode_tokens": _ALL["explode_tokens"],
-        "rollup_agg": _ALL["rollup_agg"],
-        "pivot_native": _ALL["pivot_native"],
-        # --- past the 50-entry cap ------------------------------------
-        # First in line for the round-7 rotation: the rest of the
-        # round-3-graded anchors, then the round-4 wave, then the
-        # freshly-graded round-5 window in its round-5 order. Every
-        # entry here has a green driver row on record AND runs in
-        # tests/test_oracle_parity.py at sf0.001 every pytest run.
+        # round-6-queue tier, slots 10-28: first driver rows this round
+        # (19 entries, VERDICT r6 item 1) — MATCH_RECOGNIZE measures, the
+        # TPC-H completion wave (Q6/Q15/Q10/Q12/Q14/Q2/Q9/Q20), and the
+        # round-6 analytics wave.
+        "event_pattern_measures": _ALL["event_pattern_measures"],
+        "forecast_revenue": _ALL["forecast_revenue"],
+        "top_supplier": _ALL["top_supplier"],
+        "returned_revenue": _ALL["returned_revenue"],
+        "shipmode_priority": _ALL["shipmode_priority"],
+        "promo_revenue": _ALL["promo_revenue"],
+        "min_cost_supplier": _ALL["min_cost_supplier"],
+        "product_profit": _ALL["product_profit"],
+        "dominant_suppliers": _ALL["dominant_suppliers"],
+        "link_prediction": _ALL["link_prediction"],
+        "ema_decay": _ALL["ema_decay"],
+        "ema_fold": _ALL["ema_fold"],
+        "attribution": _ALL["attribution"],
+        "trend_fit": _ALL["trend_fit"],
+        "collocations": _ALL["collocations"],
+        "session_concurrency": _ALL["session_concurrency"],
+        "contingency_chi2": _ALL["contingency_chi2"],
+        "cusum": _ALL["cusum"],
+        "hashed_features": _ALL["hashed_features"],
+        # longest-unexercised tier, slots 29-50: the 22 green anchors at
+        # the head of the round-6 past-the-cap line (the rest of the
+        # round-3-graded tier).
         "lead_lag": _ALL["lead_lag"],
         "range_join": _ALL["range_join"],
         "funnel": _ALL["funnel"],
@@ -165,6 +139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _ALL["contamination"],
         "token_budget_sample": _ALL["token_budget_sample"],
         "pack_sequences": _ALL["pack_sequences"],
+        # --- past the 50-entry cap ------------------------------------
+        # Every entry below has a green driver row on record AND runs in
+        # tests/test_oracle_parity.py at sf0.001 every pytest run. Line
+        # order for the round-8 rotation: the round-4 wave (here, from
+        # profile_columns), then the round-5/-6 waves, then the 41
+        # entries just demoted from the round-6 window (most recently
+        # graded, last in line). Any NEW round-7 queries would be
+        # appended as a clearly-marked queue tier at the very end and
+        # take precedence for the next rotation.
         "profile_columns": _ALL["profile_columns"],
         "scd2_history": _ALL["scd2_history"],
         "gapfill_locf": _ALL["gapfill_locf"],
@@ -238,33 +221,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_expr": _ALL["kmv_expr"],
         "kmeans_train": _ALL["kmeans_train"],
         "sole_late_supplier": _ALL["sole_late_supplier"],
-        # round-6-queue tier (20 entries, positions 51+): new this
-        # round, first in line for the round-7 rotation — every entry
-        # oracle-paired, parity-green at sf0.001 AND driver-simulated
-        # green at sf0.01 (verify drive.py 164/164 at round close).
-        "event_pattern_measures": _ALL["event_pattern_measures"],
-        # The TPC-H completion wave: Q6, Q15, Q10, Q12, Q14, Q2, Q9, Q20
-        # — with these the full 22-query analogue suite is implemented.
-        "forecast_revenue": _ALL["forecast_revenue"],
-        "top_supplier": _ALL["top_supplier"],
-        "returned_revenue": _ALL["returned_revenue"],
-        "shipmode_priority": _ALL["shipmode_priority"],
-        "promo_revenue": _ALL["promo_revenue"],
-        "min_cost_supplier": _ALL["min_cost_supplier"],
-        "product_profit": _ALL["product_profit"],
-        "dominant_suppliers": _ALL["dominant_suppliers"],
-        # Round-6 analytics wave: link prediction, order-dependent decay
-        # fold, last-touch attribution.
-        "link_prediction": _ALL["link_prediction"],
-        "ema_decay": _ALL["ema_decay"],
-        "ema_fold": _ALL["ema_fold"],
-        "attribution": _ALL["attribution"],
-        "trend_fit": _ALL["trend_fit"],
-        "collocations": _ALL["collocations"],
-        "session_concurrency": _ALL["session_concurrency"],
-        "contingency_chi2": _ALL["contingency_chi2"],
-        "cusum": _ALL["cusum"],
-        "hashed_features": _ALL["hashed_features"],
+        # Demoted from the round-6 graded window (41 entries — the 8
+        # round-5-queue entries plus the 33 round-6 backfill anchors):
+        # graded most recently, so LAST in line for the round-8 rotation.
+        "priority_promises": _ALL["priority_promises"],
+        "important_parts": _ALL["important_parts"],
+        "supplier_part_counts": _ALL["supplier_part_counts"],
+        "idle_customers": _ALL["idle_customers"],
+        "sssp": _ALL["sssp"],
+        "event_pattern": _ALL["event_pattern"],
+        "incremental_join": _ALL["incremental_join"],
+        "streaming_join": _ALL["streaming_join"],
+        "order_limit": _ALL["order_limit"],
+        "mart_daily_avg": _ALL["mart_daily_avg"],
+        "dedup_passages": _ALL["dedup_passages"],
+        "cdc_compact": _ALL["cdc_compact"],
+        "lang_id": _ALL["lang_id"],
+        "snapshot_diff": _ALL["snapshot_diff"],
+        "surrogate_keys_incremental": _ALL["surrogate_keys_incremental"],
+        "salted_agg": _ALL["salted_agg"],
+        "cube_agg": _ALL["cube_agg"],
+        "pivot_conditional": _ALL["pivot_conditional"],
+        "rolling_stats": _ALL["rolling_stats"],
+        "percentiles": _ALL["percentiles"],
+        "semi_join": _ALL["semi_join"],
+        "outer_join_agg": _ALL["outer_join_agg"],
+        "token_count": _ALL["token_count"],
+        "text_fingerprint": _ALL["text_fingerprint"],
+        "sim_ann_lsh_multiprobe": _ALL["sim_ann_lsh_multiprobe"],
+        "sim_ann_ivf": _ALL["sim_ann_ivf"],
+        "surrogate_keys": _ALL["surrogate_keys"],
+        "dedup_exact": _ALL["dedup_exact"],
+        "text_quality": _ALL["text_quality"],
+        "pii_scrub": _ALL["pii_scrub"],
+        "distinct_project": _ALL["distinct_project"],
+        "case_impute": _ALL["case_impute"],
+        "scalar_subquery": _ALL["scalar_subquery"],
+        "window_analytic": _ALL["window_analytic"],
+        "union_all": _ALL["union_all"],
+        "json_extract": _ALL["json_extract"],
+        "date_partition_agg": _ALL["date_partition_agg"],
+        "mart_daily_appearances": _ALL["mart_daily_appearances"],
+        "explode_tokens": _ALL["explode_tokens"],
+        "rollup_agg": _ALL["rollup_agg"],
+        "pivot_native": _ALL["pivot_native"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

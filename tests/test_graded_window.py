@@ -8,10 +8,11 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-#: Round-6 window: 9 rotation-invariant headliners, the 8 round-5-queue
-#: entries earning their first driver rows, then the 33 longest-unexercised
-#: green anchors (18 round-2-graded + 15 oldest round-3-graded).
-GRADED_WINDOW_R6 = [
+#: Round-7 window: 9 rotation-invariant headliners, the 19 round-6-queue
+#: entries earning their first driver rows (the last never-graded entries —
+#: this window closes the book: 164/164 cumulative driver coverage), then
+#: the 22 longest-unexercised green anchors (rest of the round-3 tier).
+GRADED_WINDOW_R7 = [
     "flagship_royalties",
     "pricing_summary",
     "star_join",
@@ -21,69 +22,72 @@ GRADED_WINDOW_R6 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce",
-    "priority_promises",
-    "important_parts",
-    "supplier_part_counts",
-    "idle_customers",
-    "sssp",
-    "event_pattern",
-    "incremental_join",
-    "streaming_join",
-    "order_limit",
-    "mart_daily_avg",
-    "dedup_passages",
-    "cdc_compact",
-    "lang_id",
-    "snapshot_diff",
-    "surrogate_keys_incremental",
-    "salted_agg",
-    "cube_agg",
-    "pivot_conditional",
-    "rolling_stats",
-    "percentiles",
-    "semi_join",
-    "outer_join_agg",
-    "token_count",
-    "text_fingerprint",
-    "sim_ann_lsh_multiprobe",
-    "sim_ann_ivf",
-    "surrogate_keys",
-    "dedup_exact",
-    "text_quality",
-    "pii_scrub",
-    "distinct_project",
-    "case_impute",
-    "scalar_subquery",
-    "window_analytic",
-    "union_all",
-    "json_extract",
-    "date_partition_agg",
-    "mart_daily_appearances",
-    "explode_tokens",
-    "rollup_agg",
-    "pivot_native",
+    "event_pattern_measures",
+    "forecast_revenue",
+    "top_supplier",
+    "returned_revenue",
+    "shipmode_priority",
+    "promo_revenue",
+    "min_cost_supplier",
+    "product_profit",
+    "dominant_suppliers",
+    "link_prediction",
+    "ema_decay",
+    "ema_fold",
+    "attribution",
+    "trend_fit",
+    "collocations",
+    "session_concurrency",
+    "contingency_chi2",
+    "cusum",
+    "hashed_features",
+    "lead_lag",
+    "range_join",
+    "funnel",
+    "hll_distinct",
+    "tumbling_window",
+    "dedup_simhash",
+    "dedup_rolling_fp",
+    "embedding_cosine_dedup",
+    "sim_ann_lsh",
+    "tfidf",
+    "top_ngrams",
+    "split_assign",
+    "mixture_sample",
+    "sim_ann_ivf_seeded",
+    "fuzzy_name_pairs",
+    "multimodal_meta",
+    "asof_join",
+    "cms_heavy_hitters",
+    "dedup_keep_list",
+    "contamination",
+    "token_budget_sample",
+    "pack_sequences",
 ]
 
-ROUND5_QUEUE = [
-    "priority_promises", "important_parts", "supplier_part_counts",
-    "idle_customers", "sssp", "event_pattern", "incremental_join",
-    "streaming_join",
+ROUND6_QUEUE = [
+    "event_pattern_measures", "forecast_revenue", "top_supplier",
+    "returned_revenue", "shipmode_priority", "promo_revenue",
+    "min_cost_supplier", "product_profit", "dominant_suppliers",
+    "link_prediction", "ema_decay", "ema_fold", "attribution",
+    "trend_fit", "collocations", "session_concurrency",
+    "contingency_chi2", "cusum", "hashed_features",
 ]
 
 
 def test_graded_prefix_is_pinned():
     names = list(entrymod.queries())
-    assert names[:50] == GRADED_WINDOW_R6
+    assert names[:50] == GRADED_WINDOW_R7
 
 
-def test_round5_queue_is_in_window():
-    assert set(ROUND5_QUEUE) <= set(GRADED_WINDOW_R6)
+def test_round6_queue_is_in_window():
+    assert set(ROUND6_QUEUE) <= set(GRADED_WINDOW_R7)
 
 
 def test_headliners_lead_the_window():
     from bench import HEADLINE
 
-    assert set(GRADED_WINDOW_R6[:9]) == set(HEADLINE)
+    assert set(GRADED_WINDOW_R7[:9]) == set(HEADLINE)
 
 
 def test_every_graded_entry_is_oracle_paired():
