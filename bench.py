@@ -37,15 +37,18 @@ HEADLINE = [
 
 # Extended tier (VERDICT r5 item 8): one representative per late-round
 # plan family the headliners never touch — iterative graph, composed
-# IVF+PQ ANN, decorrelated TPC-H Q21, relational Lloyd training. Timed
-# with the same warm-then-clearCache protocol and reported as a SECOND
-# metric block in the same JSON line, so regressions in these tiers
-# become visible round-over-round without disturbing the
+# IVF+PQ ANN, wedge-join link prediction, relational Lloyd training.
+# Reported as a SECOND metric block in the same JSON line, so regressions
+# in these tiers become visible round-over-round without disturbing the
 # headline_queries_total_sec series.
+# r7 slot swap (VERDICT r6 item 9): sole_late_supplier (bench-stable
+# decorrelated Q21; its family stays covered by the headline star joins
+# and the r7 plan pins) -> link_prediction, the heaviest round-6
+# analytics shape (wedge join over the co-purchase graph).
 EXTENDED = [
     "pagerank",
     "sim_ann_ivfpq",
-    "sole_late_supplier",
+    "link_prediction",
     "kmeans_train",
 ]
 
@@ -70,20 +73,23 @@ def main() -> None:
     # "errors" and a null timing; the JSON line is ALWAYS emitted.
     errors: dict[str, str] = {}
 
+    def timed_run(name: str) -> float:
+        """ONE timed execution after a cache drop: any operator-internal
+        Spark caches are cleared so the run pays the query's full cost
+        (JVM warmup and OS page cache are steady-state; a warm-run
+        InMemoryRelation is not — a real scheduled job never starts with
+        its intermediates pre-cached)."""
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _run(qs[name](spark, sf_dir))
+        return time.perf_counter() - t0
+
     def time_tier(names: list[str]) -> dict[str, float | None]:
         timings: dict[str, float | None] = {}
         for name in names:
             try:
                 _run(qs[name](spark, sf_dir))  # untimed warm run at target SF
-                # Drop any operator-internal Spark caches so the timed run
-                # pays the query's full cost (JVM warmup and OS page cache
-                # are steady-state; a warm-run InMemoryRelation is not — a
-                # real scheduled job never starts with its intermediates
-                # pre-cached).
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                _run(qs[name](spark, sf_dir))
-                timings[name] = round(time.perf_counter() - t0, 3)
+                timings[name] = round(timed_run(name), 3)
             except Exception as exc:  # noqa: BLE001 — isolate, record, go on
                 timings[name] = None
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -92,16 +98,49 @@ def main() -> None:
     def tier_total(timings: dict[str, float | None]) -> float:
         return round(sum(t for t in timings.values() if t is not None), 3)
 
+    def time_tier_cold_warm(
+        names: list[str],
+    ) -> tuple[dict[str, float | None], dict[str, float | None]]:
+        """Extended-tier protocol (VERDICT r6 item 4): the first timed run
+        after the untimed warm-up still pays fixed per-session protocol
+        costs that the headliners don't expose — Janino/JIT compilation of
+        the unrolled literal codegen (sim_ann_ivfpq: ~7.5 s of its ~9 s)
+        and per-round job submission (pagerank) — because each invocation
+        rebuilds the plan. That cost is FIXED, so it amortizes to zero at
+        100 TB; the round-over-round comparable is the warm data term.
+        cold = the r6-comparable number (warm-up, clearCache, time);
+        warm = min of two further clearCache'd timed runs (JIT settled,
+        intermediates dropped — the data term a long-lived cluster pays).
+        Errors-contract: a failure ANYWHERE in a query's runs nulls BOTH
+        its series entries (a cold number whose warm reruns crashed is not
+        comparable round-over-round either)."""
+        cold: dict[str, float | None] = {}
+        warm: dict[str, float | None] = {}
+        for name in names:
+            try:
+                _run(qs[name](spark, sf_dir))  # untimed warm run
+                c = round(timed_run(name), 3)
+                w = round(min(timed_run(name) for _ in range(2)), 3)
+                cold[name], warm[name] = c, w
+            except Exception as exc:  # noqa: BLE001 — isolate, record, go on
+                cold[name] = None
+                warm[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        return cold, warm
+
     timings = time_tier(HEADLINE)
-    ext_timings = time_tier(EXTENDED)
+    ext_cold, ext_warm = time_tier_cold_warm(EXTENDED)
     out = {
         "metric": "headline_queries_total_sec",
         "value": tier_total(timings),
         "unit": "sec",
         "queries": timings,
         "extended_metric": "extended_queries_total_sec",
-        "extended_value": tier_total(ext_timings),
-        "extended_queries": ext_timings,
+        "extended_value": tier_total(ext_cold),
+        "extended_queries": ext_cold,
+        "extended_warm_metric": "extended_queries_warm_total_sec",
+        "extended_warm_value": tier_total(ext_warm),
+        "extended_queries_warm": ext_warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -36,3 +36,16 @@ def test_bench_emits_one_json_line_with_contract_keys():
     # failed) and, had one failed, it would be null with an errors map —
     # not a missing JSON line.
     assert all(isinstance(v, (int, float)) for v in rec["queries"].values())
+    # Extended tier carries cold + warm blocks (VERDICT r6 item 4): the
+    # cold series is the r6-comparable number, the warm series is the
+    # JIT-settled data term.
+    assert set(rec["extended_queries"]) == set(bench.EXTENDED)
+    assert set(rec["extended_queries_warm"]) == set(bench.EXTENDED)
+    assert rec["extended_warm_metric"] == "extended_queries_warm_total_sec"
+    assert all(
+        isinstance(v, (int, float)) for v in rec["extended_queries"].values()
+    )
+    assert all(
+        isinstance(v, (int, float))
+        for v in rec["extended_queries_warm"].values()
+    )
