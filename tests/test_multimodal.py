@@ -395,3 +395,146 @@ def test_wav_decode_rejects_truncated_zero_rate_and_short_fmt(spark):
     )
     assert [r.media_id for r in audio_stats(df, on_undecodable="skip")
             .collect()] == [4]
+
+
+# --- PNG codec: the REAL zlib decode branch (round 7) ------------------
+
+
+def _png_px(channels=3):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+
+
+def test_png_roundtrip_all_filters_rgb_and_rgba():
+    """Every PNG scanline filter type (None/Sub/Up/Average/Paeth) must
+    unfilter back to the source pixels, for both RGB and RGBA."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    for ch in (3, 4):
+        px = _png_px(ch)
+        for ft in range(5):
+            got = png_decode(png_encode(px, filter_type=ft))
+            assert got.shape == px.shape and np.array_equal(got, px), (ch, ft)
+
+
+def test_png_decode_quarantine_typed_errors():
+    """Every malformed-payload path raises ValueError (never zlib.error /
+    struct.error) and every needs-a-codec-library variant raises
+    NotImplementedError — the image_stats/skip quarantine contract."""
+    import struct
+    import zlib
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    good = png_encode(_png_px())
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png")
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # IHDR body byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        png_decode(good[: len(good) - 20])  # cut into IDAT
+
+    def rewrite_ihdr(offset, value):
+        b = bytearray(good)
+        b[offset] = value
+        body = bytes(b[16:29])
+        b[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        return bytes(b)
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        png_decode(rewrite_ihdr(28, 1))  # Adam7 flag
+    with pytest.raises(NotImplementedError, match="8-bit RGB"):
+        png_decode(rewrite_ihdr(24, 16))  # 16-bit depth
+    with pytest.raises(NotImplementedError, match="8-bit RGB"):
+        png_decode(rewrite_ihdr(25, 3))  # palette color type
+
+    # zlib-corrupt IDAT body behind a FIXED CRC -> ValueError, not zlib.error
+    b = bytearray(good)
+    pos = 8
+    while bytes(b[pos + 4 : pos + 8]) != b"IDAT":
+        pos += 12 + struct.unpack_from(">I", b, pos)[0]
+    ln = struct.unpack_from(">I", b, pos)[0]
+    b[pos + 8] ^= 0xFF
+    body = bytes(b[pos + 8 : pos + 8 + ln])
+    b[pos + 8 + ln : pos + 12 + ln] = struct.pack(
+        ">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        png_decode(bytes(b))
+
+
+def test_image_stats_mixes_bmp_and_png_and_ignores_alpha(spark):
+    """image_stats now routes by magic bytes: BMP and PNG rows both decode
+    in one pass; RGBA alpha is excluded from the channel sums."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_encode,
+        image_stats,
+        png_encode,
+    )
+
+    bmp_px = _bmp_px()
+    rgba = np.dstack([_png_px(3), np.full((13, 9), 7, dtype=np.uint8)])
+    df = spark.createDataFrame(
+        [(1, bmp_encode(bmp_px)), (2, png_encode(rgba)), (3, b"junk")],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in image_stats(df, on_undecodable="skip").collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[2].width, rows[2].height, rows[2].n_px) == (9, 13, 117)
+    assert (rows[2].sum_r, rows[2].sum_g, rows[2].sum_b) == tuple(
+        int(rgba[:, :, i].sum()) for i in range(3)
+    )
+    with pytest.raises(Exception, match="BMP or PNG"):
+        image_stats(df, on_undecodable="error").collect()
+
+
+def test_resize_and_features_are_real_for_png(spark):
+    """fake=False works on PNG payloads: resize decodes + nearest-samples
+    + re-encodes as PNG, and extract_features on a PNG equals
+    extract_features on a BMP of the SAME pixels (format-independent)."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        bmp_encode,
+        extract_features,
+        png_decode,
+        png_encode,
+    )
+
+    px = _png_px(3)
+    schema = (
+        "media_id long, content binary, meta struct<modality: string, "
+        "mime: string, width: int, height: int, duration_ms: int>"
+    )
+    meta = {"modality": "image", "mime": "image/png",
+            "width": 9, "height": 13, "duration_ms": None}
+    media = spark.createDataFrame([(1, png_encode(px), meta)], schema)
+    [rr] = resize(media, 3, 4, fake=False).collect()
+    content = bytes(rr.content)
+    assert content[:8] == b"\x89PNG\r\n\x1a\n"  # stays PNG
+    got = png_decode(content)
+    ri = ((2 * np.arange(4) + 1) * 13) // 8
+    ci = ((2 * np.arange(3) + 1) * 9) // 6
+    assert np.array_equal(got, px[ri][:, ci])
+
+    both = spark.createDataFrame(
+        [(1, png_encode(px), meta), (2, bmp_encode(px), meta)], schema
+    )
+    feats = {r.media_id: r.feature for r in
+             extract_features(both, fake=False).collect()}
+    assert feats[1] == feats[2]
+    assert len(feats[1]) == FEATURE_DIM
