@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-145/145 oracle-paired (same column names; computed columns aliased on both
+171/171 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -32,7 +32,14 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipeline_last_fm_spark.registry import core, extras, llm, round5, round6
+from etl_pipeline_last_fm_spark.registry import (
+    core,
+    extras,
+    llm,
+    round5,
+    round6,
+    round7,
+)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -45,6 +52,7 @@ _ALL = {
     **extras.QUERIES,
     **round5.QUERIES,
     **round6.QUERIES,
+    **round7.QUERIES,
 }
 
 # Back-compat: tests and tooling address queries as module attributes
@@ -140,14 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _ALL["token_budget_sample"],
         "pack_sequences": _ALL["pack_sequences"],
         # --- past the 50-entry cap ------------------------------------
-        # Every entry below has a green driver row on record AND runs in
-        # tests/test_oracle_parity.py at sf0.001 every pytest run. Line
-        # order for the round-8 rotation: the round-4 wave (here, from
-        # profile_columns), then the round-5/-6 waves, then the 41
-        # entries just demoted from the round-6 window (most recently
-        # graded, last in line). Any NEW round-7 queries would be
-        # appended as a clearly-marked queue tier at the very end and
-        # take precedence for the next rotation.
+        # Every entry below EXCEPT the round-7 queue tier (the clearly
+        # marked final tier — never graded yet, first in line for the
+        # round-8 rotation) has a green driver row on record; all of them
+        # run in tests/test_oracle_parity.py at sf0.001 every pytest run.
+        # Line order for the round-8 rotation after the queue tier: the
+        # round-4 wave (here, from profile_columns), then the round-5/-6
+        # waves, then the 41 entries demoted from the round-6 window
+        # (most recently graded, last in line).
         "profile_columns": _ALL["profile_columns"],
         "scd2_history": _ALL["scd2_history"],
         "gapfill_locf": _ALL["gapfill_locf"],
@@ -265,6 +273,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": _ALL["explode_tokens"],
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
+        # --- round-7 queue tier (never driver-graded) -------------------
+        # New this round, first in line for the round-8 rotation: the
+        # order-dependent IVM tier (EMA, CUSUM and last-touch
+        # attribution frontier folds and their versioned-commit
+        # streaming twins), the hub-capped link-prediction scale path,
+        # and time-decay multi-touch attribution. All oracle-paired; all
+        # run in tests/test_oracle_parity.py at sf0.001 every pytest run
+        # until they earn driver rows.
+        "streaming_ema": _ALL["streaming_ema"],
+        "link_prediction_capped": _ALL["link_prediction_capped"],
+        "cusum_fold": _ALL["cusum_fold"],
+        "streaming_cusum": _ALL["streaming_cusum"],
+        "attribution_fold": _ALL["attribution_fold"],
+        "streaming_attribution": _ALL["streaming_attribution"],
+        "attribution_decay": _ALL["attribution_decay"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree
@@ -279,4 +302,5 @@ def oracle_sql() -> dict[str, str]:
         **extras.oracles(),
         **round5.oracles(),
         **round6.oracles(),
+        **round7.oracles(),
     }

@@ -47,11 +47,37 @@ from etl_pipeline_last_fm_spark.sources.tables import load_table
 # could prune anyway. The epoch-µs constants in oracles are unchanged.
 _D_1996, _D_1996_07, _D_1997 = "1996-01-01", "1996-07-01", "1997-01-01"
 
+#: Time-slice cuts for the ordered-fold maintenance queries (ema_fold
+#: here; the round-7 fold/stream twins import these so every member
+#: replays the SAME batching of the events table — a divergence between
+#: any two of them then isolates the protocol, not the data).
+EMA_CUTS = ("2024-01-11", "2024-01-21")
+
+#: The graded CUSUM detector's parameters (q_cusum and its oracle here;
+#: the round-7 fold/stream twins import these so all three grade the
+#: SAME detector).
+CUSUM_DRIFT = 5_000
+CUSUM_H = 20_000
+
 #: DuckDB twin of _rev4_col() — exact integer 1e-4-dollar revenue units.
 _REV4_SQL = (
     "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
     " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
 )
+
+#: DuckDB twin of q_link_prediction's 1996 co-purchase edge build —
+#: module-level so the round-7 capped twin grades against the SAME graph.
+_COPURCHASE_1996_SQL = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE epoch_us(o_orderdate) >= {_US_1996}
+          AND epoch_us(o_orderdate) < {_US_1997}
+    )
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM op x JOIN op y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+"""
 
 
 def q_event_pattern_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,15 +394,24 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         link_prediction_scores,
     )
 
+    return link_prediction_scores(
+        copurchase_edges(copurchase_1996_order_parts(spark, sf_dir)),
+        top_k=100,
+    )
+
+
+def copurchase_1996_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1996 (orderkey, partkey) rows feeding the co-purchase graph —
+    shared by q_link_prediction and the round-7 capped twin so both grade
+    the SAME graph (Spark twin of _COPURCHASE_1996_SQL's ``op`` CTE)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    op = li.join(
+    return li.join(
         orders.filter(
             (F.col("o_orderdate") >= _D_1996) & (F.col("o_orderdate") < _D_1997)
         ).select("o_orderkey"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "l_partkey")
-    return link_prediction_scores(copurchase_edges(op), top_k=100)
 
 
 def q_ema_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +438,7 @@ def q_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    cuts = ["2024-01-11", "2024-01-21"]
+    cuts = EMA_CUTS
     batches = [
         ev.filter(F.col("ts") < cuts[0]),
         ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
@@ -483,8 +518,8 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cusum_alarms(
         load_table(spark, sf_dir, "events"),
-        drift_cents=5_000,
-        threshold_cents=20_000,
+        drift_cents=CUSUM_DRIFT,
+        threshold_cents=CUSUM_H,
     )
 
 
@@ -558,24 +593,12 @@ def oracles() -> dict[str, str]:
         trend_fit_oracle_sql,
     )
 
-    copurchase_1996_sql = f"""
-        WITH op AS (
-            SELECT DISTINCT l_orderkey, l_partkey
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE epoch_us(o_orderdate) >= {_US_1996}
-              AND epoch_us(o_orderdate) < {_US_1997}
-        )
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM op x JOIN op y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-    """
-
     return {
         "event_pattern_measures": match_event_pattern_measures_oracle_sql(
             "vc*p"
         ),
         "link_prediction": link_prediction_oracle_sql(
-            copurchase_1996_sql, top_k=100
+            _COPURCHASE_1996_SQL, top_k=100
         ),
         "ema_decay": ema_halflife_oracle_sql(),
         # The one-shot fold IS the oracle: the 3-batch frontier fold
@@ -587,7 +610,7 @@ def oracles() -> dict[str, str]:
         "session_concurrency": _session_concurrency_oracle(),
         "contingency_chi2": contingency_chi2_oracle_sql(),
         "cusum": cusum_alarms_oracle_sql(
-            drift_cents=5_000, threshold_cents=20_000
+            drift_cents=CUSUM_DRIFT, threshold_cents=CUSUM_H
         ),
         "hashed_features": hashed_features_oracle_sql(),
         "forecast_revenue": f"""

@@ -1,0 +1,292 @@
+"""Round-7 additions. Ordering lives in __spark_entry__.py; this module
+only implements.
+
+- ``streaming_ema`` (VERDICT r6 item 5): the streaming twin of the EMA
+  frontier fold — the IVM family's first ORDER-DEPENDENT member. A real
+  availableNow file stream delivers the events table as 3 time-slice
+  micro-batches (file modification times force slice order through
+  Spark's FileStreamSource, which schedules oldest-first); the per-batch
+  fold rides the versioned-commit replay guard, and the maintained state
+  must equal the one-shot ``ema_halflife`` — the ordered-fold maintenance
+  identity, which IS the oracle.
+- ``link_prediction_capped`` (VERDICT r6 item 8): the hub-capped scale
+  path of the link predictor, oracle-paired on the same 1996 co-purchase
+  graph as the exact entry. The cap (max middle degree 24 — median degree
+  is 17 at both graded SFs, so the cap BINDS without emptying the
+  candidate set) is the documented 100 TB bound on the wedge join's
+  Σ deg(m)² term.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.registry.round6 import (
+    # ONE definition each (registry/round6.py): the fold/stream twins
+    # replay the SAME batching and grade the SAME detector as the graded
+    # ema_fold/cusum entries — a divergence then isolates the protocol.
+    CUSUM_DRIFT as _CUSUM_DRIFT,
+    CUSUM_H as _CUSUM_H,
+    EMA_CUTS as _EMA_CUTS,
+)
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+#: Middle-degree cap for the link-prediction scale path (see module doc).
+_LINKPRED_CAP = 24
+
+
+def _run_time_sliced_stream(spark, sf_dir, maintenance, read_state, present):
+    """Shared driver for the order-dependent streaming twins: write the
+    events table as 3 time-slice parquet files with STRICTLY INCREASING
+    modification times, stream them back availableNow with
+    maxFilesPerTrigger=1 so each micro-batch is one slice in time order
+    (FileStreamSource schedules files oldest-mtime-first), fold through
+    the given maintenance writer under the versioned-commit replay
+    guard, and present the final state. Same bounded driver
+    materialization + temp cleanup as q_streaming_join.
+
+    ``maintenance(stream, state_path, checkpoint)`` -> DataStreamWriter;
+    ``read_state(spark, state_path)`` -> state DF; ``present(df)`` ->
+    the graded output shape."""
+    ev = load_table(spark, sf_dir, "events")
+    c1, c2 = _EMA_CUTS
+    slices = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_stream7_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        base_mtime = 1_700_000_000  # any fixed epoch; only ORDER matters
+        for i, sl in enumerate(slices):
+            staged = os.path.join(tmp, f"w{i}")
+            sl.coalesce(1).write.parquet(staged)
+            [part] = [
+                p for p in os.listdir(staged)
+                if p.startswith("part-") and p.endswith(".parquet")
+            ]
+            dst = os.path.join(src, f"slice{i}.parquet")
+            shutil.move(os.path.join(staged, part), dst)
+            os.utime(dst, (base_mtime + 3600 * i, base_mtime + 3600 * i))
+        state = os.path.join(tmp, "state")
+        ck = os.path.join(tmp, "ck")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            maintenance(stream, state, ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = present(read_state(spark, state))
+        schema = out.schema
+        collected = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(collected, schema)
+
+
+def q_streaming_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `ema_fold` (streaming/ivm.py): per-batch
+    ema_fold_stream_batch under the versioned-commit replay guard, with
+    the out-of-order raise preserved. Oracle: the one-shot
+    ema_halflife."""
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_ema_state,
+        streaming_ema_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_ema_maintenance(
+            stream, state, checkpoint=ck
+        ),
+        read_ema_state,
+        lambda df: df.select(
+            F.col("key").alias("user_id"), "n_events", "ema_cents"
+        ),
+    )
+
+
+def q_cusum_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold maintenance identity for the CUSUM detector
+    (operators/timeseries.py incremental_cusum_batches): the events
+    table split into the SAME 3 time slices as ema_fold and folded
+    through per-key (p, min-prefix, s, smax, alarms) state carrying the
+    fold frontier — must equal the one-shot cusum_alarms for any
+    time-split batching, and that one-shot IS the oracle (order-dependent
+    IVM member #2; out-of-order batches raise)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        incremental_cusum_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c1, c2 = _EMA_CUTS
+    batches = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    return incremental_cusum_batches(
+        batches, drift_cents=_CUSUM_DRIFT, threshold_cents=_CUSUM_H
+    )
+
+
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `cusum_fold` (streaming/ivm.py): per-batch
+    cusum_fold_stream_batch under the versioned-commit replay guard.
+    Oracle: the one-shot cusum_alarms."""
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_cusum_state,
+        streaming_cusum_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_cusum_maintenance(
+            stream, state, drift_cents=_CUSUM_DRIFT,
+            threshold_cents=_CUSUM_H, checkpoint=ck,
+        ),
+        read_cusum_state,
+        lambda df: df.select(
+            F.col("key").alias("user_id"),
+            "n_events", "cusum_final", "cusum_max", "n_alarms",
+        ),
+    )
+
+
+def q_attribution_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold maintenance identity for LAST-TOUCH attribution
+    (operators/attribution.py incremental_attribution_batches): the
+    events table in the same 3 time slices, folded through per-key
+    last-touch state with the batch credit deltas summed additively —
+    must equal the one-shot last_touch_attribution for any time-split
+    batching (order-dependent IVM member #3: the carried state is the
+    running last touch each conversion is judged against)."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        incremental_attribution_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c1, c2 = _EMA_CUTS
+    batches = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    return incremental_attribution_batches(batches)
+
+
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `attribution_fold` (streaming/ivm.py): the
+    two-state commit (per-key touch state, then the additive channel
+    totals LAST as the replay guard — the join fold's m-last rule)
+    under the same time-sliced availableNow stream. Oracle: the
+    one-shot last_touch_attribution."""
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_attribution_state,
+        streaming_attribution_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_attribution_maintenance(
+            stream, state, checkpoint=ck
+        ),
+        read_attribution_state,
+        lambda df: df.select("channel", "n_conversions", "attributed_cents"),
+    )
+
+
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay MULTI-touch attribution (operators/attribution.py
+    time_decay_attribution): every in-window preceding touch shares the
+    purchase's credit at exact power-of-two day-decay weights, the
+    remainder cents deterministically unassigned; no-touch conversions
+    credit 'none' in full. The multi-touch sibling of the graded
+    last-touch entry — a user-key range join instead of one running
+    window."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    return time_decay_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped link prediction over the SAME 1996 co-purchase graph as
+    q_link_prediction (operators/graph.py link_prediction_scores with
+    max_middle_degree): wedges through middles of degree > 24 are excluded
+    from candidate generation — the bound that keeps the Σ deg(m)² wedge
+    term linear at 100 TB — and the capped result is itself oracle-paired
+    (the cap is part of the graded semantics, not a test-only flag)."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction_scores,
+    )
+    from etl_pipeline_last_fm_spark.registry.round6 import (
+        copurchase_1996_order_parts,
+    )
+
+    return link_prediction_scores(
+        copurchase_edges(copurchase_1996_order_parts(spark, sf_dir)),
+        top_k=100,
+        max_middle_degree=_LINKPRED_CAP,
+    )
+
+
+QUERIES = {
+    "streaming_ema": q_streaming_ema,
+    "link_prediction_capped": q_link_prediction_capped,
+    "cusum_fold": q_cusum_fold,
+    "streaming_cusum": q_streaming_cusum,
+    "attribution_fold": q_attribution_fold,
+    "streaming_attribution": q_streaming_attribution,
+    "attribution_decay": q_attribution_decay,
+}
+
+
+def oracles() -> dict[str, str]:
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        last_touch_attribution_oracle_sql,
+        time_decay_attribution_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        link_prediction_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        cusum_alarms_oracle_sql,
+        ema_halflife_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.registry.round6 import _COPURCHASE_1996_SQL
+
+    cusum_oracle = cusum_alarms_oracle_sql(
+        drift_cents=_CUSUM_DRIFT, threshold_cents=_CUSUM_H
+    )
+    return {
+        # The one-shot fold IS the oracle for every ordered-fold twin:
+        # the maintained state must equal it (maintenance identity,
+        # batch-mode and through the versioned-commit streaming protocol).
+        "streaming_ema": ema_halflife_oracle_sql(),
+        "cusum_fold": cusum_oracle,
+        "streaming_cusum": cusum_oracle,
+        "attribution_fold": last_touch_attribution_oracle_sql(),
+        "streaming_attribution": last_touch_attribution_oracle_sql(),
+        "attribution_decay": time_decay_attribution_oracle_sql(),
+        "link_prediction_capped": link_prediction_oracle_sql(
+            _COPURCHASE_1996_SQL, top_k=100, max_middle_degree=_LINKPRED_CAP
+        ),
+    }

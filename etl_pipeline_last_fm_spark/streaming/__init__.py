@@ -10,6 +10,9 @@ from etl_pipeline_last_fm_spark.streaming.ingest import (
     windowed_event_stats,
 )
 from etl_pipeline_last_fm_spark.streaming.ivm import (
+    streaming_attribution_maintenance,
+    streaming_cusum_maintenance,
+    streaming_ema_maintenance,
     streaming_join_maintenance,
 )
 
@@ -20,4 +23,7 @@ __all__ = [
     "streaming_postings_maintenance",
     "streaming_checksum_maintenance",
     "streaming_join_maintenance",
+    "streaming_ema_maintenance",
+    "streaming_cusum_maintenance",
+    "streaming_attribution_maintenance",
 ]

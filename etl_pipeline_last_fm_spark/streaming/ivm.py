@@ -173,3 +173,246 @@ def streaming_join_maintenance(
 
 def read_join_state(spark: SparkSession, state_root: str) -> DataFrame:
     return _strip_bid(read_latest_state(spark, f"{state_root}/m"))
+
+
+# --- Streaming EMA: the first ORDER-DEPENDENT IVM member (round 7) -----
+# The additive folds (marts, sketches) and the join maintenance above are
+# all batching-order-insensitive; the EMA recurrence s = (s + v) div 2 is
+# not — batches must arrive as time-ordered slices per key. The batch fold
+# (operators/timeseries.ema_fold_batch) already carries the per-key fold
+# frontier and RAISES on out-of-order delivery (raise_error inside the
+# fold expression, so the violation surfaces at commit time, never as a
+# silently corrupted trajectory); this wrapper adds the versioned-commit
+# replay guard so crash/replay cannot re-fold a batch either.
+
+
+def _single_state_stream_fold(
+    batch_df: DataFrame, batch_id: int, state_path: str, fold_fn
+) -> None:
+    """The single-state ordered-fold protocol, defined ONCE for every
+    order-dependent member maintaining one state: the replay guard is
+    the state's own batch_id, and the pre-batch snapshot is read at the
+    latest version STRICTLY BEFORE batch_id (the join fold's
+    crash-window rule) so a replayed fold sees exactly what the
+    original saw. An empty micro-batch still commits (advancing the
+    guard) and leaves every key's state unchanged — the folds'
+    full-outer joins keep absent-from-batch keys. ``fold_fn(state_or_
+    None, batch_df)`` -> the new state DataFrame."""
+    spark = batch_df.sparkSession
+    prev = _read_state_or_none(spark, state_path)
+    if int(batch_id) <= last_applied_batch(prev):
+        return  # replayed micro-batch, already folded
+    before = _read_state_before(spark, state_path, int(batch_id))
+    state = _strip_bid(before) if before is not None else None
+    commit_state(
+        fold_fn(state, batch_df).withColumn(BID_COL, F.lit(int(batch_id))),
+        state_path,
+        batch_id,
+    )
+
+
+def ema_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """Fold ONE micro-batch of events into the per-key EMA state
+    (key, n_events, ema_cents, max_us, max_tb) under the single-state
+    protocol (_single_state_stream_fold)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_fold_batch
+
+    _single_state_stream_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        lambda state, batch: ema_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ),
+    )
+
+
+def streaming_ema_maintenance(
+    event_stream: DataFrame,
+    state_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Maintain the per-key ½-decay EMA over a time-ordered event stream.
+    Returns a DataStreamWriter — the caller picks the trigger and calls
+    ``.start()``; read with ``read_ema_state``. Delivery contract: each
+    micro-batch is a time slice at or after every key's frontier (the
+    Kafka-partition-per-key model); violations raise inside the fold."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ema_fold_stream_batch(
+            batch_df, batch_id, state_path, key_col, ts_col, value_col,
+            tiebreak_col,
+        )
+
+    writer = event_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_ema_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(read_latest_state(spark, state_path))
+
+
+def cusum_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    drift_cents: int = 0,
+    threshold_cents: int = 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """CUSUM sibling of ema_fold_stream_batch — the order-dependent IVM
+    family's second streaming member, same single-state replay-guard
+    protocol (_single_state_stream_fold; the out-of-order raise
+    surfaces at commit time)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        cusum_fold_batch,
+    )
+
+    _single_state_stream_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        lambda state, batch: cusum_fold_batch(
+            state, batch, drift_cents, threshold_cents,
+            key_col, ts_col, value_col, tiebreak_col,
+        ),
+    )
+
+
+def streaming_cusum_maintenance(
+    event_stream: DataFrame,
+    state_path: str,
+    drift_cents: int = 0,
+    threshold_cents: int = 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Maintain per-key CUSUM change-point state over a time-ordered
+    event stream; read with ``read_cusum_state``. Same delivery contract
+    as streaming_ema_maintenance."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cusum_fold_stream_batch(
+            batch_df, batch_id, state_path, drift_cents, threshold_cents,
+            key_col, ts_col, value_col, tiebreak_col,
+        )
+
+    writer = event_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_cusum_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(read_latest_state(spark, state_path))
+
+
+def attribution_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_root: str,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """Last-touch attribution maintenance — order-dependent IVM member
+    #3, and the first with a TWO-state commit: the per-key touch state
+    (k) and the additive per-channel totals (c). The totals commit LAST
+    and carry the replay guard (the join fold's m-last rule: a crash
+    after the k commit but before the c commit replays the batch, and
+    the replayed fold reads both states at the latest version STRICTLY
+    BEFORE this batch_id, so the batch's own credits cannot double)."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        attribution_fold_batch,
+    )
+
+    spark = batch_df.sparkSession
+    k_path = f"{state_root}/k"
+    c_path = f"{state_root}/c"
+    prev_c = _read_state_or_none(spark, c_path)
+    if int(batch_id) <= last_applied_batch(prev_c):
+        return  # replayed micro-batch, already folded
+    before_k = _read_state_before(spark, k_path, int(batch_id))
+    if prev_c is not None and before_k is None:
+        raise RuntimeError(
+            f"pre-batch touch state missing under {state_root} for batch"
+            f" {batch_id} while totals state exists — retention too"
+            " aggressive?"
+        )
+    before_c = _read_state_before(spark, c_path, int(batch_id))
+    touch_state = _strip_bid(before_k) if before_k is not None else None
+    new_state, delta = attribution_fold_batch(
+        touch_state, batch_df, touch_types, conversion_type, window_us,
+        key_col, type_col, ts_col, value_col, tiebreak_col,
+    )
+    if before_c is not None:
+        delta = (
+            _strip_bid(before_c).unionByName(delta)
+            .groupBy("channel")
+            .agg(
+                F.sum("n_conversions").alias("n_conversions"),
+                F.sum("attributed_cents").alias("attributed_cents"),
+            )
+        )
+    bid = F.lit(int(batch_id))
+    commit_state(new_state.withColumn(BID_COL, bid), k_path, batch_id)
+    # totals LAST: their batch_id is the replay guard for the pair.
+    commit_state(delta.withColumn(BID_COL, bid), c_path, batch_id)
+
+
+def streaming_attribution_maintenance(
+    event_stream: DataFrame,
+    state_root: str,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Maintain per-channel last-touch attribution totals over a
+    time-ordered event stream; read with ``read_attribution_state``.
+    Same delivery contract as the EMA/CUSUM twins."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        attribution_fold_stream_batch(
+            batch_df, batch_id, state_root, touch_types, conversion_type,
+            window_us, key_col, type_col, ts_col, value_col, tiebreak_col,
+        )
+
+    writer = event_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_attribution_state(spark: SparkSession, state_root: str) -> DataFrame:
+    return _strip_bid(read_latest_state(spark, f"{state_root}/c"))

@@ -419,6 +419,7 @@ def main() -> None:
     round6_wave(spark, ev_typed, n_events)
     round6b_wave(spark, ev_typed, n_events)
     round6c_wave(spark, ev_typed, n_events)
+    round7_wave(spark, ev_typed, n_events)
 
 
 
@@ -633,6 +634,81 @@ def round6c_wave(spark, ev_typed, n_events: int) -> None:
     )
 
 
+def round7_wave(spark, ev_typed, n_events: int) -> None:
+    """Round-7 smoke: hashed_features (the one op the round-6 tables
+    missed — one explode + one hash aggregate, map-side combine, linear
+    in tokens), the hub-CAPPED link predictor on the same synthetic graph
+    as the round-6b exact run (the cap must come in at-or-under the exact
+    wall — it prunes wedges, it cannot add them), and the streaming EMA
+    fold (3 versioned-commit batches; the delta over the plain batch fold
+    is the commit protocol's fixed I/O, O(keys) state rows per round)."""
+    import tempfile
+
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction_scores,
+    )
+    from etl_pipeline_last_fm_spark.operators.text import hashed_features
+
+    docs = synth_docs(spark, max(n_events // 10, 1000))
+    docs.count()
+    t0 = time.perf_counter()
+    n_hf = hashed_features(docs).count()
+    t_hf = time.perf_counter() - t0
+
+    # Same synthetic order/item graph as round6b_wave, capped at 2x the
+    # flat per-item degree (~80) so the cap BINDS on hash-fluctuation
+    # hubs without emptying the candidate set.
+    m = max(n_events // 10, 1000)
+    n_items = max(m // 20, 10)
+    op = spark.range(m).select(
+        (F.col("id") / 5).cast("long").alias("l_orderkey"),
+        F.pmod(F.xxhash64(F.col("id") + 41), F.lit(n_items)).alias("l_partkey"),
+    )
+    t0 = time.perf_counter()
+    n_lpc = link_prediction_scores(
+        copurchase_edges(op), top_k=100, max_middle_degree=160
+    ).count()
+    t_lpc = time.perf_counter() - t0
+
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        ema_fold_stream_batch,
+        read_ema_state,
+    )
+
+    base = 1_700_000_000_000_000
+    c1 = base + (n_events * 47_000_000) // 3
+    c2 = base + (2 * n_events * 47_000_000) // 3
+    us = F.unix_micros(F.col("ts"))
+    batches = [
+        ev_typed.filter(us < c1),
+        ev_typed.filter((us >= c1) & (us < c2)),
+        ev_typed.filter(us >= c2),
+    ]
+    with tempfile.TemporaryDirectory(prefix="sgraft_smoke_ema_") as tmp:
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches):
+            ema_fold_stream_batch(b, i, f"{tmp}/state")
+        n_se = read_ema_state(spark, f"{tmp}/state").count()
+        t_se = time.perf_counter() - t0
+
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        incremental_attribution_batches,
+    )
+
+    # ev_typed already carries the shared synthetic event_type column.
+    t0 = time.perf_counter()
+    n_af = incremental_attribution_batches(batches).count()
+    t_af = time.perf_counter() - t0
+
+    print(
+        f"round-7 wave: hashed-features {t_hf:.1f}s ({n_hf} rows), "
+        f"link-pred-capped {t_lpc:.1f}s ({n_lpc} rows), "
+        f"streaming-ema {t_se:.1f}s ({n_se} users), "
+        f"attribution-fold {t_af:.1f}s ({n_af} channels)"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[3] == "round6":
         # Fast path: only the round-6 wave (docs corpus not needed).
@@ -643,5 +719,12 @@ if __name__ == "__main__":
         round6_wave(spark, ev, n_events)
         round6b_wave(spark, ev, n_events)
         round6c_wave(spark, ev, n_events)
+    elif len(sys.argv) > 3 and sys.argv[3] == "round7":
+        # Fast path: only the round-7 wave.
+        n_events = int(sys.argv[2])
+        spark = get_spark(app_name="scale-smoke-r7")
+        ev = _typed_events(spark, n_events)
+        ev.count()
+        round7_wave(spark, ev, n_events)
     else:
         main()

@@ -116,3 +116,231 @@ def test_join_fold_rejects_unprefixed_payload_and_prefixed_keys(spark, tmp_path)
     )
     with pytest.raises(ValueError, match="side prefixes"):
         join_fold_batch(bad2, 0, root, ["a_id"])
+
+
+# --- Streaming EMA: the first order-DEPENDENT IVM member (round 7) -----
+
+
+EV_SCHEMA = "user_id long, event_id long, ts timestamp, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, f"2024-01-{d:02d} 00:00:00", v) for u, e, d, v in rows],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _ema_slices(spark):
+    # user 1: values across all three slices; user 2: slices 0+2 only
+    # (a key absent from a middle batch must carry its state through);
+    # user 3: a single late event (state born in the last batch).
+    s0 = _ev(spark, [(1, 10, 1, 4.00), (1, 11, 2, 8.00), (2, 20, 3, 6.00)])
+    s1 = _ev(spark, [(1, 12, 11, 2.00)])
+    s2 = _ev(spark, [(1, 13, 21, 10.00), (2, 21, 22, 2.00), (3, 30, 23, 5.00)])
+    return [s0, s1, s2]
+
+
+def _want_ema(spark, slices):
+    from etl_pipeline_last_fm_spark.operators.timeseries import ema_halflife
+
+    union = slices[0]
+    for s in slices[1:]:
+        union = union.unionByName(s)
+    return sorted(map(tuple, ema_halflife(union).collect()))
+
+
+def test_ema_stream_fold_equals_one_shot(spark, tmp_path):
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        ema_fold_stream_batch,
+        read_ema_state,
+    )
+
+    path = str(tmp_path / "ema")
+    slices = _ema_slices(spark)
+    for i, b in enumerate(slices):
+        ema_fold_stream_batch(b, i, path)
+    got = sorted(
+        map(tuple, read_ema_state(spark, path)
+            .select("key", "n_events", "ema_cents").collect())
+    )
+    assert got == _want_ema(spark, slices)
+
+
+def test_ema_stream_fold_replay_is_noop_and_empty_batch_advances(spark, tmp_path):
+    """Replaying a batch must not re-fold it (the EMA recurrence is NOT
+    idempotent — a double fold halves the state again), and an EMPTY
+    micro-batch must advance the guard while leaving every key's state
+    unchanged."""
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        ema_fold_stream_batch,
+        read_ema_state,
+    )
+
+    path = str(tmp_path / "ema")
+    slices = _ema_slices(spark)
+    ema_fold_stream_batch(slices[0], 0, path)
+    ema_fold_stream_batch(slices[0], 0, path)  # replay
+    ema_fold_stream_batch(slices[1], 1, path)
+    ema_fold_stream_batch(slices[1].limit(0), 2, path)  # empty batch
+    ema_fold_stream_batch(slices[2], 3, path)
+    ema_fold_stream_batch(slices[2], 3, path)  # replay
+    got = sorted(
+        map(tuple, read_ema_state(spark, path)
+            .select("key", "n_events", "ema_cents").collect())
+    )
+    assert got == _want_ema(spark, slices)
+
+
+def test_ema_stream_fold_out_of_order_batch_raises(spark, tmp_path):
+    """An event at or before a key's frontier must RAISE through the
+    streaming fold (never silently corrupt the trajectory) — and the
+    failed fold must NOT have committed: the state still reads as the
+    pre-violation version and accepts a corrected batch."""
+    import pytest
+
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        ema_fold_stream_batch,
+        read_ema_state,
+    )
+
+    path = str(tmp_path / "ema")
+    slices = _ema_slices(spark)
+    ema_fold_stream_batch(slices[0], 0, path)
+    stale = _ev(spark, [(1, 9, 1, 99.0)])  # day 1 <= user 1's day-2 frontier
+    with pytest.raises(Exception, match="out-of-order"):
+        ema_fold_stream_batch(stale, 1, path)
+    # the violating batch must not have committed as v=1
+    ema_fold_stream_batch(slices[1], 1, path)
+    ema_fold_stream_batch(slices[2], 2, path)
+    got = sorted(
+        map(tuple, read_ema_state(spark, path)
+            .select("key", "n_events", "ema_cents").collect())
+    )
+    assert got == _want_ema(spark, slices)
+
+
+def test_streaming_ema_maintenance_end_to_end(spark, tmp_path):
+    """A REAL availableNow stream of time-slice files with forced
+    modification times: the maintained state equals the one-shot fold.
+    File order is load-bearing here (unlike the join twin) — the mtimes
+    make FileStreamSource deliver slices oldest-first."""
+    import os
+
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_ema_state,
+        streaming_ema_maintenance,
+    )
+
+    slices = _ema_slices(spark)
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, sl in enumerate(slices):
+        staged = str(tmp_path / f"w{i}")
+        sl.coalesce(1).write.parquet(staged)
+        [part] = [p for p in os.listdir(staged)
+                  if p.startswith("part-") and p.endswith(".parquet")]
+        dst = src / f"slice{i}.parquet"
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + 3600 * i,) * 2)
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    path = str(tmp_path / "ema")
+    q = (
+        streaming_ema_maintenance(stream, path, checkpoint=str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        map(tuple, read_ema_state(spark, path)
+            .select("key", "n_events", "ema_cents").collect())
+    )
+    assert got == _want_ema(spark, slices)
+
+
+def test_cusum_stream_fold_identity_replay_and_out_of_order(spark, tmp_path):
+    """CUSUM streaming twin, same single-state protocol as the EMA one:
+    folded state == the one-shot detector; replays no-op (the CUSUM
+    recurrence is not idempotent either); out-of-order batches raise
+    without committing."""
+    import pytest
+
+    from etl_pipeline_last_fm_spark.operators.timeseries import cusum_alarms
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        cusum_fold_stream_batch,
+        read_cusum_state,
+    )
+
+    path = str(tmp_path / "cusum")
+    slices = _ema_slices(spark)
+    kw = dict(drift_cents=100, threshold_cents=400)
+    cusum_fold_stream_batch(slices[0], 0, path, **kw)
+    cusum_fold_stream_batch(slices[0], 0, path, **kw)  # replay
+    stale = _ev(spark, [(1, 9, 1, 99.0)])  # at/before user 1's frontier
+    with pytest.raises(Exception, match="out-of-order"):
+        cusum_fold_stream_batch(stale, 1, path, **kw)
+    cusum_fold_stream_batch(slices[1], 1, path, **kw)
+    cusum_fold_stream_batch(slices[2], 2, path, **kw)
+    cusum_fold_stream_batch(slices[2], 2, path, **kw)  # replay
+    got = sorted(
+        map(tuple, read_cusum_state(spark, path).select(
+            "key", "n_events", "cusum_final", "cusum_max", "n_alarms"
+        ).collect())
+    )
+    union = slices[0]
+    for s in slices[1:]:
+        union = union.unionByName(s)
+    want = sorted(map(tuple, cusum_alarms(union, **kw).collect()))
+    assert got == want
+
+
+def test_attribution_stream_two_state_protocol(spark, tmp_path):
+    """Attribution streaming twin: maintained totals == the one-shot
+    walk; replays no-op; the crash window (k state committed, c totals
+    commit lost) replays without double-counting the batch's credits —
+    the join fold's m-last rule carried over."""
+    import shutil
+
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        attribution_fold_stream_batch,
+        read_attribution_state,
+    )
+
+    def _tev(spark, rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-{d:02d} 00:00:00", t, v) for u, e, d, t, v in rows],
+            "user_id long, event_id long, ts string, event_type string,"
+            " value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # user 1: view day 1 -> purchase day 3 (credited, cross-batch);
+    # purchase day 20 (stale touch -> none). user 2: purchase day 11
+    # with NO touch -> none; click day 12 -> purchase day 12 (same-day).
+    s0 = _tev(spark, [(1, 10, 1, "view", 5.0), (1, 11, 3, "purchase", 8.0)])
+    s1 = _tev(spark, [(2, 20, 11, "purchase", 6.0), (2, 21, 12, "click", 1.0),
+                      (2, 22, 12, "purchase", 4.0)])
+    s2 = _tev(spark, [(1, 12, 20, "purchase", 2.0)])
+    slices = [s0, s1, s2]
+    root = str(tmp_path / "attr")
+    attribution_fold_stream_batch(slices[0], 0, root)
+    attribution_fold_stream_batch(slices[0], 0, root)  # replay
+    attribution_fold_stream_batch(slices[1], 1, root)
+    attribution_fold_stream_batch(slices[2], 2, root)
+    attribution_fold_stream_batch(slices[2], 2, root)  # replay
+    union = s0.unionByName(s1).unionByName(s2)
+    want = sorted(map(tuple, last_touch_attribution(union).collect()))
+    got = sorted(map(tuple, read_attribution_state(spark, root).collect()))
+    assert got == want
+    assert ("none", 2, 800) in got  # the stale + the touchless purchase
+    # crash window: the totals commit for batch 2 is lost; k v=2 survives
+    shutil.rmtree(tmp_path / "attr" / "c" / "_v=2")
+    attribution_fold_stream_batch(slices[2], 2, root)
+    got2 = sorted(map(tuple, read_attribution_state(spark, root).collect()))
+    assert got2 == want
