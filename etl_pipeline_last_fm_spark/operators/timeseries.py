@@ -436,6 +436,168 @@ def cusum_alarms(
     )
 
 
+def _cusum_step(drift_cents: int, threshold_cents: int):
+    """ONE CUSUM step over the accumulator struct (p, mn, s, smax,
+    alarms): p is the running sum of (v − k), mn is min(0, min prefix),
+    s = p − mn is the closed-form statistic, smax its path maximum,
+    alarms the count of upward h-crossings (prev s below, new s at or
+    above). Shared by the batch frontier fold so the maintained state
+    cannot drift from cusum_alarms' windowed closed form."""
+    h = F.lit(threshold_cents).cast("long")
+
+    def step(acc, e):
+        p2 = acc["p"] + (e["v"] - F.lit(drift_cents))
+        mn2 = F.least(acc["mn"], p2)
+        s2 = p2 - mn2
+        return F.struct(
+            p2.alias("p"),
+            mn2.alias("mn"),
+            s2.alias("s"),
+            F.greatest(acc["smax"], s2).alias("smax"),
+            (
+                acc["alarms"]
+                + F.when((s2 >= h) & (acc["s"] < h), F.lit(1)).otherwise(F.lit(0))
+                .cast("long")
+            ).alias("alarms"),
+        )
+
+    return step
+
+
+#: Zero CUSUM accumulator: empty prefix set => p=0, mn=min(0,·)=0, s=0
+#: (also the lag default the windowed form uses for the first crossing
+#: test), smax=0 (s is never negative, so 0 is the true empty max).
+_CUSUM_ZERO = tuple((name, 0) for name in ("p", "mn", "s", "smax", "alarms"))
+
+
+def _cusum_acc(cols: dict[str, F.Column]) -> F.Column:
+    return F.struct(
+        *[
+            F.coalesce(cols[name], F.lit(init)).cast("long").alias(name)
+            for name, init in _CUSUM_ZERO
+        ]
+    )
+
+
+def cusum_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    drift_cents: int = 0,
+    threshold_cents: int = 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold one time-slice batch into per-key CUSUM state — the
+    order-dependent IVM family's SECOND member (after ema_fold_batch;
+    same delivery contract, same devices). The carried state is the
+    5-long accumulator (p, mn, s, smax, alarms) plus the fold frontier;
+    because the recurrence sᵢ = max(0, sᵢ₋₁ + devᵢ) ≡ Pᵢ − min(0, min Pⱼ)
+    depends on event ORDER, a batch at or before a key's frontier RAISES
+    (raise_error inside the fold expression — fail loud, never silently
+    corrupt the statistic). Composition identity:
+    fold(fold(s, A), B) == fold(s, A++B) for time-split batches — the
+    one-shot ``cusum_alarms`` is the oracle.
+
+    State schema: (key, n_events, p_sum, min_p, cusum_final, cusum_max,
+    n_alarms, max_us, max_tb)."""
+    b = _ema_batch_state(batch, key_col, ts_col, value_col, tiebreak_col)
+    step = _cusum_step(drift_cents, threshold_cents)
+    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    if state is None:
+        folded = F.aggregate(
+            "__a", _cusum_acc({name: F.lit(None) for name, _ in _CUSUM_ZERO}), step
+        )
+        return b.select(
+            "key",
+            F.size("__a").cast("long").alias("n_events"),
+            folded["p"].alias("p_sum"),
+            folded["mn"].alias("min_p"),
+            folded["s"].alias("cusum_final"),
+            folded["smax"].alias("cusum_max"),
+            folded["alarms"].alias("n_alarms"),
+            last["us"].alias("max_us"),
+            last["tb"].alias("max_tb"),
+        )
+    s = state.select(
+        "key",
+        F.col("n_events").alias("__sn"),
+        F.col("p_sum").alias("__sp"),
+        F.col("min_p").alias("__sm"),
+        F.col("cusum_final").alias("__ss"),
+        F.col("cusum_max").alias("__sx"),
+        F.col("n_alarms").alias("__sa"),
+        F.col("max_us").alias("__su"),
+        F.col("max_tb").alias("__st"),
+    )
+    j = s.join(b, "key", "full_outer")
+    has_batch, has_state = F.col("__a").isNotNull(), F.col("__sn").isNotNull()
+    in_order = (
+        ~has_batch
+        | ~has_state
+        | (first["us"] > F.col("__su"))
+        | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
+    )
+    init = _cusum_acc(
+        {"p": F.col("__sp"), "mn": F.col("__sm"), "s": F.col("__ss"),
+         "smax": F.col("__sx"), "alarms": F.col("__sa")}
+    )
+    folded = F.aggregate(F.coalesce(F.col("__a"), F.array()), init, step)
+    return j.select(
+        "key",
+        (F.coalesce(F.col("__sn"), F.lit(0).cast("long"))
+         + F.coalesce(F.size("__a").cast("long"), F.lit(0).cast("long")))
+        .alias("n_events"),
+        folded["p"].alias("p_sum"),
+        folded["mn"].alias("min_p"),
+        # The raise guards cusum_final specifically: it is the one column
+        # EVERY consumer keeps (the presentation select prunes p_sum/min_p
+        # on the last round — a guard there would be optimized away with
+        # the column, and an out-of-order final batch would pass silently).
+        F.when(
+            ~in_order,
+            F.raise_error(
+                F.concat(
+                    F.lit("cusum_fold_batch: out-of-order batch for key "),
+                    F.col("key").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(folded["s"]).alias("cusum_final"),
+        folded["smax"].alias("cusum_max"),
+        folded["alarms"].alias("n_alarms"),
+        F.coalesce(last["us"], F.col("__su")).alias("max_us"),
+        F.coalesce(last["tb"], F.col("__st")).alias("max_tb"),
+    )
+
+
+def incremental_cusum_batches(
+    batches: list[DataFrame],
+    drift_cents: int = 0,
+    threshold_cents: int = 1000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold a time-ordered batch sequence through ``cusum_fold_batch``
+    and present the ``cusum_alarms`` output shape — must equal the
+    one-shot detector over the union for ANY time-split batching (the
+    ordered-fold maintenance identity, second member). localCheckpoint
+    per round truncates the state lineage, the iterative house rule."""
+    state = None
+    for batch in batches:
+        state = cusum_fold_batch(
+            state, batch, drift_cents, threshold_cents,
+            key_col, ts_col, value_col, tiebreak_col,
+        ).localCheckpoint()
+    assert state is not None, "need at least one batch"
+    return state.select(
+        F.col("key").alias(key_col),
+        "n_events", "cusum_final", "cusum_max", "n_alarms",
+    )
+
+
 def cusum_alarms_oracle_sql(
     drift_cents: int = 0,
     threshold_cents: int = 1000,

@@ -7,6 +7,8 @@ correct rows — but its 100 TB posture regressed. That is a bug here.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -347,3 +349,30 @@ def test_dominant_suppliers_shares_one_checkpointed_aggregate(spark, sf_dir):
         "parquet" in l and "lineitem" in l for l in plan.splitlines()
     ), "lineitem re-scanned past the checkpoint"
     assert "EqualTo(n_regionkey,2)" in _pushed(plan)
+
+
+def test_attribution_decay_join_and_window_shapes(spark, sf_dir):
+    """The multi-touch pair build must be an EQUI-join on the user key
+    with the recency window as a residual (a BroadcastNestedLoopJoin
+    here would be the quadratic all-pairs plan), the Σw window must be
+    keyed by (user, conversion) — never a global single-partition
+    window — and both event_type filters must push to the scan."""
+    plan = formatted_plan(entrymod.queries()["attribution_decay"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan
+    # the Σw window is partitioned on (__k, __cid) — the formatted plan
+    # renders the spec as windowspecdefinition(__k#N, __cid#N, ...);
+    # a degenerate global window would drop both keys from the spec.
+    assert re.search(r"windowspecdefinition\(__k#\d+L?, __cid#\d+", plan), plan
+
+
+def test_link_prediction_capped_prunes_middles_with_semi_join(spark, sf_dir):
+    """The hub cap must lower to a LEFT SEMI join of wedge middles
+    against the degree filter (candidate pruning BEFORE the quadratic
+    wedge expansion), with the degree table NOT hint-broadcast (it grows
+    with the corpus; AQE may still choose broadcast at tiny SF)."""
+    plan = formatted_plan(
+        entrymod.queries()["link_prediction_capped"](spark, sf_dir)
+    )
+    assert "LeftSemi" in plan, plan
