@@ -106,22 +106,36 @@ def main() -> None:
         costs that the headliners don't expose — Janino/JIT compilation of
         the unrolled literal codegen (sim_ann_ivfpq: ~7.5 s of its ~9 s)
         and per-round job submission (pagerank) — because each invocation
-        rebuilds the plan. That cost is FIXED, so it amortizes to zero at
-        100 TB; the round-over-round comparable is the warm data term.
-        cold = the r6-comparable number (warm-up, clearCache, time);
-        warm = min of two further clearCache'd timed runs (JIT settled,
-        intermediates dropped — the data term a long-lived cluster pays).
-        Errors-contract: a failure ANYWHERE in a query's runs nulls BOTH
-        its series entries (a cold number whose warm reruns crashed is not
-        comparable round-over-round either)."""
+        rebuilds the plan. That cost is FIXED per plan, so it amortizes
+        to zero at 100 TB; the round-over-round comparable is the warm
+        data term. cold = the r6-comparable number (warm-up, clearCache,
+        then build + execute timed). warm = min of two further
+        clearCache'd RE-EXECUTIONS of the SAME DataFrame — rebuilding
+        the query mints fresh expression IDs, which defeats the codegen
+        cache and re-pays Janino/JIT on every run (measured: a rebuilt
+        sim_ann_ivfpq 'warm' run costs the same ~11 s as cold; the
+        re-executed plan costs ~2.5 s), so plan reuse is what isolates
+        the data term a long-lived job pays. Errors-contract: a failure
+        ANYWHERE in a query's runs nulls BOTH its series entries (a cold
+        number whose warm reruns crashed is not comparable
+        round-over-round either)."""
         cold: dict[str, float | None] = {}
         warm: dict[str, float | None] = {}
         for name in names:
             try:
                 _run(qs[name](spark, sf_dir))  # untimed warm run
-                c = round(timed_run(name), 3)
-                w = round(min(timed_run(name) for _ in range(2)), 3)
-                cold[name], warm[name] = c, w
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                _run(df)
+                cold[name] = round(time.perf_counter() - t0, 3)
+                reruns = []
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    _run(df)
+                    reruns.append(time.perf_counter() - t0)
+                warm[name] = round(min(reruns), 3)
             except Exception as exc:  # noqa: BLE001 — isolate, record, go on
                 cold[name] = None
                 warm[name] = None

@@ -287,6 +287,126 @@ def incremental_ema_batches(
     )
 
 
+def incremental_ema_batches_bucketed(
+    spark,
+    batches: list[DataFrame],
+    table_name: str,
+    n_buckets: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """``incremental_ema_batches`` with the carried state kept as a
+    catalog table BUCKETED on the key — the cluster-scale layout for the
+    ordered-fold tier, mirroring ``incremental_join_batches_bucketed``:
+    the per-batch full-outer state⋈batch join consumes the state side
+    through its bucket-derived partitioning with ZERO Exchange (only the
+    batch's per-key aggregate shuffles, and that one Exchange serves the
+    aggregate itself) — plan-asserted in tests/test_bucketing.py.
+
+    Unlike the join states this state is NOT append-only (the fold
+    REWRITES the rows of every key present in the batch), so each round
+    overwrites the table — write O(state). An O(batch-keys) write needs
+    a versioned key-value layout (latest-row-per-key read), the state-
+    store trade the module docstring of streaming/ivm.py documents for
+    the snapshot commits; the algebra and the exchange-free READ are
+    unchanged. Ordering discipline: each round's fold is materialized
+    (localCheckpoint) BEFORE the overwrite lands, so the fold reads
+    exactly the pre-round state even though both reference the same
+    table.
+
+    Returns (key, n_events, ema_cents); the state table stays
+    registered — the caller owns its lifecycle."""
+    from etl_pipeline_last_fm_spark.sources.bucketing import write_bucketed
+
+    if not batches:
+        raise ValueError("incremental_ema_batches_bucketed needs >= 1 batch")
+    state = None
+    for t, batch in enumerate(batches):
+        prev = spark.table(table_name) if t else None
+        state = ema_fold_batch(
+            prev, batch, key_col, ts_col, value_col, tiebreak_col
+        ).localCheckpoint()  # pin BEFORE overwriting the table it read
+        write_bucketed(state, table_name, ["key"], n_buckets=n_buckets)
+    return state.select(
+        F.col("key").alias(key_col), "n_events", "ema_cents"
+    )
+
+
+def read_versioned_state(spark, table_name: str) -> DataFrame:
+    """Latest-row-per-key read of a versioned append-only state table
+    (the LSM-style layout ``incremental_ema_batches_versioned`` writes):
+    one max_by aggregate per key over the ``__v`` round stamp. On a
+    table BUCKETED on ``key`` this aggregate is EXCHANGE-FREE — the scan
+    already satisfies the group-by distribution (plan-asserted in
+    tests/test_bucketing.py) — so reads cost one bucket-local pass, no
+    shuffle, ever."""
+    t = spark.table(table_name)
+    data_cols = [c for c in t.columns if c not in ("key", "__v")]
+    packed = F.max_by(
+        F.struct(*[F.col(c) for c in data_cols]), F.col("__v")
+    ).alias("__s")
+    return t.groupBy("key").agg(packed).select(
+        "key", *[F.col("__s")[c].alias(c) for c in data_cols]
+    )
+
+
+def incremental_ema_batches_versioned(
+    spark,
+    batches: list[DataFrame],
+    table_name: str,
+    n_buckets: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """The ordered-fold state as a VERSIONED APPEND-ONLY bucketed table —
+    closing the O(state)-write caveat of the overwrite variant: each
+    round appends only the rows of keys PRESENT in the batch (stamped
+    ``__v`` = round), so the write is O(batch keys); the pre-round state
+    is the latest-row-per-key read (``read_versioned_state``), which the
+    bucket layout makes exchange-free; and the fold's state side is
+    restricted to the batch's keys with a semi-join BEFORE folding (keys
+    absent from a batch cannot change, so their rows need neither read
+    amplification nor a rewrite — the fold's full-outer join then emits
+    exactly the batch's keys as the round's delta). This is the
+    relational form of the state-store/LSM trade: compute O(batch ×
+    per-key history), write O(batch keys), read exchange-free;
+    compacting many small per-round files is the standard
+    table-maintenance job, orthogonal to the algebra. Maintenance
+    identity and the plan shape are asserted in tests/test_bucketing.py.
+
+    Returns (key, n_events, ema_cents); the state table stays
+    registered — the caller owns its lifecycle."""
+    from etl_pipeline_last_fm_spark.sources.bucketing import write_bucketed
+
+    if not batches:
+        raise ValueError("incremental_ema_batches_versioned needs >= 1 batch")
+    for t, batch in enumerate(batches):
+        if t:
+            keys = batch.select(F.col(key_col).alias("key")).distinct()
+            state = read_versioned_state(spark, table_name).join(
+                keys, "key", "left_semi"
+            )
+        else:
+            state = None
+        delta = ema_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ).localCheckpoint()  # pin BEFORE appending to the table it read
+        write_bucketed(
+            delta.withColumn("__v", F.lit(t)),
+            table_name,
+            ["key"],
+            n_buckets=n_buckets,
+            mode="append" if t else "overwrite",
+        )
+    return read_versioned_state(spark, table_name).select(
+        F.col("key").alias(key_col), "n_events", "ema_cents"
+    )
+
+
 def trend_fit(
     events: DataFrame,
     group_cols: list[str] | None = None,

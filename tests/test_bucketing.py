@@ -126,3 +126,99 @@ def test_bucketed_ivm_state_join_has_no_state_side_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivm_state_a")
         spark.sql("DROP TABLE IF EXISTS ivm_state_b")
+
+
+def test_bucketed_ema_state_fold_has_no_state_side_exchange(spark, sf_dir):
+    """The ordered-fold tier's scale claim (round 7): the carried EMA
+    state kept as a catalog table bucketed on the key makes the
+    per-batch full-outer state⋈batch join exchange-free on the STATE
+    side — the one Exchange in the fold term belongs to the batch's
+    per-key aggregate. The folded result must also equal the one-shot
+    ema_halflife (the maintenance identity, now over catalog state)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        ema_fold_batch,
+        ema_halflife,
+        incremental_ema_batches_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    try:
+        # Bucket count == shuffle partitions: the batch aggregate's own
+        # Exchange then lands ALREADY in the bucket layout, so the fold
+        # join adds no re-shuffle on either side (with a mismatched
+        # count, EnsureRequirements inserts a second batch-side Exchange
+        # to re-partition 8 -> n_buckets — still state-side-free, but
+        # the deployment guidance is: pick bucket count = the workload's
+        # shuffle parallelism).
+        got = incremental_ema_batches_bucketed(
+            spark, batches, "ema_state", n_buckets=8
+        )
+        want = ema_halflife(ev)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+        # The load-bearing plan assert: a NEXT round's fold against the
+        # bucketed state — the state side (3 rounds of overwrites, last
+        # one wins) is consumed through its bucket-derived partitioning
+        # with NO Exchange above its scan; the single Exchange in the
+        # term is the batch aggregate's.
+        term = ema_fold_batch(spark.table("ema_state"), batches[2])
+        plan = _plan(term)
+        assert "SortMergeJoin FullOuter" in plan, plan
+        assert plan.count("Exchange") == 2, plan  # one node: tree + detail
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ema_state")
+
+
+def test_versioned_ema_state_appends_and_reads_exchange_free(spark, sf_dir):
+    """The append-only versioned state layout (round 7): writes are
+    O(batch keys) — each round appends only batch-present keys, stamped
+    __v — and the latest-row-per-key read aggregates WITHOUT any
+    Exchange on the bucketed key. The maintenance identity must still
+    hold over this layout."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        ema_halflife,
+        incremental_ema_batches_versioned,
+        read_versioned_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    try:
+        got = incremental_ema_batches_versioned(
+            spark, batches, "ema_vstate", n_buckets=8
+        )
+        want = ema_halflife(ev)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # O(batch keys) write: the table holds one row per (round, key
+        # present in that round's batch) — strictly fewer than rounds ×
+        # total keys when any key skips a batch, and exactly the sum of
+        # per-batch key counts.
+        n_rows = spark.table("ema_vstate").count()
+        per_batch_keys = sum(
+            b.select("user_id").distinct().count() for b in batches
+        )
+        assert n_rows == per_batch_keys
+        # The load-bearing plan assert: the latest-per-key read carries
+        # ZERO Exchange — the bucketed scan already satisfies the
+        # group-by distribution.
+        plan = _plan(read_versioned_state(spark, "ema_vstate"))
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ema_vstate")
