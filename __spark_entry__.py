@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-171/171 oracle-paired (same column names; computed columns aliased on both
+172/172 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -278,9 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order-dependent IVM tier (EMA, CUSUM and last-touch
         # attribution frontier folds and their versioned-commit
         # streaming twins), the hub-capped link-prediction scale path,
-        # and time-decay multi-touch attribution. All oracle-paired; all
-        # run in tests/test_oracle_parity.py at sf0.001 every pytest run
-        # until they earn driver rows.
+        # time-decay multi-touch attribution, and bigram LM scoring.
+        # All oracle-paired; all run in tests/test_oracle_parity.py at
+        # sf0.001 every pytest run until they earn driver rows.
         "streaming_ema": _ALL["streaming_ema"],
         "link_prediction_capped": _ALL["link_prediction_capped"],
         "cusum_fold": _ALL["cusum_fold"],
@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_fold": _ALL["attribution_fold"],
         "streaming_attribution": _ALL["streaming_attribution"],
         "attribution_decay": _ALL["attribution_decay"],
+        "lm_score_bigram": _ALL["lm_score_bigram"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -15,12 +15,16 @@ batch shapes — is real and tested. The codec surface splits in two:
   stdlib ``zlib`` + struct + numpy (``png_decode``/``png_encode``):
   IDAT inflate, then per-scanline unfiltering of all five PNG filter
   types (None/Sub/Up/Average/Paeth). Zero new dependencies.
-- The remaining entropy-coded formats (JPEG/MP3/video) DO need decode
-  libraries (PIL/ffmpeg/etc.) absent from this container, so those
-  branches raise NotImplementedError by default, or emit a DETERMINISTIC
-  FAKE result (seeded by content hash) when ``fake=True`` so downstream
-  plumbing (similarity search over the features) is exercisable
-  end-to-end.
+- AVI (uncompressed BI_RGB 24-bpp) likewise: ``avi_decode``/
+  ``avi_encode`` walk the RIFF/LIST tree and reuse the BMP DIB row
+  layout, so ``frame_sample`` has a real video path that emits sampled
+  frames as standalone BMPs (composing with the whole image tier).
+- The remaining entropy-coded formats (JPEG/MP3/compressed video) DO
+  need decode libraries (PIL/ffmpeg/etc.) absent from this container, so
+  those branches raise NotImplementedError by default, or emit a
+  DETERMINISTIC FAKE result (seeded by content hash) when ``fake=True``
+  so downstream plumbing (similarity search over the features) is
+  exercisable end-to-end.
 
 At scale this is the canonical ``mapInPandas`` pattern: Arrow batches of
 binary payloads flow to Python once, the UDF is the only Python hop, and the
@@ -68,9 +72,10 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "t
 # (route by container format, quarantine unknowns) costs one substring
 # compare per row, JVM-side.
 _MAGIC = [
-    # "WAVE" at offset 8 inside a RIFF container — more specific than any
-    # prefix signature, so it sits first (first entry wins).
+    # "WAVE"/"AVI " at offset 8 inside a RIFF container — more specific
+    # than any prefix signature, so they sit first (first entry wins).
     ("wav", "57415645", 8),
+    ("avi", "41564920", 8),
     ("bmp", "424D", 0),
     ("jpeg", "FFD8FF", 0),
     ("png", "89504E47", 0),
@@ -522,6 +527,134 @@ def audio_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
     )
 
 
+# --- AVI codec: REAL, zero-dependency (uncompressed DIB frames) --------
+# RIFF('AVI ') with BI_RGB 24-bpp frames is parseable with the same
+# struct arithmetic as WAV (chunk walk) + BMP (DIB pixel layout) — the
+# video sibling completing the codec arc. frame_sample's real path
+# decodes these and emits each sampled frame as a standalone BMP, so the
+# whole image tier (stats/features/resize) composes downstream. The
+# NotImplementedError stubs now cover only entropy-coded media
+# (JPEG/MP3/compressed video).
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB array as an uncompressed AVI
+    (BI_RGB 24-bpp '00db' frames, bottom-up DIB rows with 4-byte
+    padding) — the fixture generator for the decode tests."""
+    import struct
+
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB array, got {frames.shape}")
+    if fps < 1:
+        raise ValueError(f"bad fps {fps}")
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) // 4 * 4
+    frame_size = stride * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1, frame_size,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER, biCompression=0 (BI_RGB)
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    movi_frames = []
+    for f in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
+        movi_frames.append(chunk(b"00db", rows.tobytes()))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(movi_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed 24-bpp AVI to ((n, h, w, 3) uint8 RGB
+    frames, fps). Walks the RIFF/LIST chunk tree (word-aligned, the WAV
+    parser's rules); rejects compressed codecs loudly
+    (NotImplementedError) and malformed payloads with ValueError — the
+    quarantine contract."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+
+    avih = strf = None
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal avih, strf
+        pos = lo
+        while pos + 8 <= hi:
+            cid = content[pos : pos + 4]
+            size = struct.unpack_from("<I", content, pos + 4)[0]
+            if pos + 8 + size > hi:
+                raise ValueError(
+                    f"truncated AVI: chunk {cid!r} declares {size} bytes, "
+                    f"{hi - pos - 8} available"
+                )
+            body_lo = pos + 8
+            if cid == b"LIST":
+                walk(body_lo + 4, body_lo + size)  # skip the list kind tag
+            elif cid == b"avih":
+                avih = content[body_lo : body_lo + size]
+            elif cid == b"strf":
+                strf = content[body_lo : body_lo + size]
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames_raw.append(content[body_lo : body_lo + size])
+            pos = body_lo + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(content))
+    if avih is None or strf is None:
+        raise ValueError("AVI missing avih/strf header chunk")
+    if len(avih) < 40 or len(strf) < 40:
+        raise ValueError("bad AVI header sizes")
+    usec_per_frame, w, h = (
+        struct.unpack_from("<I", avih, 0)[0],
+        struct.unpack_from("<I", avih, 32)[0],
+        struct.unpack_from("<I", avih, 36)[0],
+    )
+    bpp = struct.unpack_from("<H", strf, 14)[0]
+    compression = struct.unpack_from("<I", strf, 16)[0]
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only 24-bpp uncompressed (BI_RGB) AVI is decoded natively "
+            f"(got bpp={bpp}, compression={compression:#x})"
+        )
+    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        raise ValueError(f"bad AVI dimensions {w}x{h}")
+    if not frames_raw:
+        raise ValueError("AVI has no frame chunks")
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError(
+                f"truncated AVI frame {i}: {len(raw)} bytes, need {stride * h}"
+            )
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out[i] = rows[::-1, :, ::-1]  # bottom-up, BGR -> RGB
+    fps = 1_000_000 // usec_per_frame if usec_per_frame else 0
+    if fps < 1:
+        raise ValueError(f"bad AVI frame interval {usec_per_frame}")
+    return out, fps
+
+
 def _wav_features(content: bytes) -> list[float]:
     """REAL decode-based features for WAV payloads, same FEATURE_DIM
     slot layout as images: [rate, n_samples, channels, duration_s,
@@ -599,23 +732,44 @@ def resize(media: DataFrame, width: int, height: int, fake: bool = False) -> Dat
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
-    """Frame sampling stub: one input 'video' -> n_frames output rows
+    """Frame sampling: one input video -> n_frames output rows
     (media_id, frame_idx, frame) — the flatMap-shaped UDTF pattern through
-    mapInPandas (output row count independent of input row count)."""
+    mapInPandas (output row count independent of input row count).
+
+    Uncompressed 24-bpp AVI payloads sample FOR REAL: frames are picked
+    by the same exact pixel-center rule as resize ((2i+1)·n div 2m along
+    the time axis) and each emitted as a standalone BMP, so the sampled
+    frames flow straight into image_stats / extract_features / resize.
+    Other containers need codec libraries and raise unless ``fake=True``
+    (digest-seeded stub frames)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires codec libraries not present in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
             ids, idxs, frames = [], [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(hashlib.sha256(bytes(c) + f"|frame{i}".encode()).digest())
+                b = bytes(c)
+                if fake:
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(
+                            hashlib.sha256(b + f"|frame{i}".encode()).digest()
+                        )
+                    continue
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    px, _fps = avi_decode(b)
+                    n = px.shape[0]
+                    picks = ((2 * np.arange(n_frames) + 1) * n) // (2 * n_frames)
+                    for i, p in enumerate(picks):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(bmp_encode(px[int(p)]))
+                    continue
+                raise NotImplementedError(
+                    "non-AVI video decode requires codec libraries not present"
+                    " in this environment; pass fake=True for the"
+                    " deterministic stub"
+                )
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("media_id", "content").mapInPandas(

@@ -406,6 +406,116 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lm_score_bigram(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """BIGRAM language-model document scoring — the conditional sibling
+    of ``lm_score``: mean per-bigram log P(wᵢ | wᵢ₋₁) under the corpus's
+    own add-one-smoothed bigram model, P(b|a) = (c(a,b)+1)/(ctx(a)+V)
+    with ctx(a) = a's count as a bigram CONTEXT and V the unigram vocab
+    size. Unigram scoring ranks docs by token frequency; the bigram
+    model additionally penalizes improbable ADJACENCY (shuffled or
+    boilerplate-stitched text scores low even when its tokens are
+    common) — the next rung of the CCNet-style quality-filter ladder.
+
+    Same numeric design and accepted cross-engine ln() risk as lm_score:
+    per-bigram logprobs quantized to integer micro-nats on the
+    bigram-TYPE census BEFORE the per-doc sums, so doc arithmetic is
+    exact. Docs with fewer than 2 tokens have no bigrams and no row.
+
+    Scale shape: one slice-pair explode (collocations' device) feeding a
+    partial+final bigram census; the context census derives FROM the
+    bigram census (vocab-sized aggregate, no second corpus pass); the
+    logprob table is bigram-type-sized and corpus-growing, so it is NOT
+    hint-broadcast (AQE decides); one per-doc sum."""
+    base = docs.select(F.col(id_col).alias("doc_id"), _tokens().alias("__toks"))
+    big = (
+        base.filter(F.size("__toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__toks", 1, F.size("__toks") - 1).alias("a"),
+                    F.slice("__toks", 2, F.size("__toks") - 1).alias("b"),
+                )
+            ).alias("__p"),
+        )
+        .select("doc_id", F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    )
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__cab"))
+    ctx = cab.groupBy("a").agg(F.sum("__cab").alias("__ctx"))
+    vocab = base.select(F.explode("__toks").alias("t")).agg(
+        F.countDistinct("t").alias("__v")
+    )
+    lp = (
+        cab.join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log(
+                    (F.col("__cab") + F.lit(1)).cast("double")
+                    / (F.col("__ctx") + F.col("__v")).cast("double")
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        big.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("__sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("__sum div n_bigrams").alias("mean_logprob_micro"),
+        )
+    )
+
+
+def lm_score_bigram_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of lm_score_bigram — same censuses, same micro-nat
+    quantization, same truncating mean (HUGEINT sums pinned back)."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM {table}
+        ),
+        bi AS (
+            SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+        ),
+        cab AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM bi GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_ctx FROM cab GROUP BY 1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)
+        ),
+        lp AS (
+            SELECT cab.a, cab.b,
+                   CAST(FLOOR(ln(CAST(c_ab + 1 AS DOUBLE)
+                                 / CAST(c_ctx + v.v AS DOUBLE))
+                              * 1000000) AS BIGINT) AS lp_micro
+            FROM cab JOIN ctx ON cab.a = ctx.a CROSS JOIN v
+        )
+        SELECT bi.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(CAST(SUM(lp_micro) AS HUGEINT) // COUNT(*) AS BIGINT)
+                   AS mean_logprob_micro
+        FROM bi JOIN lp ON bi.a = lp.a AND bi.b = lp.b
+        GROUP BY bi.doc_id
+    """
+
+
 def lm_score_oracle_sql(table: str = "documents") -> str:
     """DuckDB twin of lm_score — same census, same micro-nat quantization,
     same integer mean."""

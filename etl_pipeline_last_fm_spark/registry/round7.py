@@ -248,6 +248,17 @@ def q_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM document scoring (operators/text.py lm_score_bigram):
+    mean conditional log P(wᵢ|wᵢ₋₁) in exact integer micro-nats under
+    the corpus's own add-one-smoothed bigram model — the adjacency-aware
+    rung of the statistical quality-filter ladder above the graded
+    unigram lm_score."""
+    from etl_pipeline_last_fm_spark.operators.text import lm_score_bigram
+
+    return lm_score_bigram(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "streaming_ema": q_streaming_ema,
     "link_prediction_capped": q_link_prediction_capped,
@@ -256,6 +267,7 @@ QUERIES = {
     "attribution_fold": q_attribution_fold,
     "streaming_attribution": q_streaming_attribution,
     "attribution_decay": q_attribution_decay,
+    "lm_score_bigram": q_lm_score_bigram,
 }
 
 
@@ -266,6 +278,9 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.graph import (
         link_prediction_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.text import (
+        lm_score_bigram_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.timeseries import (
         cusum_alarms_oracle_sql,
@@ -289,4 +304,5 @@ def oracles() -> dict[str, str]:
         "link_prediction_capped": link_prediction_oracle_sql(
             _COPURCHASE_1996_SQL, top_k=100, max_middle_degree=_LINKPRED_CAP
         ),
+        "lm_score_bigram": lm_score_bigram_oracle_sql(),
     }

@@ -656,6 +656,12 @@ def round7_wave(spark, ev_typed, n_events: int) -> None:
     n_hf = hashed_features(docs).count()
     t_hf = time.perf_counter() - t0
 
+    from etl_pipeline_last_fm_spark.operators.text import lm_score_bigram
+
+    t0 = time.perf_counter()
+    n_lm2 = lm_score_bigram(docs).count()
+    t_lm2 = time.perf_counter() - t0
+
     # Same synthetic order/item graph as round6b_wave, capped at 2x the
     # flat per-item degree (~80) so the cap BINDS on hash-fluctuation
     # hubs without emptying the candidate set.
@@ -703,6 +709,7 @@ def round7_wave(spark, ev_typed, n_events: int) -> None:
 
     print(
         f"round-7 wave: hashed-features {t_hf:.1f}s ({n_hf} rows), "
+        f"lm-bigram {t_lm2:.1f}s ({n_lm2} docs), "
         f"link-pred-capped {t_lpc:.1f}s ({n_lpc} rows), "
         f"streaming-ema {t_se:.1f}s ({n_se} users), "
         f"attribution-fold {t_af:.1f}s ({n_af} channels)"
