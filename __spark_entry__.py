@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-172/172 oracle-paired (same column names; computed columns aliased on both
+174/174 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_fold": _ALL["attribution_fold"],
         "streaming_attribution": _ALL["streaming_attribution"],
         "attribution_decay": _ALL["attribution_decay"],
+        "attribution_decay_fold": _ALL["attribution_decay_fold"],
+        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
         "lm_score_bigram": _ALL["lm_score_bigram"],
     }
     assert set(out) == set(_ALL), (

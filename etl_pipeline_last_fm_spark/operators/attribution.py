@@ -336,6 +336,202 @@ def incremental_attribution_batches(
     return totals
 
 
+def decay_attribution_fold_batch(
+    touch_state: DataFrame | None,
+    batch: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold one time-slice batch through the TIME-DECAY multi-touch
+    credit walk — order-dependent IVM member #4, and the first whose
+    carried state is a bounded SET: per key, the touches still inside
+    the recency window of the fold frontier, with WATERMARK-style
+    eviction after each batch (a touch older than frontier − window can
+    never be in-window for any future conversion, because the delivery
+    contract guarantees future events sit at or after the frontier — so
+    per-key state is bounded by the window's touch count, never the
+    history). Each conversion credits the in-window touches from the
+    accumulator at that point with the same clamped power-of-two
+    day-decay weights and truncating division as the one-shot
+    ``time_decay_attribution`` (its oracle); no-touch conversions credit
+    'none' in full. Two-part result like attribution_fold_batch:
+    (key state, additive per-channel credit delta).
+
+    State schema: (key, touches array<(us, tb, t)>, max_us, max_tb)."""
+    b = _attr_batch_state(
+        batch, touch_types, conversion_type,
+        key_col, type_col, ts_col, value_col, tiebreak_col,
+    )
+    touches_t = "array<struct<us: bigint, tb: bigint, t: string>>"
+    credits_t = "array<struct<ch: string, cents: long>>"
+
+    def w_of(e, t):
+        # 2^(6 − min(age, 6)): exact in double for exponents 0..6, cast
+        # back to long. (F.shiftleft needs a literal bit count, and
+        # F.expr can't see lambda-scoped columns — pow is the exact
+        # in-lambda form.)
+        age = ((e["us"] - t["us"]) / F.lit(86_400_000_000)).cast("long")
+        return F.pow(
+            F.lit(2.0), (F.lit(6) - F.least(age, F.lit(6))).cast("double")
+        ).cast("long")
+
+    def step(acc, e):
+        is_touch = e["t"].isin(*touch_types)
+        tws = F.filter(
+            acc["touches"],
+            lambda t: e["us"] - t["us"] <= F.lit(window_us),
+        )
+        tot = F.aggregate(
+            tws, F.lit(0).cast("long"), lambda a, t: a + w_of(e, t)
+        )
+        conv_credits = F.when(
+            F.size(tws) > 0,
+            F.transform(
+                tws,
+                lambda t: F.struct(
+                    t["t"].alias("ch"),
+                    # truncating toward zero like div (exact: |v·w| « 2^53)
+                    ((e["v"] * w_of(e, t)) / tot).cast("long").alias("cents"),
+                ),
+            ),
+        ).otherwise(
+            F.array(F.struct(F.lit("none").alias("ch"), e["v"].alias("cents")))
+        )
+        return F.struct(
+            F.when(
+                is_touch,
+                F.concat(
+                    acc["touches"],
+                    F.array(F.struct(
+                        e["us"].alias("us"), e["tb"].alias("tb"),
+                        e["t"].alias("t"),
+                    )),
+                ),
+            ).otherwise(acc["touches"]).alias("touches"),
+            F.when(
+                e["t"] == conversion_type,
+                F.concat(acc["credits"], conv_credits),
+            ).otherwise(acc["credits"]).alias("credits"),
+        )
+
+    def acc0(touches):
+        return F.struct(
+            touches.alias("touches"),
+            F.array().cast(credits_t).alias("credits"),
+        )
+
+    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    if touch_state is None:
+        folded = b.select(
+            "key",
+            F.aggregate(
+                "__a", acc0(F.array().cast(touches_t)), step
+            ).alias("__f"),
+            last["us"].alias("max_us"),
+            last["tb"].alias("max_tb"),
+        )
+    else:
+        s = touch_state.select(
+            "key",
+            F.col("touches").alias("__stw"),
+            F.col("max_us").alias("__su"),
+            F.col("max_tb").alias("__st"),
+        )
+        j = s.join(b, "key", "full_outer")
+        has_batch = F.col("__a").isNotNull()
+        has_state = F.col("__su").isNotNull()
+        in_order = (
+            ~has_batch
+            | ~has_state
+            | (first["us"] > F.col("__su"))
+            | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
+        )
+        folded = j.select(
+            "key",
+            F.when(
+                ~in_order,
+                F.raise_error(
+                    F.concat(
+                        F.lit("decay_attribution_fold_batch: out-of-order"
+                              " batch for key "),
+                        F.col("key").cast("string"),
+                    )
+                ).cast(f"struct<touches: {touches_t}, credits: {credits_t}>"),
+            ).otherwise(
+                F.aggregate(
+                    F.coalesce(F.col("__a"), F.array()),
+                    acc0(F.coalesce(F.col("__stw"), F.array().cast(touches_t))),
+                    step,
+                )
+            ).alias("__f"),
+            F.coalesce(last["us"], F.col("__su")).alias("max_us"),
+            F.coalesce(last["tb"], F.col("__st")).alias("max_tb"),
+        )
+    folded = folded.localCheckpoint()  # twice-consumed + raise surfaces here
+    new_state = folded.select(
+        "key",
+        # WATERMARK eviction: touches older than frontier − window are
+        # dead for every possible future event — the per-key state bound.
+        F.filter(
+            F.col("__f")["touches"],
+            lambda t: t["us"] >= F.col("max_us") - F.lit(window_us),
+        ).alias("touches"),
+        "max_us",
+        "max_tb",
+    )
+    delta = (
+        folded.select(F.explode(F.col("__f")["credits"]).alias("c"))
+        .groupBy(F.col("c")["ch"].alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_touches"),
+            F.sum(F.col("c")["cents"]).alias("credited_cents"),
+        )
+    )
+    return new_state, delta
+
+
+def incremental_decay_attribution_batches(
+    batches: list[DataFrame],
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold a time-ordered batch sequence through
+    ``decay_attribution_fold_batch``, summing the additive credit
+    deltas — must equal the one-shot ``time_decay_attribution`` over the
+    union for ANY time-split batching, with per-key state bounded by the
+    recency window throughout (the eviction makes this the first member
+    whose state does NOT grow with history)."""
+    state, totals = None, None
+    for batch in batches:
+        state, delta = decay_attribution_fold_batch(
+            state, batch, touch_types, conversion_type, window_us,
+            key_col, type_col, ts_col, value_col, tiebreak_col,
+        )
+        totals = delta if totals is None else totals.unionByName(delta)
+        totals = (
+            totals.groupBy("channel")
+            .agg(
+                F.sum("n_credited_touches").alias("n_credited_touches"),
+                F.sum("credited_cents").alias("credited_cents"),
+            )
+            .localCheckpoint()
+        )
+    assert totals is not None, "need at least one batch"
+    return totals
+
+
 def time_decay_attribution_oracle_sql(
     touch_types: tuple[str, ...] = ("view", "click"),
     conversion_type: str = "purchase",

@@ -248,6 +248,50 @@ def q_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_decay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold maintenance identity for TIME-DECAY attribution
+    (operators/attribution.py incremental_decay_attribution_batches):
+    order-dependent IVM member #4, and the first whose carried state is
+    WINDOW-BOUNDED — touches older than frontier − window are evicted
+    each batch (watermark semantics), so per-key state never grows with
+    history. Must equal the one-shot time_decay_attribution for any
+    time-split batching (the oracle)."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        incremental_decay_attribution_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c1, c2 = _EMA_CUTS
+    batches = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    return incremental_decay_attribution_batches(batches)
+
+
+def q_streaming_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `attribution_decay_fold` (streaming/ivm.py):
+    the two-state commit protocol with the window-bounded key state.
+    Oracle: the one-shot time_decay_attribution."""
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_attribution_state,
+        streaming_decay_attribution_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_decay_attribution_maintenance(
+            stream, state, checkpoint=ck
+        ),
+        read_attribution_state,
+        lambda df: df.select(
+            "channel", "n_credited_touches", "credited_cents"
+        ),
+    )
+
+
 def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM document scoring (operators/text.py lm_score_bigram):
     mean conditional log P(wᵢ|wᵢ₋₁) in exact integer micro-nats under
@@ -267,6 +311,8 @@ QUERIES = {
     "attribution_fold": q_attribution_fold,
     "streaming_attribution": q_streaming_attribution,
     "attribution_decay": q_attribution_decay,
+    "attribution_decay_fold": q_attribution_decay_fold,
+    "streaming_attribution_decay": q_streaming_attribution_decay,
     "lm_score_bigram": q_lm_score_bigram,
 }
 
@@ -301,6 +347,8 @@ def oracles() -> dict[str, str]:
         "attribution_fold": last_touch_attribution_oracle_sql(),
         "streaming_attribution": last_touch_attribution_oracle_sql(),
         "attribution_decay": time_decay_attribution_oracle_sql(),
+        "attribution_decay_fold": time_decay_attribution_oracle_sql(),
+        "streaming_attribution_decay": time_decay_attribution_oracle_sql(),
         "link_prediction_capped": link_prediction_oracle_sql(
             _COPURCHASE_1996_SQL, top_k=100, max_middle_degree=_LINKPRED_CAP
         ),

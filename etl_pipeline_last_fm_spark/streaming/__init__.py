@@ -12,6 +12,7 @@ from etl_pipeline_last_fm_spark.streaming.ingest import (
 from etl_pipeline_last_fm_spark.streaming.ivm import (
     streaming_attribution_maintenance,
     streaming_cusum_maintenance,
+    streaming_decay_attribution_maintenance,
     streaming_ema_maintenance,
     streaming_join_maintenance,
 )
@@ -26,4 +27,5 @@ __all__ = [
     "streaming_ema_maintenance",
     "streaming_cusum_maintenance",
     "streaming_attribution_maintenance",
+    "streaming_decay_attribution_maintenance",
 ]

@@ -327,6 +327,50 @@ def read_cusum_state(spark: SparkSession, state_path: str) -> DataFrame:
     return _strip_bid(read_latest_state(spark, state_path))
 
 
+def _merge_channel_totals(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive merge of per-channel totals: sum every non-channel
+    column — shared by both attribution twins."""
+    cols = [c for c in delta.columns if c != "channel"]
+    return prev.unionByName(delta).groupBy("channel").agg(
+        *[F.sum(c).alias(c) for c in cols]
+    )
+
+
+def _two_state_stream_fold(
+    batch_df: DataFrame, batch_id: int, state_root: str, fold_fn
+) -> None:
+    """The TWO-state ordered-fold protocol, defined ONCE: a per-key
+    carried state (k) plus additive per-channel totals (c). The totals
+    commit LAST and carry the replay guard (the join fold's m-last
+    rule: a crash after the k commit but before the c commit replays
+    the batch, and the replayed fold reads both states at the latest
+    version STRICTLY BEFORE this batch_id, so the batch's own credits
+    cannot double). ``fold_fn(state_or_None, batch)`` ->
+    (new_key_state, delta_totals)."""
+    spark = batch_df.sparkSession
+    k_path = f"{state_root}/k"
+    c_path = f"{state_root}/c"
+    prev_c = _read_state_or_none(spark, c_path)
+    if int(batch_id) <= last_applied_batch(prev_c):
+        return  # replayed micro-batch, already folded
+    before_k = _read_state_before(spark, k_path, int(batch_id))
+    if prev_c is not None and before_k is None:
+        raise RuntimeError(
+            f"pre-batch key state missing under {state_root} for batch"
+            f" {batch_id} while totals state exists — retention too"
+            " aggressive?"
+        )
+    before_c = _read_state_before(spark, c_path, int(batch_id))
+    key_state = _strip_bid(before_k) if before_k is not None else None
+    new_state, delta = fold_fn(key_state, batch_df)
+    if before_c is not None:
+        delta = _merge_channel_totals(_strip_bid(before_c), delta)
+    bid = F.lit(int(batch_id))
+    commit_state(new_state.withColumn(BID_COL, bid), k_path, batch_id)
+    # totals LAST: their batch_id is the replay guard for the pair.
+    commit_state(delta.withColumn(BID_COL, bid), c_path, batch_id)
+
+
 def attribution_fold_stream_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -341,48 +385,20 @@ def attribution_fold_stream_batch(
     tiebreak_col: str = "event_id",
 ) -> None:
     """Last-touch attribution maintenance — order-dependent IVM member
-    #3, and the first with a TWO-state commit: the per-key touch state
-    (k) and the additive per-channel totals (c). The totals commit LAST
-    and carry the replay guard (the join fold's m-last rule: a crash
-    after the k commit but before the c commit replays the batch, and
-    the replayed fold reads both states at the latest version STRICTLY
-    BEFORE this batch_id, so the batch's own credits cannot double)."""
+    #3, riding the two-state protocol (_two_state_stream_fold)."""
     from etl_pipeline_last_fm_spark.operators.attribution import (
         attribution_fold_batch,
     )
 
-    spark = batch_df.sparkSession
-    k_path = f"{state_root}/k"
-    c_path = f"{state_root}/c"
-    prev_c = _read_state_or_none(spark, c_path)
-    if int(batch_id) <= last_applied_batch(prev_c):
-        return  # replayed micro-batch, already folded
-    before_k = _read_state_before(spark, k_path, int(batch_id))
-    if prev_c is not None and before_k is None:
-        raise RuntimeError(
-            f"pre-batch touch state missing under {state_root} for batch"
-            f" {batch_id} while totals state exists — retention too"
-            " aggressive?"
-        )
-    before_c = _read_state_before(spark, c_path, int(batch_id))
-    touch_state = _strip_bid(before_k) if before_k is not None else None
-    new_state, delta = attribution_fold_batch(
-        touch_state, batch_df, touch_types, conversion_type, window_us,
-        key_col, type_col, ts_col, value_col, tiebreak_col,
+    _two_state_stream_fold(
+        batch_df,
+        batch_id,
+        state_root,
+        lambda state, batch: attribution_fold_batch(
+            state, batch, touch_types, conversion_type, window_us,
+            key_col, type_col, ts_col, value_col, tiebreak_col,
+        ),
     )
-    if before_c is not None:
-        delta = (
-            _strip_bid(before_c).unionByName(delta)
-            .groupBy("channel")
-            .agg(
-                F.sum("n_conversions").alias("n_conversions"),
-                F.sum("attributed_cents").alias("attributed_cents"),
-            )
-        )
-    bid = F.lit(int(batch_id))
-    commit_state(new_state.withColumn(BID_COL, bid), k_path, batch_id)
-    # totals LAST: their batch_id is the replay guard for the pair.
-    commit_state(delta.withColumn(BID_COL, bid), c_path, batch_id)
 
 
 def streaming_attribution_maintenance(
@@ -416,3 +432,65 @@ def streaming_attribution_maintenance(
 
 def read_attribution_state(spark: SparkSession, state_root: str) -> DataFrame:
     return _strip_bid(read_latest_state(spark, f"{state_root}/c"))
+
+
+def decay_attribution_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_root: str,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """Time-decay multi-touch attribution maintenance — order-dependent
+    IVM member #4, same two-state protocol, and the first whose per-key
+    state is WINDOW-BOUNDED (the fold evicts touches older than
+    frontier − window each batch — watermark semantics, so the k state
+    never grows with history)."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        decay_attribution_fold_batch,
+    )
+
+    _two_state_stream_fold(
+        batch_df,
+        batch_id,
+        state_root,
+        lambda state, batch: decay_attribution_fold_batch(
+            state, batch, touch_types, conversion_type, window_us,
+            key_col, type_col, ts_col, value_col, tiebreak_col,
+        ),
+    )
+
+
+def streaming_decay_attribution_maintenance(
+    event_stream: DataFrame,
+    state_root: str,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Maintain per-channel time-decay attribution totals over a
+    time-ordered event stream; read with ``read_attribution_state``
+    (same totals path as the last-touch twin)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        decay_attribution_fold_stream_batch(
+            batch_df, batch_id, state_root, touch_types, conversion_type,
+            window_us, key_col, type_col, ts_col, value_col, tiebreak_col,
+        )
+
+    writer = event_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -156,3 +156,43 @@ def test_attribution_fold_identity_for_any_time_split(spark, streams, cuts):
     got = sorted(map(tuple, incremental_attribution_batches(batches).collect()))
     want = sorted(map(tuple, last_touch_attribution(ev).collect()))
     assert got == want
+
+
+@given(streams=streams_strategy, cuts=st.lists(st.integers(0, 40_000), max_size=3))
+@settings(**SETTINGS)
+def test_decay_attribution_fold_identity_and_eviction_bound(spark, streams, cuts):
+    """The ordered-fold maintenance law, time-decay member: summing the
+    per-batch credit deltas of ANY ascending time-split batching equals
+    the one-shot walk — AND the carried touch state stays bounded by the
+    recency window (watermark eviction)."""
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        decay_attribution_fold_batch,
+        incremental_decay_attribution_batches,
+        time_decay_attribution,
+    )
+
+    rows = _event_rows(streams)
+    ev = _mk_events(spark, rows)
+    bounds = [datetime(2024, 1, 1) + timedelta(minutes=m) for m in sorted(cuts)]
+    edges = [datetime(2023, 1, 1)] + bounds + [datetime(2025, 1, 1)]
+    batches = [
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        for lo, hi in zip(edges, edges[1:])
+    ]
+    batches = [b for b in batches if b.count() > 0]
+    got = sorted(
+        map(tuple, incremental_decay_attribution_batches(batches).collect())
+    )
+    want = sorted(map(tuple, time_decay_attribution(ev).collect()))
+    assert got == want
+    # eviction bound: every carried touch sits within window of the frontier
+    state, _ = decay_attribution_fold_batch(None, ev)
+    overhang = state.select(
+        F.max(
+            F.col("max_us")
+            # get() tolerates the empty array (a key with no surviving
+            # touches), returning NULL -> span 0 via the coalesce.
+            - F.coalesce(F.get("touches", F.lit(0))["us"], F.col("max_us"))
+        ).alias("span")
+    ).first()
+    assert overhang.span is None or overhang.span <= 7 * 86_400_000_000

@@ -344,3 +344,48 @@ def test_attribution_stream_two_state_protocol(spark, tmp_path):
     attribution_fold_stream_batch(slices[2], 2, root)
     got2 = sorted(map(tuple, read_attribution_state(spark, root).collect()))
     assert got2 == want
+
+
+def test_decay_attribution_stream_two_state_protocol(spark, tmp_path):
+    """Time-decay streaming twin: maintained totals == the one-shot
+    walk; replays no-op; the crash window (k committed, c lost) replays
+    without double-counting — the shared _two_state_stream_fold
+    protocol, now with the window-bounded key state."""
+    import shutil
+
+    from etl_pipeline_last_fm_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        decay_attribution_fold_stream_batch,
+        read_attribution_state,
+    )
+
+    def _tev(spark, rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-{d:02d} 00:00:00", t, v) for u, e, d, t, v in rows],
+            "user_id long, event_id long, ts string, event_type string,"
+            " value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # user 1: two touches at different ages -> split credit; a stale
+    # purchase on day 20 -> none. user 2: same-day click -> full credit.
+    s0 = _tev(spark, [(1, 10, 1, "view", 0.0), (1, 11, 3, "click", 0.0),
+                      (1, 12, 4, "purchase", 8.0)])
+    s1 = _tev(spark, [(2, 20, 11, "purchase", 6.0), (2, 21, 12, "click", 1.0),
+                      (2, 22, 12, "purchase", 4.0)])
+    s2 = _tev(spark, [(1, 13, 20, "purchase", 2.0)])
+    slices = [s0, s1, s2]
+    root = str(tmp_path / "dattr")
+    for i, b in enumerate(slices):
+        decay_attribution_fold_stream_batch(b, i, root)
+        decay_attribution_fold_stream_batch(b, i, root)  # replay
+    union = s0.unionByName(s1).unionByName(s2)
+    want = sorted(map(tuple, time_decay_attribution(union).collect()))
+    got = sorted(map(tuple, read_attribution_state(spark, root).collect()))
+    assert got == want
+    # crash window: totals commit for batch 2 lost; k v=2 survives
+    shutil.rmtree(tmp_path / "dattr" / "c" / "_v=2")
+    decay_attribution_fold_stream_batch(slices[2], 2, root)
+    got2 = sorted(map(tuple, read_attribution_state(spark, root).collect()))
+    assert got2 == want
