@@ -230,7 +230,12 @@ def attribution_fold_batch(
             .alias("credits"),
         )
 
-    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        frontier_ordered_join,
+        out_of_order_raise,
+    )
+
+    last = F.element_at("__a", F.size("__a"))
     if touch_state is None:
         folded = b.select(
             "key",
@@ -247,27 +252,14 @@ def attribution_fold_batch(
             F.col("max_us").alias("__su"),
             F.col("max_tb").alias("__st"),
         )
-        j = s.join(b, "key", "full_outer")
-        has_batch = F.col("__a").isNotNull()
-        has_state = F.col("__su").isNotNull()
-        in_order = (
-            ~has_batch
-            | ~has_state
-            | (first["us"] > F.col("__su"))
-            | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
-        )
+        j, in_order = frontier_ordered_join(s, b)
         folded = j.select(
             "key",
             F.when(
                 ~in_order,
-                F.raise_error(
-                    F.concat(
-                        F.lit("attribution_fold_batch: out-of-order batch"
-                              " for key "),
-                        F.col("key").cast("string"),
-                    )
-                ).cast("struct<lu: bigint, lt: string,"
-                       " credits: array<struct<ch: string, cents: long>>>"),
+                out_of_order_raise("attribution_fold_batch")
+                .cast("struct<lu: bigint, lt: string,"
+                      " credits: array<struct<ch: string, cents: long>>>"),
             ).otherwise(
                 F.aggregate(
                     F.coalesce(F.col("__a"), F.array()),
@@ -426,7 +418,12 @@ def decay_attribution_fold_batch(
             F.array().cast(credits_t).alias("credits"),
         )
 
-    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        frontier_ordered_join,
+        out_of_order_raise,
+    )
+
+    last = F.element_at("__a", F.size("__a"))
     if touch_state is None:
         folded = b.select(
             "key",
@@ -443,26 +440,13 @@ def decay_attribution_fold_batch(
             F.col("max_us").alias("__su"),
             F.col("max_tb").alias("__st"),
         )
-        j = s.join(b, "key", "full_outer")
-        has_batch = F.col("__a").isNotNull()
-        has_state = F.col("__su").isNotNull()
-        in_order = (
-            ~has_batch
-            | ~has_state
-            | (first["us"] > F.col("__su"))
-            | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
-        )
+        j, in_order = frontier_ordered_join(s, b)
         folded = j.select(
             "key",
             F.when(
                 ~in_order,
-                F.raise_error(
-                    F.concat(
-                        F.lit("decay_attribution_fold_batch: out-of-order"
-                              " batch for key "),
-                        F.col("key").cast("string"),
-                    )
-                ).cast(f"struct<touches: {touches_t}, credits: {credits_t}>"),
+                out_of_order_raise("decay_attribution_fold_batch")
+                .cast(f"struct<touches: {touches_t}, credits: {credits_t}>"),
             ).otherwise(
                 F.aggregate(
                     F.coalesce(F.col("__a"), F.array()),

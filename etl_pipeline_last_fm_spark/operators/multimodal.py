@@ -582,22 +582,28 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode an uncompressed 24-bpp AVI to ((n, h, w, 3) uint8 RGB
-    frames, fps). Walks the RIFF/LIST chunk tree (word-aligned, the WAV
-    parser's rules); rejects compressed codecs loudly
-    (NotImplementedError) and malformed payloads with ValueError — the
-    quarantine contract."""
+def _avi_parse(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an uncompressed 24-bpp AVI's headers and RAW frame chunk
+    list WITHOUT decoding pixels: (width, height, fps, frames_raw).
+    Iterative chunk-tree walk with an explicit stack (a crafted payload
+    of deeply nested LISTs must raise the quarantine ValueError, never
+    a RecursionError escaping the typed contract); the video strf is
+    the one inside the 'vids' strl — an audio stream's WAVEFORMATEX
+    must not overwrite it (the layout every real muxer emits)."""
     import struct
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
 
     avih = strf = None
+    last_strh_type = None
     frames_raw: list[bytes] = []
-
-    def walk(lo: int, hi: int) -> None:
-        nonlocal avih, strf
+    max_depth = 16  # hdrl nesting is 3 deep in practice; bound crafted input
+    stack = [(12, len(content))]
+    while stack:
+        if len(stack) > max_depth:
+            raise ValueError(f"AVI LIST nesting exceeds {max_depth} levels")
+        lo, hi = stack.pop()
         pos = lo
         while pos + 8 <= hi:
             cid = content[pos : pos + 4]
@@ -608,19 +614,23 @@ def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
                     f"{hi - pos - 8} available"
                 )
             body_lo = pos + 8
+            pos = body_lo + size + (size & 1)  # chunks are word-aligned
             if cid == b"LIST":
-                walk(body_lo + 4, body_lo + size)  # skip the list kind tag
+                # resume the remainder of THIS level, then descend
+                stack.append((pos, hi))
+                stack.append((body_lo + 4, body_lo + size))
+                pos = hi  # terminate this level's loop; remainder queued
             elif cid == b"avih":
                 avih = content[body_lo : body_lo + size]
+            elif cid == b"strh":
+                last_strh_type = content[body_lo : body_lo + 4]
             elif cid == b"strf":
-                strf = content[body_lo : body_lo + size]
+                if strf is None and last_strh_type == b"vids":
+                    strf = content[body_lo : body_lo + size]
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
                 frames_raw.append(content[body_lo : body_lo + size])
-            pos = body_lo + size + (size & 1)  # chunks are word-aligned
-
-    walk(12, len(content))
     if avih is None or strf is None:
-        raise ValueError("AVI missing avih/strf header chunk")
+        raise ValueError("AVI missing avih/video strf header chunk")
     if len(avih) < 40 or len(strf) < 40:
         raise ValueError("bad AVI header sizes")
     usec_per_frame, w, h = (
@@ -639,19 +649,34 @@ def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"bad AVI dimensions {w}x{h}")
     if not frames_raw:
         raise ValueError("AVI has no frame chunks")
-    stride = (w * 3 + 3) // 4 * 4
-    out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
-    for i, raw in enumerate(frames_raw):
-        if len(raw) < stride * h:
-            raise ValueError(
-                f"truncated AVI frame {i}: {len(raw)} bytes, need {stride * h}"
-            )
-        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h)
-        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        out[i] = rows[::-1, :, ::-1]  # bottom-up, BGR -> RGB
     fps = 1_000_000 // usec_per_frame if usec_per_frame else 0
     if fps < 1:
         raise ValueError(f"bad AVI frame interval {usec_per_frame}")
+    return w, h, fps, frames_raw
+
+
+def _avi_frame_px(raw: bytes, w: int, h: int, i: int) -> np.ndarray:
+    """Decode ONE raw DIB frame chunk to (h, w, 3) uint8 RGB."""
+    stride = (w * 3 + 3) // 4 * 4
+    if len(raw) < stride * h:
+        raise ValueError(
+            f"truncated AVI frame {i}: {len(raw)} bytes, need {stride * h}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up, BGR -> RGB
+
+
+def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed 24-bpp AVI to ((n, h, w, 3) uint8 RGB
+    frames, fps). Header/chunk parsing via _avi_parse (iterative,
+    audio-stream-safe); rejects compressed codecs loudly
+    (NotImplementedError) and malformed payloads with ValueError — the
+    quarantine contract."""
+    w, h, fps, frames_raw = _avi_parse(content)
+    out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        out[i] = _avi_frame_px(raw, w, h, i)
     return out, fps
 
 
@@ -757,13 +782,18 @@ def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = False) -> Dat
                         )
                     continue
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    px, _fps = avi_decode(b)
-                    n = px.shape[0]
+                    # headers + raw chunk list only — decode JUST the
+                    # picked frames (O(n_frames) pixel work, not
+                    # O(video length); raw chunks stay zero-copy views).
+                    w, h, _fps, raw = _avi_parse(b)
+                    n = len(raw)
                     picks = ((2 * np.arange(n_frames) + 1) * n) // (2 * n_frames)
                     for i, p in enumerate(picks):
                         ids.append(mid)
                         idxs.append(i)
-                        frames.append(bmp_encode(px[int(p)]))
+                        frames.append(
+                            bmp_encode(_avi_frame_px(raw[int(p)], w, h, int(p)))
+                        )
                     continue
                 raise NotImplementedError(
                     "non-AVI video decode requires codec libraries not present"

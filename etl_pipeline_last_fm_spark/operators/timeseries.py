@@ -192,6 +192,38 @@ def _ema_batch_state(
     return events.groupBy(F.col(key_col).alias("key")).agg(arr.alias("__a"))
 
 
+def frontier_ordered_join(s: DataFrame, b: DataFrame):
+    """The ordered-fold tier's shared join scaffold, defined ONCE for
+    all four members (EMA / CUSUM / last-touch / time-decay): full-outer
+    key join of the carried state against the batch's sorted per-key
+    array, plus the delivery-contract predicate — the batch's FIRST
+    event must sit strictly after the state's fold frontier (`__su`,
+    `__st` aliases in the state select; `__a` is the batch array).
+    Returns (joined, in_order). A state row's frontier is never NULL
+    (it is the last event of some non-empty batch), so frontier
+    nullability doubles as the has-state test."""
+    j = s.join(b, "key", "full_outer")
+    first = F.col("__a")[0]
+    in_order = (
+        F.col("__a").isNull()
+        | F.col("__su").isNull()
+        | (first["us"] > F.col("__su"))
+        | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
+    )
+    return j, in_order
+
+
+def out_of_order_raise(op_name: str):
+    """The shared fail-loud expression for a delivery-contract
+    violation; the caller casts it to the guarded column's type."""
+    return F.raise_error(
+        F.concat(
+            F.lit(f"{op_name}: out-of-order batch for key "),
+            F.col("key").cast("string"),
+        )
+    )
+
+
 def ema_fold_batch(
     state: DataFrame | None,
     batch: DataFrame,
@@ -215,7 +247,7 @@ def ema_fold_batch(
 
     State schema: (key, n_events, ema_cents, max_us, max_tb)."""
     b = _ema_batch_state(batch, key_col, ts_col, value_col, tiebreak_col)
-    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    last = F.element_at("__a", F.size("__a"))
     if state is None:
         return b.select(
             "key",
@@ -233,14 +265,7 @@ def ema_fold_batch(
         F.col("max_us").alias("__su"),
         F.col("max_tb").alias("__st"),
     )
-    j = s.join(b, "key", "full_outer")
-    has_batch, has_state = F.col("__a").isNotNull(), F.col("__sn").isNotNull()
-    in_order = (
-        ~has_batch
-        | ~has_state
-        | (first["us"] > F.col("__su"))
-        | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
-    )
+    j, in_order = frontier_ordered_join(s, b)
     init = F.coalesce(F.col("__se"), F.lit(0).cast("long"))
     folded = F.aggregate(
         F.coalesce(F.col("__a"), F.array()), init, _halve
@@ -252,12 +277,7 @@ def ema_fold_batch(
         .alias("n_events"),
         F.when(
             ~in_order,
-            F.raise_error(
-                F.concat(
-                    F.lit("ema_fold_batch: out-of-order batch for key "),
-                    F.col("key").cast("string"),
-                )
-            ).cast("long"),
+            out_of_order_raise("ema_fold_batch").cast("long"),
         ).otherwise(folded).alias("ema_cents"),
         F.coalesce(last["us"], F.col("__su")).alias("max_us"),
         F.coalesce(last["tb"], F.col("__st")).alias("max_tb"),
@@ -624,7 +644,7 @@ def cusum_fold_batch(
     n_alarms, max_us, max_tb)."""
     b = _ema_batch_state(batch, key_col, ts_col, value_col, tiebreak_col)
     step = _cusum_step(drift_cents, threshold_cents)
-    first, last = F.col("__a")[0], F.element_at("__a", F.size("__a"))
+    last = F.element_at("__a", F.size("__a"))
     if state is None:
         folded = F.aggregate(
             "__a", _cusum_acc({name: F.lit(None) for name, _ in _CUSUM_ZERO}), step
@@ -651,14 +671,7 @@ def cusum_fold_batch(
         F.col("max_us").alias("__su"),
         F.col("max_tb").alias("__st"),
     )
-    j = s.join(b, "key", "full_outer")
-    has_batch, has_state = F.col("__a").isNotNull(), F.col("__sn").isNotNull()
-    in_order = (
-        ~has_batch
-        | ~has_state
-        | (first["us"] > F.col("__su"))
-        | ((first["us"] == F.col("__su")) & (first["tb"] > F.col("__st")))
-    )
+    j, in_order = frontier_ordered_join(s, b)
     init = _cusum_acc(
         {"p": F.col("__sp"), "mn": F.col("__sm"), "s": F.col("__ss"),
          "smax": F.col("__sx"), "alarms": F.col("__sa")}
@@ -677,12 +690,7 @@ def cusum_fold_batch(
         # the column, and an out-of-order final batch would pass silently).
         F.when(
             ~in_order,
-            F.raise_error(
-                F.concat(
-                    F.lit("cusum_fold_batch: out-of-order batch for key "),
-                    F.col("key").cast("string"),
-                )
-            ).cast("long"),
+            out_of_order_raise("cusum_fold_batch").cast("long"),
         ).otherwise(folded["s"]).alias("cusum_final"),
         folded["smax"].alias("cusum_max"),
         folded["alarms"].alias("n_alarms"),

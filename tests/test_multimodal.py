@@ -628,3 +628,52 @@ def test_frame_sample_non_avi_raises_and_fake_still_works(spark):
     with pytest.raises(Exception, match="codec libraries"):
         frame_sample(df, n_frames=2, fake=False).collect()
     assert len(frame_sample(df, n_frames=2, fake=True).collect()) == 2
+
+
+def test_avi_with_audio_stream_and_deep_nesting():
+    """Two parser hardening cases: (1) an audio strl after the video one
+    (the layout real muxers emit) must NOT overwrite the video strf —
+    decode still succeeds; (2) a crafted deeply-nested LIST tree raises
+    the quarantine ValueError, never a RecursionError."""
+    import struct
+
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        _avi_parse,
+        avi_decode,
+        avi_encode,
+    )
+
+    frames = _avi_frames()
+    b = avi_encode(frames, fps=12)
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    astrh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4,
+        0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0, 0, 0, 0, 0,
+    )
+    astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00\x00"
+    audio_strl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+    li = b.rfind(b"LIST", 0, b.find(b"hdrl"))
+    lsz = struct.unpack_from("<I", b, li + 4)[0]
+    body_end = li + 8 + lsz
+    spliced = bytearray(b[:body_end])
+    spliced[li + 4 : li + 8] = struct.pack("<I", lsz + len(audio_strl))
+    spliced += audio_strl + b[body_end:]
+    spliced[4:8] = struct.pack("<I", len(spliced) - 8)
+    got, fps = avi_decode(bytes(spliced))
+    assert fps == 12 and np.array_equal(got, frames)
+
+    nested = b"junk" + struct.pack("<I", 0)
+    for _ in range(30):
+        nested = b"LIST" + struct.pack("<I", 4 + len(nested)) + b"knd " + nested
+    payload = b"RIFF" + struct.pack("<I", 4 + len(nested)) + b"AVI " + nested
+    with pytest.raises(ValueError, match="nesting exceeds"):
+        _avi_parse(payload)
