@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-174/174 oracle-paired (same column names; computed columns aliased on both
+179/179 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -274,13 +274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
         # --- round-7 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-8 rotation: the
-        # order-dependent IVM tier (EMA, CUSUM and last-touch
-        # attribution frontier folds and their versioned-commit
-        # streaming twins), the hub-capped link-prediction scale path,
-        # time-decay multi-touch attribution, and bigram LM scoring.
-        # All oracle-paired; all run in tests/test_oracle_parity.py at
-        # sf0.001 every pytest run until they earn driver rows.
+        # New this round, first in line for the round-8 rotation (15
+        # entries): the order-dependent IVM tier (EMA, CUSUM, last-touch
+        # and time-decay attribution frontier folds and their
+        # versioned-commit streaming twins), the hub-capped
+        # link-prediction scale path, bigram LM scoring, and the 7b
+        # analytics wave (token entropy, RFM segmentation, LOCF
+        # time-weighted average, Benford first-digit audit, HHI revenue
+        # concentration). All oracle-paired; all run in
+        # tests/test_oracle_parity.py at sf0.001 every pytest run until
+        # they earn driver rows.
         "streaming_ema": _ALL["streaming_ema"],
         "link_prediction_capped": _ALL["link_prediction_capped"],
         "cusum_fold": _ALL["cusum_fold"],
@@ -291,6 +294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_decay_fold": _ALL["attribution_decay_fold"],
         "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
         "lm_score_bigram": _ALL["lm_score_bigram"],
+        "token_entropy": _ALL["token_entropy"],
+        "rfm_segments": _ALL["rfm_segments"],
+        "time_weighted_avg": _ALL["time_weighted_avg"],
+        "benford_profile": _ALL["benford_profile"],
+        "supplier_concentration": _ALL["supplier_concentration"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

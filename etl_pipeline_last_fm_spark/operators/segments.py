@@ -1,0 +1,195 @@
+"""User-level segmentation analytics over the events stream: RFM
+scoring and time-weighted averages — the classic marts a behavioral
+warehouse derives from the same star the reference's marts aggregate
+(reference dags/from_dds_to_dm_pg.py per-date/per-artist rollups; these
+are the per-USER rollups of the same shape).
+
+House numeric style throughout: money in exact integer cents
+(``half_up_round(value*100)``), time in epoch-µs via ``ts_us`` (NTZ-
+safe), every cross-engine division a truncating integer/decimal ``div``
+so both engines produce bit-identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+
+
+def rfm_segments(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per user, Recency (whole days between the
+    user's last event and the corpus frontier), Frequency (event count)
+    and Monetary (exact cents), each bucketed into ``n_tiles`` quantile
+    tiles with tile 1 = best (most recent / most frequent / highest
+    spend). The tile cut is made TOTAL by the (metric, user_id) order —
+    ties cannot float between engines — and ``rfm_code`` packs the three
+    tiles as r·100 + f·10 + m.
+
+    Scale shape: one hash aggregate over the event stream (partial+final
+    — the only pass over the big table), then three ntile windows over
+    the USER-DIMENSION aggregate. A global ntile is a single-partition
+    sort, acceptable ONLY because it runs on the user dim (rows = users,
+    not events); at 1e9+ users the same tiles come from approx-quantile
+    cut points joined back broadcast — the documented swap, same
+    semantics at the cuts the (metric, user_id) total order pins."""
+    cents = half_up_round(F.col(value_col) * 100).cast("long")
+    per_user = events.groupBy(F.col(key_col).alias("user_id")).agg(
+        F.max(ts_us(F.col(ts_col))).alias("__last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    corpus = per_user.agg(F.max("__last_us").alias("__corpus_us"))
+    base = per_user.crossJoin(F.broadcast(corpus)).select(
+        "user_id",
+        F.expr("(__corpus_us - __last_us) div 86400000000").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("user_id").asc()
+    )
+    tiled = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(n_tiles).over(r_w).cast("int").alias("r_tile"),
+        F.ntile(n_tiles).over(f_w).cast("int").alias("f_tile"),
+        F.ntile(n_tiles).over(m_w).cast("int").alias("m_tile"),
+    )
+    return tiled.withColumn(
+        "rfm_code",
+        (
+            F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
+        ).cast("int"),
+    )
+
+
+def rfm_segments_oracle_sql(n_tiles: int = 5, table: str = "events") -> str:
+    """DuckDB twin of ``rfm_segments``: same aggregate, same corpus
+    frontier, same tie-pinned ntile windows (ntile semantics — equal-
+    sized groups, earlier groups take the remainder — match Spark's)."""
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(epoch_us(ts)) AS last_us,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM {table} GROUP BY 1
+        ),
+        c AS (SELECT MAX(last_us) AS corpus_us FROM per_user),
+        base AS (
+            SELECT user_id,
+                   (corpus_us - last_us) // 86400000000 AS recency_days,
+                   frequency, monetary_cents
+            FROM per_user, c
+        ),
+        tiled AS (
+            SELECT user_id, recency_days, frequency, monetary_cents,
+                   CAST(ntile({n_tiles}) OVER (
+                       ORDER BY recency_days, user_id) AS INT) AS r_tile,
+                   CAST(ntile({n_tiles}) OVER (
+                       ORDER BY frequency DESC, user_id) AS INT) AS f_tile,
+                   CAST(ntile({n_tiles}) OVER (
+                       ORDER BY monetary_cents DESC, user_id) AS INT)
+                       AS m_tile
+            FROM base
+        )
+        SELECT user_id, recency_days, frequency, monetary_cents,
+               r_tile, f_tile, m_tile,
+               CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS rfm_code
+        FROM tiled
+    """
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key TIME-weighted average of the value under last-observation-
+    carried-forward weighting: each event's cents hold from its timestamp
+    to the next event's, so twap = Σ vᵢ·(tᵢ₊₁−tᵢ) div (t_n − t_1) — the
+    TWAP/uptime-average a plain AVG misstates whenever observations are
+    irregularly spaced (the gapfill_locf integral, reduced to one number
+    per key). Users need ≥ 2 events and a positive span (a key whose
+    events all share one timestamp has no time axis) — others emit no
+    row. Order is pinned by (epoch-µs, tiebreak); the cross-multiply
+    rides decimal(38,0) (cents × µs-gap brushes int64 already at
+    month-long gaps), and the final division truncates identically on
+    both engines.
+
+    Scale shape: one lead() window per key (the single key shuffle),
+    then a partial+final aggregate — no self-join, no global window."""
+    base = events.select(
+        F.col(key_col).alias("user_id"),
+        ts_us(F.col(ts_col)).alias("__us"),
+        F.col(tiebreak_col).alias("__tb"),
+        half_up_round(F.col(value_col) * 100).cast("long").alias("__cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "__tb")
+    seg = base.select(
+        "user_id",
+        "__us",
+        "__cents",
+        F.lead("__us").over(w).alias("__next_us"),
+    ).filter(F.col("__next_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(1)).alias("n_events"),
+            F.sum(
+                F.col("__cents").cast("decimal(38,0)")
+                * (F.col("__next_us") - F.col("__us")).cast("decimal(38,0)")
+            ).alias("__num"),
+            F.sum(F.col("__next_us") - F.col("__us")).alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            F.expr("CAST(__num div span_us AS BIGINT)").alias("twap_cents"),
+        )
+    )
+
+
+def time_weighted_avg_oracle_sql(table: str = "events") -> str:
+    """DuckDB twin of ``time_weighted_avg``: same lead() segments, same
+    HUGEINT cross-multiply and truncating division."""
+    return f"""
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                   epoch_us(ts) AS us,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS next_us
+            FROM {table}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+               CAST(SUM(next_us - us) AS BIGINT) AS span_us,
+               CAST(SUM(CAST(cents AS HUGEINT) * (next_us - us))
+                    // SUM(next_us - us) AS BIGINT) AS twap_cents
+        FROM seg
+        WHERE next_us IS NOT NULL
+        GROUP BY 1
+        HAVING SUM(next_us - us) > 0
+    """

@@ -1003,3 +1003,80 @@ def hashed_features_oracle_sql(
         )
         GROUP BY 1, 2
     """
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN token distribution,
+    in integer micro-nats: H = ln n − (1/n)·Σ c·ln c over the doc's
+    token-type counts — the lexical-DIVERSITY rung of the quality ladder
+    (lm_score ranks docs by corpus-typicality; entropy flags the
+    keyword-stuffed / single-token-spam docs whose distribution is
+    degenerate even when each token is individually common).
+
+    Same micro-nat quantization discipline as lm_score: ln(c) is floored
+    to micro-nats per (doc, type) row BEFORE the per-doc sums, so the doc
+    arithmetic is exact integers (entropy_micronats =
+    floor(ln(n)·1e6) − (Σ c·floor(ln(c)·1e6)) div n, every operand
+    non-negative so the truncating div is engine-identical); same
+    accepted cross-engine ln() ulp risk, same ±1-micro-nat blast radius.
+
+    Scale shape: explode → one (doc, token) hash aggregate → one per-doc
+    aggregate. No joins, no windows; both aggregates combine map-side."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens()).alias("tok")
+    ).filter(F.col("tok") != "")
+    census = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        census.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.col("c")
+                * F.floor(
+                    F.log(F.col("c").cast("double")) * F.lit(1_000_000.0)
+                ).cast("long")
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            (
+                F.floor(
+                    F.log(F.col("n_tokens").cast("double"))
+                    * F.lit(1_000_000.0)
+                ).cast("long")
+                - F.expr("__s div n_tokens")
+            ).alias("entropy_micronats"),
+        )
+    )
+
+
+def token_entropy_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``token_entropy`` — same census, same per-type
+    micro-nat quantization, same exact integer doc arithmetic."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(text), ' ')) AS tok
+                FROM {table}
+            ) WHERE tok <> ''
+        ),
+        census AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(FLOOR(ln(CAST(SUM(c) AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   - CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE))
+                                             * 1000000.0) AS BIGINT))
+                          AS BIGINT) // CAST(SUM(c) AS BIGINT)
+                   AS entropy_micronats
+        FROM census
+        GROUP BY doc_id
+    """

@@ -303,6 +303,127 @@ def q_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_bigram(load_table(spark, sf_dir, "documents"))
 
 
+# --- 7b analytics wave: segmentation / data-quality / concentration -----
+
+#: Benford first-digit expectation in exact ppm — floor(log10(1+1/d)·1e6
+#: + 0.5) inlined as integer literals (they sum to exactly 1,000,000) so
+#: neither engine computes a float log at parity time.
+_BENFORD_PPM = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the doc's own token distribution in
+    integer micro-nats (operators/text.py token_entropy): the lexical-
+    diversity rung of the quality ladder — flags keyword-stuffed /
+    repetitive-spam docs whose distribution is degenerate even when
+    every token is individually common (lm_score can't see that)."""
+    from etl_pipeline_last_fm_spark.operators.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation (operators/segments.py rfm_segments):
+    recency/frequency/monetary per user, quintile tiles tie-pinned by
+    (metric, user_id), rfm_code = r·100+f·10+m. One pass over the event
+    stream; the ntile windows run on the user DIMENSION."""
+    from etl_pipeline_last_fm_spark.operators.segments import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per user (operators/segments.py
+    time_weighted_avg): Σ v·Δt div span in exact cents — the TWAP a
+    plain AVG misstates under irregular sampling. One lead() window +
+    one aggregate."""
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the pricing column — the classic
+    data-quality / fraud screen: observed first-significant-digit ppm of
+    exact cents vs the Benford expectation (integer literals above),
+    complete over all 9 digits via a left join from the literal digit
+    dim. The first digit is taken from the BIGINT's string form —
+    integer-to-string is deterministic and engine-identical, where
+    double formatting is not; ×100 (cents) never moves the leading
+    digit. Scale shape: one projection + one 9-group hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    digits = li.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("__raw"))
+    total = digits.agg(F.count(F.lit(1)).alias("__n"))
+    exp = spark.createDataFrame(_BENFORD_PPM, "digit int, exp_ppm long")
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("__raw"), F.lit(0)).cast("long").alias("n_obs"),
+            "exp_ppm",
+            "__n",
+        )
+        .select(
+            "digit",
+            "n_obs",
+            F.expr(
+                "CAST((CAST(n_obs AS DECIMAL(38,0)) * 1000000) div __n"
+                " AS BIGINT)"
+            ).alias("obs_ppm"),
+            "exp_ppm",
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+    )
+
+
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per supplier
+    nation: each supplier's revenue share of its nation in truncated ppm
+    (decimal(38,0) cross-multiply — the market_basket precedent), HHI =
+    Σ share_ppm² (bounded by 1e12 = a monopoly nation, so the sum always
+    fits int64). The antitrust-style concentration screen next to
+    market_share's single-nation ratio. Scale shape: one supplier-keyed
+    aggregate over lineitem (the only big-table pass), then dim-sized
+    broadcast joins and a nation-sized share/aggregate."""
+    from etl_pipeline_last_fm_spark.registry.extras import _rev4_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_rev4_col()).alias("rev4"))
+    j = per_supp.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        per_supp.l_suppkey == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(
+            nation.select("n_nationkey", F.col("n_name").alias("nation"))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("nation", "rev4")
+    tot = j.groupBy("nation").agg(F.sum("rev4").alias("__tot4"))
+    shares = j.join(F.broadcast(tot), "nation").select(
+        "nation",
+        F.expr(
+            "CAST((CAST(rev4 AS DECIMAL(38,0)) * 1000000) div __tot4"
+            " AS BIGINT)"
+        ).alias("__share_ppm"),
+    )
+    return shares.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("__share_ppm") * F.col("__share_ppm")).alias("hhi_ppm2"),
+    )
+
+
 QUERIES = {
     "streaming_ema": q_streaming_ema,
     "link_prediction_capped": q_link_prediction_capped,
@@ -314,13 +435,86 @@ QUERIES = {
     "attribution_decay_fold": q_attribution_decay_fold,
     "streaming_attribution_decay": q_streaming_attribution_decay,
     "lm_score_bigram": q_lm_score_bigram,
+    "token_entropy": q_token_entropy,
+    "rfm_segments": q_rfm_segments,
+    "time_weighted_avg": q_time_weighted_avg,
+    "benford_profile": q_benford_profile,
+    "supplier_concentration": q_supplier_concentration,
 }
+
+
+def _benford_oracle_sql() -> str:
+    values = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)
+    return f"""
+        WITH c AS (
+            SELECT CAST(substring(CAST(CAST(FLOOR(l_extendedprice * 100
+                                                  + 0.5) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM lineitem
+        ),
+        obs AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM c GROUP BY 1
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        e AS (
+            SELECT * FROM (VALUES {values}) AS v(digit, exp_ppm)
+        )
+        SELECT e.digit,
+               CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+               CAST(CAST(COALESCE(obs.n_obs, 0) AS HUGEINT) * 1000000 // n
+                    AS BIGINT) AS obs_ppm,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+               CAST(CAST(COALESCE(obs.n_obs, 0) AS HUGEINT) * 1000000 // n
+                    - e.exp_ppm AS BIGINT) AS dev_ppm
+        FROM e LEFT JOIN obs ON e.digit = obs.digit, t
+    """
+
+
+def _supplier_concentration_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT) AS rev4
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT n_name AS nation, rev4
+            FROM per
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        ),
+        t AS (
+            SELECT nation, CAST(SUM(rev4) AS BIGINT) AS tot4
+            FROM j GROUP BY 1
+        ),
+        sh AS (
+            SELECT j.nation,
+                   CAST(CAST(rev4 AS HUGEINT) * 1000000 // tot4 AS BIGINT)
+                       AS share_ppm
+            FROM j JOIN t ON j.nation = t.nation
+        )
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2
+        FROM sh GROUP BY 1
+    """
 
 
 def oracles() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.attribution import (
         last_touch_attribution_oracle_sql,
         time_decay_attribution_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        rfm_segments_oracle_sql,
+        time_weighted_avg_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.text import (
+        token_entropy_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.graph import (
         link_prediction_oracle_sql,
@@ -353,4 +547,9 @@ def oracles() -> dict[str, str]:
             _COPURCHASE_1996_SQL, top_k=100, max_middle_degree=_LINKPRED_CAP
         ),
         "lm_score_bigram": lm_score_bigram_oracle_sql(),
+        "token_entropy": token_entropy_oracle_sql(),
+        "rfm_segments": rfm_segments_oracle_sql(),
+        "time_weighted_avg": time_weighted_avg_oracle_sql(),
+        "benford_profile": _benford_oracle_sql(),
+        "supplier_concentration": _supplier_concentration_oracle_sql(),
     }

@@ -420,6 +420,7 @@ def main() -> None:
     round6b_wave(spark, ev_typed, n_events)
     round6c_wave(spark, ev_typed, n_events)
     round7_wave(spark, ev_typed, n_events)
+    round7b_wave(spark, ev_typed, n_events)
 
 
 
@@ -716,8 +717,83 @@ def round7_wave(spark, ev_typed, n_events: int) -> None:
     )
 
 
+def round7b_wave(spark, ev_typed, n_events: int) -> None:
+    """Round-7b smoke: the analytics wave — token entropy (explode + two
+    hash aggregates), RFM (one stream aggregate + dimension-sized ntile
+    windows), LOCF time-weighted average (one lead window + one
+    aggregate), the Benford digit profile shape (projection + 9-group
+    aggregate) and the HHI shape (key aggregate + group-share division +
+    group aggregate; the real query's extra dim joins are broadcast, so
+    the shapes timed here are the scale-bearing parts)."""
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        rfm_segments,
+        time_weighted_avg,
+    )
+    from etl_pipeline_last_fm_spark.operators.text import token_entropy
+
+    docs = synth_docs(spark, max(n_events // 10, 1000))
+    docs.count()
+    t0 = time.perf_counter()
+    n_te = token_entropy(docs).count()
+    t_te = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_rfm = rfm_segments(ev_typed).count()
+    t_rfm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_tw = time_weighted_avg(ev_typed).count()
+    t_tw = time.perf_counter() - t0
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    digits = ev_typed.filter(cents > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    t0 = time.perf_counter()
+    n_bf = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n")).count()
+    t_bf = time.perf_counter() - t0
+
+    n_supp = 2000
+    fact = spark.range(n_events).select(
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(n_supp)).alias("supp"),
+        (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(10_000)) + 1).alias("rev"),
+    )
+    per = fact.groupBy("supp").agg(F.sum("rev").alias("rev4"))
+    per = per.withColumn("nation", F.pmod(F.col("supp"), F.lit(25)))
+    tot = per.groupBy("nation").agg(F.sum("rev4").alias("__tot4"))
+    sh = per.join(F.broadcast(tot), "nation").select(
+        "nation",
+        F.expr(
+            "CAST((CAST(rev4 AS DECIMAL(38,0)) * 1000000) div __tot4"
+            " AS BIGINT)"
+        ).alias("s"),
+    )
+    t0 = time.perf_counter()
+    n_hhi = (
+        sh.groupBy("nation")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("hhi"))
+        .count()
+    )
+    t_hhi = time.perf_counter() - t0
+
+    print(
+        f"round-7b wave: token-entropy {t_te:.1f}s ({n_te} docs), "
+        f"rfm {t_rfm:.1f}s ({n_rfm} users), "
+        f"twap {t_tw:.1f}s ({n_tw} users), "
+        f"benford {t_bf:.1f}s ({n_bf} digits), "
+        f"hhi {t_hhi:.1f}s ({n_hhi} nations)"
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 3 and sys.argv[3] == "round6":
+    if len(sys.argv) > 3 and sys.argv[3] == "round7b":
+        # Fast path: only the round-7b analytics wave.
+        n_events = int(sys.argv[2])
+        spark = get_spark(app_name="scale-smoke-r7b")
+        ev = _typed_events(spark, n_events)
+        ev.count()
+        round7b_wave(spark, ev, n_events)
+    elif len(sys.argv) > 3 and sys.argv[3] == "round6":
         # Fast path: only the round-6 wave (docs corpus not needed).
         n_events = int(sys.argv[2])
         spark = get_spark(app_name="scale-smoke-r6")

@@ -376,3 +376,32 @@ def test_link_prediction_capped_prunes_middles_with_semi_join(spark, sf_dir):
         entrymod.queries()["link_prediction_capped"](spark, sf_dir)
     )
     assert "LeftSemi" in plan, plan
+
+
+def test_round7b_analytics_plan_shapes(spark, sf_dir):
+    """The 7b analytics wave's structural pins before rotation:
+    - supplier_concentration: every join broadcast (0 SortMergeJoin) —
+      the one big-table pass is the supplier-keyed aggregate;
+    - benford_profile: no join on the fact side at all (the digit dim
+      left join is a broadcast over 9 literal rows);
+    - time_weighted_avg: exactly one Exchange (the lead() key shuffle;
+      the aggregate reuses that partitioning);
+    - rfm_segments: the event-stream aggregate is partial+final (the
+      global ntile windows are user-dim-sized, documented)."""
+    qs = entrymod.queries()
+
+    plan = formatted_plan(qs["supplier_concentration"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(qs["benford_profile"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan, plan
+
+    plan = formatted_plan(qs["time_weighted_avg"](spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan  # one node: tree + details
+    assert "SortMergeJoin" not in plan, plan
+
+    plan = formatted_plan(qs["rfm_segments"](spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
