@@ -453,12 +453,17 @@ def test_png_decode_quarantine_typed_errors():
         b[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
         return bytes(b)
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        png_decode(rewrite_ihdr(28, 1))  # Adam7 flag
-    with pytest.raises(NotImplementedError, match="8-bit RGB"):
-        png_decode(rewrite_ihdr(24, 16))  # 16-bit depth
-    with pytest.raises(NotImplementedError, match="8-bit RGB"):
-        png_decode(rewrite_ihdr(25, 3))  # palette color type
+    # The decoder is now COMPLETE over legal IHDRs, so flag rewrites that
+    # don't re-lay-out the pixel data are MALFORMED payloads (length /
+    # PLTE errors), not unsupported formats.
+    with pytest.raises(ValueError, match="length mismatch|filter type"):
+        png_decode(rewrite_ihdr(28, 1))  # Adam7 flag, non-interlaced data
+    with pytest.raises(ValueError, match="length mismatch|filter type"):
+        png_decode(rewrite_ihdr(24, 16))  # 16-bit flag, 8-bit data
+    with pytest.raises(ValueError, match="length mismatch|filter type"):
+        png_decode(rewrite_ihdr(25, 3))  # palette flag over 3-channel data
+    with pytest.raises(ValueError, match="illegal"):
+        png_decode(rewrite_ihdr(24, 3))  # depth 3 exists for no color type
 
     # zlib-corrupt IDAT body behind a FIXED CRC -> ValueError, not zlib.error
     b = bytearray(good)
@@ -498,7 +503,7 @@ def test_image_stats_mixes_bmp_and_png_and_ignores_alpha(spark):
     assert (rows[2].sum_r, rows[2].sum_g, rows[2].sum_b) == tuple(
         int(rgba[:, :, i].sum()) for i in range(3)
     )
-    with pytest.raises(Exception, match="BMP or PNG"):
+    with pytest.raises(Exception, match="BMP, PNG, JPEG, or GIF"):
         image_stats(df, on_undecodable="error").collect()
 
 
@@ -577,11 +582,54 @@ def test_avi_decode_quarantine_typed_errors():
         avi_decode(b"RIFFxxxxWAVE")
     with pytest.raises(ValueError, match="truncated AVI"):
         avi_decode(good[:-30])
-    mjpg = bytearray(good)
-    i = bytes(mjpg).find(b"strf")
-    struct.pack_into("<I", mjpg, i + 8 + 16, 0x47504A4D)  # biCompression=MJPG
+    # An inter-frame codec fourcc (XVID) stays NotImplementedError...
+    xvid = bytearray(good)
+    i = bytes(xvid).find(b"strf")
+    struct.pack_into("<I", xvid, i + 8 + 16, 0x44495658)  # biCompression=XVID
     with pytest.raises(NotImplementedError, match="BI_RGB"):
+        avi_decode(bytes(xvid))
+    # ...while an MJPG flag over non-JPEG frame bytes is now a MALFORMED
+    # payload (the MJPG path is real, operators/jpeg.py): ValueError.
+    mjpg = bytearray(good)
+    struct.pack_into("<I", mjpg, i + 8 + 16, 0x47504A4D)  # biCompression=MJPG
+    with pytest.raises(ValueError, match="not a JPEG payload"):
         avi_decode(bytes(mjpg))
+
+
+def test_avi_mjpg_roundtrip_and_frame_sample():
+    """The COMPRESSED real video path: MJPG frames ride the baseline-JPEG
+    codec, decode near-losslessly at high quality, and frame_sample's
+    picks land on the same frames as the raw codec's."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    # Smooth frames (JPEG-friendly): per-frame shifted gradients.
+    y, x = np.mgrid[0:16, 0:24]
+    frames = np.stack(
+        [
+            np.stack(
+                [
+                    (x * 255 // 24 + 9 * t) % 256,
+                    (y * 255 // 16 + 5 * t) % 256,
+                    ((x + y) * 255 // 40) % 256,
+                ],
+                axis=-1,
+            )
+            for t in range(5)
+        ]
+    ).astype(np.uint8)
+    enc = avi_encode(frames, fps=8, codec="mjpg", quality=95)
+    got, fps = avi_decode(enc)
+    assert fps == 8 and got.shape == frames.shape
+    err = np.abs(got.astype(int) - frames.astype(int))
+    assert err.mean() < 4 and err.max() < 48  # lossy but close at q95
+    # Deterministic encode (the idempotence contract every codec keeps).
+    assert enc == avi_encode(frames, fps=8, codec="mjpg", quality=95)
 
 
 def test_frame_sample_real_for_avi_composes_with_image_tier(spark):
@@ -677,3 +725,153 @@ def test_avi_with_audio_stream_and_deep_nesting():
     payload = b"RIFF" + struct.pack("<I", 4 + len(nested)) + b"AVI " + nested
     with pytest.raises(ValueError, match="nesting exceeds"):
         _avi_parse(payload)
+
+
+# --- PNG completion (round 7): every legal IHDR decodes ----------------
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_raw(w, h, depth, color, interlace, idat_raw, extra=b""):
+    """Hand-built PNG from the spec — fixtures for layouts the 8-bit
+    RGB(A) encoder doesn't emit."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + extra
+        + _png_chunk(b"IDAT", zlib.compress(idat_raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_grayscale_depths_and_alpha():
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(5)
+    # 8-bit gray replicates into RGB.
+    g = rng.integers(0, 256, (4, 5), np.uint8)
+    raw = b"".join(b"\x00" + g[r].tobytes() for r in range(4))
+    dec = png_decode(_png_raw(5, 4, 8, 0, 0, raw))
+    assert dec.shape == (4, 5, 3)
+    for c in range(3):
+        assert np.array_equal(dec[:, :, c], g)
+    # 1-bit gray scales 0/1 -> 0/255 (10 px -> 2 packed bytes + padding).
+    bits = rng.integers(0, 2, (3, 10), np.uint8)
+    raw = b"".join(
+        b"\x00" + np.packbits(bits[r], bitorder="big").tobytes()
+        for r in range(3)
+    )
+    assert np.array_equal(
+        png_decode(_png_raw(10, 3, 1, 0, 0, raw))[:, :, 0], bits * 255
+    )
+    # 4-bit gray scales by 17.
+    v4 = rng.integers(0, 16, (2, 5), np.uint8)
+    rows = []
+    for r in range(2):
+        b = bytearray()
+        for i in range(0, 5, 2):
+            b.append((v4[r, i] << 4) | (v4[r, i + 1] if i + 1 < 5 else 0))
+        rows.append(b"\x00" + bytes(b))
+    assert np.array_equal(
+        png_decode(_png_raw(5, 2, 4, 0, 0, b"".join(rows)))[:, :, 0], v4 * 17
+    )
+    # gray + alpha -> (h, w, 4) with gray replicated.
+    ga = rng.integers(0, 256, (3, 4, 2), np.uint8)
+    raw = b"".join(b"\x00" + ga[r].tobytes() for r in range(3))
+    dec = png_decode(_png_raw(4, 3, 8, 4, 0, raw))
+    assert dec.shape == (3, 4, 4)
+    assert np.array_equal(dec[:, :, 0], ga[:, :, 0])
+    assert np.array_equal(dec[:, :, 3], ga[:, :, 1])
+
+
+def test_png_16bit_high_byte():
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(6)
+    px16 = rng.integers(0, 65536, (3, 4, 3)).astype(">u2")
+    raw = b"".join(b"\x00" + px16[r].tobytes() for r in range(3))
+    dec = png_decode(_png_raw(4, 3, 16, 2, 0, raw))
+    assert np.array_equal(dec, (px16 >> 8).astype(np.uint8))
+
+
+def test_png_palette_trns_and_subbyte_indices():
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(7)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8
+    )
+    plte = _png_chunk(b"PLTE", pal.tobytes())
+    idx = rng.integers(0, 4, (4, 6), np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(4))
+    # Without tRNS: RGB; with a 2-entry tRNS: RGBA with table alpha.
+    assert np.array_equal(
+        png_decode(_png_raw(6, 4, 8, 3, 0, raw, extra=plte)), pal[idx]
+    )
+    dec = png_decode(
+        _png_raw(6, 4, 8, 3, 0, raw,
+                 extra=plte + _png_chunk(b"tRNS", bytes([10, 20])))
+    )
+    assert np.array_equal(dec[:, :, :3], pal[idx])
+    want_a = np.where(idx == 0, 10, np.where(idx == 1, 20, 255))
+    assert np.array_equal(dec[:, :, 3], want_a)
+    # 2-bit palette indices (sub-byte unpack path), out-of-range raises.
+    idx2 = rng.integers(0, 4, (3, 7), np.uint8)
+    rows = []
+    for r in range(3):
+        bits2 = np.unpackbits(idx2[r][:, None], axis=1, bitorder="big")[
+            :, 6:8
+        ].reshape(-1)
+        bits2 = np.concatenate(
+            [bits2, np.zeros((-len(bits2)) % 8, np.uint8)]
+        )
+        rows.append(b"\x00" + np.packbits(bits2, bitorder="big").tobytes())
+    assert np.array_equal(
+        png_decode(_png_raw(7, 3, 2, 3, 0, b"".join(rows), extra=plte)),
+        pal[idx2],
+    )
+    short_pal = _png_chunk(b"PLTE", pal[:2].tobytes())
+    with pytest.raises(ValueError, match="palette index out of range"):
+        png_decode(_png_raw(6, 4, 8, 3, 0, raw, extra=short_pal))
+
+
+def test_png_adam7_interlace_exact():
+    """Adam7 fixtures hand-scattered with the SPEC's pass table written
+    out independently — decode must reassemble the exact image, on the
+    all-passes 8x8 and on odd sizes where trailing passes are empty."""
+    import numpy as np
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import png_decode
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    rng = np.random.default_rng(8)
+    for h, w in [(8, 8), (3, 5), (1, 1), (2, 9)]:
+        full = rng.integers(0, 256, (h, w, 3), np.uint8)
+        raws = []
+        for x0, y0, dx, dy in passes:
+            sub = full[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for r in range(sub.shape[0]):
+                raws.append(b"\x00" + sub[r].tobytes())
+        dec = png_decode(_png_raw(w, h, 8, 2, 1, b"".join(raws)))
+        assert np.array_equal(dec, full), (h, w)
