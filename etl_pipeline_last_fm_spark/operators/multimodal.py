@@ -17,12 +17,15 @@ batch shapes — is real and tested. The codec surface splits in two:
   downconversion), Adam7 interlace, PLTE/tRNS, all five scanline
   filters at byte level. ``png_encode`` stays the 8-bit RGB(A) fixture
   generator (any filter type). Zero new dependencies.
-- JPEG (baseline sequential JFIF) is decoded/encoded FOR REAL with
-  stdlib struct + numpy alone (operators/jpeg.py): 8x8 DCT as an
-  orthonormal matrix sandwich, Annex-K quant/Huffman tables, a
-  pure-Python canonical Huffman entropy coder with byte stuffing and
-  restart markers, 4:4:4 and 4:2:0 chroma subsampling. The first
-  ENTROPY-CODED format to graduate from the stub surface.
+- JPEG — BOTH baseline sequential (SOF0) and PROGRESSIVE (SOF2) — is
+  decoded/encoded FOR REAL with stdlib struct + numpy alone
+  (operators/jpeg.py): 8x8 DCT as an orthonormal matrix sandwich,
+  Annex-K quant/Huffman tables, a pure-Python canonical Huffman entropy
+  coder with byte stuffing and restart markers, 4:4:4 and 4:2:0 chroma
+  subsampling, and the full progressive scan machinery (spectral
+  selection + successive approximation, EOBn runs, refinement
+  correction bits). The first ENTROPY-CODED format to graduate from the
+  stub surface.
 - GIF (87a/89a) is decoded/encoded FOR REAL with a pure-Python
   variable-width LZW coder + numpy (operators/gif.py): sub-rectangle
   frames, local color tables, transparency, interlace and disposal
@@ -35,8 +38,8 @@ batch shapes — is real and tested. The codec surface splits in two:
   ``frame_sample`` has BOTH a raw and a compressed real video path,
   emitting sampled frames as standalone BMPs (composing with the whole
   image tier).
-- The remaining formats (progressive JPEG, MP3, inter-frame video
-  codecs) DO need decode libraries (PIL/ffmpeg/etc.) absent from this
+- The remaining formats (MP3, inter-frame video codecs) DO need decode
+  libraries (PIL/ffmpeg/etc.) absent from this
   container, so those branches raise NotImplementedError by default, or
   emit a DETERMINISTIC FAKE result (seeded by content hash) when
   ``fake=True`` so downstream plumbing (similarity search over the
@@ -123,7 +126,7 @@ def sniff_format(
 # 24-bpp uncompressed (BI_RGB) BMP is parseable with struct arithmetic
 # alone, so this branch of the decode surface is genuinely implemented
 # (VERDICT r5 item 6) — the NotImplementedError stubs now cover only
-# MP3, progressive JPEG, and inter-frame video codecs.
+# MP3 and inter-frame video codecs.
 
 
 def bmp_encode(pixels: np.ndarray) -> bytes:
@@ -460,10 +463,11 @@ def _resize_nearest_px(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def image_decode(content: bytes) -> np.ndarray:
     """Route a binary image payload to its real decoder by magic bytes:
-    BMP -> (h, w, 3), PNG -> (h, w, 3|4), baseline JPEG -> (h, w, 3)
-    (operators/jpeg.py). Anything else raises (ValueError for non-image
+    BMP -> (h, w, 3), PNG -> (h, w, 3|4), JPEG (baseline AND
+    progressive, operators/jpeg.py) -> (h, w, 3), GIF (first composed
+    frame, operators/gif.py) -> (h, w, 3). Anything else raises (ValueError for non-image
     bytes, NotImplementedError for format variants needing codec
-    libraries, e.g. progressive JPEG) — both quarantine-catchable."""
+    libraries) — both quarantine-catchable."""
     if content[:2] == b"BM":
         return bmp_decode(content)
     if content[:8] == _PNG_SIG:

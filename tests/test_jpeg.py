@@ -117,11 +117,13 @@ def test_quarantine_contract_valueerrors():
 
 def test_quarantine_contract_notimplemented_variants():
     img = _gradient(16, 16)
+    # SOF0 -> SOF2 on a BASELINE file: progressive now DECODES, so a
+    # sequential full-band scan under a progressive SOF is MALFORMED
+    # (progressive scans are DC-only or single-component AC bands).
     enc = bytearray(jpeg_encode(img, quality=85))
-    # SOF0 -> SOF2 (progressive): NotImplementedError, typed.
     sof = bytes(enc).find(b"\xff\xc0")
     enc[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive .* scan parameters"):
         jpeg_decode(bytes(enc))
     # 16-bit DQT (Pq=1).
     enc = bytearray(jpeg_encode(img, quality=85))
@@ -135,6 +137,113 @@ def test_quarantine_contract_notimplemented_variants():
     enc[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg_decode(bytes(enc))
+
+
+# --- Progressive JPEG (round 7): SOF2 decodes for real -----------------
+
+
+def test_progressive_equals_baseline_exactly():
+    """THE equality oracle: progressive and baseline encodings carry the
+    SAME quantized coefficients losslessly, so the decoded pixels must
+    be bit-identical — across subsampling, quality extremes, odd sizes,
+    grayscale, and white noise (the EOB-run / ZRL / correction-bit
+    stress case)."""
+    from etl_pipeline_last_fm_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (_gradient(), 85, "444"),
+        (_gradient(), 85, "420"),
+        (_gradient(), 100, "444"),
+        (rng.integers(0, 256, (24, 24, 3)).astype(np.uint8), 95, "444"),
+        (rng.integers(0, 256, (24, 24, 3)).astype(np.uint8), 10, "444"),
+        (_gradient(13, 9), 90, "420"),
+        ((np.mgrid[0:48, 0:64][0] * 255 // 48).astype(np.uint8), 85, "444"),
+        (np.full((8, 8, 3), 77, np.uint8), 50, "444"),
+        (rng.integers(0, 256, (1, 1, 3)).astype(np.uint8), 85, "444"),
+    ]
+    for img, q, sub in cases:
+        base = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=q, subsampling=sub))
+        assert np.array_equal(base, prog), (img.shape, q, sub)
+
+
+def test_progressive_markers_and_determinism():
+    from etl_pipeline_last_fm_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    img = _gradient(16, 24)
+    enc = jpeg_encode_progressive(img, quality=85)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    # 1 DC first + 3x2 AC-first bands + 1 DC refine + 3 AC refine = 11
+    assert enc.count(b"\xff\xda") == 11
+    assert enc == jpeg_encode_progressive(img, quality=85)
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """DRI + RSTn inside progressive scans: DC preds and EOB runs reset
+    at every interval on both sides — still exactly equal to baseline."""
+    from etl_pipeline_last_fm_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(9)
+    img = _gradient(24, 40)
+    base = jpeg_decode(jpeg_encode(img, quality=85))
+    for ri in (1, 2, 5):
+        enc = jpeg_encode_progressive(img, quality=85, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(jpeg_decode(enc), base), ri
+    noise = rng.integers(0, 256, (17, 19, 3)).astype(np.uint8)
+    nb = jpeg_decode(jpeg_encode(noise, quality=95))
+    np_enc = jpeg_encode_progressive(noise, quality=95, restart_interval=2)
+    assert np.array_equal(jpeg_decode(np_enc), nb)
+
+
+def test_progressive_truncation_and_corruption_raise():
+    from etl_pipeline_last_fm_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+
+    img = _gradient(16, 16)
+    enc = jpeg_encode_progressive(img, quality=85)
+    with pytest.raises(ValueError):
+        jpeg_decode(enc[: len(enc) * 2 // 3])
+    # An unassigned all-ones prefix inside the FIRST scan's entropy data.
+    bad = bytearray(enc)
+    sos = bytes(bad).find(b"\xff\xda")
+    ns = bad[sos + 4]
+    entropy0 = sos + 4 + 1 + 2 * ns + 3
+    bad[entropy0 : entropy0 + 8] = b"\xff\x00" * 4
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+
+
+def test_progressive_through_image_tier(spark):
+    """A progressive payload flows through the SAME routers as baseline
+    (magic bytes don't distinguish them) — image_stats sums must match
+    the baseline encoding's exactly, per the equality oracle."""
+    from etl_pipeline_last_fm_spark.operators.jpeg import (
+        jpeg_encode_progressive,
+    )
+    from etl_pipeline_last_fm_spark.operators.multimodal import image_stats
+
+    img = _gradient(24, 32)
+    df = spark.createDataFrame(
+        [
+            (1, jpeg_encode(img, quality=90)),
+            (2, jpeg_encode_progressive(img, quality=90)),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in image_stats(df).collect()}
+    assert (rows[1].sum_r, rows[1].sum_g, rows[1].sum_b) == (
+        rows[2].sum_r, rows[2].sum_g, rows[2].sum_b,
+    )
+    assert rows[2].width == 32 and rows[2].height == 24
 
 
 def test_encoder_input_validation():
