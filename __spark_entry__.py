@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-179/179 oracle-paired (same column names; computed columns aliased on both
+181/181 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -274,9 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
         # --- round-7 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-8 rotation (15
+        # New this round, first in line for the round-8 rotation (17
         # entries): the order-dependent IVM tier (EMA, CUSUM, last-touch
-        # and time-decay attribution frontier folds and their
+        # and time-decay attribution, and TWAP frontier folds and their
         # versioned-commit streaming twins), the hub-capped
         # link-prediction scale path, bigram LM scoring, and the 7b
         # analytics wave (token entropy, RFM segmentation, LOCF
@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": _ALL["time_weighted_avg"],
         "benford_profile": _ALL["benford_profile"],
         "supplier_concentration": _ALL["supplier_concentration"],
+        "twap_fold": _ALL["twap_fold"],
+        "streaming_twap": _ALL["streaming_twap"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -193,3 +193,144 @@ def time_weighted_avg_oracle_sql(table: str = "events") -> str:
         GROUP BY 1
         HAVING SUM(next_us - us) > 0
     """
+
+
+# --- TWAP as ordered-fold IVM member #5 ---------------------------------
+# The LOCF integral is order-dependent (each event's cents hold until
+# the NEXT event), so its incremental maintenance rides the ordered-fold
+# scaffold (operators/timeseries.py): carried state = (n, first_us, num,
+# fold frontier + last cents), batches must arrive as time slices, and
+# the maintenance identity  fold(fold(s, A), B) == one-shot(A++B)  is
+# exact because the integral telescopes across the batch boundary
+# through the bridge segment last_cents * (batch_first_us - last_us).
+
+_DEC = "decimal(38,0)"
+
+
+def _twap_step(acc, e):
+    """ONE integral step: close the running segment at e's timestamp
+    (num += last_cents * gap, exact decimal), advance the carried
+    (last_us, last_cents). The first event of a key opens the integral
+    without adding (NULL last_us)."""
+    gap = (e["us"] - acc["lu"]).cast("long")
+    add = F.when(acc["lu"].isNull(), F.lit(0).cast(_DEC)).otherwise(
+        (acc["lv"].cast(_DEC) * gap.cast(_DEC)).cast(_DEC)
+    )
+    return F.struct(
+        (acc["num"] + add).cast(_DEC).alias("num"),
+        e["us"].cast("long").alias("lu"),
+        e["v"].cast("long").alias("lv"),
+    )
+
+
+def twap_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold one time-slice batch into per-key TWAP state
+    (key, n_events, first_us, num, last_us, last_tb, last_cents) —
+    ordered-fold member #5 on the shared scaffold
+    (``frontier_ordered_join`` — same delivery contract, same
+    out-of-order raise, same array_sort order recovery as the
+    EMA/CUSUM/attribution members). ``num`` is the running LOCF
+    integral Σ cents·Δµs in decimal(38,0) (the one-shot operator's
+    exact arithmetic)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        _ema_batch_state,
+        frontier_ordered_join,
+        out_of_order_raise,
+    )
+
+    b = _ema_batch_state(batch, key_col, ts_col, value_col, tiebreak_col)
+    last = F.element_at("__a", F.size("__a"))
+    first = F.col("__a")[0]
+    if state is None:
+        init = F.struct(
+            F.lit(0).cast(_DEC).alias("num"),
+            F.lit(None).cast("long").alias("lu"),
+            F.lit(None).cast("long").alias("lv"),
+        )
+        folded = F.aggregate("__a", init, _twap_step)
+        return b.select(
+            "key",
+            F.size("__a").cast("long").alias("n_events"),
+            first["us"].alias("first_us"),
+            folded["num"].alias("num"),
+            last["us"].alias("last_us"),
+            last["tb"].alias("last_tb"),
+            last["v"].alias("last_cents"),
+        )
+    s = state.select(
+        "key",
+        F.col("n_events").alias("__sn"),
+        F.col("first_us").alias("__sf"),
+        F.col("num").alias("__snum"),
+        F.col("last_us").alias("__su"),
+        F.col("last_tb").alias("__st"),
+        F.col("last_cents").alias("__sv"),
+    )
+    j, in_order = frontier_ordered_join(s, b)
+    init = F.struct(
+        F.coalesce(F.col("__snum"), F.lit(0).cast(_DEC)).cast(_DEC).alias("num"),
+        F.col("__su").cast("long").alias("lu"),
+        F.col("__sv").cast("long").alias("lv"),
+    )
+    folded = F.aggregate(F.coalesce(F.col("__a"), F.array()), init, _twap_step)
+    return j.select(
+        "key",
+        (
+            F.coalesce(F.col("__sn"), F.lit(0).cast("long"))
+            + F.coalesce(F.size("__a").cast("long"), F.lit(0).cast("long"))
+        ).alias("n_events"),
+        F.coalesce(F.col("__sf"), first["us"]).alias("first_us"),
+        F.when(
+            ~in_order, out_of_order_raise("twap_fold_batch").cast(_DEC)
+        ).otherwise(folded["num"]).alias("num"),
+        F.coalesce(last["us"], F.col("__su")).alias("last_us"),
+        F.coalesce(last["tb"], F.col("__st")).alias("last_tb"),
+        F.coalesce(last["v"], F.col("__sv")).alias("last_cents"),
+    )
+
+
+def present_twap_state(state: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Project the carried fold state to the graded TWAP shape — the
+    SAME filter and truncating division as the one-shot operator, so
+    the maintenance identity is checkable at the output schema."""
+    return (
+        state.filter(
+            (F.col("n_events") >= 2) & (F.col("last_us") > F.col("first_us"))
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_events",
+            (F.col("last_us") - F.col("first_us")).alias("span_us"),
+            F.expr(
+                "CAST(num div (last_us - first_us) AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+    )
+
+
+def incremental_twap_batches(
+    batches: list[DataFrame],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold a time-ordered batch sequence through ``twap_fold_batch``
+    and present (key, n_events, span_us, twap_cents) — must equal
+    ``time_weighted_avg`` over the union for ANY time-split batching
+    (the ordered-fold maintenance identity; the one-shot IS the
+    oracle). localCheckpoint per round, the iterative house rule."""
+    state = None
+    for batch in batches:
+        state = twap_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ).localCheckpoint()
+    assert state is not None, "need at least one batch"
+    return present_twap_state(state, key_col)

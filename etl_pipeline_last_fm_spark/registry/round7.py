@@ -424,6 +424,50 @@ def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_twap_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold maintenance identity for the LOCF time-weighted
+    average (operators/segments.py incremental_twap_batches): member #5
+    of the order-dependent IVM tier — the integral telescopes across
+    batch boundaries through the bridge segment last_cents·Δµs, so the
+    folded state must equal the one-shot ``time_weighted_avg`` for any
+    time-split batching (the oracle; out-of-order batches raise)."""
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        incremental_twap_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c1, c2 = _EMA_CUTS
+    batches = [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+    return incremental_twap_batches(batches)
+
+
+def q_streaming_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `twap_fold` (streaming/ivm.py): the single-state
+    versioned-commit protocol over the same time-sliced availableNow
+    stream. Oracle: the one-shot time_weighted_avg."""
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        present_twap_state,
+    )
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_twap_state,
+        streaming_twap_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_twap_maintenance(
+            stream, state, checkpoint=ck
+        ),
+        read_twap_state,
+        present_twap_state,
+    )
+
+
 QUERIES = {
     "streaming_ema": q_streaming_ema,
     "link_prediction_capped": q_link_prediction_capped,
@@ -440,6 +484,8 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "benford_profile": q_benford_profile,
     "supplier_concentration": q_supplier_concentration,
+    "twap_fold": q_twap_fold,
+    "streaming_twap": q_streaming_twap,
 }
 
 
@@ -552,4 +598,8 @@ def oracles() -> dict[str, str]:
         "time_weighted_avg": time_weighted_avg_oracle_sql(),
         "benford_profile": _benford_oracle_sql(),
         "supplier_concentration": _supplier_concentration_oracle_sql(),
+        # The one-shot TWAP is the oracle for its fold and stream twins
+        # (ordered-fold maintenance identity, member #5).
+        "twap_fold": time_weighted_avg_oracle_sql(),
+        "streaming_twap": time_weighted_avg_oracle_sql(),
     }

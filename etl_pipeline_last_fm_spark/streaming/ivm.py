@@ -266,6 +266,61 @@ def read_ema_state(spark: SparkSession, state_path: str) -> DataFrame:
     return _strip_bid(read_latest_state(spark, state_path))
 
 
+def twap_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """Fold ONE micro-batch into the per-key TWAP state (key, n_events,
+    first_us, num, last_us, last_tb, last_cents) under the single-state
+    protocol — ordered-fold member #5 (operators/segments.py
+    twap_fold_batch)."""
+    from etl_pipeline_last_fm_spark.operators.segments import twap_fold_batch
+
+    _single_state_stream_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        lambda state, batch: twap_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ),
+    )
+
+
+def streaming_twap_maintenance(
+    event_stream: DataFrame,
+    state_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Maintain the per-key LOCF time-weighted-average state over a
+    time-ordered event stream (same contract as
+    streaming_ema_maintenance; read with ``read_twap_state`` and
+    present with operators/segments.present_twap_state)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        twap_fold_stream_batch(
+            batch_df, batch_id, state_path, key_col, ts_col, value_col,
+            tiebreak_col,
+        )
+
+    writer = event_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_twap_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(read_latest_state(spark, state_path))
+
+
 def cusum_fold_stream_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -189,3 +189,29 @@ def test_rfm_tiles_match_python_ntile(spark, streams):
             by_user[u]["rfm_code"]
             == want_r[u] * 100 + want_f[u] * 10 + want_m[u]
         )
+
+
+@given(streams=streams_strategy, cut=st.integers(0, 12))
+@settings(**SETTINGS)
+def test_twap_fold_maintenance_identity_any_split(spark, streams, cut):
+    """Ordered-fold member #5: for ANY ascending time split, the folded
+    TWAP state presents exactly the one-shot time_weighted_avg (the
+    integral telescopes across the batch boundary through the bridge
+    segment) — including empty slices and the negative-cents path."""
+    from datetime import datetime, timedelta
+
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        incremental_twap_batches,
+        time_weighted_avg,
+    )
+
+    rows = _event_rows(streams)
+    df = _mk_events(spark, rows)
+    cut_ts = datetime(2024, 1, 1) + timedelta(minutes=cut)
+    batches = [
+        df.filter(df.ts < cut_ts.isoformat(sep=" ")),
+        df.filter(df.ts >= cut_ts.isoformat(sep=" ")),
+    ]
+    got = sorted(map(tuple, incremental_twap_batches(batches).collect()))
+    want = sorted(map(tuple, time_weighted_avg(df).collect()))
+    assert got == want
