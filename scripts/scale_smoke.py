@@ -776,12 +776,32 @@ def round7b_wave(spark, ev_typed, n_events: int) -> None:
     )
     t_hhi = time.perf_counter() - t0
 
+    # TWAP ordered fold (IVM member #5): 3 time-slice batches.
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        incremental_twap_batches,
+    )
+
+    base = 1_700_000_000_000_000
+    c1 = base + (n_events * 47_000_000) // 3
+    c2 = base + (2 * n_events * 47_000_000) // 3
+    us = F.unix_micros(F.col("ts"))
+    t0 = time.perf_counter()
+    n_tf = incremental_twap_batches(
+        [
+            ev_typed.filter(us < c1),
+            ev_typed.filter((us >= c1) & (us < c2)),
+            ev_typed.filter(us >= c2),
+        ]
+    ).count()
+    t_tf = time.perf_counter() - t0
+
     print(
         f"round-7b wave: token-entropy {t_te:.1f}s ({n_te} docs), "
         f"rfm {t_rfm:.1f}s ({n_rfm} users), "
         f"twap {t_tw:.1f}s ({n_tw} users), "
         f"benford {t_bf:.1f}s ({n_bf} digits), "
-        f"hhi {t_hhi:.1f}s ({n_hhi} nations)"
+        f"hhi {t_hhi:.1f}s ({n_hhi} nations), "
+        f"twap-fold {t_tf:.1f}s ({n_tf} users)"
     )
 
 

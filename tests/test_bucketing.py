@@ -345,3 +345,52 @@ def test_bucketed_attribution_state_fold_matches_one_shot(spark, sf_dir):
         assert "Bucketed: true" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS attr_state")
+
+
+def test_bucketed_and_versioned_twap_state_folds(spark, sf_dir):
+    """Ordered-fold member #5 (TWAP) takes BOTH generic layouts: the
+    maintenance identity against the one-shot time_weighted_avg holds
+    through the bucketed overwrite table AND the versioned append-only
+    table (decimal(38,0) integral surviving the parquet rounds), the
+    next-round fold term consumes the bucketed state exchange-free, and
+    the versioned table's row count is O(batch keys)."""
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        incremental_twap_batches_bucketed,
+        incremental_twap_batches_versioned,
+        time_weighted_avg,
+        twap_fold_batch,
+    )
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        read_versioned_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batches = _time_slices(ev)
+    want = sorted(map(tuple, time_weighted_avg(ev).collect()))
+    try:
+        got = incremental_twap_batches_bucketed(
+            spark, batches, "twap_state", n_buckets=8
+        )
+        assert sorted(map(tuple, got.collect())) == want
+        term = twap_fold_batch(spark.table("twap_state"), batches[2])
+        plan = _plan(term)
+        assert "SortMergeJoin FullOuter" in plan, plan
+        assert plan.count("Exchange") == 2, plan  # batch agg only
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS twap_state")
+    try:
+        got = incremental_twap_batches_versioned(
+            spark, batches, "twap_vstate", n_buckets=8
+        )
+        assert sorted(map(tuple, got.collect())) == want
+        n_rows = spark.table("twap_vstate").count()
+        per_batch_keys = sum(
+            b.select("user_id").distinct().count() for b in batches
+        )
+        assert n_rows == per_batch_keys
+        plan = _plan(read_versioned_state(spark, "twap_vstate"))
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS twap_vstate")
