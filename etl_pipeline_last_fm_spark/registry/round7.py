@@ -468,6 +468,104 @@ def q_streaming_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification of parts: rank by revenue
+    descending (tie-pinned by partkey), class A = parts inside the first
+    80% of cumulative revenue, B inside 95%, C the tail — the classic
+    inventory-prioritization cut. The class boundaries are EXACT integer
+    cross-multiplies (cum·100 <= 80·total on decimal(38,0) — no division
+    anywhere near the boundary, so a part can never flip class between
+    engines); the output is the 3-row class summary with each class's
+    exact member count, revenue and truncated ppm share.
+
+    Scale shape: one part-keyed aggregate over lineitem (the only
+    big-table pass), then a cumulative window over the PART DIMENSION —
+    dimension-sized like rfm_segments' ntile; at 1e9+ parts the same
+    cuts come from a two-phase prefix sum (the pack_sequences device),
+    the documented swap."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_last_fm_spark.registry.extras import _rev4_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev4_col()).alias("rev4"))
+    total = per_part.agg(F.sum("rev4").alias("__total"))
+    w = (
+        Window.orderBy(F.col("rev4").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classed = (
+        per_part.withColumn("__cum", F.sum("rev4").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rev4",
+            F.when(
+                F.expr(
+                    "CAST(__cum AS DECIMAL(38,0)) * 100"
+                    " <= CAST(__total AS DECIMAL(38,0)) * 80"
+                ),
+                F.lit("A"),
+            )
+            .when(
+                F.expr(
+                    "CAST(__cum AS DECIMAL(38,0)) * 100"
+                    " <= CAST(__total AS DECIMAL(38,0)) * 95"
+                ),
+                F.lit("B"),
+            )
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "__total",
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev4").alias("class_rev4"),
+        F.expr(
+            "CAST((CAST(SUM(rev4) AS DECIMAL(38,0)) * 1000000)"
+            " div MAX(__total) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def _abc_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                          AS BIGINT))) AS BIGINT) AS rev4
+            FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(rev4) AS HUGEINT) AS total FROM per),
+        c AS (
+            SELECT rev4,
+                   SUM(rev4) OVER (
+                       ORDER BY rev4 DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   total
+            FROM per, t
+        ),
+        cls AS (
+            SELECT rev4, total,
+                   CASE WHEN CAST(cum AS HUGEINT) * 100 <= total * 80
+                        THEN 'A'
+                        WHEN CAST(cum AS HUGEINT) * 100 <= total * 95
+                        THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev4) AS BIGINT) AS class_rev4,
+               CAST(CAST(SUM(rev4) AS HUGEINT) * 1000000 // MAX(total)
+                    AS BIGINT) AS share_ppm
+        FROM cls GROUP BY 1
+    """
+
+
 QUERIES = {
     "streaming_ema": q_streaming_ema,
     "link_prediction_capped": q_link_prediction_capped,
@@ -486,6 +584,7 @@ QUERIES = {
     "supplier_concentration": q_supplier_concentration,
     "twap_fold": q_twap_fold,
     "streaming_twap": q_streaming_twap,
+    "abc_classification": q_abc_classification,
 }
 
 
@@ -602,4 +701,5 @@ def oracles() -> dict[str, str]:
         # (ordered-fold maintenance identity, member #5).
         "twap_fold": time_weighted_avg_oracle_sql(),
         "streaming_twap": time_weighted_avg_oracle_sql(),
+        "abc_classification": _abc_oracle_sql(),
     }
