@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-182/182 oracle-paired (same column names; computed columns aliased on both
+183/183 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -274,14 +274,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
         # --- round-7 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-8 rotation (18
+        # New this round, first in line for the round-8 rotation (19
         # entries): the order-dependent IVM tier (EMA, CUSUM, last-touch
         # and time-decay attribution, and TWAP frontier folds and their
         # versioned-commit streaming twins), the hub-capped
         # link-prediction scale path, bigram LM scoring, and the 7b
         # analytics wave (token entropy, RFM segmentation, LOCF
         # time-weighted average, Benford first-digit audit, HHI revenue
-        # concentration, ABC/Pareto classification). All oracle-paired; all run in
+        # concentration, ABC/Pareto classification, negative-edge sampling). All oracle-paired; all run in
         # tests/test_oracle_parity.py at sf0.001 every pytest run until
         # they earn driver rows.
         "streaming_ema": _ALL["streaming_ema"],
@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_fold": _ALL["twap_fold"],
         "streaming_twap": _ALL["streaming_twap"],
         "abc_classification": _ALL["abc_classification"],
+        "negative_edges": _ALL["negative_edges"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -934,3 +934,104 @@ def link_prediction_oracle_sql(
         ORDER BY jaccard_ppm DESC, u, v
         LIMIT {top_k}
     """
+
+
+def negative_edges(edges: DataFrame, k: int = 4, salt: str = "negedge") -> DataFrame:
+    """Deterministic NEGATIVE sampling over an undirected canonical
+    (a < b) edge list — the training-data complement of the link
+    predictor: a link-prediction model trains on real edges plus
+    reproducible NON-edges, and this generator proposes ``k``
+    hash-derived candidate partners per node (portable_hash60 over
+    (salt, node, trial) — same salt, same sample, on every run and
+    executor; re-salting re-draws, the epoch_shuffle determinism
+    discipline), maps them through the dense node index, and anti-joins
+    the real edges away. Output: distinct canonical (a, b) non-edges.
+
+    Scale shape: nodes×k candidate rows from one explode, ONE join to
+    map index→node id (both sides node-dimension-sized), one anti-join
+    against the edge list — everything linear in nodes·k + edges. The
+    dense index uses a global row_number over the NODE dimension (the
+    same dimension-sized-window argument as rfm_segments' ntile; the
+    1e9-node swap is the two-phase prefix-sum numbering of
+    operators/surrogate.py)."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60
+
+    if k < 1:
+        raise ValueError(f"negative_edges needs k >= 1, got {k}")
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    w = Window.orderBy("node")
+    indexed = nodes.withColumn("__idx", (F.row_number().over(w) - 1).cast("long"))
+    n = indexed.agg(F.count(F.lit(1)).alias("__n"))
+    cand = (
+        indexed.crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__t"),
+        )
+        .select(
+            "node",
+            F.pmod(
+                portable_hash60(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("node"), F.col("__t")
+                    )
+                ),
+                F.col("__n"),
+            ).alias("__cand_idx"),
+        )
+    )
+    partner = indexed.select(
+        F.col("node").alias("__v"), F.col("__idx").alias("__cand_idx")
+    )
+    paired = (
+        cand.join(partner, "__cand_idx")
+        .filter(F.col("node") != F.col("__v"))
+        .select(
+            F.least("node", "__v").alias("a"),
+            F.greatest("node", "__v").alias("b"),
+        )
+        .distinct()
+    )
+    return paired.join(edges, ["a", "b"], "left_anti")
+
+
+def negative_edges_oracle_sql(edge_sql: str, k: int = 4, salt: str = "negedge") -> str:
+    """DuckDB twin of ``negative_edges``: identical portable-hash
+    candidate derivation, dense index, and anti-join."""
+    from etl_pipeline_last_fm_spark.functions.scalar import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        f"concat_ws(':', '{salt}', CAST(node AS VARCHAR), CAST(t AS VARCHAR))"
+    )
+    return f"""
+        WITH e AS MATERIALIZED ({edge_sql}),
+        nodes AS (
+            SELECT a AS node FROM e UNION SELECT b AS node FROM e
+        ),
+        idx AS (
+            SELECT node,
+                   CAST(ROW_NUMBER() OVER (ORDER BY node) - 1 AS BIGINT)
+                       AS i
+            FROM nodes
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+        cand AS (
+            SELECT idx.node, {h} % n AS ci
+            FROM idx, nn, unnest(generate_series(1, {k})) AS s(t)
+        ),
+        paired AS (
+            SELECT DISTINCT LEAST(c.node, v.node) AS a,
+                            GREATEST(c.node, v.node) AS b
+            FROM cand c JOIN idx v ON v.i = c.ci
+            WHERE c.node <> v.node
+        )
+        SELECT a, b FROM paired
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.a = paired.a AND e.b = paired.b
+        )
+    """

@@ -566,6 +566,26 @@ def _abc_oracle_sql() -> str:
     """
 
 
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling over the SAME 1996
+    co-purchase graph as the link-prediction entries
+    (operators/graph.py negative_edges): k=4 hash-derived candidate
+    partners per node, dense-index mapped, real edges anti-joined away —
+    the reproducible non-edge set a link-prediction trainer pairs with
+    the positive edges."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        negative_edges,
+    )
+    from etl_pipeline_last_fm_spark.registry.round6 import (
+        copurchase_1996_order_parts,
+    )
+
+    return negative_edges(
+        copurchase_edges(copurchase_1996_order_parts(spark, sf_dir)), k=4
+    )
+
+
 QUERIES = {
     "streaming_ema": q_streaming_ema,
     "link_prediction_capped": q_link_prediction_capped,
@@ -585,6 +605,7 @@ QUERIES = {
     "twap_fold": q_twap_fold,
     "streaming_twap": q_streaming_twap,
     "abc_classification": q_abc_classification,
+    "negative_edges": q_negative_edges,
 }
 
 
@@ -663,6 +684,7 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.graph import (
         link_prediction_oracle_sql,
+        negative_edges_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.text import (
         lm_score_bigram_oracle_sql,
@@ -702,4 +724,8 @@ def oracles() -> dict[str, str]:
         "twap_fold": time_weighted_avg_oracle_sql(),
         "streaming_twap": time_weighted_avg_oracle_sql(),
         "abc_classification": _abc_oracle_sql(),
+        # Same 1996 co-purchase graph as the link-prediction entries.
+        "negative_edges": negative_edges_oracle_sql(
+            _COPURCHASE_1996_SQL, k=4
+        ),
     }
