@@ -795,13 +795,55 @@ def round7b_wave(spark, ev_typed, n_events: int) -> None:
     ).count()
     t_tf = time.perf_counter() - t0
 
+    # ABC shape: key aggregate + dim-sized cumulative window + class agg.
+    from pyspark.sql import Window
+
+    t0 = time.perf_counter()
+    per = fact.groupBy("supp").agg(F.sum("rev").alias("rev4"))
+    tot = per.agg(F.sum("rev4").alias("__t"))
+    wcum = Window.orderBy(F.col("rev4").desc(), F.col("supp").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_abc = (
+        per.withColumn("__cum", F.sum("rev4").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("__cum") * 100 <= F.col("__t") * 80, "A")
+            .when(F.col("__cum") * 100 <= F.col("__t") * 95, "B")
+            .otherwise("C")
+            .alias("c")
+        )
+        .groupBy("c")
+        .count()
+        .count()
+    )
+    t_abc = time.perf_counter() - t0
+
+    # Negative-edge sampling on the synthetic co-purchase graph.
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        negative_edges,
+    )
+
+    m = max(n_events // 10, 1000)
+    n_items = max(m // 20, 10)
+    op = spark.range(m).select(
+        (F.col("id") / 5).cast("long").alias("l_orderkey"),
+        F.pmod(F.xxhash64(F.col("id") + 41), F.lit(n_items)).alias("l_partkey"),
+    )
+    t0 = time.perf_counter()
+    n_neg = negative_edges(copurchase_edges(op), k=4).count()
+    t_neg = time.perf_counter() - t0
+
     print(
         f"round-7b wave: token-entropy {t_te:.1f}s ({n_te} docs), "
         f"rfm {t_rfm:.1f}s ({n_rfm} users), "
         f"twap {t_tw:.1f}s ({n_tw} users), "
         f"benford {t_bf:.1f}s ({n_bf} digits), "
         f"hhi {t_hhi:.1f}s ({n_hhi} nations), "
-        f"twap-fold {t_tf:.1f}s ({n_tf} users)"
+        f"twap-fold {t_tf:.1f}s ({n_tf} users), "
+        f"abc {t_abc:.1f}s ({n_abc} classes), "
+        f"neg-edges {t_neg:.1f}s ({n_neg} non-edges)"
     )
 
 

@@ -124,3 +124,53 @@ def test_supplier_concentration_bounds_and_monopoly(spark, sf_dir):
     mono = [r for r in rows if r.n_suppliers == 1]
     for r in mono:
         assert r.hhi_ppm2 == 1_000_000_000_000
+
+
+def test_abc_classification_partitions_and_orders(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = {r.abc_class: r for r in m.q_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    # Shares are truncated ppm of a partition: sum in (1e6 - 3, 1e6].
+    total_share = sum(r.share_ppm for r in rows.values())
+    assert 1_000_000 - 3 < total_share <= 1_000_000
+    # Class boundaries: cumulative ordering means avg revenue per part
+    # is non-increasing A -> B -> C.
+    if "B" in rows and "C" in rows:
+        avg = {
+            c: rows[c].class_rev4 / rows[c].n_parts for c in ("A", "B", "C")
+        }
+        assert avg["A"] >= avg["B"] >= avg["C"]
+
+
+def test_negative_edges_disjoint_canonical_and_salted(spark, sf_dir):
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        copurchase_edges,
+        negative_edges,
+    )
+    from etl_pipeline_last_fm_spark.registry.round6 import (
+        copurchase_1996_order_parts,
+    )
+
+    edges = copurchase_edges(
+        copurchase_1996_order_parts(spark, sf_dir)
+    ).localCheckpoint()
+    neg = negative_edges(edges, k=3)
+    neg_rows = {(r.a, r.b) for r in neg.collect()}
+    assert neg_rows  # non-vacuous
+    # Canonical orientation and true disjointness from the edge list.
+    assert all(a < b for a, b in neg_rows)
+    pos_rows = {(r.a, r.b) for r in edges.collect()}
+    assert not (neg_rows & pos_rows)
+    # Deterministic: same salt reproduces; a new salt re-draws.
+    again = {(r.a, r.b) for r in negative_edges(edges, k=3).collect()}
+    assert again == neg_rows
+    other = {(r.a, r.b) for r in negative_edges(edges, k=3, salt="s2").collect()}
+    assert other != neg_rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 1"):
+        negative_edges(edges, k=0)
