@@ -389,3 +389,42 @@ def test_decay_attribution_stream_two_state_protocol(spark, tmp_path):
     decay_attribution_fold_stream_batch(slices[2], 2, root)
     got2 = sorted(map(tuple, read_attribution_state(spark, root).collect()))
     assert got2 == want
+
+
+def test_twap_stream_fold_identity_replay_and_out_of_order(spark, tmp_path):
+    """TWAP streaming twin (ordered-fold member #5), same single-state
+    protocol: presented state == the one-shot time_weighted_avg; replays
+    no-op (the integral is NOT idempotent — double-folding a batch would
+    double its segments); out-of-order batches raise without committing;
+    a key absent from a middle batch carries its state (and its open
+    segment bridges the gap)."""
+    import pytest
+
+    from etl_pipeline_last_fm_spark.operators.segments import (
+        present_twap_state,
+        time_weighted_avg,
+    )
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_twap_state,
+        twap_fold_stream_batch,
+    )
+
+    path = str(tmp_path / "twap")
+    slices = _ema_slices(spark)
+    twap_fold_stream_batch(slices[0], 0, path)
+    twap_fold_stream_batch(slices[0], 0, path)  # replay
+    stale = _ev(spark, [(1, 9, 1, 99.0)])  # at/before user 1's frontier
+    with pytest.raises(Exception, match="out-of-order"):
+        twap_fold_stream_batch(stale, 1, path)
+    twap_fold_stream_batch(slices[1], 1, path)
+    twap_fold_stream_batch(slices[1].limit(0), 2, path)  # empty batch
+    twap_fold_stream_batch(slices[2], 3, path)
+    twap_fold_stream_batch(slices[2], 3, path)  # replay
+    got = sorted(
+        map(tuple, present_twap_state(read_twap_state(spark, path)).collect())
+    )
+    union = slices[0]
+    for s in slices[1:]:
+        union = union.unionByName(s)
+    want = sorted(map(tuple, time_weighted_avg(union).collect()))
+    assert got == want
