@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-183/183 oracle-paired (same column names; computed columns aliased on both
+189/189 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -39,6 +39,7 @@ from etl_pipeline_last_fm_spark.registry import (
     round5,
     round6,
     round7,
+    round7c,
 )
 
 SF001 = "/root/testdata/sf0.001"
@@ -53,6 +54,7 @@ _ALL = {
     **round5.QUERIES,
     **round6.QUERIES,
     **round7.QUERIES,
+    **round7c.QUERIES,
 }
 
 # Back-compat: tests and tooling address queries as module attributes
@@ -274,15 +276,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
         # --- round-7 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-8 rotation (19
+        # New this round, first in line for the round-8 rotation (25
         # entries): the order-dependent IVM tier (EMA, CUSUM, last-touch
         # and time-decay attribution, and TWAP frontier folds and their
         # versioned-commit streaming twins), the hub-capped
         # link-prediction scale path, bigram LM scoring, and the 7b
         # analytics wave (token entropy, RFM segmentation, LOCF
         # time-weighted average, Benford first-digit audit, HHI revenue
-        # concentration, ABC/Pareto classification, negative-edge sampling). All oracle-paired; all run in
-        # tests/test_oracle_parity.py at sf0.001 every pytest run until
+        # concentration, ABC/Pareto classification, negative-edge
+        # sampling), and the 7c wave (Holt smoothing, clustering
+        # coefficient, Durbin–Watson, skyline). All oracle-paired; all run
+        # in tests/test_oracle_parity.py at sf0.001 every pytest run until
         # they earn driver rows.
         "streaming_ema": _ALL["streaming_ema"],
         "link_prediction_capped": _ALL["link_prediction_capped"],
@@ -303,6 +307,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_twap": _ALL["streaming_twap"],
         "abc_classification": _ALL["abc_classification"],
         "negative_edges": _ALL["negative_edges"],
+        # 7c extension wave (appended to the same queue): Holt linear
+        # smoothing as ordered-fold IVM member #6 (one-shot + fold +
+        # streaming twin), per-node clustering coefficient on the 1996
+        # co-purchase graph, the Durbin–Watson serial-correlation
+        # statistic, and the bucketed 2-D skyline (Pareto frontier).
+        "holt_smooth": _ALL["holt_smooth"],
+        "holt_fold": _ALL["holt_fold"],
+        "streaming_holt": _ALL["streaming_holt"],
+        "clustering_coefficient": _ALL["clustering_coefficient"],
+        "durbin_watson": _ALL["durbin_watson"],
+        "skyline_parts": _ALL["skyline_parts"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree
@@ -318,4 +333,5 @@ def oracle_sql() -> dict[str, str]:
         **round5.oracles(),
         **round6.oracles(),
         **round7.oracles(),
+        **round7c.oracles(),
     }

@@ -882,3 +882,288 @@ def cusum_alarms_oracle_sql(
         FROM lagged
         GROUP BY user_id
     """
+
+
+# --- Holt linear (double-exponential) smoothing fold (round 7c) ---------
+
+
+def _holt_step(acc, e):
+    """ONE Holt step with α = β = ½ over the (level, trend) accumulator:
+        l' = (l + t + v) div 2          (level: half new obs, half forecast)
+        t' = (l' − l + t) div 2         (trend: half step delta, half prior)
+    Both divisions truncate toward zero on BOTH engines (Spark's
+    double→long cast, DuckDB's integer ``//`` — the _halve contract), so
+    the whole (level, trend) trajectory stays bit-identical in exact
+    integer cents, including through negative refund values. Shared by
+    the one-shot fold and the batch fold so the maintenance identity
+    cannot drift."""
+    l2 = ((acc["l"] + acc["t"] + e["v"]) / F.lit(2)).cast("long")
+    t2 = ((l2 - acc["l"] + acc["t"]) / F.lit(2)).cast("long")
+    return F.struct(l2.alias("l"), t2.alias("t"))
+
+
+def _holt_acc(l_col, t_col) -> F.Column:
+    """(level, trend) accumulator struct with zero init (empty history
+    forecasts 0 — the ema_halflife zero-init convention)."""
+    return F.struct(
+        F.coalesce(l_col, F.lit(0)).cast("long").alias("l"),
+        F.coalesce(t_col, F.lit(0)).cast("long").alias("t"),
+    )
+
+
+def holt_linear(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Holt LINEAR (double-exponential) smoothing with
+    α = β = ½ and zero init — the trend-aware sibling of ema_halflife:
+    the carried state is the PAIR (level, trend), updated per event by
+    ``_holt_step``, and the one-step-ahead forecast is level + trend.
+    Like the EMA this is order-dependent (the aggregation class
+    SUM/AVG cannot express); unlike it the state is 2-dimensional,
+    which is exactly what makes it the next rung of the ordered-fold
+    ladder — the fold/streaming twins carry a struct, not a scalar.
+
+    Plan shape: identical to ema_halflife — one shuffle to the key,
+    array_sort(collect_list) for the shuffle-order-proof ordering, the
+    recurrence folded inside codegen by F.aggregate. Per-key state is
+    two longs; per-key cost is the key's own history. Oracle:
+    list_reduce over a struct accumulator (holt_linear_oracle_sql)."""
+    b = _ema_batch_state(events, key_col, ts_col, value_col, tiebreak_col)
+    folded = F.aggregate(
+        "__a", _holt_acc(F.lit(None), F.lit(None)), _holt_step
+    )
+    return b.select(
+        F.col("key").alias(key_col),
+        F.size("__a").cast("long").alias("n_events"),
+        folded["l"].alias("level_cents"),
+        folded["t"].alias("trend_cents"),
+        (folded["l"] + folded["t"]).alias("forecast_cents"),
+    )
+
+
+def holt_linear_oracle_sql(table: str = "events") -> str:
+    """DuckDB twin of ``holt_linear``: the same zero-init (level, trend)
+    recurrence as a RECURSIVE CTE stepping through each key's ordered
+    value list. NOT list_reduce: DuckDB's list_reduce evaluates a struct
+    accumulator's fields sequentially IN PLACE, so a field computed
+    earlier in the literal clobbers the acc value a later field reads —
+    the trend update would see the NEW level where the recurrence needs
+    the old one (verified divergence; the CTE carries both fields of a
+    step atomically instead)."""
+    return f"""
+        WITH RECURSIVE lists AS (
+            SELECT user_id,
+                   list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ORDER BY epoch_us(ts), event_id) AS l
+            FROM {table}
+            GROUP BY user_id
+        ),
+        steps AS (
+            SELECT user_id, 0 AS i,
+                   CAST(0 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS trd, l
+            FROM lists
+            UNION ALL
+            SELECT user_id, i + 1,
+                   (lvl + trd + l[i + 1]) // 2,
+                   (((lvl + trd + l[i + 1]) // 2) - lvl + trd) // 2,
+                   l
+            FROM steps
+            WHERE i < LEN(l)
+        )
+        SELECT user_id,
+               CAST(LEN(l) AS BIGINT) AS n_events,
+               CAST(lvl AS BIGINT) AS level_cents,
+               CAST(trd AS BIGINT) AS trend_cents,
+               CAST(lvl + trd AS BIGINT) AS forecast_cents
+        FROM steps
+        WHERE i = LEN(l)
+    """
+
+
+def holt_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold one time-slice batch into per-key Holt (level, trend) state —
+    order-dependent IVM member #6, and the first whose carried numeric
+    state is a VECTOR (the 2-dimensional (l, t) pair) rather than a
+    scalar or a bounded set. Same devices as ema_fold_batch: the shared
+    scaffold (frontier_ordered_join), the delivery contract, and the
+    fail-loud raise on out-of-order batches — guarded on level_cents,
+    the column every consumer keeps. Composition identity:
+    fold(fold(s, A), B) == fold(s, A++B) for time-split batches; the
+    one-shot ``holt_linear`` is the oracle.
+
+    State schema: (key, n_events, level_cents, trend_cents, max_us,
+    max_tb)."""
+    b = _ema_batch_state(batch, key_col, ts_col, value_col, tiebreak_col)
+    last = F.element_at("__a", F.size("__a"))
+    if state is None:
+        folded = F.aggregate(
+            "__a", _holt_acc(F.lit(None), F.lit(None)), _holt_step
+        )
+        return b.select(
+            "key",
+            F.size("__a").cast("long").alias("n_events"),
+            folded["l"].alias("level_cents"),
+            folded["t"].alias("trend_cents"),
+            last["us"].alias("max_us"),
+            last["tb"].alias("max_tb"),
+        )
+    s = state.select(
+        "key",
+        F.col("n_events").alias("__sn"),
+        F.col("level_cents").alias("__sl"),
+        F.col("trend_cents").alias("__stt"),
+        F.col("max_us").alias("__su"),
+        F.col("max_tb").alias("__st"),
+    )
+    j, in_order = frontier_ordered_join(s, b)
+    init = _holt_acc(F.col("__sl"), F.col("__stt"))
+    folded = F.aggregate(F.coalesce(F.col("__a"), F.array()), init, _holt_step)
+    return j.select(
+        "key",
+        (F.coalesce(F.col("__sn"), F.lit(0).cast("long"))
+         + F.coalesce(F.size("__a").cast("long"), F.lit(0).cast("long")))
+        .alias("n_events"),
+        F.when(
+            ~in_order,
+            out_of_order_raise("holt_fold_batch").cast("long"),
+        ).otherwise(folded["l"]).alias("level_cents"),
+        folded["t"].alias("trend_cents"),
+        F.coalesce(last["us"], F.col("__su")).alias("max_us"),
+        F.coalesce(last["tb"], F.col("__st")).alias("max_tb"),
+    )
+
+
+def present_holt_state(state: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Graded output shape of the Holt state: (key, n_events,
+    level_cents, trend_cents, forecast_cents) — forecast derived at
+    presentation so the carried state stays minimal."""
+    return state.select(
+        F.col("key").alias(key_col),
+        "n_events",
+        "level_cents",
+        "trend_cents",
+        (F.col("level_cents") + F.col("trend_cents")).alias("forecast_cents"),
+    )
+
+
+def incremental_holt_batches(
+    batches: list[DataFrame],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Fold a time-ordered batch sequence through ``holt_fold_batch`` and
+    present the ``holt_linear`` shape — must equal the one-shot for ANY
+    time-split batching (ordered-fold maintenance identity, member #6).
+    localCheckpoint per round truncates the state lineage."""
+    state = None
+    for batch in batches:
+        state = holt_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ).localCheckpoint()
+    assert state is not None, "need at least one batch"
+    return present_holt_state(state, key_col)
+
+
+# --- Durbin–Watson serial-correlation statistic (round 7c) --------------
+
+
+def durbin_watson(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Durbin–Watson statistic of the (ts, tiebreak)-ordered
+    value series — the classic serial-correlation screen (DW ≈ 2(1 − r₁):
+    ~2 means uncorrelated, →0 positive, →4 negative autocorrelation),
+    here of the raw series about its mean. Computed ENTIRELY in integers
+    and presented as exact ppm via the cross-multiplied closed form
+        dw_ppm = n·Σ(Δy)²·10⁶  div  (n·Σy² − (Σy)²)
+    (the denominator is n·Σ(y−ȳ)² — no float mean is ever formed). Every
+    sum is widened to decimal(38,0) UNCONDITIONALLY (house rule): Δy² is
+    ~1e14 at cents scale, so n·Σ(Δy)²·10⁶ passes 2^63 already at sf0.1.
+    Keys with zero variance (or a single event) emit NULL via NULLIF —
+    no DIVIDE_BY_ZERO aborts under ANSI.
+
+    Plan shape: one lag window and one hash aggregate sharing the same
+    (key, us, tiebreak) sort — per-key cost is the key's own history;
+    nothing global anywhere."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+
+    y = half_up_round(F.col(value_col) * 100).cast("long")
+    us = ts_us(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(tiebreak_col).asc())
+    lagged = events.select(
+        F.col(key_col).alias("__k"),
+        y.alias("__y"),
+        F.lag(y, 1).over(w).alias("__prev"),
+    )
+    d38 = "decimal(38,0)"
+    agged = lagged.groupBy(F.col("__k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(F.col("__y").cast(d38)).alias("__sy"),
+        F.sum((F.col("__y") * F.col("__y")).cast(d38)).alias("__syy"),
+        F.sum(
+            (
+                (F.col("__y") - F.col("__prev"))
+                * (F.col("__y") - F.col("__prev"))
+            ).cast(d38)
+        ).alias("__sd2"),
+    )
+    return agged.select(
+        key_col,
+        F.col("__n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(__n * COALESCE(__sd2, 0) * 1000000"
+            " div NULLIF(__n * __syy - __sy * __sy, 0) AS BIGINT)"
+        ).alias("dw_ppm"),
+    )
+
+
+def durbin_watson_oracle_sql(table: str = "events") -> str:
+    """DuckDB twin: identical integer closed form in HUGEINT (whose //
+    matches decimal div — house rule); the lag runs in the same
+    (epoch-µs, tiebreak) window order."""
+    return f"""
+        WITH lagged AS (
+            SELECT user_id, y,
+                   lag(y) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS prev
+            FROM (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+                FROM {table}
+            )
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(y * y) AS HUGEINT) AS syy,
+                   CAST(COALESCE(SUM((y - prev) * (y - prev)), 0)
+                        AS HUGEINT) AS sd2
+            FROM lagged
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n * sd2 * 1000000
+                    // NULLIF(n * syy - sy * sy, 0) AS BIGINT) AS dw_ppm
+        FROM s
+    """

@@ -1,0 +1,194 @@
+"""Round-7c additions. Ordering lives in __spark_entry__.py; this module
+only implements.
+
+- ``holt_smooth`` / ``holt_fold`` / ``streaming_holt``: Holt linear
+  (double-exponential) smoothing — order-dependent IVM member #6, the
+  first whose carried numeric state is a 2-vector (level, trend). Exact
+  integer trajectory at α = β = ½; the fold and streaming twins ride the
+  shared scaffold and single-state versioned-commit protocol, and the
+  one-shot is their oracle (the maintenance identity).
+- ``clustering_coefficient``: per-node local clustering coefficient on
+  the SAME 1996 co-purchase graph as the link-prediction entries —
+  the node-level refinement of the global triangle census.
+- ``durbin_watson``: per-key serial-correlation statistic of the ordered
+  value series in exact cross-multiplied ppm — the residual-diagnostics
+  rung next to trend_fit's slope.
+- ``skyline_parts``: the 2-D skyline (Pareto frontier) of parts on
+  (retail price minimized, size maximized) — the dominance filter, built
+  on cost buckets + a broadcast carry instead of the textbook global
+  window (operators/skyline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.registry.round6 import EMA_CUTS as _EMA_CUTS
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+#: Cost-bucket width for the parts skyline: $10 buckets over the ~[900,
+#: 2000]-dollar retail price range give ~110 buckets — enough fan-out for
+#: every core at bench SF, and semantics-free (any width yields the same
+#: frontier; the property tests assert it).
+_SKYLINE_BUCKET_CENTS = 1000
+
+
+def _event_time_slices(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The SAME 3 time slices as the ema/cusum/twap fold entries (one
+    definition of the cuts — registry/round6.EMA_CUTS), so every
+    ordered-fold member grades the same batching."""
+    ev = load_table(spark, sf_dir, "events")
+    c1, c2 = _EMA_CUTS
+    return [
+        ev.filter(F.col("ts") < c1),
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ev.filter(F.col("ts") >= c2),
+    ]
+
+
+def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot Holt linear smoothing per user (operators/timeseries.py
+    holt_linear): the trend-aware sibling of the graded ema_decay — the
+    carried state is the (level, trend) PAIR, the forecast level+trend,
+    the whole trajectory exact integers at α = β = ½."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import holt_linear
+
+    return holt_linear(load_table(spark, sf_dir, "events"))
+
+
+def q_holt_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold maintenance identity for Holt smoothing
+    (operators/timeseries.py incremental_holt_batches): member #6 — the
+    first 2-dimensional carried state. Must equal the one-shot
+    holt_linear for any time-split batching (the oracle; out-of-order
+    batches raise)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        incremental_holt_batches,
+    )
+
+    return incremental_holt_batches(_event_time_slices(spark, sf_dir))
+
+
+def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `holt_fold` (streaming/ivm.py): the single-state
+    versioned-commit protocol over the shared time-sliced availableNow
+    stream. Oracle: the one-shot holt_linear."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        present_holt_state,
+    )
+    from etl_pipeline_last_fm_spark.registry.round7 import (
+        _run_time_sliced_stream,
+    )
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_holt_state,
+        streaming_holt_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_holt_maintenance(
+            stream, state, checkpoint=ck
+        ),
+        read_holt_state,
+        present_holt_state,
+    )
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the SAME 1996
+    co-purchase graph as the link-prediction entries (operators/graph.py
+    clustering_coefficients): exact truncated ppm, degree-≥2 nodes."""
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        clustering_coefficients,
+        copurchase_edges,
+    )
+    from etl_pipeline_last_fm_spark.registry.round6 import (
+        copurchase_1996_order_parts,
+    )
+
+    return clustering_coefficients(
+        copurchase_edges(copurchase_1996_order_parts(spark, sf_dir))
+    )
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Durbin–Watson statistic (operators/timeseries.py
+    durbin_watson): serial correlation of the ordered value series as
+    the exact integer closed form n·Σ(Δy)²·10⁶ div (n·Σy² − (Σy)²)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import durbin_watson
+
+    return durbin_watson(load_table(spark, sf_dir, "events"))
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of parts on (retail price MINIMIZED, size MAXIMIZED)
+    (operators/skyline.py skyline_2d): the Pareto frontier via cost
+    buckets + broadcast carry — no global row-sized window. Price enters
+    as exact cents so no float comparison sits on the dominance edge."""
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+    from etl_pipeline_last_fm_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        half_up_round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(
+        pts,
+        id_col="p_partkey",
+        cost_col="price_cents",
+        gain_col="p_size",
+        bucket_width=_SKYLINE_BUCKET_CENTS,
+    )
+
+
+_SKYLINE_POINTS_SQL = """
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part
+"""
+
+
+QUERIES = {
+    "holt_smooth": q_holt_smooth,
+    "holt_fold": q_holt_fold,
+    "streaming_holt": q_streaming_holt,
+    "clustering_coefficient": q_clustering_coefficient,
+    "durbin_watson": q_durbin_watson,
+    "skyline_parts": q_skyline_parts,
+}
+
+
+def oracles() -> dict[str, str]:
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        clustering_coefficients_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.skyline import (
+        skyline_2d_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        durbin_watson_oracle_sql,
+        holt_linear_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.registry.round6 import _COPURCHASE_1996_SQL
+
+    holt = holt_linear_oracle_sql()
+    return {
+        # The one-shot Holt IS the oracle for its fold and stream twins
+        # (ordered-fold maintenance identity, member #6).
+        "holt_smooth": holt,
+        "holt_fold": holt,
+        "streaming_holt": holt,
+        "clustering_coefficient": clustering_coefficients_oracle_sql(
+            _COPURCHASE_1996_SQL
+        ),
+        "durbin_watson": durbin_watson_oracle_sql(),
+        "skyline_parts": skyline_2d_oracle_sql(
+            _SKYLINE_POINTS_SQL, "p_partkey", "price_cents", "p_size"
+        ),
+    }

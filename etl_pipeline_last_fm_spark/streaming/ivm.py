@@ -549,3 +549,58 @@ def streaming_decay_attribution_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def holt_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> None:
+    """Fold ONE micro-batch into the per-key Holt (level, trend) state
+    (key, n_events, level_cents, trend_cents, max_us, max_tb) under the
+    single-state protocol — ordered-fold member #6
+    (operators/timeseries.py holt_fold_batch)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import holt_fold_batch
+
+    _single_state_stream_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        lambda state, batch: holt_fold_batch(
+            state, batch, key_col, ts_col, value_col, tiebreak_col
+        ),
+    )
+
+
+def streaming_holt_maintenance(
+    event_stream: DataFrame,
+    state_path: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Maintain the per-key Holt linear-smoothing state over a
+    time-ordered event stream (same contract as
+    streaming_ema_maintenance; read with ``read_holt_state`` and present
+    with operators/timeseries.present_holt_state)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        holt_fold_stream_batch(
+            batch_df, batch_id, state_path, key_col, ts_col, value_col,
+            tiebreak_col,
+        )
+
+    writer = event_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_holt_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(read_latest_state(spark, state_path))

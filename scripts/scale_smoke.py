@@ -421,6 +421,7 @@ def main() -> None:
     round6c_wave(spark, ev_typed, n_events)
     round7_wave(spark, ev_typed, n_events)
     round7b_wave(spark, ev_typed, n_events)
+    round7c_wave(spark, ev_typed, n_events)
 
 
 
@@ -847,8 +848,89 @@ def round7b_wave(spark, ev_typed, n_events: int) -> None:
     )
 
 
+def round7c_wave(spark, ev_typed, n_events: int) -> None:
+    """Round-7c smoke: Holt smoothing (the EMA plan shape with a struct
+    accumulator — one key shuffle + in-codegen fold), its 3-batch ordered
+    fold, Durbin–Watson (one lag window + one aggregate sharing a sort),
+    per-node clustering coefficients (the Σ deg(m)² wedge join — the
+    link-prediction bound), and the bucketed 2-D skyline (per-bucket
+    windows + a bucket-dim carry — no global row-sized window)."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        durbin_watson,
+        holt_linear,
+        incremental_holt_batches,
+    )
+
+    t0 = time.perf_counter()
+    n_ho = holt_linear(ev_typed).count()
+    t_ho = time.perf_counter() - t0
+
+    base = 1_700_000_000_000_000
+    c1 = base + (n_events * 47_000_000) // 3
+    c2 = base + (2 * n_events * 47_000_000) // 3
+    us = F.unix_micros(F.col("ts"))
+    t0 = time.perf_counter()
+    n_hf = incremental_holt_batches(
+        [
+            ev_typed.filter(us < c1),
+            ev_typed.filter((us >= c1) & (us < c2)),
+            ev_typed.filter(us >= c2),
+        ]
+    ).count()
+    t_hf = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_dw = durbin_watson(ev_typed).count()
+    t_dw = time.perf_counter() - t0
+
+    # Clustering coefficients on the synthetic co-purchase graph (same
+    # generator as the round-7 link-prediction smoke: items grow with the
+    # data at flat per-item degree, so wedges grow linearly).
+    from etl_pipeline_last_fm_spark.operators.graph import (
+        clustering_coefficients,
+        copurchase_edges,
+    )
+
+    m = max(n_events // 10, 1000)
+    n_items = max(m // 20, 10)
+    op = spark.range(m).select(
+        (F.col("id") / 5).cast("long").alias("l_orderkey"),
+        F.pmod(F.xxhash64(F.col("id") + 41), F.lit(n_items)).alias("l_partkey"),
+    )
+    t0 = time.perf_counter()
+    n_cc = clustering_coefficients(copurchase_edges(op)).count()
+    t_cc = time.perf_counter() - t0
+
+    # Skyline over corpus-sized random points ($10-cent buckets).
+    from etl_pipeline_last_fm_spark.operators.skyline import skyline_2d
+
+    pts = spark.range(n_events).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100_000)).alias("cost"),
+        F.pmod(F.xxhash64(F.col("id") + 9), F.lit(10_000)).alias("gain"),
+    )
+    t0 = time.perf_counter()
+    n_sk = skyline_2d(pts, "id", "cost", "gain", bucket_width=1000).count()
+    t_sk = time.perf_counter() - t0
+
+    print(
+        f"round-7c wave: holt {t_ho:.1f}s ({n_ho} users), "
+        f"holt-fold {t_hf:.1f}s ({n_hf} users), "
+        f"durbin-watson {t_dw:.1f}s ({n_dw} users), "
+        f"clustering-coeff {t_cc:.1f}s ({n_cc} nodes), "
+        f"skyline {t_sk:.1f}s ({n_sk} frontier rows)"
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 3 and sys.argv[3] == "round7b":
+    if len(sys.argv) > 3 and sys.argv[3] == "round7c":
+        # Fast path: only the round-7c wave.
+        n_events = int(sys.argv[2])
+        spark = get_spark(app_name="scale-smoke-r7c")
+        ev = _typed_events(spark, n_events)
+        ev.count()
+        round7c_wave(spark, ev, n_events)
+    elif len(sys.argv) > 3 and sys.argv[3] == "round7b":
         # Fast path: only the round-7b analytics wave.
         n_events = int(sys.argv[2])
         spark = get_spark(app_name="scale-smoke-r7b")
