@@ -11,6 +11,11 @@ batch shapes — is real and tested. The codec surface splits in two:
 - WAV (16-bit PCM) likewise: ``wav_decode``/``wav_encode``/``audio_stats``
   walk the RIFF chunk list with struct arithmetic alone, so the audio
   modality has a real decode path too.
+- FLAC is decoded/encoded FOR REAL in pure stdlib + numpy
+  (operators/flac.py): Rice residual coding, fixed and LPC predictors,
+  all four channel assignments, CRC-8/16 and MD5 verification — the
+  audio tier's entropy-coded format, routed here via ``audio_decode``
+  (the WAV tier's JPEG).
 - PNG decode is COMPLETE over legal IHDRs with stdlib ``zlib`` + struct
   + numpy (``png_decode``): every color type (gray / RGB / palette /
   gray+alpha / RGBA), every bit depth (1/2/4/8/16 — 16-bit high-byte
@@ -99,6 +104,7 @@ _MAGIC = [
     ("jpeg", "FFD8FF", 0),
     ("png", "89504E47", 0),
     ("gif", "474946", 0),
+    ("flac", "664C6143", 0),
     ("riff", "52494646", 0),  # WAV/AVI/WebP share the RIFF container
     ("pdf", "25504446", 0),
     ("mp3", "494433", 0),  # ID3-tagged
@@ -595,10 +601,22 @@ def wav_decode(content: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+def audio_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """Route an audio payload by magic: RIFF/WAVE → ``wav_decode``,
+    fLaC → ``flac_decode`` (operators/flac.py — the REAL compressed
+    audio path, the WAV tier's JPEG). ValueError for malformed bytes,
+    NotImplementedError for formats needing codec libraries (MP3)."""
+    if content[:4] == b"fLaC":
+        from etl_pipeline_last_fm_spark.operators.flac import flac_decode
+
+        return flac_decode(content)
+    return wav_decode(content)
+
+
 def _signal_stats(samples: np.ndarray) -> tuple[int, int, int]:
     """(sum_abs over all channels, max_abs, channel-0 strict sign-change
     count) in exact int64 — the ONE definition shared by audio_stats and
-    _wav_features so the stats and the feature vector cannot diverge."""
+    _audio_features so the stats and the feature vector cannot diverge."""
     a = samples.astype(np.int64)
     ab = np.abs(a)
     ch0 = a[:, 0] if a.shape[0] else np.zeros(0, dtype=np.int64)
@@ -614,7 +632,7 @@ AUDIO_STATS_SCHEMA = (
 
 
 def audio_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
-    """Decode WAV payloads and emit exact-integer signal statistics:
+    """Decode WAV and FLAC payloads and emit exact-integer signal stats:
     duration in whole ms (n·1000 div rate — truncating, engine-portable),
     per-payload |amplitude| sum/max and sign-change count (channel 0) —
     the triage a crawl pipeline runs to drop silence/clipped audio.
@@ -630,7 +648,7 @@ def audio_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
             out = {k: [] for k in cols}
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    samples, rate = wav_decode(bytes(c))
+                    samples, rate = audio_decode(bytes(c))
                 except (ValueError, NotImplementedError):
                     if on_undecodable == "skip":
                         continue
@@ -843,13 +861,14 @@ def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
     return out, fps
 
 
-def _wav_features(content: bytes) -> list[float]:
-    """REAL decode-based features for WAV payloads, same FEATURE_DIM
-    slot layout as images: [rate, n_samples, channels, duration_s,
-    mean_abs, peak_abs, zero-cross fraction, rms] + 8-bin |amplitude|
-    histogram (fractions of int16 full scale). Deterministic sample
-    arithmetic throughout (rms is the one sqrt, over an exact sum)."""
-    samples, rate = wav_decode(content)
+def _audio_features(content: bytes) -> list[float]:
+    """REAL decode-based features for WAV/FLAC payloads, same
+    FEATURE_DIM slot layout as images: [rate, n_samples, channels,
+    duration_s, mean_abs, peak_abs, zero-cross fraction, rms] + 8-bin
+    |amplitude| histogram (fractions of int16 full scale). Deterministic
+    sample arithmetic (rms is the one sqrt, over an exact sum); a WAV
+    and its FLAC transcode featurize IDENTICALLY (lossless decode)."""
+    samples, rate = audio_decode(content)
     a = samples.astype(np.int64)
     n = max(a.shape[0], 1)
     sum_abs, max_abs, zc = _signal_stats(samples)
@@ -1041,9 +1060,9 @@ def _image_features(content: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; the one legitimate
-    Python hop). BMP, PNG, baseline JPEG and WAV payloads featurize FOR REAL
+    Python hop). BMP, PNG, baseline JPEG, GIF, WAV and FLAC payloads featurize FOR REAL
     (decoded pixels / samples → the 16-slot layout documented on
-    _image_features and _wav_features); other formats raise
+    _image_features and _audio_features); other formats raise
     NotImplementedError unless ``fake=True`` (digest-seeded stub vectors)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1060,13 +1079,16 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     or b[:4] == b"GIF8"
                 ):
                     feats.append(_image_features(b))
-                elif b[8:12] == b"WAVE" and b[:4] == b"RIFF":
-                    feats.append(_wav_features(b))
+                elif (
+                    (b[8:12] == b"WAVE" and b[:4] == b"RIFF")
+                    or b[:4] == b"fLaC"
+                ):
+                    feats.append(_audio_features(b))
                 else:
                     raise NotImplementedError(
-                        "non-BMP/PNG/JPEG/GIF/WAV decode requires codec libraries "
-                        "not present in this environment; pass fake=True for the "
-                        "deterministic stub"
+                        "non-BMP/PNG/JPEG/GIF/WAV/FLAC decode requires codec "
+                        "libraries not present in this environment; pass "
+                        "fake=True for the deterministic stub"
                     )
             yield pd.DataFrame(
                 {

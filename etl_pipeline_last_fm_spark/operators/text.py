@@ -1080,3 +1080,226 @@ def token_entropy_oracle_sql(table: str = "documents") -> str:
         FROM census
         GROUP BY doc_id
     """
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """Corpus Zipf law fit: the OLS slope of log(frequency) against
+    log(rank) over the token-type census — the rank-frequency diagnostic
+    a corpus-quality dashboard tracks (natural text sits near slope −1;
+    boilerplate-heavy or deduplicate-starved corpora drift off it).
+
+    Numeric design: log(rank) and log(count) are quantized to integer
+    MICRO-NATS on the VOCAB-SIZED census (the lm_score device, same
+    accepted ulp-at-the-boundary risk, same blast radius: ±1 micro-nat
+    per distinct type, it cannot cascade through the sums), then the
+    closed-form slope runs entirely in decimal(38,0) integers with the
+    trend_fit cross-multiply. Rank is row_number over (count desc,
+    token) — tie-pinned, and the window runs over the vocab DIMENSION
+    (the rfm/abc argument; a 1e9-type vocabulary takes the two-phase
+    prefix-sum swap). Output: ONE row (n_types, n_tokens,
+    zipf_slope_ppm) — slope in ppm (≈ −1,000,000 for natural text).
+
+    Scale shape: one token census over the stream (the only corpus pass,
+    partial+final), then every later step is vocab-sized."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(_tokens()).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = census.select(
+        "c",
+        F.floor(
+            F.log(F.row_number().over(w).cast("double")) * 1_000_000.0
+        ).cast("long").alias("__x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000.0)
+        .cast("long").alias("__y"),
+    )
+    d38 = "decimal(38,0)"
+    agged = pts.agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(F.col("c")).alias("n_tokens"),
+        F.sum(F.col("__x").cast(d38)).alias("__sx"),
+        F.sum(F.col("__y").cast(d38)).alias("__sy"),
+        F.sum((F.col("__x").cast(d38) * F.col("__y").cast(d38))).alias("__sxy"),
+        F.sum((F.col("__x").cast(d38) * F.col("__x").cast(d38))).alias("__sxx"),
+    )
+    return agged.select(
+        F.col("__n").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((__n * __sxy - __sx * __sy) * 1000000"
+            " div NULLIF(__n * __sxx - __sx * __sx, 0) AS BIGINT)"
+        ).alias("zipf_slope_ppm"),
+    )
+
+
+def zipf_fit_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin: identical census/rank/quantize/closed form, HUGEINT
+    for every cross-multiply."""
+    return f"""
+        WITH toks AS (
+            SELECT tok FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS tok
+                FROM {table}
+            ) WHERE tok <> ''
+        ),
+        census AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1
+        ),
+        pts AS (
+            SELECT c,
+                   CAST(FLOOR(ln(CAST(row_number() OVER (
+                       ORDER BY c DESC, tok
+                   ) AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                   CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                        AS BIGINT) AS y
+            FROM census
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_types,
+               n_tokens,
+               CAST((n * sxy - sx * sy) * 1000000
+                    // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+                   AS zipf_slope_ppm
+        FROM s
+    """
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: tuple[str, ...], k: int = 20
+) -> DataFrame:
+    """BM25 document ranking for a fixed query — the IR ladder's rung
+    above tfidf (Robertson–Spärck Jones): per matched (doc, term),
+        score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the standard k1 = 1.2, b = 0.75. Those parameters are RATIONAL
+    (6/5, 3/4), and avgdl = total/N, so multiplying through clears every
+    denominator:
+        contribution = idf_micro · 44·tf·total
+                       div (20·total·tf + 6·total + 18·dl·N)
+    — ENTIRELY exact integers after idf is quantized to micro-nats on
+    the df census (idf_micro = floor(ln((N − df + ½)/(df + ½) + 1)·10⁶);
+    the lm_score quantize-on-the-census device and its documented
+    accepted ulp risk). Cross-multiplies ride decimal(38,0)
+    unconditionally (idf·44·tf·total brushes 2^63 already at corpus
+    scale). Top-k cut totally ordered by (score desc, doc_id).
+
+    Scale shape: the ONLY corpus-sized passes are the doc-length
+    projection and the query-term-filtered tf aggregate (the IN filter
+    prunes before the shuffle); df and the scalars are tiny and
+    broadcast. Returns (doc_id, n_terms_matched, bm25_micro)."""
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_tokens()).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total")
+    )
+    qt = list(dict.fromkeys(query_terms))  # dedup, keep order
+    qtoks = toks.filter(F.col("tok").isin(qt))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = qtoks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    idf = df_t.crossJoin(F.broadcast(scalars)).select(
+        "tok",
+        F.floor(
+            F.log(
+                (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * 1_000_000.0
+        ).cast("long").alias("__idf"),
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(CAST(__idf AS {d38}) * 44 * __tf * __total"
+                f" div (CAST(20 AS {d38}) * __total * __tf"
+                f"      + 6 * __total + 18 * __dl * __n) AS BIGINT)"
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("__s").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle_sql(
+    query_terms: tuple[str, ...], k: int = 20, table: str = "documents"
+) -> str:
+    """DuckDB twin: identical census/idf-quantize/cleared-denominator
+    arithmetic in HUGEINT."""
+    terms = ", ".join(f"'{t}'" for t in dict.fromkeys(query_terms))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(text), ' ')) AS tok
+                FROM {table}
+            ) WHERE tok <> ''
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM toks GROUP BY 1
+        ),
+        sc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS total
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE tok IN ({terms}) GROUP BY 1, 2
+        ),
+        dft AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        idf AS (
+            SELECT tok,
+                   CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                              * 1000000.0) AS BIGINT) AS idf
+            FROM dft, sc
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(CAST(idf AS HUGEINT) * 44 * tf * total
+                        // (CAST(20 AS HUGEINT) * total * tf
+                            + 6 * total + 18 * dl.dl * n)
+                        AS BIGINT) AS s
+            FROM tf
+            JOIN idf USING (tok)
+            JOIN dl USING (doc_id), sc
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               CAST(SUM(s) AS BIGINT) AS bm25_micro
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25_micro DESC, doc_id
+        LIMIT {k}
+    """

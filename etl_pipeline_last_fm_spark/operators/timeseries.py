@@ -1115,7 +1115,11 @@ def durbin_watson(
         F.lag(y, 1).over(w).alias("__prev"),
     )
     d38 = "decimal(38,0)"
-    agged = lagged.groupBy(F.col("__k").alias(key_col)).agg(
+    # Two Exchanges total (plan-pinned): the window's key shuffle over
+    # the corpus, then the final aggregate's over the PARTIAL rows —
+    # one row per key, so the second shuffle is key-dim-sized (the same
+    # shape the graded cusum detector carries).
+    agged = lagged.groupBy("__k").agg(
         F.count(F.lit(1)).cast(d38).alias("__n"),
         F.sum(F.col("__y").cast(d38)).alias("__sy"),
         F.sum((F.col("__y") * F.col("__y")).cast(d38)).alias("__syy"),
@@ -1127,7 +1131,7 @@ def durbin_watson(
         ).alias("__sd2"),
     )
     return agged.select(
-        key_col,
+        F.col("__k").alias(key_col),
         F.col("__n").cast("long").alias("n_events"),
         F.expr(
             "CAST(__n * COALESCE(__sd2, 0) * 1000000"

@@ -154,6 +154,133 @@ _SKYLINE_POINTS_SQL = """
 """
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over per-user event lifetimes
+    (operators/survival.py km_survival): right-censored churn estimation
+    with the KM product folded in exact truncated integer ppm — the
+    statistically-honest sibling of cohort_retention."""
+    from etl_pipeline_last_fm_spark.operators.survival import km_survival
+
+    return km_survival(load_table(spark, sf_dir, "events"))
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer order revenue — the
+    inequality screen next to supplier_concentration's HHI: from the
+    rank closed form  G = (2·Σᵢ i·xᵢ − (n+1)·Σx) · 10⁶ div (n·Σx)  over
+    customers ranked ascending by (revenue, custkey) within their
+    nation, ENTIRELY in integers (every cross-multiply decimal(38,0) —
+    Σ i·x passes 2^63 well below bench SF). Customers with orders only;
+    single-customer nations emit gini_ppm 0 by the same formula.
+
+    Scale shape: one customer-keyed aggregate over orders (the only
+    big-table pass), a broadcast customer→nation dim join, and a rank
+    window over the customer DIMENSION within each nation (the rfm ntile
+    argument); the two-phase prefix-sum swap applies at 1e9 customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+
+    cents = half_up_round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    j = per_cust.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        per_cust.o_custkey == F.col("c_custkey"),
+    ).join(
+        F.broadcast(
+            nation.select("n_nationkey", F.col("n_name").alias("nation"))
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("nation", "c_custkey", "rev_cents")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("rev_cents").asc(), F.col("c_custkey").asc()
+    )
+    ranked = j.select(
+        "nation",
+        "rev_cents",
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    d38 = "decimal(38,0)"
+    agged = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(F.col("rev_cents").cast(d38)).alias("__sx"),
+        F.sum((F.col("__i") * F.col("rev_cents")).cast(d38)).alias("__six"),
+    )
+    return agged.select(
+        "nation",
+        F.col("__n").cast("long").alias("n_customers"),
+        F.expr(
+            "CAST((2 * __six - (__n + 1) * __sx) * 1000000"
+            " div NULLIF(__n * __sx, 0) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+_REVENUE_GINI_SQL = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT n_name AS nation, c_custkey, rev_cents
+        FROM per
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ),
+    ranked AS (
+        SELECT nation, rev_cents,
+               CAST(row_number() OVER (
+                   PARTITION BY nation ORDER BY rev_cents, c_custkey
+               ) AS BIGINT) AS i
+        FROM j
+    ),
+    s AS (
+        SELECT nation,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(rev_cents) AS HUGEINT) AS sx,
+               CAST(SUM(i * rev_cents) AS HUGEINT) AS six
+        FROM ranked GROUP BY 1
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST((2 * six - (n + 1) * sx) * 1000000
+                // NULLIF(n * sx, 0) AS BIGINT) AS gini_ppm
+    FROM s
+"""
+
+
+#: Fixed BM25 probe query over the fixture vocabulary (mixed document
+#: frequencies at both graded SFs, so idf actually differentiates).
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (operators/text.py
+    bm25_topk): the IR ladder's rung above the graded tfidf — exact
+    integer scoring via the cleared-denominator rational form, idf
+    micro-nat-quantized on the df census."""
+    from etl_pipeline_last_fm_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf rank-frequency fit (operators/text.py zipf_fit): the
+    OLS slope of micro-nat log frequency against log rank over the token
+    census — the corpus-quality diagnostic next to lm_score's per-doc
+    typicality (natural text ≈ −1e6 ppm)."""
+    from etl_pipeline_last_fm_spark.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "holt_smooth": q_holt_smooth,
     "holt_fold": q_holt_fold,
@@ -161,6 +288,10 @@ QUERIES = {
     "clustering_coefficient": q_clustering_coefficient,
     "durbin_watson": q_durbin_watson,
     "skyline_parts": q_skyline_parts,
+    "survival_km": q_survival_km,
+    "revenue_gini": q_revenue_gini,
+    "zipf_fit": q_zipf_fit,
+    "bm25_rank": q_bm25_rank,
 }
 
 
@@ -170,6 +301,13 @@ def oracles() -> dict[str, str]:
     )
     from etl_pipeline_last_fm_spark.operators.skyline import (
         skyline_2d_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.survival import (
+        km_survival_oracle_sql,
+    )
+    from etl_pipeline_last_fm_spark.operators.text import (
+        bm25_topk_oracle_sql,
+        zipf_fit_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.operators.timeseries import (
         durbin_watson_oracle_sql,
@@ -191,4 +329,8 @@ def oracles() -> dict[str, str]:
         "skyline_parts": skyline_2d_oracle_sql(
             _SKYLINE_POINTS_SQL, "p_partkey", "price_cents", "p_size"
         ),
+        "survival_km": km_survival_oracle_sql(),
+        "revenue_gini": _REVENUE_GINI_SQL,
+        "zipf_fit": zipf_fit_oracle_sql(),
+        "bm25_rank": bm25_topk_oracle_sql(_BM25_TERMS, k=20),
     }

@@ -913,12 +913,65 @@ def round7c_wave(spark, ev_typed, n_events: int) -> None:
     n_sk = skyline_2d(pts, "id", "cost", "gain", bucket_width=1000).count()
     t_sk = time.perf_counter() - t0
 
+    # Kaplan-Meier: one per-key aggregate + day-dim risk table + fold.
+    from etl_pipeline_last_fm_spark.operators.survival import km_survival
+
+    t0 = time.perf_counter()
+    n_km = km_survival(ev_typed, censor_days=1).count()
+    t_km = time.perf_counter() - t0
+
+    # Gini shape: key aggregate + within-group rank + group aggregate.
+    from pyspark.sql import Window
+
+    fact = spark.range(n_events).select(
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(20_000)).alias("cust"),
+        (F.pmod(F.xxhash64(F.col("id") + 5), F.lit(10_000)) + 1).alias("rev"),
+    )
+    per = fact.groupBy("cust").agg(F.sum("rev").alias("x"))
+    per = per.withColumn("nation", F.pmod(F.col("cust"), F.lit(25)))
+    wg = Window.partitionBy("nation").orderBy("x", "cust")
+    t0 = time.perf_counter()
+    n_gini = (
+        per.select("nation", "x",
+                   F.row_number().over(wg).cast("long").alias("i"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
+        )
+        .select(F.expr(
+            "CAST((2 * six - (n + 1) * sx) * 1000000"
+            " div NULLIF(n * sx, 0) AS BIGINT)"
+        ))
+        .count()
+    )
+    t_gini = time.perf_counter() - t0
+
+    # Zipf fit + BM25 over the synthetic doc corpus (one census pass
+    # each; everything after is vocab-sized).
+    from etl_pipeline_last_fm_spark.operators.text import bm25_topk, zipf_fit
+
+    docs = synth_docs(spark, max(n_events // 10, 1000))
+    docs.count()
+    t0 = time.perf_counter()
+    n_zf = zipf_fit(docs).count()
+    t_zf = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_bm = bm25_topk(docs, ("data", "the", "query"), k=20).count()
+    t_bm = time.perf_counter() - t0
+
     print(
         f"round-7c wave: holt {t_ho:.1f}s ({n_ho} users), "
         f"holt-fold {t_hf:.1f}s ({n_hf} users), "
         f"durbin-watson {t_dw:.1f}s ({n_dw} users), "
         f"clustering-coeff {t_cc:.1f}s ({n_cc} nodes), "
-        f"skyline {t_sk:.1f}s ({n_sk} frontier rows)"
+        f"skyline {t_sk:.1f}s ({n_sk} frontier rows), "
+        f"km-survival {t_km:.1f}s ({n_km} day rows), "
+        f"gini {t_gini:.1f}s ({n_gini} nations), "
+        f"zipf {t_zf:.1f}s ({n_zf} row), "
+        f"bm25 {t_bm:.1f}s ({n_bm} rows)"
     )
 
 

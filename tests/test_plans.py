@@ -405,3 +405,44 @@ def test_round7b_analytics_plan_shapes(spark, sf_dir):
     plan = formatted_plan(qs["rfm_segments"](spark, sf_dir))
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_round7c_wave_plan_shapes(spark, sf_dir):
+    """Structural pins for the 7c/7d wave before rotation:
+    - holt_smooth: exactly ONE Exchange (the key shuffle; the fold runs
+      inside the aggregate) and no join anywhere;
+    - durbin_watson: two Exchanges — the window's corpus shuffle plus
+      the final aggregate's key-dim-sized partial shuffle (the graded
+      cusum family's shape) — and no join;
+    - skyline_parts: no SortMergeJoin — the bucket carry joins broadcast;
+    - revenue_gini: every dim join broadcast (0 SortMergeJoin);
+    - survival_km: no SortMergeJoin and no CartesianProduct (the frontier
+      and total ride broadcast nested-loop joins over single rows);
+    - clustering_coefficient: the wedge/closure joins are NOT
+      hint-broadcast (the degree/edge tables grow with the corpus — the
+      dedup.py house rule), so SortMergeJoin is EXPECTED there."""
+    qs = entrymod.queries()
+
+    plan = formatted_plan(qs["holt_smooth"](spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan  # one node: tree + details
+    assert "Join" not in plan, plan
+
+    plan = formatted_plan(qs["durbin_watson"](spark, sf_dir))
+    assert plan.count("Exchange") == 4, plan  # two nodes
+    assert "Join" not in plan, plan
+
+    plan = formatted_plan(qs["skyline_parts"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    plan = formatted_plan(qs["revenue_gini"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(qs["survival_km"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = formatted_plan(qs["clustering_coefficient"](spark, sf_dir))
+    assert "ResolvedHint" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -191,8 +191,14 @@ def test_holt_fold_bucketed_and_versioned_layouts(spark, tmp_path):
         present_holt_state,
     )
 
-    spark.sql("DROP TABLE IF EXISTS holt_state_b")
-    spark.sql("DROP TABLE IF EXISTS holt_state_v")
+    import shutil
+
+    for t in ("holt_state_b", "holt_state_v"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a warehouse dir left by a DIFFERENT session survives the DROP
+        # (no catalog entry) and fails saveAsTable — remove it too
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     slices = _holt_slices(spark)
     want = _want_holt(spark, slices)
     got_b = sorted(map(tuple, present_holt_state(
@@ -293,3 +299,197 @@ def test_skyline_matches_bruteforce_for_every_bucket_width(
                               bucket_width=width).collect())
     )
     assert got == _py_skyline(pts)
+
+
+def _py_km(rows, censor_days=7):
+    """Pure-Python KM reference: lifetimes in whole days, churn if the
+    last event is > censor_days before the corpus frontier, truncating
+    integer ppm product."""
+    per = {}
+    for _eid, uid, _t, ts, _v in rows:
+        us = int(ts.timestamp() * 1_000_000)
+        lo, hi = per.get(uid, (us, us))
+        per[uid] = (min(lo, us), max(hi, us))
+    frontier = max(hi for _lo, hi in per.values())
+    day = 86_400_000_000
+    lifet = [
+        ((hi - lo) // day, (frontier - hi) > censor_days * day)
+        for lo, hi in per.values()
+    ]
+    days = sorted({t for t, _ in lifet})
+    out, s, left = {}, 1_000_000, len(lifet)
+    for t in days:
+        d = sum(1 for tt, ch in lifet if tt == t and ch)
+        c = sum(1 for tt, ch in lifet if tt == t and not ch)
+        n = left
+        s = (s * (n - d)) // n  # all terms non-negative: // == trunc
+        out[t] = (n, d, c, s)
+        left -= d + c
+    return out
+
+
+@given(streams=streams_strategy)
+@settings(**SETTINGS)
+def test_km_survival_matches_python_reference(spark, streams):
+    from etl_pipeline_last_fm_spark.operators.survival import km_survival
+
+    rows = _event_rows(streams)
+    got = {
+        r["t_day"]: (r["n_risk"], r["n_churned"], r["n_censored"],
+                     r["survival_ppm"])
+        for r in km_survival(_mk_events(spark, rows), censor_days=0).collect()
+    }
+    # censor_days=0: anyone not ending AT the frontier churns — the
+    # densest churn pattern the minute-scale streams can produce.
+    assert got == _py_km(rows, censor_days=0)
+
+
+def test_km_survival_textbook_example(spark):
+    """Hand-checked: 4 users with lifetimes 0,0,1,2 days; frontier user
+    censored. Day 0: n=4 d=1 c=1 (one churned, one zero-lifetime user
+    whose last event IS the frontier day... pinned numerically below)."""
+    from etl_pipeline_last_fm_spark.operators.survival import km_survival
+
+    rows = [
+        # user 1: one event day 1 (lifetime 0, churned: 9 days before max)
+        (1, 1, "e", datetime(2024, 1, 1), 1.0),
+        # user 2: days 1-2 (lifetime 1, churned)
+        (2, 2, "e", datetime(2024, 1, 1), 1.0),
+        (3, 2, "e", datetime(2024, 1, 2), 1.0),
+        # user 3: days 1-3 (lifetime 2, churned)
+        (4, 3, "e", datetime(2024, 1, 1), 1.0),
+        (5, 3, "e", datetime(2024, 1, 3), 1.0),
+        # user 4: one event at the frontier (lifetime 0, censored)
+        (6, 4, "e", datetime(2024, 1, 10), 1.0),
+    ]
+    got = sorted(
+        map(tuple, km_survival(_mk_events(spark, rows),
+                               censor_days=5).collect())
+    )
+    # day 0: n=4, d=1 (user1), c=1 (user4) -> s = 1e6*3//4 = 750000
+    # day 1: n=2, d=1 (user2)            -> s = 750000*1//2 = 375000
+    # day 2: n=1, d=1 (user3)            -> s = 0
+    assert got == [(0, 4, 1, 1, 750_000), (1, 2, 1, 0, 375_000),
+                   (2, 1, 1, 0, 0)]
+
+
+def _py_gini(vals):
+    xs = sorted(vals)
+    n = len(xs)
+    sx = sum(xs)
+    if n * sx == 0:
+        return None
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    num = (2 * six - (n + 1) * sx) * 1_000_000
+    den = n * sx
+    q = abs(num) // den
+    return -q if num < 0 else q
+
+
+@given(vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_gini_closed_form_matches_python(spark, vals):
+    """The registered query's rank closed form, checked on a synthetic
+    single-nation table against the python reference (equal values tie-
+    pinned by key never change Σ i·x when the values are equal)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, x long"
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = df.select("x", F.row_number().over(w).cast("long").alias("i"))
+    [r] = (
+        ranked.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
+        )
+        .select(
+            F.expr(
+                "CAST((2 * six - (n + 1) * sx) * 1000000"
+                " div NULLIF(n * sx, 0) AS BIGINT)"
+            ).alias("g")
+        )
+        .collect()
+    )
+    assert r["g"] == _py_gini(vals)
+
+
+@given(docs=st.lists(st.lists(st.integers(0, 4), min_size=1, max_size=12),
+                     min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_zipf_fit_matches_python_reference(spark, docs):
+    import math
+
+    from etl_pipeline_last_fm_spark.operators.text import zipf_fit
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(words[j] for j in idxs))
+            for i, idxs in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = zipf_fit(df).collect()
+    counts = {}
+    for _i, t in rows:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.floor(math.log(i + 1) * 1_000_000.0),
+         math.floor(math.log(c) * 1_000_000.0))
+        for i, (_w, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    want = _trunc_div((n * sxy - sx * sy) * 1_000_000, den) if den else None
+    assert (r["n_types"], r["n_tokens"], r["zipf_slope_ppm"]) == (
+        n, sum(counts.values()), want,
+    )
+
+
+@given(docs=st.lists(st.lists(st.integers(0, 4), min_size=1, max_size=12),
+                     min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference(spark, docs):
+    import math
+
+    from etl_pipeline_last_fm_spark.operators.text import bm25_topk
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(words[j] for j in idxs))
+            for i, idxs in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ("aa", "cc")
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["bm25_micro"])
+        for r in bm25_topk(df, terms, k=100).collect()
+    ]
+    # python reference: same cleared-denominator integer arithmetic
+    dl = {i: len(t.split(" ")) for i, t in rows}
+    n, total = len(rows), sum(dl.values())
+    tf = {}
+    for i, t in rows:
+        for w in t.split(" "):
+            if w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfc = {}
+    for (i, w) in tf:
+        dfc[w] = dfc.get(w, 0) + 1
+    idf = {w: math.floor(math.log((n - c + 0.5) / (c + 0.5) + 1.0)
+                         * 1_000_000.0) for w, c in dfc.items()}
+    scores = {}
+    for (i, w), f in tf.items():
+        num = idf[w] * 44 * f * total
+        den = 20 * total * f + 6 * total + 18 * dl[i] * n
+        s = _trunc_div(num, den)
+        cnt, tot = scores.get(i, (0, 0))
+        scores[i] = (cnt + 1, tot + s)
+    want = sorted(
+        ((i, c, s) for i, (c, s) in scores.items()),
+        key=lambda x: (-x[2], x[0]),
+    )
+    assert got == want
