@@ -43,9 +43,15 @@ batch shapes — is real and tested. The codec surface splits in two:
   ``frame_sample`` has BOTH a raw and a compressed real video path,
   emitting sampled frames as standalone BMPs (composing with the whole
   image tier).
-- The remaining formats (MP3, inter-frame video codecs) DO need decode
-  libraries (PIL/ffmpeg/etc.) absent from this
-  container, so those branches raise NotImplementedError by default, or
+- RLE8 (BI_RLE8 / 'MRLE') is the first INTER-FRAME video codec, real
+  and zero-dependency (operators/rle8.py): unwritten pixels persist
+  from the previous frame, so delta/EOL/EOB skips are genuine
+  inter-frame references — the P-frame dependency structure without
+  motion compensation.
+- The remaining formats (MP3, DCT-based inter-frame video codecs like
+  XVID/H.26x) DO need decode libraries (PIL/ffmpeg/etc.) absent from
+  this container, so those branches raise NotImplementedError by
+  default, or
   emit a DETERMINISTIC FAKE result (seeded by content hash) when
   ``fake=True`` so downstream plumbing (similarity search over the
   features) is exercisable end-to-end.
@@ -677,7 +683,8 @@ def audio_stats(media: DataFrame, on_undecodable: str = "error") -> DataFrame:
 # COMPRESSED real path. frame_sample decodes only the sampled frames and
 # emits each as a standalone BMP, so the whole image tier
 # (stats/features/resize) composes downstream. The NotImplementedError
-# stubs now cover only inter-frame video codecs and MP3.
+# stubs now cover only DCT inter-frame video codecs and MP3
+# (classic RLE8 inter-frame delta coding is REAL — operators/rle8.py).
 
 _MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
 
@@ -689,15 +696,18 @@ def avi_encode(
     writes uncompressed BI_RGB 24-bpp '00db' frames (bottom-up DIB rows
     with 4-byte padding); ``codec='mjpg'`` writes motion-JPEG '00dc'
     frames, each a standalone baseline JPEG at the given quality
-    (operators/jpeg.py). The fixture generator for the decode tests."""
+    (operators/jpeg.py); ``codec='rle8'`` writes BI_RLE8 INTER-CODED
+    '00dc' frames — unwritten pixels persist from the previous frame
+    (operators/rle8.py; needs <= 256 distinct colors across the cube).
+    The fixture generator for the decode tests."""
     import struct
 
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError(f"expected (n, h, w, 3) RGB array, got {frames.shape}")
     if fps < 1:
         raise ValueError(f"bad fps {fps}")
-    if codec not in ("raw", "mjpg"):
-        raise ValueError(f"codec must be raw|mjpg, got {codec!r}")
+    if codec not in ("raw", "mjpg", "rle8"):
+        raise ValueError(f"codec must be raw|mjpg|rle8, got {codec!r}")
     n, h, w = frames.shape[:3]
     stride = (w * 3 + 3) // 4 * 4
     frame_size = stride * h
@@ -710,18 +720,39 @@ def avi_encode(
         return chunk(b"LIST", kind + body)
 
     movi_frames = []
+    palette_quads = b""
+    bits, clr_used = 24, 0
     if codec == "raw":
         for f in frames:
             rows = np.zeros((h, stride), dtype=np.uint8)
             rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
             movi_frames.append(chunk(b"00db", rows.tobytes()))
         fourcc, compression = b"DIB ", 0
-    else:
+    elif codec == "mjpg":
         from etl_pipeline_last_fm_spark.operators.jpeg import jpeg_encode
 
         for f in frames:
             movi_frames.append(chunk(b"00dc", jpeg_encode(f, quality=quality)))
         fourcc, compression = b"MJPG", _MJPG_FOURCC
+    else:
+        from etl_pipeline_last_fm_spark.operators.rle8 import (
+            build_palette,
+            rle8_encode_frame,
+        )
+
+        palette, idx = build_palette(frames)
+        prev = None
+        for k in range(n):
+            movi_frames.append(chunk(b"00dc", rle8_encode_frame(idx[k], prev)))
+            prev = idx[k]
+        # palette rides the strf as BGR0 quads (the DIB color table)
+        quads = np.zeros((palette.shape[0], 4), dtype=np.uint8)
+        quads[:, 0] = palette[:, 2]  # B
+        quads[:, 1] = palette[:, 1]  # G
+        quads[:, 2] = palette[:, 0]  # R
+        palette_quads = quads.tobytes()
+        fourcc, compression = b"MRLE", 1  # BI_RLE8
+        bits, clr_used = 8, palette.shape[0]
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -733,21 +764,25 @@ def avi_encode(
         b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
         0, 0, w, h,
     )
-    strf = struct.pack(  # BITMAPINFOHEADER
-        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size,
-        2835, 2835, 0, 0,
-    )
+    strf = struct.pack(  # BITMAPINFOHEADER (+ color table for RLE8)
+        "<IiiHHIIiiII", 40, w, h, 1, bits, compression, frame_size,
+        2835, 2835, clr_used, 0,
+    ) + palette_quads
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(movi_frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def _avi_parse(content: bytes) -> tuple[int, int, int, str, list[bytes]]:
+def _avi_parse(
+    content: bytes,
+) -> tuple[int, int, int, str, list[bytes], np.ndarray | None]:
     """Parse an AVI's headers and RAW frame chunk list WITHOUT decoding
-    pixels: (width, height, fps, codec, frames_raw) with codec 'raw'
-    (BI_RGB 24-bpp DIB) or 'mjpg' (motion-JPEG — each frame a standalone
-    baseline JPEG). Iterative chunk-tree walk with an explicit stack (a
+    pixels: (width, height, fps, codec, frames_raw, palette) with codec
+    'raw' (BI_RGB 24-bpp DIB), 'mjpg' (motion-JPEG — each frame a
+    standalone baseline JPEG) or 'rle8' (BI_RLE8 inter-coded; palette is
+    the (k, 3) uint8 RGB color table, None for the other codecs).
+    Iterative chunk-tree walk with an explicit stack (a
     crafted payload of deeply nested LISTs must raise the quarantine
     ValueError, never a RecursionError escaping the typed contract); the
     video strf is the one inside the 'vids' strl — an audio stream's
@@ -803,14 +838,24 @@ def _avi_parse(content: bytes) -> tuple[int, int, int, str, list[bytes]]:
     )
     bpp = struct.unpack_from("<H", strf, 14)[0]
     compression = struct.unpack_from("<I", strf, 16)[0]
+    palette = None
     if compression == _MJPG_FOURCC:
         codec = "mjpg"
     elif compression == 0 and bpp == 24:
         codec = "raw"
+    elif compression == 1 and bpp == 8:  # BI_RLE8
+        codec = "rle8"
+        clr_used = struct.unpack_from("<I", strf, 32)[0] or 256
+        if len(strf) < 40 + 4 * clr_used:
+            raise ValueError("RLE8 AVI strf missing its color table")
+        quads = np.frombuffer(
+            strf, dtype=np.uint8, count=4 * clr_used, offset=40
+        ).reshape(clr_used, 4)
+        palette = quads[:, [2, 1, 0]].copy()  # BGR0 -> RGB
     else:
         raise NotImplementedError(
-            f"only 24-bpp uncompressed (BI_RGB) or MJPG AVI is decoded "
-            f"natively (got bpp={bpp}, compression={compression:#x})"
+            f"only 24-bpp uncompressed (BI_RGB), MJPG or RLE8 AVI is "
+            f"decoded natively (got bpp={bpp}, compression={compression:#x})"
         )
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
         raise ValueError(f"bad AVI dimensions {w}x{h}")
@@ -819,7 +864,7 @@ def _avi_parse(content: bytes) -> tuple[int, int, int, str, list[bytes]]:
     fps = 1_000_000 // usec_per_frame if usec_per_frame else 0
     if fps < 1:
         raise ValueError(f"bad AVI frame interval {usec_per_frame}")
-    return w, h, fps, codec, frames_raw
+    return w, h, fps, codec, frames_raw, palette
 
 
 def _avi_frame_px(
@@ -849,13 +894,25 @@ def _avi_frame_px(
 
 
 def avi_decode(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode an AVI (uncompressed 24-bpp or MJPG) to ((n, h, w, 3)
-    uint8 RGB frames, fps). Header/chunk parsing via _avi_parse
-    (iterative, audio-stream-safe); rejects inter-frame codecs loudly
-    (NotImplementedError) and malformed payloads with ValueError — the
-    quarantine contract."""
-    w, h, fps, codec, frames_raw = _avi_parse(content)
+    """Decode an AVI (uncompressed 24-bpp, MJPG or inter-coded RLE8) to
+    ((n, h, w, 3) uint8 RGB frames, fps). Header/chunk parsing via
+    _avi_parse (iterative, audio-stream-safe); rejects DCT inter-frame
+    codecs loudly (NotImplementedError) and malformed payloads with
+    ValueError — the quarantine contract."""
+    w, h, fps, codec, frames_raw, palette = _avi_parse(content)
     out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
+    if codec == "rle8":
+        from etl_pipeline_last_fm_spark.operators.rle8 import (
+            rle8_decode_frame,
+        )
+
+        prev = None
+        for i, raw in enumerate(frames_raw):
+            prev = rle8_decode_frame(raw, w, h, prev)
+            if int(prev.max(initial=0)) >= palette.shape[0]:
+                raise ValueError(f"RLE8 frame {i} indexes past the palette")
+            out[i] = palette[prev]
+        return out, fps
     for i, raw in enumerate(frames_raw):
         out[i] = _avi_frame_px(raw, w, h, i, codec)
     return out, fps
@@ -1001,9 +1058,33 @@ def frame_sample(media: DataFrame, n_frames: int = 4, fake: bool = False) -> Dat
                     # headers + raw chunk list only — decode JUST the
                     # picked frames (O(n_frames) pixel/entropy work, not
                     # O(video length); raw chunks stay zero-copy views).
-                    w, h, _fps, codec, raw = _avi_parse(b)
+                    # EXCEPTION: inter-coded RLE8 frames depend on their
+                    # predecessors, so sampling frame k costs decoding
+                    # 0..k — the honest price of ANY inter codec; the
+                    # intra formats (raw/MJPG) keep the O(n_frames) path.
+                    w, h, _fps, codec, raw, palette = _avi_parse(b)
                     n = len(raw)
                     picks = ((2 * np.arange(n_frames) + 1) * n) // (2 * n_frames)
+                    if codec == "rle8":
+                        from etl_pipeline_last_fm_spark.operators.rle8 import (
+                            rle8_decode_frame,
+                        )
+
+                        wanted = {int(p) for p in picks}
+                        px_by_idx, prev = {}, None
+                        for k in range(max(wanted) + 1):
+                            prev = rle8_decode_frame(raw[k], w, h, prev)
+                            if k in wanted:
+                                if int(prev.max(initial=0)) >= palette.shape[0]:
+                                    raise ValueError(
+                                        f"RLE8 frame {k} indexes past the palette"
+                                    )
+                                px_by_idx[k] = palette[prev]
+                        for i, p in enumerate(picks):
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(bmp_encode(px_by_idx[int(p)]))
+                        continue
                     for i, p in enumerate(picks):
                         ids.append(mid)
                         idxs.append(i)

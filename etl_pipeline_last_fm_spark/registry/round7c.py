@@ -254,6 +254,33 @@ _REVENUE_GINI_SQL = """
 """
 
 
+def q_skyline_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained-skyline fold (operators/skyline.py skyline_fold_batches):
+    the parts table split 3 ways by partkey residue and folded through
+    frontier-sized state — must equal the one-shot skyline for ANY split
+    (the SET-algebraic maintenance identity skyline(A∪B) =
+    skyline(skyline(A)∪B); the one-shot IS the oracle). The IVM family's
+    first frontier-state member: commutative, no delivery contract."""
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+    from etl_pipeline_last_fm_spark.operators.skyline import (
+        skyline_fold_batches,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        half_up_round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    batches = [pts.filter(F.pmod(F.col("p_partkey"), F.lit(3)) == i)
+               for i in range(3)]
+    return skyline_fold_batches(
+        batches, "p_partkey", "price_cents", "p_size",
+        bucket_width=_SKYLINE_BUCKET_CENTS,
+    )
+
+
 #: Fixed BM25 probe query over the fixture vocabulary (mixed document
 #: frequencies at both graded SFs, so idf actually differentiates).
 _BM25_TERMS = ("hash", "join", "scan")
@@ -292,6 +319,7 @@ QUERIES = {
     "revenue_gini": q_revenue_gini,
     "zipf_fit": q_zipf_fit,
     "bm25_rank": q_bm25_rank,
+    "skyline_fold": q_skyline_fold,
 }
 
 
@@ -333,4 +361,9 @@ def oracles() -> dict[str, str]:
         "revenue_gini": _REVENUE_GINI_SQL,
         "zipf_fit": zipf_fit_oracle_sql(),
         "bm25_rank": bm25_topk_oracle_sql(_BM25_TERMS, k=20),
+        # The one-shot skyline is the oracle for its fold twin
+        # (set-algebraic maintenance identity).
+        "skyline_fold": skyline_2d_oracle_sql(
+            _SKYLINE_POINTS_SQL, "p_partkey", "price_cents", "p_size"
+        ),
     }

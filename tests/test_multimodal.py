@@ -3,6 +3,7 @@ operators (the codec is stubbed; the Spark-side contract is what's tested)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -875,3 +876,88 @@ def test_png_adam7_interlace_exact():
                 raws.append(b"\x00" + sub[r].tobytes())
         dec = png_decode(_png_raw(w, h, 8, 2, 1, b"".join(raws)))
         assert np.array_equal(dec, full), (h, w)
+
+
+def _block_video(n=6, h=40, w=64):
+    fr = np.zeros((n, h, w, 3), np.uint8)
+    fr[:, :, :] = [10, 20, 30]
+    for k in range(n):
+        fr[k, 5:15, 5 + 6 * k : 15 + 6 * k] = [200, 50, 50]
+    return fr
+
+
+def test_rle8_avi_roundtrip_and_compression():
+    """Inter-coded RLE8 AVI: lossless round-trip through the container,
+    and the static background actually compresses (unwritten pixels
+    persist from the previous frame — the inter-frame path is real)."""
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+    )
+
+    fr = _block_video()
+    b = avi_encode(fr, fps=5, codec="rle8")
+    assert len(b) < fr.size // 10  # delta coding pays off
+    got, fps = avi_decode(b)
+    assert fps == 5
+    assert np.array_equal(got, fr)
+
+
+def test_rle8_frame_decode_modes_and_quarantine():
+    """Per-frame codec surface: keyframe vs delta decode, absolute-mode
+    word padding, and the ValueError quarantine on truncation and
+    out-of-bounds runs."""
+    import pytest
+
+    from etl_pipeline_last_fm_spark.operators.rle8 import (
+        rle8_decode_frame,
+        rle8_encode_frame,
+    )
+
+    rng = np.random.default_rng(11)
+    prev = rng.integers(0, 6, (9, 13), np.uint8)
+    cur = prev.copy()
+    cur[2, 3:8] = 7  # a changed span mid-row
+    cur[5] = np.arange(13) % 5  # a fully-rewritten literal-ish row
+    data = rle8_encode_frame(cur, prev)
+    assert np.array_equal(rle8_decode_frame(data, 13, 9, prev), cur)
+    # keyframe path: unwritten pixels default to 0
+    key = rle8_encode_frame(cur, None)
+    assert np.array_equal(rle8_decode_frame(key, 13, 9, None), cur)
+    with pytest.raises(ValueError, match="truncated"):
+        rle8_decode_frame(data[:-2], 13, 9, prev)
+    with pytest.raises(ValueError, match="bounds"):
+        rle8_decode_frame(bytes((255, 1, 0, 1)), 13, 9, prev)  # run past w
+    from etl_pipeline_last_fm_spark.operators.rle8 import build_palette
+
+    with pytest.raises(ValueError, match="256"):
+        g = np.zeros((1, 20, 20, 3), np.uint8)
+        g[0, :, :, 0] = (np.arange(400) % 256).reshape(20, 20)
+        g[0, :, :, 1] = (np.arange(400) // 256 * 7).reshape(20, 20)
+        build_palette(g)
+
+
+def test_frame_sample_rle8_sequential_dependency(spark):
+    """frame_sample on an inter-coded RLE8 AVI: sampled frames equal the
+    fully-decoded frames at the same pixel-center picks (the sequential
+    0..k decode is exercised because later frames differ from frame 0)."""
+    from etl_pipeline_last_fm_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+        bmp_decode,
+        frame_sample,
+    )
+
+    fr = _block_video()
+    b = avi_encode(fr, fps=5, codec="rle8")
+    df = spark.createDataFrame(
+        [(1, bytearray(b))], "media_id long, content binary"
+    )
+    picked = frame_sample(df, n_frames=3, fake=False).collect()
+    full, _ = avi_decode(b)
+    n = full.shape[0]
+    picks = ((2 * np.arange(3) + 1) * n) // (2 * 3)
+    for r in picked:
+        assert np.array_equal(
+            bmp_decode(bytes(r["frame"])), full[int(picks[r["frame_idx"]])]
+        )

@@ -493,3 +493,31 @@ def test_bm25_matches_python_reference(spark, docs):
         key=lambda x: (-x[2], x[0]),
     )
     assert got == want
+
+
+@given(points=points_strategy,
+       assign=st.lists(st.integers(0, 2), min_size=1, max_size=30),
+       width=st.sampled_from([1, 7, 1000]))
+@settings(**SETTINGS)
+def test_skyline_fold_identity_any_partition(spark, points, assign, width):
+    """The frontier-maintenance identity skyline(A∪B) =
+    skyline(skyline(A)∪B): folding ANY 3-way partition of the points,
+    in the given order, equals the one-shot skyline — at every bucket
+    width (the identity is set-algebraic, no delivery contract)."""
+    from etl_pipeline_last_fm_spark.operators.skyline import (
+        skyline_2d,
+        skyline_fold_batches,
+    )
+
+    pts = [(i, c, g) for i, (c, g) in enumerate(points)]
+    df = spark.createDataFrame(pts, "id long, cost long, gain long")
+    batches = [
+        df.filter(F.pmod(F.col("id"), F.lit(3)) == i) for i in range(3)
+    ]
+    got = sorted(map(tuple, skyline_fold_batches(
+        batches, "id", "cost", "gain", bucket_width=width
+    ).collect()))
+    want = sorted(map(tuple, skyline_2d(
+        df, "id", "cost", "gain", bucket_width=width
+    ).collect()))
+    assert got == want
