@@ -60,6 +60,17 @@ def _run_time_sliced_stream(spark, sf_dir, maintenance, read_state, present):
         ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
         ev.filter(F.col("ts") >= c2),
     ]
+    return run_file_sliced_stream(
+        spark, slices, maintenance, read_state, present
+    )
+
+
+def run_file_sliced_stream(spark, slices, maintenance, read_state, present):
+    """The generic file-slice machinery behind the streaming twins: any
+    list of same-schema slice DataFrames, delivered as one micro-batch
+    each in list order (forced mtimes; FileStreamSource schedules
+    oldest-first). Order-dependent members pass time slices; commutative
+    members (the skyline frontier) pass any partition."""
     tmp = tempfile.mkdtemp(prefix="sgraft_stream7_")
     try:
         src = os.path.join(tmp, "src")
@@ -78,7 +89,7 @@ def _run_time_sliced_stream(spark, sf_dir, maintenance, read_state, present):
         state = os.path.join(tmp, "state")
         ck = os.path.join(tmp, "ck")
         stream = (
-            spark.readStream.schema(ev.schema)
+            spark.readStream.schema(slices[0].schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )

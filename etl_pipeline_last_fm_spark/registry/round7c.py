@@ -281,6 +281,52 @@ def q_skyline_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (partkey, price cents, size) point set every skyline entry
+    grades — one definition so the one-shot, the fold and the streaming
+    twin all see the same points."""
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        half_up_round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+
+def q_streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `skyline_fold` (streaming/ivm.py): the Pareto
+    frontier maintained over a 3-slice availableNow point stream under
+    the versioned-commit replay guard. The fold is commutative (set
+    algebra, no delivery contract) — slice order is immaterial, which
+    no other streaming member can claim. Oracle: the one-shot skyline."""
+    from etl_pipeline_last_fm_spark.registry.round7 import (
+        run_file_sliced_stream,
+    )
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_skyline_state,
+        streaming_skyline_maintenance,
+    )
+
+    pts = _part_points(spark, sf_dir)
+    slices = [
+        pts.filter(F.pmod(F.col("p_partkey"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    return run_file_sliced_stream(
+        spark,
+        slices,
+        lambda stream, state, ck: streaming_skyline_maintenance(
+            stream, state, "p_partkey", "price_cents", "p_size",
+            bucket_width=_SKYLINE_BUCKET_CENTS, checkpoint=ck,
+        ),
+        read_skyline_state,
+        lambda df: df,
+    )
+
+
 #: Fixed BM25 probe query over the fixture vocabulary (mixed document
 #: frequencies at both graded SFs, so idf actually differentiates).
 _BM25_TERMS = ("hash", "join", "scan")
@@ -320,6 +366,7 @@ QUERIES = {
     "zipf_fit": q_zipf_fit,
     "bm25_rank": q_bm25_rank,
     "skyline_fold": q_skyline_fold,
+    "streaming_skyline": q_streaming_skyline,
 }
 
 
@@ -364,6 +411,9 @@ def oracles() -> dict[str, str]:
         # The one-shot skyline is the oracle for its fold twin
         # (set-algebraic maintenance identity).
         "skyline_fold": skyline_2d_oracle_sql(
+            _SKYLINE_POINTS_SQL, "p_partkey", "price_cents", "p_size"
+        ),
+        "streaming_skyline": skyline_2d_oracle_sql(
             _SKYLINE_POINTS_SQL, "p_partkey", "price_cents", "p_size"
         ),
     }

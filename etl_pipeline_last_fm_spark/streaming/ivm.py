@@ -604,3 +604,62 @@ def streaming_holt_maintenance(
 
 def read_holt_state(spark: SparkSession, state_path: str) -> DataFrame:
     return _strip_bid(read_latest_state(spark, state_path))
+
+
+def skyline_fold_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    id_col: str,
+    cost_col: str,
+    gain_col: str,
+    bucket_width: int = 1000,
+) -> None:
+    """Fold ONE micro-batch of points into the maintained Pareto
+    frontier (operators/skyline.py) under the single-state protocol —
+    the IVM family's first FRONTIER-STATE streaming member. The fold is
+    state' = skyline(state ∪ batch), exact by the set-algebraic
+    identity, so it is COMMUTATIVE: micro-batch order is immaterial and
+    there is no delivery contract / out-of-order raise — only the
+    replay guard matters (a replayed batch must not be re-folded, not
+    because re-folding corrupts the frontier — skyline is idempotent on
+    already-folded points — but to keep the protocol uniform)."""
+    from etl_pipeline_last_fm_spark.operators.skyline import skyline_2d
+
+    def fold(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        pts = batch.select(id_col, cost_col, gain_col)
+        if state is not None:
+            pts = state.unionByName(pts)
+        return skyline_2d(
+            pts, id_col, cost_col, gain_col, bucket_width=bucket_width
+        )
+
+    _single_state_stream_fold(batch_df, batch_id, state_path, fold)
+
+
+def streaming_skyline_maintenance(
+    point_stream: DataFrame,
+    state_path: str,
+    id_col: str,
+    cost_col: str,
+    gain_col: str,
+    bucket_width: int = 1000,
+    checkpoint: str | None = None,
+):
+    """Maintain the Pareto frontier over a stream of points. Returns a
+    DataStreamWriter; read with ``read_skyline_state``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        skyline_fold_stream_batch(
+            batch_df, batch_id, state_path, id_col, cost_col, gain_col,
+            bucket_width,
+        )
+
+    writer = point_stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_skyline_state(spark: SparkSession, state_path: str) -> DataFrame:
+    return _strip_bid(read_latest_state(spark, state_path))

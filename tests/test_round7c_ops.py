@@ -521,3 +521,40 @@ def test_skyline_fold_identity_any_partition(spark, points, assign, width):
         df, "id", "cost", "gain", bucket_width=width
     ).collect()))
     assert got == want
+
+
+def test_skyline_stream_fold_identity_replay_and_commutativity(
+    spark, tmp_path
+):
+    """The frontier twin under the single-state protocol: maintained
+    frontier == the one-shot skyline; replays no-op; and — unique to
+    this member — ANY batch order yields the same frontier (the fold is
+    commutative set algebra, no delivery contract)."""
+    from etl_pipeline_last_fm_spark.operators.skyline import skyline_2d
+    from etl_pipeline_last_fm_spark.streaming.ivm import (
+        read_skyline_state,
+        skyline_fold_stream_batch,
+    )
+
+    pts = [(i, (i * 37) % 50, (i * 23) % 40) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, cost long, gain long")
+    slices = [
+        df.filter(F.pmod(F.col("id"), F.lit(3)) == i) for i in range(3)
+    ]
+    want = sorted(
+        map(tuple, skyline_2d(df, "id", "cost", "gain", 7).collect())
+    )
+    for order, sub in (((0, 1, 2), "fwd"), ((2, 0, 1), "scrambled")):
+        path = str(tmp_path / f"sky_{sub}")
+        for bid, s in enumerate(order):
+            skyline_fold_stream_batch(
+                slices[s], bid, path, "id", "cost", "gain", 7
+            )
+            if bid == 1:  # replay mid-sequence must no-op
+                skyline_fold_stream_batch(
+                    slices[s], bid, path, "id", "cost", "gain", 7
+                )
+        got = sorted(
+            map(tuple, read_skyline_state(spark, path).collect())
+        )
+        assert got == want, sub
