@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-195/195 oracle-paired (same column names; computed columns aliased on both
+196/196 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -276,7 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
         # --- round-7 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-8 rotation (31
+        # New this round, first in line for the round-8 rotation (32
         # entries): the order-dependent IVM tier (EMA, CUSUM, last-touch
         # and time-decay attribution, and TWAP frontier folds and their
         # versioned-commit streaming twins), the hub-capped
@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _ALL["bm25_rank"],
         "skyline_fold": _ALL["skyline_fold"],
         "streaming_skyline": _ALL["streaming_skyline"],
+        "rank_sum_test": _ALL["rank_sum_test"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

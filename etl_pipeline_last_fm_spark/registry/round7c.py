@@ -344,6 +344,18 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between purchase and view value distributions
+    (operators/timeseries.py rank_sum_test): the nonparametric location
+    test next to contingency_chi2 — doubled midranks keep the statistic
+    exact-integer on both engines."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import rank_sum_test
+
+    return rank_sum_test(
+        load_table(spark, sf_dir, "events"), "purchase", "view"
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf rank-frequency fit (operators/text.py zipf_fit): the
     OLS slope of micro-nat log frequency against log rank over the token
@@ -367,6 +379,7 @@ QUERIES = {
     "bm25_rank": q_bm25_rank,
     "skyline_fold": q_skyline_fold,
     "streaming_skyline": q_streaming_skyline,
+    "rank_sum_test": q_rank_sum_test,
 }
 
 
@@ -387,6 +400,7 @@ def oracles() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.timeseries import (
         durbin_watson_oracle_sql,
         holt_linear_oracle_sql,
+        rank_sum_test_oracle_sql,
     )
     from etl_pipeline_last_fm_spark.registry.round6 import _COPURCHASE_1996_SQL
 
@@ -416,4 +430,5 @@ def oracles() -> dict[str, str]:
         "streaming_skyline": skyline_2d_oracle_sql(
             _SKYLINE_POINTS_SQL, "p_partkey", "price_cents", "p_size"
         ),
+        "rank_sum_test": rank_sum_test_oracle_sql("purchase", "view"),
     }

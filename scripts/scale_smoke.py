@@ -962,6 +962,13 @@ def round7c_wave(spark, ev_typed, n_events: int) -> None:
     n_bm = bm25_topk(docs, ("data", "the", "query"), k=20).count()
     t_bm = time.perf_counter() - t0
 
+    # Mann-Whitney: one filtered aggregate to the value DIM + dim window.
+    from etl_pipeline_last_fm_spark.operators.timeseries import rank_sum_test
+
+    t0 = time.perf_counter()
+    n_rs = rank_sum_test(ev_typed, "purchase", "view").count()
+    t_rs = time.perf_counter() - t0
+
     print(
         f"round-7c wave: holt {t_ho:.1f}s ({n_ho} users), "
         f"holt-fold {t_hf:.1f}s ({n_hf} users), "
@@ -971,7 +978,8 @@ def round7c_wave(spark, ev_typed, n_events: int) -> None:
         f"km-survival {t_km:.1f}s ({n_km} day rows), "
         f"gini {t_gini:.1f}s ({n_gini} nations), "
         f"zipf {t_zf:.1f}s ({n_zf} row), "
-        f"bm25 {t_bm:.1f}s ({n_bm} rows)"
+        f"bm25 {t_bm:.1f}s ({n_bm} rows), "
+        f"rank-sum {t_rs:.1f}s ({n_rs} row)"
     )
 
 

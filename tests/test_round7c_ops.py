@@ -558,3 +558,34 @@ def test_skyline_stream_fold_identity_replay_and_commutativity(
             map(tuple, read_skyline_state(spark, path).collect())
         )
         assert got == want, sub
+
+
+@given(a=st.lists(st.integers(-20, 20), min_size=1, max_size=15),
+       b=st.lists(st.integers(-20, 20), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_rank_sum_matches_python_reference(spark, a, b):
+    """Mann–Whitney with doubled midranks == a pure-Python rank walk,
+    including heavy ties and the identity u2_a + u2_b == 2·n_a·n_b."""
+    from etl_pipeline_last_fm_spark.operators.timeseries import rank_sum_test
+
+    rows = [(i, 0, "purchase", datetime(2024, 1, 1), v / 100.0)
+            for i, v in enumerate(a)]
+    rows += [(len(a) + i, 0, "view", datetime(2024, 1, 1), v / 100.0)
+             for i, v in enumerate(b)]
+    df = _mk_events(spark, rows)
+    [r] = rank_sum_test(df, "purchase", "view").collect()
+    # python reference: sum of doubled midranks of group a
+    allv = sorted(a + b)
+    first = {}
+    for i, v in enumerate(allv):
+        first.setdefault(v, i + 1)
+    def mr2(v):
+        lo = first[v]
+        hi = lo + allv.count(v) - 1
+        return lo + hi  # 2 * midrank
+    r2a = sum(mr2(v) for v in a)
+    na, nb = len(a), len(b)
+    u2a = r2a - na * (na + 1)
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"]) == (
+        na, nb, u2a, 2 * na * nb - u2a,
+    )
