@@ -73,13 +73,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # Round-7 rotation (VERDICT r6 item 1): the 19 round-6-queue entries —
+    # Round-8 rotation (VERDICT r7 item 1): the 32 round-7-queue entries —
     # the only never-driver-graded queries left — enter behind the 9
-    # rotation-invariant bench headliners (slots 10-28); the remaining 22
+    # rotation-invariant bench headliners (slots 10-41); the remaining 9
     # slots backfill with the LONGEST-UNEXERCISED green anchors (the head
-    # of the past-the-cap line as ordered at the round-6 close: the rest
-    # of the round-3-graded tier, lead_lag .. pack_sequences). After this
-    # window is graded, EVERY registry entry has a driver row on record.
+    # of the past-the-cap line as ordered at the round-7 close: the
+    # round-4 wave from profile_columns). After this window is graded,
+    # EVERY registry entry has a driver row on record — cumulative driver
+    # coverage 196/196.
     # Demoted entries keep their driver rows and still run in
     # tests/test_oracle_parity.py at sf0.001 every pytest run; they rotate
     # back in if their family loses its in-window representative.
@@ -101,63 +102,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ALL["dedup_ngram_jaccard"],
         "dedup_minhash_lsh": _ALL["dedup_minhash_lsh"],
         "sim_bruteforce": _ALL["sim_bruteforce"],
-        # round-6-queue tier, slots 10-28: first driver rows this round
-        # (19 entries, VERDICT r6 item 1) — MATCH_RECOGNIZE measures, the
-        # TPC-H completion wave (Q6/Q15/Q10/Q12/Q14/Q2/Q9/Q20), and the
-        # round-6 analytics wave.
-        "event_pattern_measures": _ALL["event_pattern_measures"],
-        "forecast_revenue": _ALL["forecast_revenue"],
-        "top_supplier": _ALL["top_supplier"],
-        "returned_revenue": _ALL["returned_revenue"],
-        "shipmode_priority": _ALL["shipmode_priority"],
-        "promo_revenue": _ALL["promo_revenue"],
-        "min_cost_supplier": _ALL["min_cost_supplier"],
-        "product_profit": _ALL["product_profit"],
-        "dominant_suppliers": _ALL["dominant_suppliers"],
-        "link_prediction": _ALL["link_prediction"],
-        "ema_decay": _ALL["ema_decay"],
-        "ema_fold": _ALL["ema_fold"],
-        "attribution": _ALL["attribution"],
-        "trend_fit": _ALL["trend_fit"],
-        "collocations": _ALL["collocations"],
-        "session_concurrency": _ALL["session_concurrency"],
-        "contingency_chi2": _ALL["contingency_chi2"],
-        "cusum": _ALL["cusum"],
-        "hashed_features": _ALL["hashed_features"],
-        # longest-unexercised tier, slots 29-50: the 22 green anchors at
-        # the head of the round-6 past-the-cap line (the rest of the
-        # round-3-graded tier).
-        "lead_lag": _ALL["lead_lag"],
-        "range_join": _ALL["range_join"],
-        "funnel": _ALL["funnel"],
-        "hll_distinct": _ALL["hll_distinct"],
-        "tumbling_window": _ALL["tumbling_window"],
-        "dedup_simhash": _ALL["dedup_simhash"],
-        "dedup_rolling_fp": _ALL["dedup_rolling_fp"],
-        "embedding_cosine_dedup": _ALL["embedding_cosine_dedup"],
-        "sim_ann_lsh": _ALL["sim_ann_lsh"],
-        "tfidf": _ALL["tfidf"],
-        "top_ngrams": _ALL["top_ngrams"],
-        "split_assign": _ALL["split_assign"],
-        "mixture_sample": _ALL["mixture_sample"],
-        "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],
-        "fuzzy_name_pairs": _ALL["fuzzy_name_pairs"],
-        "multimodal_meta": _ALL["multimodal_meta"],
-        "asof_join": _ALL["asof_join"],
-        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
-        "dedup_keep_list": _ALL["dedup_keep_list"],
-        "contamination": _ALL["contamination"],
-        "token_budget_sample": _ALL["token_budget_sample"],
-        "pack_sequences": _ALL["pack_sequences"],
-        # --- past the 50-entry cap ------------------------------------
-        # Every entry below EXCEPT the round-7 queue tier (the clearly
-        # marked final tier — never graded yet, first in line for the
-        # round-8 rotation) has a green driver row on record; all of them
-        # run in tests/test_oracle_parity.py at sf0.001 every pytest run.
-        # Line order for the round-8 rotation after the queue tier: the
-        # round-4 wave (here, from profile_columns), then the round-5/-6
-        # waves, then the 41 entries demoted from the round-6 window
-        # (most recently graded, last in line).
+        # round-7-queue tier, slots 10-41: first driver rows this round
+        # (32 entries, VERDICT r7 item 1) — the order-dependent IVM tier
+        # (EMA / CUSUM / attribution / decay / TWAP / Holt folds plus
+        # their versioned-commit streaming twins), the hub-capped
+        # link-prediction scale path, bigram LM scoring, and the 7b/7c/7d
+        # analytics waves (token entropy, RFM, LOCF TWAP, Benford, HHI,
+        # ABC/Pareto, negative edges, clustering coefficient,
+        # Durbin–Watson, skyline + its fold/stream twins, Kaplan–Meier,
+        # Gini, Zipf, BM25, Mann–Whitney).
+        "streaming_ema": _ALL["streaming_ema"],
+        "link_prediction_capped": _ALL["link_prediction_capped"],
+        "cusum_fold": _ALL["cusum_fold"],
+        "streaming_cusum": _ALL["streaming_cusum"],
+        "attribution_fold": _ALL["attribution_fold"],
+        "streaming_attribution": _ALL["streaming_attribution"],
+        "attribution_decay": _ALL["attribution_decay"],
+        "attribution_decay_fold": _ALL["attribution_decay_fold"],
+        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
+        "lm_score_bigram": _ALL["lm_score_bigram"],
+        "token_entropy": _ALL["token_entropy"],
+        "rfm_segments": _ALL["rfm_segments"],
+        "time_weighted_avg": _ALL["time_weighted_avg"],
+        "benford_profile": _ALL["benford_profile"],
+        "supplier_concentration": _ALL["supplier_concentration"],
+        "twap_fold": _ALL["twap_fold"],
+        "streaming_twap": _ALL["streaming_twap"],
+        "abc_classification": _ALL["abc_classification"],
+        "negative_edges": _ALL["negative_edges"],
+        "holt_smooth": _ALL["holt_smooth"],
+        "holt_fold": _ALL["holt_fold"],
+        "streaming_holt": _ALL["streaming_holt"],
+        "clustering_coefficient": _ALL["clustering_coefficient"],
+        "durbin_watson": _ALL["durbin_watson"],
+        "skyline_parts": _ALL["skyline_parts"],
+        "survival_km": _ALL["survival_km"],
+        "revenue_gini": _ALL["revenue_gini"],
+        "zipf_fit": _ALL["zipf_fit"],
+        "bm25_rank": _ALL["bm25_rank"],
+        "skyline_fold": _ALL["skyline_fold"],
+        "streaming_skyline": _ALL["streaming_skyline"],
+        "rank_sum_test": _ALL["rank_sum_test"],
+        # backfill tier, slots 42-50: the 9 green anchors at the head of
+        # the round-7 past-the-cap line (the round-4 wave head, per the
+        # round-7 contract comment).
         "profile_columns": _ALL["profile_columns"],
         "scd2_history": _ALL["scd2_history"],
         "gapfill_locf": _ALL["gapfill_locf"],
@@ -167,6 +155,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
         "embedding_keep_list": _ALL["embedding_keep_list"],
         "stratified_sample": _ALL["stratified_sample"],
+        # --- past the 50-entry cap ------------------------------------
+        # Every entry below has a green driver row on record (196/196
+        # cumulative once this window is graded); all of them run in
+        # tests/test_oracle_parity.py at sf0.001 every pytest run.
+        # Line order for the round-9 rotation: the rest of the round-4/5/6
+        # waves (longest unexercised — from bpe_pair_counts), then the 41
+        # entries demoted from the round-6 window, then the 41 demoted
+        # from the round-7 window (most recently graded, last in line).
         "bpe_pair_counts": _ALL["bpe_pair_counts"],
         "vocab_coverage": _ALL["vocab_coverage"],
         "scd2_as_of": _ALL["scd2_as_of"],
@@ -232,8 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": _ALL["kmeans_train"],
         "sole_late_supplier": _ALL["sole_late_supplier"],
         # Demoted from the round-6 graded window (41 entries — the 8
-        # round-5-queue entries plus the 33 round-6 backfill anchors):
-        # graded most recently, so LAST in line for the round-8 rotation.
+        # round-5-queue entries plus the 33 round-6 backfill anchors).
         "priority_promises": _ALL["priority_promises"],
         "important_parts": _ALL["important_parts"],
         "supplier_part_counts": _ALL["supplier_part_counts"],
@@ -275,59 +270,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": _ALL["explode_tokens"],
         "rollup_agg": _ALL["rollup_agg"],
         "pivot_native": _ALL["pivot_native"],
-        # --- round-7 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-8 rotation (32
-        # entries): the order-dependent IVM tier (EMA, CUSUM, last-touch
-        # and time-decay attribution, and TWAP frontier folds and their
-        # versioned-commit streaming twins), the hub-capped
-        # link-prediction scale path, bigram LM scoring, and the 7b
-        # analytics wave (token entropy, RFM segmentation, LOCF
-        # time-weighted average, Benford first-digit audit, HHI revenue
-        # concentration, ABC/Pareto classification, negative-edge
-        # sampling), and the 7c wave (Holt smoothing, clustering
-        # coefficient, Durbin–Watson, skyline). All oracle-paired; all run
-        # in tests/test_oracle_parity.py at sf0.001 every pytest run until
-        # they earn driver rows.
-        "streaming_ema": _ALL["streaming_ema"],
-        "link_prediction_capped": _ALL["link_prediction_capped"],
-        "cusum_fold": _ALL["cusum_fold"],
-        "streaming_cusum": _ALL["streaming_cusum"],
-        "attribution_fold": _ALL["attribution_fold"],
-        "streaming_attribution": _ALL["streaming_attribution"],
-        "attribution_decay": _ALL["attribution_decay"],
-        "attribution_decay_fold": _ALL["attribution_decay_fold"],
-        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
-        "lm_score_bigram": _ALL["lm_score_bigram"],
-        "token_entropy": _ALL["token_entropy"],
-        "rfm_segments": _ALL["rfm_segments"],
-        "time_weighted_avg": _ALL["time_weighted_avg"],
-        "benford_profile": _ALL["benford_profile"],
-        "supplier_concentration": _ALL["supplier_concentration"],
-        "twap_fold": _ALL["twap_fold"],
-        "streaming_twap": _ALL["streaming_twap"],
-        "abc_classification": _ALL["abc_classification"],
-        "negative_edges": _ALL["negative_edges"],
-        # 7c extension wave (appended to the same queue): Holt linear
-        # smoothing as ordered-fold IVM member #6 (one-shot + fold +
-        # streaming twin), per-node clustering coefficient on the 1996
-        # co-purchase graph, the Durbin–Watson serial-correlation
-        # statistic, and the bucketed 2-D skyline (Pareto frontier).
-        "holt_smooth": _ALL["holt_smooth"],
-        "holt_fold": _ALL["holt_fold"],
-        "streaming_holt": _ALL["streaming_holt"],
-        "clustering_coefficient": _ALL["clustering_coefficient"],
-        "durbin_watson": _ALL["durbin_watson"],
-        "skyline_parts": _ALL["skyline_parts"],
-        # 7d extension wave (same queue): Kaplan–Meier right-censored
-        # survival (exact-integer KM product over the day dim) and the
-        # per-nation revenue Gini (rank closed form, exact ppm).
-        "survival_km": _ALL["survival_km"],
-        "revenue_gini": _ALL["revenue_gini"],
-        "zipf_fit": _ALL["zipf_fit"],
-        "bm25_rank": _ALL["bm25_rank"],
-        "skyline_fold": _ALL["skyline_fold"],
-        "streaming_skyline": _ALL["streaming_skyline"],
-        "rank_sum_test": _ALL["rank_sum_test"],
+        # Demoted from the round-7 graded window (41 entries — the 19
+        # round-6-queue entries plus the 22 round-7 backfill anchors):
+        # graded most recently, so LAST in line for the round-9 rotation.
+        "event_pattern_measures": _ALL["event_pattern_measures"],
+        "forecast_revenue": _ALL["forecast_revenue"],
+        "top_supplier": _ALL["top_supplier"],
+        "returned_revenue": _ALL["returned_revenue"],
+        "shipmode_priority": _ALL["shipmode_priority"],
+        "promo_revenue": _ALL["promo_revenue"],
+        "min_cost_supplier": _ALL["min_cost_supplier"],
+        "product_profit": _ALL["product_profit"],
+        "dominant_suppliers": _ALL["dominant_suppliers"],
+        "link_prediction": _ALL["link_prediction"],
+        "ema_decay": _ALL["ema_decay"],
+        "ema_fold": _ALL["ema_fold"],
+        "attribution": _ALL["attribution"],
+        "trend_fit": _ALL["trend_fit"],
+        "collocations": _ALL["collocations"],
+        "session_concurrency": _ALL["session_concurrency"],
+        "contingency_chi2": _ALL["contingency_chi2"],
+        "cusum": _ALL["cusum"],
+        "hashed_features": _ALL["hashed_features"],
+        "lead_lag": _ALL["lead_lag"],
+        "range_join": _ALL["range_join"],
+        "funnel": _ALL["funnel"],
+        "hll_distinct": _ALL["hll_distinct"],
+        "tumbling_window": _ALL["tumbling_window"],
+        "dedup_simhash": _ALL["dedup_simhash"],
+        "dedup_rolling_fp": _ALL["dedup_rolling_fp"],
+        "embedding_cosine_dedup": _ALL["embedding_cosine_dedup"],
+        "sim_ann_lsh": _ALL["sim_ann_lsh"],
+        "tfidf": _ALL["tfidf"],
+        "top_ngrams": _ALL["top_ngrams"],
+        "split_assign": _ALL["split_assign"],
+        "mixture_sample": _ALL["mixture_sample"],
+        "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],
+        "fuzzy_name_pairs": _ALL["fuzzy_name_pairs"],
+        "multimodal_meta": _ALL["multimodal_meta"],
+        "asof_join": _ALL["asof_join"],
+        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
+        "dedup_keep_list": _ALL["dedup_keep_list"],
+        "contamination": _ALL["contamination"],
+        "token_budget_sample": _ALL["token_budget_sample"],
+        "pack_sequences": _ALL["pack_sequences"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

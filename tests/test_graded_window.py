@@ -8,11 +8,12 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-#: Round-7 window: 9 rotation-invariant headliners, the 19 round-6-queue
+#: Round-8 window: 9 rotation-invariant headliners, the 32 round-7-queue
 #: entries earning their first driver rows (the last never-graded entries —
-#: this window closes the book: 164/164 cumulative driver coverage), then
-#: the 22 longest-unexercised green anchors (rest of the round-3 tier).
-GRADED_WINDOW_R7 = [
+#: this window closes the book: 196/196 cumulative driver coverage), then
+#: 9 backfill slots with the longest-unexercised green anchors (the head
+#: of the round-7 past-the-cap line: the round-4 wave from profile_columns).
+GRADED_WINDOW_R8 = [
     "flagship_royalties",
     "pricing_summary",
     "star_join",
@@ -22,77 +23,81 @@ GRADED_WINDOW_R7 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce",
-    "event_pattern_measures",
-    "forecast_revenue",
-    "top_supplier",
-    "returned_revenue",
-    "shipmode_priority",
-    "promo_revenue",
-    "min_cost_supplier",
-    "product_profit",
-    "dominant_suppliers",
-    "link_prediction",
-    "ema_decay",
-    "ema_fold",
-    "attribution",
-    "trend_fit",
-    "collocations",
-    "session_concurrency",
-    "contingency_chi2",
-    "cusum",
-    "hashed_features",
-    "lead_lag",
-    "range_join",
-    "funnel",
-    "hll_distinct",
-    "tumbling_window",
-    "dedup_simhash",
-    "dedup_rolling_fp",
-    "embedding_cosine_dedup",
-    "sim_ann_lsh",
-    "tfidf",
-    "top_ngrams",
-    "split_assign",
-    "mixture_sample",
-    "sim_ann_ivf_seeded",
-    "fuzzy_name_pairs",
-    "multimodal_meta",
-    "asof_join",
-    "cms_heavy_hitters",
-    "dedup_keep_list",
-    "contamination",
-    "token_budget_sample",
-    "pack_sequences",
+    "streaming_ema",
+    "link_prediction_capped",
+    "cusum_fold",
+    "streaming_cusum",
+    "attribution_fold",
+    "streaming_attribution",
+    "attribution_decay",
+    "attribution_decay_fold",
+    "streaming_attribution_decay",
+    "lm_score_bigram",
+    "token_entropy",
+    "rfm_segments",
+    "time_weighted_avg",
+    "benford_profile",
+    "supplier_concentration",
+    "twap_fold",
+    "streaming_twap",
+    "abc_classification",
+    "negative_edges",
+    "holt_smooth",
+    "holt_fold",
+    "streaming_holt",
+    "clustering_coefficient",
+    "durbin_watson",
+    "skyline_parts",
+    "survival_km",
+    "revenue_gini",
+    "zipf_fit",
+    "bm25_rank",
+    "skyline_fold",
+    "streaming_skyline",
+    "rank_sum_test",
+    "profile_columns",
+    "scd2_history",
+    "gapfill_locf",
+    "expectations",
+    "hll_vocab",
+    "hopping_window",
+    "embedding_cosine_pairs",
+    "embedding_keep_list",
+    "stratified_sample",
 ]
 
-ROUND6_QUEUE = [
-    "event_pattern_measures", "forecast_revenue", "top_supplier",
-    "returned_revenue", "shipmode_priority", "promo_revenue",
-    "min_cost_supplier", "product_profit", "dominant_suppliers",
-    "link_prediction", "ema_decay", "ema_fold", "attribution",
-    "trend_fit", "collocations", "session_concurrency",
-    "contingency_chi2", "cusum", "hashed_features",
+ROUND7_QUEUE = [
+    "streaming_ema", "link_prediction_capped", "cusum_fold",
+    "streaming_cusum", "attribution_fold", "streaming_attribution",
+    "attribution_decay", "attribution_decay_fold",
+    "streaming_attribution_decay", "lm_score_bigram", "token_entropy",
+    "rfm_segments", "time_weighted_avg", "benford_profile",
+    "supplier_concentration", "twap_fold", "streaming_twap",
+    "abc_classification", "negative_edges", "holt_smooth", "holt_fold",
+    "streaming_holt", "clustering_coefficient", "durbin_watson",
+    "skyline_parts", "survival_km", "revenue_gini", "zipf_fit",
+    "bm25_rank", "skyline_fold", "streaming_skyline", "rank_sum_test",
 ]
 
 
 def test_graded_prefix_is_pinned():
     names = list(entrymod.queries())
-    assert names[:50] == GRADED_WINDOW_R7
+    assert names[:50] == GRADED_WINDOW_R8
 
 
-def test_round6_queue_is_in_window():
-    assert set(ROUND6_QUEUE) <= set(GRADED_WINDOW_R7)
+def test_round7_queue_is_in_window():
+    assert len(ROUND7_QUEUE) == 32
+    assert set(ROUND7_QUEUE) <= set(GRADED_WINDOW_R8)
 
 
 def test_headliners_lead_the_window():
     from bench import HEADLINE
 
-    assert set(GRADED_WINDOW_R7[:9]) == set(HEADLINE)
+    assert set(GRADED_WINDOW_R8[:9]) == set(HEADLINE)
 
 
 def test_every_graded_entry_is_oracle_paired():
-    """145/145 since round 6 (sim_ann_ivf's trained-IVF oracle closed the
-    last rows-only entry) — a regression here silently downgrades a query
-    to the driver's weaker rows-only check."""
+    """196/196 since round 7 — a regression here silently downgrades a
+    query to the driver's weaker rows-only check."""
     oracles = entrymod.oracle_sql()
     assert set(entrymod.queries()) == set(oracles)
