@@ -541,8 +541,10 @@ def flac_decode(content: bytes) -> tuple[np.ndarray, int]:
     """Decode a FLAC stream to ((n, ch) int16 array, sample_rate).
     Verifies frame CRCs and the STREAMINFO MD5 of the decoded signal
     (ValueError on any mismatch — FLAC corruption is detectable, unlike
-    JPEG). Only 16-bit streams are supported (NotImplementedError
-    otherwise — the WAV tier's depth contract)."""
+    JPEG). RFC 9639 'unknown' markers are honored: total_samples == 0
+    decodes frames to payload exhaustion, and an all-zero MD5 (unset)
+    skips the digest check. Only 16-bit streams are supported
+    (NotImplementedError otherwise — the WAV tier's depth contract)."""
     if content[:4] != b"fLaC":
         raise ValueError("not a FLAC payload (missing fLaC magic)")
     pos = 4
@@ -581,10 +583,14 @@ def flac_decode(content: bytes) -> tuple[np.ndarray, int]:
         )
     if rate < 1:
         raise ValueError("bad FLAC sample rate 0")
-    out = np.empty((total, ch), dtype=np.int16)
+    # RFC 9639 §8.2: total_samples == 0 means UNKNOWN — decode frames
+    # until the payload is exhausted instead of trusting the count.
+    unknown_total = total == 0
+    out = None if unknown_total else np.empty((total, ch), dtype=np.int16)
+    blocks: list[np.ndarray] = []
     got = 0
     br = _BitReader(content, pos)
-    while got < total:
+    while (br.byte_pos < len(content)) if unknown_total else (got < total):
         frame_start = br.byte_pos
         sync = br.read(14)
         if sync != 0b11111111111110:
@@ -659,12 +665,25 @@ def flac_decode(content: bytes) -> tuple[np.ndarray, int]:
         want16 = br.read(16)
         if _crc16(content[frame_start:crc16_pos]) != want16:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        take = min(bs, total - got)
+        take = bs if unknown_total else min(bs, total - got)
         blk = np.stack([c[:take] for c in chans], axis=1)
         if blk.max(initial=0) > 32767 or blk.min(initial=0) < -32768:
             raise ValueError("FLAC sample out of int16 range")
-        out[got:got + take] = blk.astype(np.int16)
+        if unknown_total:
+            blocks.append(blk.astype(np.int16))
+        else:
+            out[got:got + take] = blk.astype(np.int16)
         got += take
-    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_want:
+    if unknown_total:
+        out = (
+            np.concatenate(blocks, axis=0)
+            if blocks
+            else np.empty((0, ch), dtype=np.int16)
+        )
+    # RFC 9639 §8.2: an all-zero stored digest means MD5 UNSET — nothing
+    # to verify against (our encoder always sets it; wild files may not).
+    if md5_want != b"\x00" * 16 and (
+        hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_want
+    ):
         raise ValueError("FLAC MD5 signature mismatch (corrupt stream)")
     return out, rate

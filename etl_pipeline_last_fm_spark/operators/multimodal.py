@@ -722,6 +722,9 @@ def avi_encode(
     movi_frames = []
     palette_quads = b""
     bits, clr_used = 24, 0
+    # dwSuggestedBufferSize / biSizeImage defaults (exact for 'raw',
+    # where every chunk is one 24-bpp DIB); compressed branches override.
+    buf_size = size_image = frame_size
     if codec == "raw":
         for f in frames:
             rows = np.zeros((h, stride), dtype=np.uint8)
@@ -731,9 +734,13 @@ def avi_encode(
     elif codec == "mjpg":
         from etl_pipeline_last_fm_spark.operators.jpeg import jpeg_encode
 
-        for f in frames:
-            movi_frames.append(chunk(b"00dc", jpeg_encode(f, quality=quality)))
+        jpegs = [jpeg_encode(f, quality=quality) for f in frames]
+        for j in jpegs:
+            movi_frames.append(chunk(b"00dc", j))
         fourcc, compression = b"MJPG", _MJPG_FOURCC
+        # readers size their staging buffer from this: the largest
+        # encoded frame, not the 24-bpp DIB size.
+        buf_size = max(map(len, jpegs), default=0)
     else:
         from etl_pipeline_last_fm_spark.operators.rle8 import (
             build_palette,
@@ -742,9 +749,17 @@ def avi_encode(
 
         palette, idx = build_palette(frames)
         prev = None
+        encoded = []
         for k in range(n):
-            movi_frames.append(chunk(b"00dc", rle8_encode_frame(idx[k], prev)))
+            encoded.append(rle8_encode_frame(idx[k], prev))
+            movi_frames.append(chunk(b"00dc", encoded[-1]))
             prev = idx[k]
+        # ADVICE r7 (multimodal.py avi_encode): an 8-bpp RLE stream must
+        # not advertise the 24-bpp DIB size — external consumers size
+        # buffers from these fields. Suggested buffer = largest encoded
+        # chunk; biSizeImage = the decoded 8-bpp DIB (row-padded).
+        buf_size = max(map(len, encoded), default=0)
+        size_image = (w + 3) // 4 * 4 * h
         # palette rides the strf as BGR0 quads (the DIB color table)
         quads = np.zeros((palette.shape[0], 4), dtype=np.uint8)
         quads[:, 0] = palette[:, 2]  # B
@@ -756,16 +771,16 @@ def avi_encode(
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
-        1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1, frame_size,
+        1_000_000 // fps, buf_size * fps, 0, 0, n, 0, 1, buf_size,
         w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0, n, buf_size, 0, 0,
         0, 0, w, h,
     )
     strf = struct.pack(  # BITMAPINFOHEADER (+ color table for RLE8)
-        "<IiiHHIIiiII", 40, w, h, 1, bits, compression, frame_size,
+        "<IiiHHIIiiII", 40, w, h, 1, bits, compression, size_image,
         2835, 2835, clr_used, 0,
     ) + palette_quads
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))

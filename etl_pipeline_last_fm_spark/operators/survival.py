@@ -32,6 +32,21 @@ from pyspark.sql import functions as F
 DEFAULT_CENSOR_DAYS = 7
 
 
+def _km_step(s, n, d):
+    """One exact KM step ``s·(n−d) div n`` (all non-negative longs).
+
+    decimal(38,0) end-to-end: the product is exact below 1e38 (vs 2^53
+    for a double), and subtracting the decimal remainder before dividing
+    makes the quotient an exact integer, so Spark's round-to-result-scale
+    decimal division is lossless and the long cast equals DuckDB's
+    truncating ``//``.
+    """
+    dec = "decimal(38,0)"
+    num = s.cast(dec) * (n - d).cast(dec)
+    den = n.cast(dec)
+    return ((num - num % den) / den).cast("long")
+
+
 def km_survival(
     events: DataFrame,
     key_col: str = "user_id",
@@ -105,18 +120,24 @@ def km_survival(
                         e["n"].alias("n"),
                         e["d"].alias("d"),
                         e["c"].alias("c"),
-                        (
-                            (
-                                # try_element_at: NULL (not an ANSI
-                                # index error) on the empty first step.
-                                F.coalesce(
-                                    F.try_element_at(acc, F.lit(-1))["s"],
-                                    F.lit(1_000_000).cast("long"),
-                                )
-                                * (e["n"] - e["d"])
-                            )
-                            / e["n"]
-                        ).cast("long").alias("s"),
+                        # s' = s·(n−d) div n in decimal(38,0) (the house
+                        # rule): a long·long product then float `/` is
+                        # only exact while s·(n−d) < 2^53 (n_risk ~1e10);
+                        # here the product is exact to 1e38 and the
+                        # division is forced exact by subtracting the
+                        # decimal remainder first, so the quotient is an
+                        # exact integer at ANY result scale — matching
+                        # the oracle's truncating `//` bit-for-bit.
+                        _km_step(
+                            # try_element_at: NULL (not an ANSI index
+                            # error) on the empty first step.
+                            F.coalesce(
+                                F.try_element_at(acc, F.lit(-1))["s"],
+                                F.lit(1_000_000).cast("long"),
+                            ),
+                            e["n"],
+                            e["d"],
+                        ).alias("s"),
                     )
                 ),
             ),

@@ -1254,7 +1254,11 @@ def bm25_topk_oracle_sql(
 ) -> str:
     """DuckDB twin: identical census/idf-quantize/cleared-denominator
     arithmetic in HUGEINT."""
-    terms = ", ".join(f"'{t}'" for t in dict.fromkeys(query_terms))
+    # ADVICE r7: escape quotes so a term like "rock'n'roll" still builds
+    # valid oracle SQL (test-only threat model — no untrusted input).
+    terms = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in dict.fromkeys(query_terms)
+    )
     return f"""
         WITH toks AS (
             SELECT doc_id, tok FROM (

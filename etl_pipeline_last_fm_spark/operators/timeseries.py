@@ -1248,6 +1248,10 @@ def rank_sum_test_oracle_sql(
     table: str = "events",
 ) -> str:
     """DuckDB twin: identical value-dim midrank derivation in HUGEINT."""
+    # ADVICE r7: escape quotes so a group name containing ' still builds
+    # valid oracle SQL (test-only threat model — no untrusted input).
+    group_a = group_a.replace("'", "''")
+    group_b = group_b.replace("'", "''")
     return f"""
         WITH two AS (
             SELECT event_type = '{group_a}' AS is_a,

@@ -103,6 +103,37 @@ def test_non_16bit_raises_notimplemented():
         flac_decode(bytes(b))
 
 
+def test_unknown_total_samples_decodes_to_exhaustion():
+    """RFC 9639 §8.2: STREAMINFO total_samples == 0 means UNKNOWN and an
+    all-zero MD5 means UNSET (ADVICE r7). Zero both fields in a real
+    stream; the decoder must decode every frame to payload exhaustion
+    and skip the MD5 check, returning the full signal."""
+    x = _tone(5000, ch=2)
+    b = bytearray(flac_encode(x, 16_000, block_size=1000))
+    # STREAMINFO body is file bytes 8..41. total_samples(36) occupies
+    # the low nibble of body byte 13 + body bytes 14-17; MD5 is body
+    # bytes 18-33.
+    b[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        b[8 + i] = 0
+    for i in range(18, 34):
+        b[8 + i] = 0
+    y, r = flac_decode(bytes(b))
+    assert r == 16_000
+    assert np.array_equal(y, x)
+    # ...and a REAL MD5 with unknown total still verifies (and a corrupt
+    # payload under unknown total is still caught by the frame CRCs).
+    b2 = bytearray(flac_encode(x, 16_000, block_size=1000))
+    b2[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        b2[8 + i] = 0
+    y2, _ = flac_decode(bytes(b2))
+    assert np.array_equal(y2, x)
+    b2[len(b2) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        flac_decode(bytes(b2))
+
+
 def test_escape_partition_decodes():
     """The encoder never emits the raw-bits escape; hand-build a frame
     with one escaped partition (verbatim-coded residual bits) and check

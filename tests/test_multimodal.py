@@ -903,6 +903,43 @@ def test_rle8_avi_roundtrip_and_compression():
     assert np.array_equal(got, fr)
 
 
+def test_avi_buffer_size_metadata_matches_codec():
+    """ADVICE r7: compressed streams must not advertise the 24-bpp DIB
+    size. rle8's strh dwSuggestedBufferSize == largest encoded chunk and
+    strf biSizeImage == the decoded 8-bpp row-padded DIB; mjpg's
+    suggested buffer == largest encoded JPEG; raw keeps the exact DIB
+    size in both."""
+    import struct
+
+    from etl_pipeline_last_fm_spark.operators.multimodal import avi_encode
+
+    fr = _block_video()
+    n, h, w = fr.shape[:3]
+    dib24 = (w * 3 + 3) // 4 * 4 * h
+
+    def fields(b):
+        strh_off = b.index(b"strh") + 8
+        sug = struct.unpack_from("<I", b, strh_off + 36)[0]
+        strf_off = b.index(b"strf") + 8
+        size_image = struct.unpack_from("<I", b, strf_off + 20)[0]
+        # the movi chunk bodies, for the true max encoded size
+        sizes, pos = [], b.index(b"movi") + 4
+        while pos + 8 <= len(b):
+            tag, ln = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+            if tag in (b"00db", b"00dc"):
+                sizes.append(ln)
+            pos += 8 + ln + (ln & 1)
+        return sug, size_image, max(sizes)
+
+    sug, size_image, biggest = fields(avi_encode(fr, fps=5, codec="rle8"))
+    assert sug == biggest and sug < dib24
+    assert size_image == (w + 3) // 4 * 4 * h
+    sug, size_image, biggest = fields(avi_encode(fr, fps=5, codec="mjpg"))
+    assert sug == biggest
+    sug, size_image, biggest = fields(avi_encode(fr, fps=5, codec="raw"))
+    assert sug == size_image == biggest == dib24
+
+
 def test_rle8_frame_decode_modes_and_quarantine():
     """Per-frame codec surface: keyframe vs delta decode, absolute-mode
     word padding, and the ValueError quarantine on truncation and

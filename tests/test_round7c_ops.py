@@ -373,6 +373,56 @@ def test_km_survival_textbook_example(spark):
                    (2, 1, 1, 0, 0)]
 
 
+def test_oracle_builders_escape_quoted_terms():
+    """ADVICE r7: a query term / group name containing a single quote
+    must still yield parseable oracle SQL (DuckDB PREPARE = parse+bind
+    without executing against real tables)."""
+    import duckdb
+
+    from etl_pipeline_last_fm_spark.operators.text import bm25_topk_oracle_sql
+    from etl_pipeline_last_fm_spark.operators.timeseries import (
+        rank_sum_test_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "CREATE TABLE events(event_type VARCHAR, value DOUBLE)"
+    )
+    sql = bm25_topk_oracle_sql(("rock'n'roll", "plain"), k=5)
+    assert "'rock''n''roll'" in sql
+    con.execute(sql)  # parses and runs on the empty table
+    sql = rank_sum_test_oracle_sql("o'clock", "b")
+    assert "'o''clock'" in sql
+    con.execute(sql)
+    con.close()
+
+
+def test_km_step_exact_beyond_double_precision(spark):
+    """ADVICE r7 (survival.py): the KM step must be exact past 2^53.
+    Each triple below makes Spark's old long·long→double `/` path return
+    q−1 (verified by simulating Divide(cast double) with np.float64);
+    the decimal(38,0) mod-subtract-divide step must return the true
+    truncating quotient s·(n−d) // n."""
+    from etl_pipeline_last_fm_spark.operators.survival import _km_step
+
+    triples = [
+        (372_156, 3_458_456_438_978, 0),
+        (494_982, 609_879_827_108, 0),
+        (900_235, 6_445_554_632_066, 0),
+        (1_000_000, 9_200_000_000_033, 7),  # near the long-product edge
+        (1, 3, 1),  # tiny sanity: 1*2//3 == 0
+    ]
+    df = spark.createDataFrame(triples, "s long, n long, d long")
+    got = [
+        r["q"]
+        for r in df.select(
+            _km_step(F.col("s"), F.col("n"), F.col("d")).alias("q")
+        ).collect()
+    ]
+    assert got == [s * (n - d) // n for s, n, d in triples]
+
+
 def _py_gini(vals):
     xs = sorted(vals)
     n = len(xs)
