@@ -113,6 +113,61 @@ def pack_sequences_oracle_sql(budget: int = 512, table: str = "documents") -> st
     """
 
 
+def value_ordered_cumsum(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_buckets: int = 1024,
+    out_col: str = "__cum",
+) -> DataFrame:
+    """Inclusive cumulative sum of ``value_col`` over the global
+    (value desc, tie asc) order WITHOUT a corpus-sized unpartitioned
+    window — the pack_sequences two-phase device adapted to a
+    value-ordered sort (VERDICT r7 item 3, the abc_classification /
+    Pareto-cut shape).
+
+    Since there is no dense id to block on, each row is bucketed by a
+    monotone coarsening of its OWN sort key: ``value div width`` with
+    ``width = max(value) div n_buckets + 1``. Equal values always share
+    a bucket, so (bucket desc, value desc, tie asc) IS the global order
+    and the decomposition is exact: per-bucket sums, an exclusive
+    cumsum over the ≤ n_buckets+1 bucket rows (the only unpartitioned
+    window — bucket-dim-sized by construction), then a
+    partitionBy-bucket cumulative window with the bucket offset
+    broadcast back. The result is identical for ANY n_buckets ≥ 1
+    (property-tested in tests/test_llm_ops varieties); n_buckets tunes
+    parallelism only — heavier-tailed value distributions concentrate
+    rows in the low buckets, which is exactly where per-part revenue
+    masses thin out.
+
+    Requires value_col >= 0 (``div`` truncates toward zero, which is
+    only order-preserving for non-negative values).
+    """
+    scal = df.agg(F.max(F.col(value_col)).alias("__vmax"))
+    base = df.crossJoin(F.broadcast(scal)).withColumn(
+        "__bkt", F.expr(f"{value_col} div (__vmax div {n_buckets} + 1)")
+    )
+    wbkt = Window.orderBy(F.col("__bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = (
+        base.groupBy("__bkt")
+        .agg(F.sum(value_col).alias("__bsum"))
+        .withColumn("__boff", F.coalesce(F.sum("__bsum").over(wbkt), F.lit(0)))
+        .select("__bkt", "__boff")
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(value_col).desc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(bucket_offsets), "__bkt")
+        .withColumn(out_col, F.col("__boff") + F.sum(value_col).over(w))
+        .drop("__bkt", "__vmax", "__boff")
+    )
+
+
 def pair_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
     """Top-k adjacent token pairs by corpus frequency — one BPE merge-
     selection step. Deterministic ties: rank on (count desc, pair asc).

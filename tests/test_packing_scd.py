@@ -49,6 +49,38 @@ def test_pack_two_phase_equals_naive_window(spark, sf_dir):
         assert naive.exceptAll(got).count() == 0
 
 
+def test_value_ordered_cumsum_invariant_to_bucket_count(spark):
+    """The value-ordered two-phase device (VERDICT r7 item 3) must be
+    bit-equal to the single global (value desc, tie asc) window for ANY
+    n_buckets — including 1 (everything in one bucket) and a count far
+    above the distinct-value range. Data deliberately carries ties (same
+    value, different tie key), zeros, and a heavy-tailed top value."""
+    from etl_pipeline_last_fm_spark.operators.packing import (
+        value_ordered_cumsum,
+    )
+
+    rows = [
+        (1, 1_000_000), (2, 500), (3, 500), (4, 500), (5, 0), (6, 0),
+        (7, 123_456), (8, 7), (9, 7), (10, 999_999), (11, 1), (12, 42),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    naive = df.withColumn(
+        "__cum",
+        F.sum("v").over(
+            Window.orderBy(F.col("v").desc(), F.col("k").asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for nb in (1, 2, 7, 64, 10_000_000):
+        got = sorted(
+            map(tuple, value_ordered_cumsum(df, "v", "k", n_buckets=nb)
+                .select("k", "v", "__cum").collect())
+        )
+        assert got == want, nb
+
+
 def test_pair_counts_deterministic_ties(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b"), (2, "b a b a")], "doc_id long, text string"

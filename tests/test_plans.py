@@ -446,3 +446,60 @@ def test_round7c_wave_plan_shapes(spark, sf_dir):
     plan = formatted_plan(qs["clustering_coefficient"](spark, sf_dir))
     assert "ResolvedHint" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+_UNPARTITIONED_SPEC = re.compile(
+    r"windowspecdefinition\([^,()]*#\d+L? (?:ASC|DESC) NULLS"
+)
+
+
+def test_dim_sized_global_windows_sit_above_aggregates(spark, sf_dir):
+    """VERDICT r7 item 3: unpartitioned windows are allowed ONLY on
+    dimension-sized inputs. Pin the claim structurally: in each of these
+    plans, every unpartitioned Window node (its windowspecdefinition
+    starts with a sort entry, i.e. the partition list is empty) must sit
+    above an Aggregate — the dim-producing groupBy — and never directly
+    above a scan. abc_classification's corpus cumsum now runs through
+    the two-phase bucketed device, so its ONLY unpartitioned window is
+    the one over the ~1k bucket rows."""
+    for name in ("abc_classification", "rfm_segments", "revenue_gini",
+                 "survival_km", "skyline_parts"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        lines = (
+            df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+        n_unpart = 0
+        for i, line in enumerate(lines):
+            if "Window [" not in line or not _UNPARTITIONED_SPEC.search(line):
+                continue
+            n_unpart += 1
+            for below in lines[i + 1:]:
+                if "Aggregate [" in below:
+                    break  # dim-sized input: OK
+                assert not (
+                    "Relation" in below
+                    or "LogicalRDD" in below
+                    or "FileScan" in below
+                ), f"{name}: unpartitioned window over a raw scan\n{line}"
+        if name != "revenue_gini":  # gini's ranks partition by nation
+            assert n_unpart >= 1, f"{name}: expected a dim-sized window"
+
+
+def test_abc_classification_two_phase_shape(spark, sf_dir):
+    """abc_classification's scale shape (VERDICT r7 item 3): lineitem is
+    aggregated once behind a localCheckpoint (the Q15 rule — no re-scan),
+    the part-dim cumulative window is PARTITIONED by the revenue bucket,
+    the only unpartitioned window runs over the bucket aggregate, and the
+    bucket offsets / scalar total come in via broadcast (no SortMergeJoin,
+    no CartesianProduct beyond the hinted 1-row cross joins)."""
+    df = entrymod.queries()["abc_classification"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert not any(
+        "parquet" in l and "lineitem" in l for l in plan.splitlines()
+    ), "lineitem re-scanned past the checkpoint"
+    assert "SortMergeJoin" not in plan, plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(
+        r"windowspecdefinition\(__bkt#\d+L, rev4#\d+L DESC", logical
+    ), logical  # the part-dim window is bucket-partitioned
