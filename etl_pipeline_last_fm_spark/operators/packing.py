@@ -168,6 +168,69 @@ def value_ordered_cumsum(
     )
 
 
+def value_ordered_row_number(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    ascending: bool = False,
+    n_buckets: int = 1024,
+    out_col: str = "__rn",
+) -> DataFrame:
+    """Global 1-based row_number over the total (value asc|desc, tie asc)
+    order WITHOUT a corpus-sized unpartitioned window — the sibling of
+    ``value_ordered_cumsum``, same bucketing argument: rows bucket by a
+    monotone coarsening of their own sort key, per-bucket COUNTS roll up
+    through an exclusive cumsum over the bucket dim, and the final
+    row_number is the broadcast bucket offset plus a
+    partitionBy-bucket row_number. Exact for ANY n_buckets ≥ 1;
+    requires value_col >= 0 (``div`` truncates toward zero)."""
+    scal = df.agg(F.max(F.col(value_col)).alias("__vmax"))
+    base = df.crossJoin(F.broadcast(scal)).withColumn(
+        "__bkt", F.expr(f"{value_col} div (__vmax div {n_buckets} + 1)")
+    )
+    bkt_order = F.col("__bkt").asc() if ascending else F.col("__bkt").desc()
+    wbkt = Window.orderBy(bkt_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = (
+        base.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__bcnt"))
+        .withColumn("__boff", F.coalesce(F.sum("__bcnt").over(wbkt), F.lit(0)))
+        .select("__bkt", "__boff")
+    )
+    val_order = (
+        F.col(value_col).asc() if ascending else F.col(value_col).desc()
+    )
+    w = Window.partitionBy("__bkt").orderBy(val_order, F.col(tie_col).asc())
+    return (
+        base.join(F.broadcast(bucket_offsets), "__bkt")
+        .withColumn(
+            out_col, F.col("__boff") + F.row_number().over(w).cast("long")
+        )
+        .drop("__bkt", "__vmax", "__boff")
+    )
+
+
+def exact_ntile_expr(rn_col: str, n_col: str, k: int):
+    """SQL-standard ``ntile(k)`` computed FROM a global 1-based
+    row_number column and the total row count — the piece that turns
+    ``value_ordered_row_number`` into a distributed ntile. With
+    q = n div k and r = n mod k, the first r tiles take q+1 rows:
+    tile(rn) = (rn-1) div (q+1) + 1 while rn <= r·(q+1), else
+    r + (rn - r·(q+1) - 1) div q + 1. Pure integer arithmetic (exact at
+    any n); when n < k the first branch degenerates to tile = rn,
+    matching SQL ntile row-per-tile behavior (the q = 0 ELSE branch is
+    unreachable there — CASE evaluates lazily per row)."""
+    q = f"({n_col} div {k})"
+    r = f"({n_col} % {k})"
+    big = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {rn_col} <= {big}"
+        f" THEN ({rn_col} - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + ({rn_col} - {big} - 1) div {q} + 1 END AS INT)"
+    )
+
+
 def pair_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
     """Top-k adjacent token pairs by corpus frequency — one BPE merge-
     selection step. Deterministic ties: rank on (count desc, pair asc).

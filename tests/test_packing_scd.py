@@ -81,6 +81,63 @@ def test_value_ordered_cumsum_invariant_to_bucket_count(spark):
         assert got == want, nb
 
 
+def test_value_ordered_row_number_and_exact_ntile(spark):
+    """The rank device must equal the global row_number for BOTH sort
+    directions at any bucket count, and exact_ntile_expr must equal SQL
+    ntile at every (n, k) shape — n < k (row-per-tile), n = k, k ∤ n
+    (first r tiles one larger), k | n."""
+    from etl_pipeline_last_fm_spark.operators.packing import (
+        exact_ntile_expr,
+        value_ordered_row_number,
+    )
+
+    rows = [
+        (1, 1_000_000), (2, 500), (3, 500), (4, 500), (5, 0), (6, 0),
+        (7, 123_456), (8, 7), (9, 7), (10, 999_999), (11, 1), (12, 42),
+        (13, 42),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for ascending in (True, False):
+        order = (
+            [F.col("v").asc(), F.col("k").asc()]
+            if ascending
+            else [F.col("v").desc(), F.col("k").asc()]
+        )
+        naive = df.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+        want = sorted(map(tuple, naive.collect()))
+        for nb in (1, 3, 64, 10_000_000):
+            got = sorted(
+                map(tuple, value_ordered_row_number(
+                    df, "v", "k", ascending=ascending, n_buckets=nb
+                ).select("k", "v", "__rn").collect())
+            )
+            assert got == want, (ascending, nb)
+
+    # ntile formula vs Spark's ntile, all boundary shapes
+    for n, k in ((3, 5), (5, 5), (13, 5), (12, 4), (1, 7), (100, 7)):
+        sub = spark.createDataFrame(
+            [(i, i * 13 % 97) for i in range(n)], "k long, v long"
+        )
+        naive = sub.select(
+            "k",
+            F.ntile(k).over(
+                Window.orderBy(F.col("v").asc(), F.col("k").asc())
+            ).cast("int").alias("tile"),
+        )
+        want = sorted(map(tuple, naive.collect()))
+        got = sorted(
+            map(tuple, value_ordered_row_number(
+                sub, "v", "k", ascending=True, n_buckets=16
+            )
+            .crossJoin(F.broadcast(sub.agg(F.count(F.lit(1)).alias("__n"))))
+            .select("k", exact_ntile_expr("__rn", "__n", k).alias("tile"))
+            .collect())
+        )
+        assert got == want, (n, k)
+
+
 def test_pair_counts_deterministic_ties(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b"), (2, "b a b a")], "doc_id long, text string"

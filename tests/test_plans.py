@@ -386,8 +386,10 @@ def test_round7b_analytics_plan_shapes(spark, sf_dir):
       left join is a broadcast over 9 literal rows);
     - time_weighted_avg: exactly one Exchange (the lead() key shuffle;
       the aggregate reuses that partitioning);
-    - rfm_segments: the event-stream aggregate is partial+final (the
-      global ntile windows are user-dim-sized, documented)."""
+    - rfm_segments: the event-stream aggregate is partial+final; since
+      round 8 the tiles come from value_ordered_row_number +
+      exact_ntile_expr, so no unpartitioned window sees user rows
+      (pinned in test_dim_sized_global_windows_sit_above_aggregates)."""
     qs = entrymod.queries()
 
     plan = formatted_plan(qs["supplier_concentration"](spark, sf_dir))
