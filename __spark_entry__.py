@@ -5,7 +5,7 @@
 extension operators (dedup / similarity / text analysis). Each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent for EVERY query:
-196/196 oracle-paired (same column names; computed columns aliased on both
+201/201 oracle-paired (same column names; computed columns aliased on both
 sides). The last rows-only entry closed in round 6 — ``sim_ann_ivf`` now
 trains its centroids with the relational Lloyd program, so its oracle
 replays the training itself (``kmeans_lloyd_cte_sql``); minhash-LSH,
@@ -40,6 +40,7 @@ from etl_pipeline_last_fm_spark.registry import (
     round6,
     round7,
     round7c,
+    round8,
 )
 
 SF001 = "/root/testdata/sf0.001"
@@ -55,6 +56,7 @@ _ALL = {
     **round6.QUERIES,
     **round7.QUERIES,
     **round7c.QUERIES,
+    **round8.QUERIES,
 }
 
 # Back-compat: tests and tooling address queries as module attributes
@@ -314,6 +316,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _ALL["contamination"],
         "token_budget_sample": _ALL["token_budget_sample"],
         "pack_sequences": _ALL["pack_sequences"],
+        # --- round-8 queue tier (never driver-graded) -------------------
+        # New this round, first in line for the round-9 rotation (5
+        # entries, within the 9-slot backfill headroom per VERDICT r7
+        # item 7): the model-evaluation metrics wave — exact ROC AUC
+        # (midrank Mann–Whitney device), calibration reliability bins,
+        # Cohen's kappa label agreement, the Mann–Kendall trend test
+        # (day dim, tie-corrected variance), and the targeting lift
+        # deciles cut by the round-8 two-phase rank device. All
+        # oracle-paired; all run in tests/test_oracle_parity.py at
+        # sf0.001 every pytest run until they earn driver rows.
+        "roc_auc": _ALL["roc_auc"],
+        "calibration_bins": _ALL["calibration_bins"],
+        "label_agreement": _ALL["label_agreement"],
+        "mann_kendall": _ALL["mann_kendall"],
+        "lift_deciles": _ALL["lift_deciles"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree
@@ -330,4 +347,5 @@ def oracle_sql() -> dict[str, str]:
         **round6.oracles(),
         **round7.oracles(),
         **round7c.oracles(),
+        **round8.oracles(),
     }

@@ -1,0 +1,502 @@
+"""Model-evaluation metrics over scored / labeled rows — the eval half
+of a training-data pipeline (score quality, calibration, label
+agreement, trend significance, targeting lift).
+
+The reference's DAG has no model-eval surface (its scope ends at marts,
+dags/from_dds_to_dm_pg.py); this module extends the engine the same way
+the dedup/ANN/text tiers do (SURVEY.md §2 extension scope). Every
+statistic is emitted as EXACT integers (ppm ratios / raw pair counts)
+with each division a final truncating ``div`` on decimal(38,0) mirrored
+by the DuckDB oracle — the house rule: no float ever decides a
+boundary, and negative-numerator divisions are routed through
+ABS + sign (Spark's ``div`` truncates toward zero; a bare engine-side
+``//`` on negatives would floor in DuckDB and mismatch).
+
+Scale shapes:
+- roc_auc: the rank_sum_test machinery verbatim — one corpus pass to
+  the VALUE DIMENSION (distinct cents), one dim cumsum, one scalar agg.
+  AUC with midrank tie handling IS the Mann–Whitney statistic scaled:
+  AUC = U_pos / (n_pos·n_neg).
+- calibration_bins: one corpus pass to k fixed-width score bins.
+- cohens_kappa: one corpus pass to the 2×2 agreement table.
+- mann_kendall: one corpus pass to the DAY DIMENSION, then the O(d²)
+  sign pairs via a dim self-join (d = distinct days, calendar-bounded —
+  never the corpus).
+- lift_deciles: the round-8 two-phase rank device
+  (value_ordered_row_number + exact_ntile_expr), so the corpus-sized
+  decile cut needs NO unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D38 = "decimal(38,0)"
+
+
+def _cents(value_col: str):
+    from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+
+    return half_up_round(F.col(value_col) * 100).cast("long")
+
+
+def roc_auc(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact ROC AUC (ppm) of ``value`` as a score for ``event_type ==
+    pos_type``, ties at midranks — the probability a random positive
+    outscores a random negative, with ties counting half. One row:
+    (n_pos, n_neg, auc_ppm), auc_ppm = (R2⁺ − n⁺(n⁺+1)) · 10⁶ div
+    (2·n⁺·n⁻) where R2⁺ is the DOUBLED ascending-rank sum of positives
+    (doubling keeps midranks integral; rank_sum_test's device)."""
+    labeled = events.select(
+        (F.col(type_col) == pos_type).alias("__pos"),
+        _cents(value_col).alias("__v"),
+    )
+    per_v = labeled.groupBy("__v").agg(
+        F.sum(F.col("__pos").cast("long")).alias("__np"),
+        F.sum((~F.col("__pos")).cast("long")).alias("__nn"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "__np",
+        "__nn",
+        (
+            F.lit(2)
+            * F.coalesce(F.sum(F.col("__np") + F.col("__nn")).over(w), F.lit(0))
+            + F.col("__np") + F.col("__nn") + F.lit(1)
+        ).alias("__mr2"),
+    )
+    agged = ranked.agg(
+        F.sum("__np").alias("__n_pos"),
+        F.sum("__nn").alias("__n_neg"),
+        F.sum((F.col("__np") * F.col("__mr2")).cast(D38)).alias("__r2p"),
+    )
+    return agged.select(
+        F.col("__n_pos").cast("long").alias("n_pos"),
+        F.col("__n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((__r2p - CAST(__n_pos AS DECIMAL(38,0)) * (__n_pos + 1))"
+            " * 1000000"
+            " div (2 * CAST(__n_pos AS DECIMAL(38,0)) * __n_neg)"
+            " AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def roc_auc_oracle_sql(
+    pos_type: str = "purchase", table: str = "events"
+) -> str:
+    pos_type = pos_type.replace("'", "''")
+    return f"""
+        WITH labeled AS (
+            SELECT event_type = '{pos_type}' AS pos,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        per_v AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+            FROM labeled GROUP BY v
+        ),
+        ranked AS (
+            SELECT np, nn,
+                   2 * CAST(COALESCE(SUM(np + nn) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) + np + nn + 1 AS mr2
+            FROM per_v
+        ),
+        s AS (
+            SELECT CAST(SUM(np) AS HUGEINT) AS n_pos,
+                   CAST(SUM(nn) AS HUGEINT) AS n_neg,
+                   CAST(SUM(CAST(np AS HUGEINT) * mr2) AS HUGEINT) AS r2p
+            FROM ranked
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST((r2p - n_pos * (n_pos + 1)) * 1000000
+                    // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        FROM s
+    """
+
+
+def calibration_bins(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """Reliability diagram: k fixed-width bins over the score range
+    [0, max], per bin the exact mean normalized score and the empirical
+    positive rate (both truncated ppm). A calibrated score has
+    mean_score_ppm ≈ pos_rate_ppm per bin. Bin id = cents·k div
+    (max_cents+1) ∈ [0, k) — monotone, exact, and identical on both
+    engines. Output: (bin, n, n_pos, mean_score_ppm, pos_rate_ppm)."""
+    labeled = events.select(
+        (F.col(type_col) == pos_type).alias("__pos"),
+        _cents(value_col).alias("__v"),
+    )
+    scal = labeled.agg(F.max("__v").alias("__vmax"))
+    binned = labeled.crossJoin(F.broadcast(scal)).select(
+        F.expr(f"CAST(__v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
+        .cast("long")
+        .alias("bin"),
+        "__pos",
+        "__v",
+        "__vmax",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+            F.expr(
+                "CAST(CAST(SUM(__v) AS DECIMAL(38,0)) * 1000000"
+                " div (COUNT(*) * CAST(MAX(__vmax) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("mean_score_ppm"),
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN __pos THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def calibration_bins_oracle_sql(
+    pos_type: str = "purchase", k: int = 10, table: str = "events"
+) -> str:
+    pos_type = pos_type.replace("'", "''")
+    return f"""
+        WITH labeled AS (
+            SELECT event_type = '{pos_type}' AS pos,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        m AS (SELECT MAX(v) AS vmax FROM labeled),
+        binned AS (
+            SELECT CAST(CAST(v AS HUGEINT) * {k} // (vmax + 1) AS BIGINT)
+                       AS bin,
+                   pos, v, vmax
+            FROM labeled, m
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(CAST(SUM(v) AS HUGEINT) * 1000000
+                    // (COUNT(*) * CAST(MAX(vmax) AS HUGEINT))
+                    AS BIGINT) AS mean_score_ppm,
+               CAST(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
+                    * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """
+
+
+def cohens_kappa(
+    rated: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two BOOLEAN rater columns — chance-corrected
+    agreement for double-labeled data (two quality filters, two
+    annotators, model vs human). One row:
+    (n, n_agree, po_ppm, pe_ppm, kappa_ppm) with
+    kappa = (p_o − p_e)/(1 − p_e) emitted exactly as
+    (agree·n − a1·b1 − a0·b0)·10⁶ div (n² − a1·b1 − a0·b0); the
+    numerator can be negative (worse-than-chance), so the division runs
+    on ABS with the sign re-applied — Spark ``div`` truncates toward
+    zero while DuckDB ``//`` floors, and only ABS+sign makes both read
+    the same. NULL kappa when p_e = 1 (degenerate: both raters
+    constant and equal — chance correction is undefined)."""
+    a = F.col(rater_a_col).cast("boolean")
+    b = F.col(rater_b_col).cast("boolean")
+    agged = rated.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((a == b).cast("long")).alias("__agree"),
+        F.sum(a.cast("long")).alias("__a1"),
+        F.sum(b.cast("long")).alias("__b1"),
+    )
+    return agged.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        F.expr(
+            "CAST(CAST(__agree AS DECIMAL(38,0)) * 1000000 div __n"
+            " AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            "CAST((CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            " + CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1))"
+            " * 1000000 div (CAST(__n AS DECIMAL(38,0)) * __n)"
+            " AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST(CASE WHEN CAST(__n AS DECIMAL(38,0)) * __n"
+            "   - CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "   - CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1) = 0"
+            " THEN NULL ELSE"
+            "   CASE WHEN CAST(__agree AS DECIMAL(38,0)) * __n"
+            "     - CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "     - CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1) < 0"
+            "   THEN -(ABS(CAST(__agree AS DECIMAL(38,0)) * __n"
+            "     - CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "     - CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1))"
+            "     * 1000000"
+            "     div (CAST(__n AS DECIMAL(38,0)) * __n"
+            "       - CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "       - CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1)))"
+            "   ELSE (CAST(__agree AS DECIMAL(38,0)) * __n"
+            "     - CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "     - CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1))"
+            "     * 1000000"
+            "     div (CAST(__n AS DECIMAL(38,0)) * __n"
+            "       - CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "       - CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1))"
+            "   END END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def cohens_kappa_oracle_sql(
+    rater_a_sql: str, rater_b_sql: str, table: str = "documents"
+) -> str:
+    """DuckDB twin. ``rater_a_sql`` / ``rater_b_sql`` are boolean SQL
+    expressions over the table's columns."""
+    return f"""
+        WITH rated AS (
+            SELECT ({rater_a_sql}) AS a, ({rater_b_sql}) AS b FROM {table}
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT)
+                       AS agree,
+                   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS a1,
+                   CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS HUGEINT) AS b1
+            FROM rated
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(agree AS BIGINT) AS n_agree,
+               CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+               CAST((a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n)
+                    AS BIGINT) AS pe_ppm,
+               CAST(CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) = 0
+                    THEN NULL ELSE
+                      CASE WHEN agree * n - a1 * b1 - (n - a1) * (n - b1) < 0
+                      THEN -(ABS(agree * n - a1 * b1 - (n - a1) * (n - b1))
+                            * 1000000
+                            // (n * n - a1 * b1 - (n - a1) * (n - b1)))
+                      ELSE (agree * n - a1 * b1 - (n - a1) * (n - b1))
+                            * 1000000
+                            // (n * n - a1 * b1 - (n - a1) * (n - b1))
+                      END END AS BIGINT) AS kappa_ppm
+        FROM agg
+    """
+
+
+def mann_kendall(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann–Kendall trend test on the DAILY total of ``value`` —
+    S = Σ_{i<j} sgn(xⱼ − xᵢ) over day-ordered daily sums, with Kendall's
+    tau-a (ppm, truncated toward zero via ABS+sign) and the tie-corrected
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) as an exact integer (the
+    normal z needs a square root — derivable downstream; the exact
+    integers are what cross-engine grading pins). Output one row:
+    (n_days, n_concordant, n_discordant, s_stat, tau_a_ppm, var_s_x18).
+
+    Scale shape: one corpus pass to the DAY DIMENSION, then the sign
+    pairs via a d² dim self-join (d calendar-bounded: 10 years ≈ 3.7k
+    days ≈ 6.7M pairs — trivial beside one corpus scan; never the
+    corpus). The tie term reuses the same daily table grouped by value."""
+    from etl_pipeline_last_fm_spark.functions.scalar import ts_us
+
+    day = (ts_us(F.col(ts_col)) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select(day.alias("__d"), _cents(value_col).alias("__c"))
+        .groupBy("__d")
+        .agg(F.sum("__c").alias("__rev"))
+        # consumed three times (two self-join sides, tie groups) — the
+        # Q15 rule; the table is day-dim-sized, so this is tiny.
+        .localCheckpoint()
+    )
+    lo = daily.select(
+        F.col("__d").alias("__di"), F.col("__rev").alias("__ri")
+    )
+    hi = daily.select(
+        F.col("__d").alias("__dj"), F.col("__rev").alias("__rj")
+    )
+    # both sides are the checkpointed day-dim table (calendar-bounded);
+    # broadcasting one side keeps the d² pair generation shuffle-free.
+    pairs = lo.join(F.broadcast(hi), F.col("__di") < F.col("__dj")).agg(
+        F.sum((F.col("__rj") > F.col("__ri")).cast("long")).alias("__c"),
+        F.sum((F.col("__rj") < F.col("__ri")).cast("long")).alias("__dc"),
+    )
+    ties = (
+        daily.groupBy("__rev")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.sum(
+                (
+                    F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+                ).cast(D38)
+            ).alias("__tie_term"),
+            F.sum("__t").cast("long").alias("__n"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(ties)).select(
+        F.col("__n").alias("n_days"),
+        F.col("__c").cast("long").alias("n_concordant"),
+        F.col("__dc").cast("long").alias("n_discordant"),
+        (F.col("__c") - F.col("__dc")).cast("long").alias("s_stat"),
+        F.expr(
+            "CAST(CASE WHEN __n < 2 THEN NULL"
+            " WHEN __c - __dc < 0"
+            " THEN -(ABS(CAST(__c - __dc AS DECIMAL(38,0))) * 2000000"
+            "   div (CAST(__n AS DECIMAL(38,0)) * (__n - 1)))"
+            " ELSE CAST(__c - __dc AS DECIMAL(38,0)) * 2000000"
+            "   div (CAST(__n AS DECIMAL(38,0)) * (__n - 1))"
+            " END AS BIGINT)"
+        ).alias("tau_a_ppm"),
+        F.expr(
+            "CAST(CAST(__n AS DECIMAL(38,0)) * (__n - 1) * (2 * __n + 5)"
+            " - __tie_term AS BIGINT)"
+        ).alias("var_s_x18"),
+    )
+
+
+def mann_kendall_oracle_sql(table: str = "events") -> str:
+    return f"""
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS d,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM {table} GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CASE WHEN j.rev > i.rev THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS c,
+                   CAST(SUM(CASE WHEN j.rev < i.rev THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS dc
+            FROM daily i JOIN daily j ON i.d < j.d
+        ),
+        ties AS (
+            SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                        AS HUGEINT) AS tie_term,
+                   CAST(SUM(t) AS HUGEINT) AS n
+            FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(c AS BIGINT) AS n_concordant,
+               CAST(dc AS BIGINT) AS n_discordant,
+               CAST(c - dc AS BIGINT) AS s_stat,
+               CAST(CASE WHEN n < 2 THEN NULL
+                    WHEN c - dc < 0
+                    THEN -(ABS(c - dc) * 2000000 // (n * (n - 1)))
+                    ELSE (c - dc) * 2000000 // (n * (n - 1))
+                    END AS BIGINT) AS tau_a_ppm,
+               CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+                   AS var_s_x18
+        FROM pairs, ties
+    """
+
+
+def lift_deciles(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    k: int = 10,
+) -> DataFrame:
+    """Targeting lift table: rank every row by score descending (ties
+    pinned by ``tie_col``), cut into k tiles with the round-8 two-phase
+    rank device — the corpus-sized cut runs WITHOUT any unpartitioned
+    window (value_ordered_row_number + exact_ntile_expr, the
+    rfm_segments machinery on corpus rows) — and report each tile's
+    exact positive-rate lift over the global base rate:
+    lift_ppm = (n_pos · n_total · 10⁶) div (n · total_pos).
+    Output: (decile 1..k, n, n_pos, lift_ppm) ordered by decile."""
+    from etl_pipeline_last_fm_spark.operators.packing import (
+        exact_ntile_expr,
+        value_ordered_row_number,
+    )
+
+    labeled = events.select(
+        F.col(tie_col).alias("__tie"),
+        (F.col(type_col) == pos_type).alias("__pos"),
+        _cents(value_col).alias("__v"),
+    )
+    scal = labeled.agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        F.sum(F.col("__pos").cast("long")).alias("__pos_total"),
+    )
+    ranked = value_ordered_row_number(
+        labeled, "__v", "__tie", ascending=False, out_col="__rn"
+    )
+    tiled = ranked.crossJoin(F.broadcast(scal)).select(
+        exact_ntile_expr("__rn", "__n_total", k).alias("decile"),
+        "__pos",
+        "__n_total",
+        "__pos_total",
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN __pos THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * MAX(__n_total) * 1000000"
+                " div (COUNT(*) * CAST(MAX(__pos_total) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def lift_deciles_oracle_sql(
+    pos_type: str = "purchase", k: int = 10, table: str = "events"
+) -> str:
+    pos_type = pos_type.replace("'", "''")
+    return f"""
+        WITH labeled AS (
+            SELECT event_id AS tie,
+                   event_type = '{pos_type}' AS pos,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        t AS (
+            SELECT pos,
+                   ntile({k}) OVER (ORDER BY v DESC, tie ASC) AS decile
+            FROM labeled
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n_total,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
+                       AS pos_total
+            FROM labeled
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
+                    * MAX(n_total) * 1000000
+                    // (COUNT(*) * MAX(pos_total)) AS BIGINT) AS lift_ppm
+        FROM t, s
+        GROUP BY decile
+        ORDER BY decile
+    """

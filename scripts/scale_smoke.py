@@ -983,8 +983,64 @@ def round7c_wave(spark, ev_typed, n_events: int) -> None:
     )
 
 
+def round8_wave(spark, ev_typed, n_events: int) -> None:
+    """Round-8 smoke: the model-evaluation metrics wave. Structural
+    bounds: roc_auc = one corpus pass to the value dim + one dim cumsum;
+    calibration = one corpus pass to k bins; kappa = one corpus pass to
+    a 2x2 table; mann_kendall = one corpus pass to the day dim + a d²
+    dim self-join (d grows with the synthetic time span — the quadratic
+    term is in the CALENDAR, not the corpus); lift deciles = the
+    two-phase rank device over corpus rows (shuffle + partitioned
+    window, no single-partition sort)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        calibration_bins,
+        cohens_kappa,
+        lift_deciles,
+        mann_kendall,
+        roc_auc,
+    )
+
+    t0 = time.perf_counter()
+    auc = roc_auc(ev_typed).first()["auc_ppm"]
+    t_auc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_cal = calibration_bins(ev_typed).count()
+    t_cal = time.perf_counter() - t0
+
+    rated = ev_typed.select(
+        (F.col("value") >= 100.0).alias("a"),
+        (F.pmod(F.xxhash64("event_id"), F.lit(3)) > 0).alias("b"),
+    )
+    t0 = time.perf_counter()
+    kap = cohens_kappa(rated, "a", "b").first()["kappa_ppm"]
+    t_kap = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mk = mann_kendall(ev_typed).first()
+    t_mk = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_lift = lift_deciles(ev_typed).count()
+    t_lift = time.perf_counter() - t0
+
+    print(
+        f"round8 events={n_events}: roc_auc {t_auc:.1f}s (auc {auc}), "
+        f"calibration {t_cal:.1f}s ({n_cal} bins), kappa {t_kap:.1f}s "
+        f"({kap} ppm), mann_kendall {t_mk:.1f}s ({mk['n_days']} days, "
+        f"s={mk['s_stat']}), lift_deciles {t_lift:.1f}s ({n_lift} tiles)"
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 3 and sys.argv[3] == "round7c":
+    if len(sys.argv) > 3 and sys.argv[3] == "round8":
+        # Fast path: only the round-8 eval-metrics wave.
+        n_events = int(sys.argv[2])
+        spark = get_spark(app_name="scale-smoke-r8")
+        ev = _typed_events(spark, n_events)
+        ev.count()
+        round8_wave(spark, ev, n_events)
+    elif len(sys.argv) > 3 and sys.argv[3] == "round7c":
         # Fast path: only the round-7c wave.
         n_events = int(sys.argv[2])
         spark = get_spark(app_name="scale-smoke-r7c")

@@ -1,0 +1,240 @@
+"""Round-8 model-evaluation metrics (operators/evalmetrics.py):
+hand-pinned textbook values plus property tests against pure-Python
+references — ties, negative statistics, and degenerate inputs included.
+Oracle parity at sf0.001 additionally runs for all five registry
+entries in test_oracle_parity.py every pytest run."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+def _scored(spark, rows):
+    """rows: (event_id, label, cents) -> the events-shaped frame the
+    operators consume (value back in dollars so the cents round-trip
+    through half_up_round is exercised)."""
+    return spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1) + timedelta(hours=i), 1,
+             "purchase" if lab else "view", c / 100.0)
+            for i, (lab, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+
+def _py_auc(rows):
+    """Exact midrank AUC in ppm (truncated), ties counting half."""
+    pos = sorted(c for lab, c in rows if lab)
+    neg = sorted(c for lab, c in rows if not lab)
+    if not pos or not neg:
+        return None
+    wins2 = 0  # doubled: 2 per win, 1 per tie
+    for p in pos:
+        for q in neg:
+            wins2 += 2 if p > q else (1 if p == q else 0)
+    return wins2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 50)),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda r: any(l for l, _ in r) and any(not l for l, _ in r))
+)
+@settings(**SETTINGS)
+def test_roc_auc_matches_python_reference(spark, rows):
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import roc_auc
+
+    got = roc_auc(_scored(spark, rows)).first()
+    assert got["n_pos"] == sum(1 for l, _ in rows if l)
+    assert got["n_neg"] == sum(1 for l, _ in rows if not l)
+    assert got["auc_ppm"] == _py_auc(rows)
+
+
+def test_roc_auc_pinned_extremes(spark):
+    """Perfect separation -> 1e6; inverted -> 0; all tied -> exactly
+    500000 (every pos-neg pair counts half)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import roc_auc
+
+    perfect = [(True, 90), (True, 80), (False, 20), (False, 10)]
+    assert roc_auc(_scored(spark, perfect)).first()["auc_ppm"] == 1_000_000
+    inverted = [(lab, 100 - c) for lab, c in perfect]
+    assert roc_auc(_scored(spark, inverted)).first()["auc_ppm"] == 0
+    tied = [(True, 42), (True, 42), (False, 42)]
+    assert roc_auc(_scored(spark, tied)).first()["auc_ppm"] == 500_000
+
+
+def _py_kappa(pairs):
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    a1 = sum(1 for a, _ in pairs if a)
+    b1 = sum(1 for _, b in pairs if b)
+    pe_num = a1 * b1 + (n - a1) * (n - b1)  # / n^2
+    den = n * n - pe_num
+    if den == 0:
+        return None
+    num = (agree * n - pe_num) * 1_000_000
+    q = abs(num) // den
+    return -q if num < 0 else q
+
+
+@given(
+    pairs=st.lists(st.tuples(st.booleans(), st.booleans()), min_size=1,
+                   max_size=40)
+)
+@settings(**SETTINGS)
+def test_cohens_kappa_matches_python_reference(spark, pairs):
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import cohens_kappa
+
+    df = spark.createDataFrame(pairs, "a boolean, b boolean")
+    got = cohens_kappa(df, "a", "b").first()
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    assert got["n"] == n and got["n_agree"] == agree
+    assert got["po_ppm"] == agree * 1_000_000 // n
+    assert got["kappa_ppm"] == _py_kappa(pairs)
+
+
+def test_cohens_kappa_pinned_cases(spark):
+    """Textbook 2x2: po=0.7, pe=0.5 -> kappa=0.4 exactly; perfect
+    disagreement on a balanced table -> kappa=-1; both raters constant
+    and equal -> NULL (pe=1, chance correction undefined)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import cohens_kappa
+
+    # 10 items: a1=5, b1=5, agree=7 (4 TT, 3 FF, 2 TF, 1 FT)
+    pairs = [(True, True)] * 4 + [(False, False)] * 3 + \
+        [(True, False)] * 2 + [(False, True)]
+    df = spark.createDataFrame(pairs, "a boolean, b boolean")
+    got = cohens_kappa(df, "a", "b").first()
+    assert got["po_ppm"] == 700_000 and got["pe_ppm"] == 500_000
+    assert got["kappa_ppm"] == 400_000
+    flip = spark.createDataFrame(
+        [(True, False), (False, True)], "a boolean, b boolean"
+    )
+    assert cohens_kappa(flip, "a", "b").first()["kappa_ppm"] == -1_000_000
+    const = spark.createDataFrame([(True, True)] * 3, "a boolean, b boolean")
+    assert cohens_kappa(const, "a", "b").first()["kappa_ppm"] is None
+
+
+def _py_mann_kendall(daily):
+    """daily: list of (day, rev) -> (n, c, d, s, tau_ppm, var18)."""
+    daily = sorted(daily)
+    n = len(daily)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if daily[j][1] > daily[i][1]:
+                c += 1
+            elif daily[j][1] < daily[i][1]:
+                d += 1
+    s = c - d
+    tau = None
+    if n >= 2:
+        q = abs(s) * 2_000_000 // (n * (n - 1))
+        tau = -q if s < 0 else q
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(r for _, r in daily).values()
+    )
+    return n, c, d, s, tau, n * (n - 1) * (2 * n + 5) - tie
+
+
+@given(
+    revs=st.lists(st.integers(0, 5), min_size=2, max_size=15)
+)
+@settings(**SETTINGS)
+def test_mann_kendall_matches_python_reference(spark, revs):
+    """One event per day with a controlled per-day value (small domain
+    forces ties); the decreasing construction also exercises negative S
+    and the ABS+sign truncation."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import mann_kendall
+
+    ev = spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1) + timedelta(days=i), 1, "view", r / 1.0)
+            for i, r in enumerate(revs)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = mann_kendall(ev).first()
+    n, c, d, s, tau, var18 = _py_mann_kendall(
+        [(i, int(r * 100)) for i, r in enumerate(revs)]
+    )
+    assert (got["n_days"], got["n_concordant"], got["n_discordant"],
+            got["s_stat"], got["tau_a_ppm"], got["var_s_x18"]) == (
+        n, c, d, s, tau, var18)
+
+
+def test_calibration_bins_pinned(spark):
+    """4 scores over [0, 100] cents in k=2 bins: bin = cents*2 div 101.
+    Low bin {10, 50}: mean = 60*1e6 div (2*100) ppm of max; high bin
+    {60 (pos), 100 (pos)}: pos_rate 1e6."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    rows = [(False, 10), (False, 50), (True, 60), (True, 100)]
+    got = sorted(
+        map(tuple, calibration_bins(_scored(spark, rows), k=2).collect())
+    )
+    assert got == [
+        (0, 2, 0, 60 * 1_000_000 // (2 * 100), 0),
+        (1, 2, 2, 160 * 1_000_000 // (2 * 100), 1_000_000),
+    ]
+
+
+def test_lift_deciles_matches_global_ntile(spark):
+    """The device-cut deciles must equal a plain global ntile cut, and
+    lift must be exact: top tile all-positive at a 25% base rate ->
+    4x lift (4_000_000 ppm)."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import lift_deciles
+
+    # 20 rows, 5 positives holding the top-5 scores -> with k=4 tiles:
+    # tile 1 = 5 rows all positive; base rate 5/20.
+    rows = [(True, 100 - i) for i in range(5)] + [
+        (False, 50 - i) for i in range(15)
+    ]
+    got = sorted(
+        map(tuple, lift_deciles(_scored(spark, rows), k=4).collect())
+    )
+    assert got[0] == (1, 5, 5, 4_000_000)
+    assert [g[0] for g in got] == [1, 2, 3, 4]
+    assert all(g[2] == 0 and g[3] == 0 for g in got[1:])
+    # cross-check every tile assignment against the plain global window
+    naive = (
+        _scored(spark, rows)
+        .select(
+            "event_id",
+            F.ntile(4)
+            .over(
+                Window.orderBy(
+                    F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").desc(),
+                    F.col("event_id").asc(),
+                )
+            )
+            .alias("tile"),
+        )
+        .groupBy("tile")
+        .count()
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert [(g[0], g[1]) for g in got] == want
