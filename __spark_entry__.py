@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # New this round, first in line for the round-9 rotation (5
         # entries, within the 9-slot backfill headroom per VERDICT r7
         # item 7): the model-evaluation metrics wave — exact ROC AUC
+        # (+ its additive-census streaming twin)
         # (midrank Mann–Whitney device), calibration reliability bins,
         # Cohen's kappa label agreement, the Mann–Kendall trend test
         # (day dim, tie-corrected variance), and the targeting lift
@@ -327,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-paired; all run in tests/test_oracle_parity.py at
         # sf0.001 every pytest run until they earn driver rows.
         "roc_auc": _ALL["roc_auc"],
+        "streaming_roc_auc": _ALL["streaming_roc_auc"],
         "calibration_bins": _ALL["calibration_bins"],
         "label_agreement": _ALL["label_agreement"],
         "mann_kendall": _ALL["mann_kendall"],

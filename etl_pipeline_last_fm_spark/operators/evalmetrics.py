@@ -41,6 +41,60 @@ def _cents(value_col: str):
     return half_up_round(F.col(value_col) * 100).cast("long")
 
 
+def score_census(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-distinct-score label census (v, n_pos_v, n_neg_v) — the
+    ADDITIVE state behind ``roc_auc``. Censuses of disjoint batches
+    merge by per-value count sum, order-free, so ROC AUC is
+    continuously maintainable (streaming/drift.py's additive-fold
+    recipe; the AUC itself is computed at READ time by
+    ``auc_from_census``)."""
+    labeled = events.select(
+        (F.col(type_col) == pos_type).alias("__pos"),
+        _cents(value_col).alias("v"),
+    )
+    return labeled.groupBy("v").agg(
+        F.sum(F.col("__pos").cast("long")).alias("n_pos_v"),
+        F.sum((~F.col("__pos")).cast("long")).alias("n_neg_v"),
+    )
+
+
+def auc_from_census(census: DataFrame) -> DataFrame:
+    """Exact ROC AUC (ppm) from a score census — one dim cumsum + one
+    scalar aggregate; never touches the corpus."""
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = census.select(
+        "n_pos_v",
+        "n_neg_v",
+        (
+            F.lit(2)
+            * F.coalesce(
+                F.sum(F.col("n_pos_v") + F.col("n_neg_v")).over(w), F.lit(0)
+            )
+            + F.col("n_pos_v") + F.col("n_neg_v") + F.lit(1)
+        ).alias("__mr2"),
+    )
+    agged = ranked.agg(
+        F.sum("n_pos_v").alias("__n_pos"),
+        F.sum("n_neg_v").alias("__n_neg"),
+        F.sum((F.col("n_pos_v") * F.col("__mr2")).cast(D38)).alias("__r2p"),
+    )
+    return agged.select(
+        F.col("__n_pos").cast("long").alias("n_pos"),
+        F.col("__n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((__r2p - CAST(__n_pos AS DECIMAL(38,0)) * (__n_pos + 1))"
+            " * 1000000"
+            " div (2 * CAST(__n_pos AS DECIMAL(38,0)) * __n_neg)"
+            " AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
 def roc_auc(
     events: DataFrame,
     pos_type: str = "purchase",
@@ -52,39 +106,11 @@ def roc_auc(
     outscores a random negative, with ties counting half. One row:
     (n_pos, n_neg, auc_ppm), auc_ppm = (R2⁺ − n⁺(n⁺+1)) · 10⁶ div
     (2·n⁺·n⁻) where R2⁺ is the DOUBLED ascending-rank sum of positives
-    (doubling keeps midranks integral; rank_sum_test's device)."""
-    labeled = events.select(
-        (F.col(type_col) == pos_type).alias("__pos"),
-        _cents(value_col).alias("__v"),
-    )
-    per_v = labeled.groupBy("__v").agg(
-        F.sum(F.col("__pos").cast("long")).alias("__np"),
-        F.sum((~F.col("__pos")).cast("long")).alias("__nn"),
-    )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
-        "__np",
-        "__nn",
-        (
-            F.lit(2)
-            * F.coalesce(F.sum(F.col("__np") + F.col("__nn")).over(w), F.lit(0))
-            + F.col("__np") + F.col("__nn") + F.lit(1)
-        ).alias("__mr2"),
-    )
-    agged = ranked.agg(
-        F.sum("__np").alias("__n_pos"),
-        F.sum("__nn").alias("__n_neg"),
-        F.sum((F.col("__np") * F.col("__mr2")).cast(D38)).alias("__r2p"),
-    )
-    return agged.select(
-        F.col("__n_pos").cast("long").alias("n_pos"),
-        F.col("__n_neg").cast("long").alias("n_neg"),
-        F.expr(
-            "CAST((__r2p - CAST(__n_pos AS DECIMAL(38,0)) * (__n_pos + 1))"
-            " * 1000000"
-            " div (2 * CAST(__n_pos AS DECIMAL(38,0)) * __n_neg)"
-            " AS BIGINT)"
-        ).alias("auc_ppm"),
+    (doubling keeps midranks integral; rank_sum_test's device).
+    Composed as census → read-time scoring so the streaming twin folds
+    the SAME census code path."""
+    return auc_from_census(
+        score_census(events, pos_type, type_col, value_col)
     )
 
 

@@ -12,7 +12,7 @@ rank device — no unpartitioned window over corpus rows). Every value is
 an exact integer (ppm / raw counts); every division truncates toward
 zero on BOTH engines (ABS+sign where numerators can go negative).
 
-Kept to 5 entries deliberately (VERDICT r7 item 7: new waves ≤ the
+Kept to 6 entries deliberately (VERDICT r7 item 7: new waves ≤ the
 9-slot backfill headroom so the round-9 rotation closes the book in
 one window).
 """
@@ -37,6 +37,31 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_last_fm_spark.operators.evalmetrics import roc_auc
 
     return roc_auc(load_table(spark, sf_dir, "events"))
+
+
+def q_streaming_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``roc_auc``: the per-value label census is an
+    ADDITIVE state (order-free, unlike the ordered-fold IVM tier), so it
+    rides the drift/postings/checksum census-fold recipe with the
+    versioned-commit replay guard; AUC computed at read time. Oracle:
+    the one-shot roc_auc SQL — the maintenance identity."""
+    from etl_pipeline_last_fm_spark.registry.round7 import (
+        _run_time_sliced_stream,
+    )
+    from etl_pipeline_last_fm_spark.streaming.drift import (
+        read_auc,
+        streaming_auc_maintenance,
+    )
+
+    return _run_time_sliced_stream(
+        spark,
+        sf_dir,
+        lambda stream, state, ck: streaming_auc_maintenance(
+            stream, state, checkpoint=ck
+        ),
+        read_auc,
+        lambda df: df,
+    )
 
 
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +107,7 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "roc_auc": q_roc_auc,
+    "streaming_roc_auc": q_streaming_roc_auc,
     "calibration_bins": q_calibration_bins,
     "label_agreement": q_label_agreement,
     "mann_kendall": q_mann_kendall,
@@ -100,6 +126,9 @@ def oracles() -> dict[str, str]:
 
     return {
         "roc_auc": roc_auc_oracle_sql(),
+        # the one-shot AUC IS the oracle for its streaming twin
+        # (additive-census maintenance identity).
+        "streaming_roc_auc": roc_auc_oracle_sql(),
         "calibration_bins": calibration_bins_oracle_sql(),
         "label_agreement": cohens_kappa_oracle_sql(
             f"length(text) >= {_RATER_A_LEN}",

@@ -205,3 +205,63 @@ def streaming_checksum_maintenance(
 
 def read_checksum(spark: SparkSession, state_path: str) -> DataFrame:
     return _strip_bid(read_latest_state(spark, state_path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming ROC-AUC maintenance (same additive-fold recipe, round 8)
+# ---------------------------------------------------------------------------
+
+
+def auc_census_fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    pos_type: str = "purchase",
+) -> None:
+    """Fold ONE micro-batch's score census (evalmetrics.score_census —
+    the SAME code path as the batch roc_auc) into the persisted state.
+    Per-value label counts are additive and order-free, so any batching
+    of the event stream yields the same state; the AUC is computed at
+    READ time (read_auc) — the dim cumsum never runs inside the fold."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import score_census
+
+    _guarded_fold(
+        batch_df,
+        batch_id,
+        state_path,
+        lambda b: score_census(b, pos_type),
+        lambda prev, new: prev.unionByName(new)
+        .groupBy("v")
+        .agg(
+            F.sum("n_pos_v").alias("n_pos_v"),
+            F.sum("n_neg_v").alias("n_neg_v"),
+        ),
+    )
+
+
+def streaming_auc_maintenance(
+    stream: DataFrame,
+    state_path: str,
+    pos_type: str = "purchase",
+    checkpoint: str | None = None,
+):
+    """Writer wrapper for auc_census_fold_batch (same shape as the other
+    maintenance writers); read with ``read_auc``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        auc_census_fold_batch(batch_df, batch_id, state_path, pos_type)
+
+    writer = stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def read_auc(spark: SparkSession, state_path: str) -> DataFrame:
+    """Exact AUC over everything folded so far — equals the one-shot
+    ``roc_auc`` of the concatenated batches (the maintenance identity)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        auc_from_census,
+    )
+
+    return auc_from_census(_strip_bid(read_latest_state(spark, state_path)))

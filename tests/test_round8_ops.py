@@ -238,3 +238,31 @@ def test_lift_deciles_matches_global_ntile(spark):
     )
     want = sorted(map(tuple, naive.collect()))
     assert [(g[0], g[1]) for g in got] == want
+
+
+def test_streaming_auc_census_fold(spark, tmp_path):
+    """The AUC census fold must equal the one-shot roc_auc after ANY
+    batching — including replayed batches (guard no-ops) and
+    SCRAMBLED batch order (the census is additive and order-free,
+    unlike the ordered-fold IVM tier)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import roc_auc
+    from etl_pipeline_last_fm_spark.streaming.drift import (
+        auc_census_fold_batch,
+        read_auc,
+    )
+
+    rows = [(i % 3 == 0, (i * 17) % 40) for i in range(30)]
+    df = _scored(spark, rows)
+    slices = [
+        df.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    want = tuple(roc_auc(df).first())
+
+    path = str(tmp_path / "auc")
+    # scrambled delivery: slice 2 as batch 0, slice 0 as 1, slice 1 as 2
+    auc_census_fold_batch(slices[2], 0, path)
+    auc_census_fold_batch(slices[2], 0, path)  # replay no-ops
+    auc_census_fold_batch(slices[0], 1, path)
+    auc_census_fold_batch(slices[1], 2, path)
+    auc_census_fold_batch(slices[1], 2, path)  # replay no-ops
+    assert tuple(read_auc(spark, path).first()) == want
