@@ -97,7 +97,8 @@ def test_headliners_lead_the_window():
 
 
 def test_every_graded_entry_is_oracle_paired():
-    """196/196 since round 7 — a regression here silently downgrades a
-    query to the driver's weaker rows-only check."""
+    """Every registry entry (202 as of round 8) — a regression here
+    silently downgrades a query to the driver's weaker rows-only
+    check."""
     oracles = entrymod.oracle_sql()
     assert set(entrymod.queries()) == set(oracles)
