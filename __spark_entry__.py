@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": _ALL["roc_auc"],
         "streaming_roc_auc": _ALL["streaming_roc_auc"],
         "calibration_bins": _ALL["calibration_bins"],
+        "calibration_ece": _ALL["calibration_ece"],
+        "pr_curve": _ALL["pr_curve"],
         "label_agreement": _ALL["label_agreement"],
         "mann_kendall": _ALL["mann_kendall"],
         "lift_deciles": _ALL["lift_deciles"],

@@ -526,3 +526,173 @@ def lift_deciles_oracle_sql(
         GROUP BY decile
         ORDER BY decile
     """
+
+
+def calibration_ece(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 10,
+) -> DataFrame:
+    """Expected / maximum calibration error over the same k fixed-width
+    bins as ``calibration_bins`` — the single-number summary of the
+    reliability diagram. Per bin the gap |empirical rate − mean
+    normalized score| is the exact rational |pos_b·vmax − Σv_b| /
+    (n_b·vmax); weighting by n_b/n makes ECE's denominator common:
+
+        ece_ppm = (Σ_b |pos_b·vmax − Σv_b|) · 10⁶ div (n·vmax)
+
+    — a single exact integer division. MCE is defined here as the max
+    of the per-bin TRUNCATED ppm gaps (truncation before max, mirrored
+    by the oracle, so the cross-engine value is exact). One row:
+    (n, ece_ppm, mce_ppm)."""
+    labeled = events.select(
+        (F.col(type_col) == pos_type).alias("__pos"),
+        _cents(value_col).alias("__v"),
+    )
+    scal = labeled.agg(F.max("__v").alias("__vmax"))
+    binned = labeled.crossJoin(F.broadcast(scal)).select(
+        F.expr(f"CAST(__v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
+        .cast("long")
+        .alias("__bin"),
+        "__pos",
+        "__v",
+        "__vmax",
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__n_b"),
+        F.sum(F.col("__pos").cast("long")).alias("__pos_b"),
+        F.sum("__v").alias("__sv_b"),
+        F.max("__vmax").alias("__vmax"),
+    )
+    return per_bin.agg(
+        F.sum("__n_b").cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(ABS(CAST(__pos_b AS DECIMAL(38,0)) * __vmax"
+            " - __sv_b)) * 1000000"
+            " div (SUM(CAST(__n_b AS DECIMAL(38,0)))"
+            " * MAX(CAST(__vmax AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.expr(
+            "CAST(MAX(ABS(CAST(__pos_b AS DECIMAL(38,0)) * __vmax"
+            " - __sv_b) * 1000000"
+            " div (CAST(__n_b AS DECIMAL(38,0)) * __vmax)) AS BIGINT)"
+        ).alias("mce_ppm"),
+    )
+
+
+def calibration_ece_oracle_sql(
+    pos_type: str = "purchase", k: int = 10, table: str = "events"
+) -> str:
+    pos_type = pos_type.replace("'", "''")
+    return f"""
+        WITH labeled AS (
+            SELECT event_type = '{pos_type}' AS pos,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        m AS (SELECT CAST(MAX(v) AS HUGEINT) AS vmax FROM labeled),
+        per_bin AS (
+            SELECT CAST(CAST(v AS HUGEINT) * {k} // (vmax + 1) AS BIGINT)
+                       AS bin,
+                   CAST(COUNT(*) AS HUGEINT) AS n_b,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
+                       AS pos_b,
+                   CAST(SUM(v) AS HUGEINT) AS sv_b,
+                   MAX(vmax) AS vmax
+            FROM labeled, m
+            GROUP BY 1
+        )
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(SUM(ABS(pos_b * vmax - sv_b)) * 1000000
+                    // (SUM(n_b) * MAX(vmax)) AS BIGINT) AS ece_ppm,
+               CAST(MAX(ABS(pos_b * vmax - sv_b) * 1000000
+                        // (n_b * vmax)) AS BIGINT) AS mce_ppm
+        FROM per_bin
+    """
+
+
+def pr_curve(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Precision-recall curve over every distinct score threshold
+    (predict positive when score >= v): per distinct cents value,
+    (threshold_cents, n_pred, n_tp, precision_ppm, recall_ppm), both
+    ratios exact truncated ppm. Reuses the roc_auc score census: one
+    corpus pass to the VALUE DIMENSION, then a descending dim cumsum —
+    the curve is dim-sized, never row-sized. Descending threshold order
+    makes n_pred/recall monotone non-decreasing down the output."""
+    census = score_census(events, pos_type, type_col, value_col)
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = census.agg(
+        F.sum("n_pos_v").alias("__total_pos")
+    )
+    cum = census.select(
+        F.col("v").alias("threshold_cents"),
+        F.sum(F.col("n_pos_v") + F.col("n_neg_v")).over(w).alias("n_pred"),
+        F.sum("n_pos_v").over(w).alias("n_tp"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold_cents",
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_tp").cast("long").alias("n_tp"),
+            F.expr(
+                "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000 div n_pred"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+                " div __total_pos AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy(F.col("threshold_cents").desc())
+    )
+
+
+def pr_curve_oracle_sql(
+    pos_type: str = "purchase", table: str = "events"
+) -> str:
+    pos_type = pos_type.replace("'", "''")
+    return f"""
+        WITH labeled AS (
+            SELECT event_type = '{pos_type}' AS pos,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        census AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS np,
+                   CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+                       AS nn
+            FROM labeled GROUP BY v
+        ),
+        t AS (SELECT CAST(SUM(np) AS HUGEINT) AS total_pos FROM census),
+        cum AS (
+            SELECT v AS threshold_cents,
+                   CAST(SUM(np + nn) OVER (
+                       ORDER BY v DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_pred,
+                   CAST(SUM(np) OVER (
+                       ORDER BY v DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_tp
+            FROM census
+        )
+        SELECT threshold_cents, n_pred, n_tp,
+               CAST(CAST(n_tp AS HUGEINT) * 1000000 // n_pred AS BIGINT)
+                   AS precision_ppm,
+               CAST(CAST(n_tp AS HUGEINT) * 1000000 // total_pos AS BIGINT)
+                   AS recall_ppm
+        FROM cum, t
+        ORDER BY threshold_cents DESC
+    """

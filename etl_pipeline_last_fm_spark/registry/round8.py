@@ -12,7 +12,7 @@ rank device — no unpartitioned window over corpus rows). Every value is
 an exact integer (ppm / raw counts); every division truncates toward
 zero on BOTH engines (ABS+sign where numerators can go negative).
 
-Kept to 6 entries deliberately (VERDICT r7 item 7: new waves ≤ the
+Kept to 8 entries deliberately (VERDICT r7 item 7: new waves ≤ the
 9-slot backfill headroom so the round-9 rotation closes the book in
 one window).
 """
@@ -74,6 +74,25 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(load_table(spark, sf_dir, "events"))
 
 
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error — the one-number summary of
+    q_calibration_bins' reliability diagram, with ECE's common
+    denominator making it a single exact integer division."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        calibration_ece,
+    )
+
+    return calibration_ece(load_table(spark, sf_dir, "events"))
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve over every distinct score threshold —
+    the roc_auc score census re-read through a descending dim cumsum."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import pr_curve
+
+    return pr_curve(load_table(spark, sf_dir, "events"))
+
+
 def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two document-quality raters (length ≥ 200
     chars vs token count ≥ 40) — chance-corrected filter agreement."""
@@ -109,6 +128,8 @@ QUERIES = {
     "roc_auc": q_roc_auc,
     "streaming_roc_auc": q_streaming_roc_auc,
     "calibration_bins": q_calibration_bins,
+    "calibration_ece": q_calibration_ece,
+    "pr_curve": q_pr_curve,
     "label_agreement": q_label_agreement,
     "mann_kendall": q_mann_kendall,
     "lift_deciles": q_lift_deciles,
@@ -118,9 +139,11 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.evalmetrics import (
         calibration_bins_oracle_sql,
+        calibration_ece_oracle_sql,
         cohens_kappa_oracle_sql,
         lift_deciles_oracle_sql,
         mann_kendall_oracle_sql,
+        pr_curve_oracle_sql,
         roc_auc_oracle_sql,
     )
 
@@ -130,6 +153,8 @@ def oracles() -> dict[str, str]:
         # (additive-census maintenance identity).
         "streaming_roc_auc": roc_auc_oracle_sql(),
         "calibration_bins": calibration_bins_oracle_sql(),
+        "calibration_ece": calibration_ece_oracle_sql(),
+        "pr_curve": pr_curve_oracle_sql(),
         "label_agreement": cohens_kappa_oracle_sql(
             f"length(text) >= {_RATER_A_LEN}",
             f"len(string_split(trim(text), ' ')) >= {_RATER_B_TOKS}",

@@ -266,3 +266,51 @@ def test_streaming_auc_census_fold(spark, tmp_path):
     auc_census_fold_batch(slices[1], 2, path)
     auc_census_fold_batch(slices[1], 2, path)  # replay no-ops
     assert tuple(read_auc(spark, path).first()) == want
+
+
+def test_calibration_ece_pinned_and_reference(spark):
+    """ECE with common denominator n*vmax: rows (False,10),(False,50),
+    (True,60),(True,100), k=2 -> bins {10,50} gap |0*100-60|=60 and
+    {60,100} gap |2*100-160|=40 -> ece = (60+40)*1e6 div (4*100);
+    mce = max(60*1e6 div 200, 40*1e6 div 200)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        calibration_ece,
+    )
+
+    rows = [(False, 10), (False, 50), (True, 60), (True, 100)]
+    got = calibration_ece(_scored(spark, rows), k=2).first()
+    assert got["n"] == 4
+    assert got["ece_ppm"] == 100 * 1_000_000 // 400
+    assert got["mce_ppm"] == 60 * 1_000_000 // 200
+
+
+def _py_pr_curve(rows):
+    """Exact PR points per distinct threshold, descending."""
+    from collections import Counter
+
+    cnt_pos = Counter(c for lab, c in rows if lab)
+    cnt_all = Counter(c for _, c in rows)
+    total_pos = sum(cnt_pos.values())
+    out, n_pred, n_tp = [], 0, 0
+    for v in sorted(cnt_all, reverse=True):
+        n_pred += cnt_all[v]
+        n_tp += cnt_pos.get(v, 0)
+        out.append((v, n_pred, n_tp,
+                    n_tp * 1_000_000 // n_pred,
+                    n_tp * 1_000_000 // total_pos))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 20)),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda r: any(l for l, _ in r))
+)
+@settings(**SETTINGS)
+def test_pr_curve_matches_python_reference(spark, rows):
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import pr_curve
+
+    got = [tuple(r) for r in pr_curve(_scored(spark, rows)).collect()]
+    assert got == _py_pr_curve(rows)
