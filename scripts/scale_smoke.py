@@ -994,9 +994,11 @@ def round8_wave(spark, ev_typed, n_events: int) -> None:
     window, no single-partition sort)."""
     from etl_pipeline_last_fm_spark.operators.evalmetrics import (
         calibration_bins,
+        calibration_ece,
         cohens_kappa,
         lift_deciles,
         mann_kendall,
+        pr_curve,
         roc_auc,
     )
 
@@ -1024,11 +1026,20 @@ def round8_wave(spark, ev_typed, n_events: int) -> None:
     n_lift = lift_deciles(ev_typed).count()
     t_lift = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    ece = calibration_ece(ev_typed).first()["ece_ppm"]
+    t_ece = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pr = pr_curve(ev_typed).count()
+    t_pr = time.perf_counter() - t0
+
     print(
         f"round8 events={n_events}: roc_auc {t_auc:.1f}s (auc {auc}), "
         f"calibration {t_cal:.1f}s ({n_cal} bins), kappa {t_kap:.1f}s "
         f"({kap} ppm), mann_kendall {t_mk:.1f}s ({mk['n_days']} days, "
-        f"s={mk['s_stat']}), lift_deciles {t_lift:.1f}s ({n_lift} tiles)"
+        f"s={mk['s_stat']}), lift_deciles {t_lift:.1f}s ({n_lift} tiles), "
+        f"ece {t_ece:.1f}s ({ece} ppm), pr_curve {t_pr:.1f}s ({n_pr} pts)"
     )
 
 
