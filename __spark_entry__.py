@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": _ALL["calibration_bins"],
         "calibration_ece": _ALL["calibration_ece"],
         "pr_curve": _ALL["pr_curve"],
+        "isotonic_calibration": _ALL["isotonic_calibration"],
         "label_agreement": _ALL["label_agreement"],
         "mann_kendall": _ALL["mann_kendall"],
         "lift_deciles": _ALL["lift_deciles"],

@@ -696,3 +696,198 @@ def pr_curve_oracle_sql(
         FROM cum, t
         ORDER BY threshold_cents DESC
     """
+
+
+def isotonic_calibration(
+    events: DataFrame,
+    pos_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 20,
+) -> DataFrame:
+    """Isotonic calibration map via Pool-Adjacent-Violators over the
+    k-bin score table: the non-decreasing fit of the per-bin positive
+    rates under n_b weights — the classic monotone recalibration next
+    to ``calibration_bins``' diagnosis and ``calibration_ece``'s
+    summary. Output per occupied bin, ascending:
+    (bin, n, n_pos, raw_rate_ppm, iso_rate_ppm) with iso_rate_ppm
+    non-decreasing.
+
+    Exactness: PAV runs as a single-row sequential fold over the BIN
+    DIMENSION (the km_survival device): the accumulator is the stack of
+    pooled blocks, each step appends the next bin then cascades merges
+    while rate(top) <= rate(prev) — the comparison an exact
+    decimal(38,0) cross-multiply, the cascade a padded k-step inner
+    fold (cascade length <= stack size <= k, so the padding is tight;
+    total work O(k^2) micro-ops on ONE row — trivial at any calibration
+    width). The pooled rates are emitted as truncated ppm.
+
+    The DuckDB oracle replays PAV through the INDEPENDENT minimax
+    characterization iso(k) = max_{i<=k} min_{j>=k} pooled(i, j)
+    (classical theorem; equality property-tested against the stack
+    algorithm), with every min/max an exact NOT-EXISTS cross-multiply —
+    two different algorithms, one answer, the triangle_count oracle
+    pattern.
+
+    Scale shape: one corpus pass to k bins; everything after runs on a
+    <= k-row table. k is a calibration-table width (tens to hundreds),
+    never data-sized."""
+    labeled = events.select(
+        (F.col(type_col) == pos_type).alias("__pos"),
+        _cents(value_col).alias("__v"),
+    )
+    scal = labeled.agg(F.max("__v").alias("__vmax"))
+    per_bin = (
+        labeled.crossJoin(F.broadcast(scal))
+        .select(
+            F.expr(f"CAST(__v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
+            .cast("long")
+            .alias("bin"),
+            "__pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+        )
+        # consumed twice (the PAV fold + the per-bin join-back): the
+        # k-row table is tiny, but the corpus scan above it is not.
+        .localCheckpoint()
+    )
+    st_type = "array<struct<lo:long,hi:long,n:long,p:long>>"
+
+    def _merged_top2(st):
+        a = F.try_element_at(st, F.lit(-2))
+        b = F.try_element_at(st, F.lit(-1))
+        return F.struct(
+            a["lo"].alias("lo"),
+            b["hi"].alias("hi"),
+            (a["n"] + b["n"]).alias("n"),
+            (a["p"] + b["p"]).alias("p"),
+        )
+
+    def _violates(st):
+        a = F.try_element_at(st, F.lit(-2))
+        b = F.try_element_at(st, F.lit(-1))
+        return (F.size(st) >= 2) & (
+            b["p"].cast(D38) * a["n"] <= a["p"].cast(D38) * b["n"]
+        )
+
+    def _cascade(st):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(k)),
+            st,
+            lambda acc, _: F.when(
+                _violates(acc),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 2),
+                    F.array(_merged_top2(acc)),
+                ),
+            ).otherwise(acc),
+        )
+
+    blocks_arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("bin").alias("lo"),
+                F.col("bin").alias("hi"),
+                F.col("n").alias("n"),
+                F.col("n_pos").alias("p"),
+            )
+        )
+    )
+    folded = per_bin.agg(blocks_arr.alias("__blocks")).select(
+        F.aggregate(
+            "__blocks",
+            F.array().cast(st_type),
+            lambda acc, e: _cascade(F.concat(acc, F.array(e))),
+        ).alias("__stack")
+    )
+    pooled = folded.select(F.explode("__stack").alias("b")).select(
+        F.explode(F.sequence(F.col("b.lo"), F.col("b.hi"))).alias("bin"),
+        F.col("b.n").alias("__pool_n"),
+        F.col("b.p").alias("__pool_p"),
+    )
+    return (
+        per_bin.join(F.broadcast(pooled), "bin")
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr(
+                "CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n"
+                " AS BIGINT)"
+            ).alias("raw_rate_ppm"),
+            F.expr(
+                "CAST(CAST(__pool_p AS DECIMAL(38,0)) * 1000000"
+                " div __pool_n AS BIGINT)"
+            ).alias("iso_rate_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def isotonic_calibration_oracle_sql(
+    pos_type: str = "purchase", k: int = 20, table: str = "events"
+) -> str:
+    """DuckDB twin via the minimax characterization (see operator
+    docstring): iso(k) = max_{i<=k} min_{j>=k} pooled(i, j), every
+    comparison an exact HUGEINT cross-multiply with deterministic
+    tie-breaks (smallest j, then smallest i — ties are value-equal so
+    the emitted ppm is unaffected either way)."""
+    pos_type = pos_type.replace("'", "''")
+    return f"""
+        WITH labeled AS (
+            SELECT event_type = '{pos_type}' AS pos,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+            FROM {table}
+        ),
+        m AS (SELECT CAST(MAX(v) AS HUGEINT) AS vmax FROM labeled),
+        nb AS (
+            SELECT row_number() OVER (ORDER BY bin) AS r, bin, n_b, p_b
+            FROM (
+                SELECT CAST(CAST(v AS HUGEINT) * {k} // (vmax + 1)
+                            AS BIGINT) AS bin,
+                       CAST(COUNT(*) AS HUGEINT) AS n_b,
+                       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                            AS HUGEINT) AS p_b
+                FROM labeled, m
+                GROUP BY 1
+            )
+        ),
+        pooled AS (
+            SELECT i.r AS i, j.r AS j,
+                   SUM(t.n_b) AS den, SUM(t.p_b) AS num
+            FROM nb i JOIN nb j ON i.r <= j.r
+                      JOIN nb t ON t.r BETWEEN i.r AND j.r
+            GROUP BY 1, 2
+        ),
+        mn AS (
+            SELECT kk.r AS k, p.i, p.j, p.num, p.den
+            FROM pooled p JOIN nb kk ON p.i <= kk.r AND p.j >= kk.r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pooled q
+                WHERE q.i = p.i AND q.j >= kk.r
+                  AND (q.num * p.den < p.num * q.den
+                       OR (q.num * p.den = p.num * q.den AND q.j < p.j))
+            )
+        ),
+        iso AS (
+            SELECT mm.k, mm.num, mm.den
+            FROM mn mm
+            WHERE NOT EXISTS (
+                SELECT 1 FROM mn m2
+                WHERE m2.k = mm.k
+                  AND (m2.num * mm.den > mm.num * m2.den
+                       OR (m2.num * mm.den = mm.num * m2.den
+                           AND m2.i < mm.i))
+            )
+        )
+        SELECT nb.bin,
+               CAST(nb.n_b AS BIGINT) AS n,
+               CAST(nb.p_b AS BIGINT) AS n_pos,
+               CAST(nb.p_b * 1000000 // nb.n_b AS BIGINT) AS raw_rate_ppm,
+               CAST(iso.num * 1000000 // iso.den AS BIGINT) AS iso_rate_ppm
+        FROM nb JOIN iso ON iso.k = nb.r
+        ORDER BY nb.bin
+    """

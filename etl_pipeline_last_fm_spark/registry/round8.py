@@ -12,7 +12,7 @@ rank device — no unpartitioned window over corpus rows). Every value is
 an exact integer (ppm / raw counts); every division truncates toward
 zero on BOTH engines (ABS+sign where numerators can go negative).
 
-Kept to 8 entries deliberately (VERDICT r7 item 7: new waves ≤ the
+Kept to 9 entries deliberately (VERDICT r7 item 7: new waves ≤ the
 9-slot backfill headroom so the round-9 rotation closes the book in
 one window).
 """
@@ -93,6 +93,17 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration map over the 20-bin score table —
+    the monotone recalibration completing the calibration suite; the
+    oracle replays it through the independent minimax theorem."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        isotonic_calibration,
+    )
+
+    return isotonic_calibration(load_table(spark, sf_dir, "events"))
+
+
 def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two document-quality raters (length ≥ 200
     chars vs token count ≥ 40) — chance-corrected filter agreement."""
@@ -130,6 +141,7 @@ QUERIES = {
     "calibration_bins": q_calibration_bins,
     "calibration_ece": q_calibration_ece,
     "pr_curve": q_pr_curve,
+    "isotonic_calibration": q_isotonic_calibration,
     "label_agreement": q_label_agreement,
     "mann_kendall": q_mann_kendall,
     "lift_deciles": q_lift_deciles,
@@ -140,6 +152,7 @@ def oracles() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.evalmetrics import (
         calibration_bins_oracle_sql,
         calibration_ece_oracle_sql,
+        isotonic_calibration_oracle_sql,
         cohens_kappa_oracle_sql,
         lift_deciles_oracle_sql,
         mann_kendall_oracle_sql,
@@ -155,6 +168,7 @@ def oracles() -> dict[str, str]:
         "calibration_bins": calibration_bins_oracle_sql(),
         "calibration_ece": calibration_ece_oracle_sql(),
         "pr_curve": pr_curve_oracle_sql(),
+        "isotonic_calibration": isotonic_calibration_oracle_sql(),
         "label_agreement": cohens_kappa_oracle_sql(
             f"length(text) >= {_RATER_A_LEN}",
             f"len(string_split(trim(text), ' ')) >= {_RATER_B_TOKS}",

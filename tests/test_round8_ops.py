@@ -314,3 +314,76 @@ def test_pr_curve_matches_python_reference(spark, rows):
 
     got = [tuple(r) for r in pr_curve(_scored(spark, rows)).collect()]
     assert got == _py_pr_curve(rows)
+
+
+def _py_pav_bins(rows, k=20):
+    """Pure-Python reference: bin like the operator, then stack PAV.
+    Returns [(bin, n, p, raw_ppm, iso_ppm)] ascending."""
+    cents = [(lab, c) for lab, c in rows]
+    vmax = max(c for _, c in cents)
+    per = {}
+    for lab, c in cents:
+        b = c * k // (vmax + 1)
+        n, p = per.get(b, (0, 0))
+        per[b] = (n + 1, p + (1 if lab else 0))
+    bins = sorted(per)
+    blocks = []
+    for b in bins:
+        n, p = per[b]
+        blocks.append([b, b, n, p])
+        while len(blocks) >= 2 and \
+                blocks[-1][3] * blocks[-2][2] <= blocks[-2][3] * blocks[-1][2]:
+            _lo, hi, n2, p2 = blocks.pop()
+            blocks[-1][1] = hi
+            blocks[-1][2] += n2
+            blocks[-1][3] += p2
+    out = []
+    for b in bins:
+        n, p = per[b]
+        for lo, hi, pn, pp in blocks:
+            if lo <= b <= hi:
+                out.append((b, n, p, p * 1_000_000 // n,
+                            pp * 1_000_000 // pn))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 60)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_isotonic_calibration_matches_python_pav(spark, rows):
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        isotonic_calibration,
+    )
+
+    got = [tuple(r) for r in
+           isotonic_calibration(_scored(spark, rows)).collect()]
+    assert got == _py_pav_bins(rows)
+    # the defining property: fitted rates are non-decreasing in bin
+    iso = [g[4] for g in got]
+    assert iso == sorted(iso)
+
+
+def test_isotonic_calibration_worst_cases(spark):
+    """All-decreasing rates pool into ONE block (the longest possible
+    cascade — exercises the padded inner fold end to end); an already
+    monotone input is returned unchanged (iso == raw)."""
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        isotonic_calibration,
+    )
+
+    # decreasing: bin rates 1.0, then 0 everywhere -> global pool
+    dec = [(True, 1), (True, 2)] + [(False, c) for c in range(10, 60)]
+    got = isotonic_calibration(_scored(spark, dec), k=10).collect()
+    iso = {r["bin"]: r["iso_rate_ppm"] for r in got}
+    assert len(set(iso.values())) == 1  # one pooled rate everywhere
+    assert set(iso.values()) == {2 * 1_000_000 // 52}
+    # already isotonic: low bin all-neg, high bin all-pos
+    mono = [(False, 1), (False, 2), (True, 50), (True, 59)]
+    got = isotonic_calibration(_scored(spark, mono), k=2).collect()
+    for r in got:
+        assert r["iso_rate_ppm"] == r["raw_rate_ppm"]
