@@ -996,6 +996,7 @@ def round8_wave(spark, ev_typed, n_events: int) -> None:
         calibration_bins,
         calibration_ece,
         cohens_kappa,
+        isotonic_calibration,
         lift_deciles,
         mann_kendall,
         pr_curve,
@@ -1034,12 +1035,17 @@ def round8_wave(spark, ev_typed, n_events: int) -> None:
     n_pr = pr_curve(ev_typed).count()
     t_pr = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    n_iso = isotonic_calibration(ev_typed).count()
+    t_iso = time.perf_counter() - t0
+
     print(
         f"round8 events={n_events}: roc_auc {t_auc:.1f}s (auc {auc}), "
         f"calibration {t_cal:.1f}s ({n_cal} bins), kappa {t_kap:.1f}s "
         f"({kap} ppm), mann_kendall {t_mk:.1f}s ({mk['n_days']} days, "
         f"s={mk['s_stat']}), lift_deciles {t_lift:.1f}s ({n_lift} tiles), "
-        f"ece {t_ece:.1f}s ({ece} ppm), pr_curve {t_pr:.1f}s ({n_pr} pts)"
+        f"ece {t_ece:.1f}s ({ece} ppm), pr_curve {t_pr:.1f}s ({n_pr} pts), "
+        f"isotonic {t_iso:.1f}s ({n_iso} bins)"
     )
 
 
