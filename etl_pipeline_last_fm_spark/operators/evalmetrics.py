@@ -152,6 +152,26 @@ def roc_auc_oracle_sql(
     """
 
 
+def _bin_census(census: DataFrame, k: int) -> DataFrame:
+    """Attach the k-fixed-width bin id to a score census (the shared
+    step of the calibration family): per census row,
+    (bin, __cnt, __np, __sv = v·cnt as decimal, __vmax). The vmax
+    scalar and the binning both read the CENSUS (value-dim-sized), so a
+    localCheckpoint-ed census costs one corpus pass total."""
+    scal = census.agg(F.max("v").alias("__vmax"))
+    return census.crossJoin(F.broadcast(scal)).select(
+        F.expr(f"CAST(v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
+        .cast("long")
+        .alias("bin"),
+        (F.col("n_pos_v") + F.col("n_neg_v")).alias("__cnt"),
+        F.col("n_pos_v").alias("__np"),
+        (
+            F.col("v").cast(D38) * (F.col("n_pos_v") + F.col("n_neg_v"))
+        ).alias("__sv"),
+        "__vmax",
+    )
+
+
 def calibration_bins(
     events: DataFrame,
     pos_type: str = "purchase",
@@ -164,33 +184,31 @@ def calibration_bins(
     positive rate (both truncated ppm). A calibrated score has
     mean_score_ppm ≈ pos_rate_ppm per bin. Bin id = cents·k div
     (max_cents+1) ∈ [0, k) — monotone, exact, and identical on both
-    engines. Output: (bin, n, n_pos, mean_score_ppm, pos_rate_ppm)."""
-    labeled = events.select(
-        (F.col(type_col) == pos_type).alias("__pos"),
-        _cents(value_col).alias("__v"),
-    )
-    scal = labeled.agg(F.max("__v").alias("__vmax"))
-    binned = labeled.crossJoin(F.broadcast(scal)).select(
-        F.expr(f"CAST(__v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
-        .cast("long")
-        .alias("bin"),
-        "__pos",
-        "__v",
-        "__vmax",
-    )
+    engines. Output: (bin, n, n_pos, mean_score_ppm, pos_rate_ppm).
+
+    Scale shape (round-8 close): ONE corpus pass — the bin id depends
+    only on the score value, so the whole family derives from
+    ``score_census`` (checkpointed: it feeds the vmax scalar AND the
+    binning; value-dim-sized, so the materialization is tiny). It also
+    means the reliability diagram is continuously maintainable from the
+    streaming AUC census state."""
+    census = score_census(
+        events, pos_type, type_col, value_col
+    ).localCheckpoint()
+    binned = _bin_census(census, k)
     return (
         binned.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+            F.sum("__cnt").cast("long").alias("n"),
+            F.sum("__np").cast("long").alias("n_pos"),
             F.expr(
-                "CAST(CAST(SUM(__v) AS DECIMAL(38,0)) * 1000000"
-                " div (COUNT(*) * CAST(MAX(__vmax) AS DECIMAL(38,0)))"
-                " AS BIGINT)"
+                "CAST(SUM(__sv) * 1000000"
+                " div (SUM(CAST(__cnt AS DECIMAL(38,0)))"
+                " * MAX(CAST(__vmax AS DECIMAL(38,0)))) AS BIGINT)"
             ).alias("mean_score_ppm"),
             F.expr(
-                "CAST(CAST(SUM(CASE WHEN __pos THEN 1 ELSE 0 END)"
-                " AS DECIMAL(38,0)) * 1000000 div COUNT(*) AS BIGINT)"
+                "CAST(SUM(CAST(__np AS DECIMAL(38,0))) * 1000000"
+                " div SUM(CAST(__cnt AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("pos_rate_ppm"),
         )
         .orderBy("bin")
@@ -464,29 +482,40 @@ def lift_deciles(
         (F.col(type_col) == pos_type).alias("__pos"),
         _cents(value_col).alias("__v"),
     )
-    scal = labeled.agg(
-        F.count(F.lit(1)).alias("__n_total"),
-        F.sum(F.col("__pos").cast("long")).alias("__pos_total"),
-    )
+    # Round-8 close: the global row count rides OUT of the rank device
+    # (computed on its bucket dim, total_col) and the positive total
+    # comes from the k-row decile aggregate — the corpus scans exactly
+    # twice (the device's max scalar + the ranked pass), never a third
+    # time for totals.
     ranked = value_ordered_row_number(
-        labeled, "__v", "__tie", ascending=False, out_col="__rn"
+        labeled, "__v", "__tie", ascending=False, out_col="__rn",
+        total_col="__n_total",
     )
-    tiled = ranked.crossJoin(F.broadcast(scal)).select(
+    tiled = ranked.select(
         exact_ntile_expr("__rn", "__n_total", k).alias("decile"),
         "__pos",
         "__n_total",
-        "__pos_total",
     )
-    return (
+    per_dec = (
         tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+            F.max("__n_total").alias("__n_total"),
+        )
+        # consumed twice (the totals scalar + the output); k rows.
+        .localCheckpoint()
+    )
+    totals = per_dec.agg(F.sum("n_pos").alias("__pos_total"))
+    return (
+        per_dec.crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
             F.expr(
-                "CAST(CAST(SUM(CASE WHEN __pos THEN 1 ELSE 0 END)"
-                " AS DECIMAL(38,0)) * MAX(__n_total) * 1000000"
-                " div (COUNT(*) * CAST(MAX(__pos_total) AS DECIMAL(38,0)))"
-                " AS BIGINT)"
+                "CAST(CAST(n_pos AS DECIMAL(38,0)) * __n_total * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * __pos_total) AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy("decile")
@@ -546,24 +575,16 @@ def calibration_ece(
     — a single exact integer division. MCE is defined here as the max
     of the per-bin TRUNCATED ppm gaps (truncation before max, mirrored
     by the oracle, so the cross-engine value is exact). One row:
-    (n, ece_ppm, mce_ppm)."""
-    labeled = events.select(
-        (F.col(type_col) == pos_type).alias("__pos"),
-        _cents(value_col).alias("__v"),
-    )
-    scal = labeled.agg(F.max("__v").alias("__vmax"))
-    binned = labeled.crossJoin(F.broadcast(scal)).select(
-        F.expr(f"CAST(__v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
-        .cast("long")
-        .alias("__bin"),
-        "__pos",
-        "__v",
-        "__vmax",
-    )
-    per_bin = binned.groupBy("__bin").agg(
-        F.count(F.lit(1)).alias("__n_b"),
-        F.sum(F.col("__pos").cast("long")).alias("__pos_b"),
-        F.sum("__v").alias("__sv_b"),
+    (n, ece_ppm, mce_ppm). ONE corpus pass — derived from the
+    checkpointed ``score_census`` like the rest of the calibration
+    family."""
+    census = score_census(
+        events, pos_type, type_col, value_col
+    ).localCheckpoint()
+    per_bin = _bin_census(census, k).groupBy("bin").agg(
+        F.sum("__cnt").alias("__n_b"),
+        F.sum("__np").alias("__pos_b"),
+        F.sum("__sv").alias("__sv_b"),
         F.max("__vmax").alias("__vmax"),
     )
     return per_bin.agg(
@@ -729,29 +750,21 @@ def isotonic_calibration(
     two different algorithms, one answer, the triangle_count oracle
     pattern.
 
-    Scale shape: one corpus pass to k bins; everything after runs on a
+    Scale shape: ONE corpus pass (the checkpointed ``score_census``,
+    like the rest of the calibration family), then everything runs on a
     <= k-row table. k is a calibration-table width (tens to hundreds),
     never data-sized."""
-    labeled = events.select(
-        (F.col(type_col) == pos_type).alias("__pos"),
-        _cents(value_col).alias("__v"),
-    )
-    scal = labeled.agg(F.max("__v").alias("__vmax"))
+    census = score_census(
+        events, pos_type, type_col, value_col
+    ).localCheckpoint()
     per_bin = (
-        labeled.crossJoin(F.broadcast(scal))
-        .select(
-            F.expr(f"CAST(__v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
-            .cast("long")
-            .alias("bin"),
-            "__pos",
-        )
+        _bin_census(census, k)
         .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__pos").cast("long")).alias("n_pos"),
+            F.sum("__cnt").cast("long").alias("n"),
+            F.sum("__np").cast("long").alias("n_pos"),
         )
-        # consumed twice (the PAV fold + the per-bin join-back): the
-        # k-row table is tiny, but the corpus scan above it is not.
+        # consumed twice (the PAV fold + the per-bin join-back); k rows.
         .localCheckpoint()
     )
     st_type = "array<struct<lo:long,hi:long,n:long,p:long>>"

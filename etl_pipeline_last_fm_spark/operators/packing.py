@@ -175,6 +175,7 @@ def value_ordered_row_number(
     ascending: bool = False,
     n_buckets: int = 1024,
     out_col: str = "__rn",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Global 1-based row_number over the total (value asc|desc, tie asc)
     order WITHOUT a corpus-sized unpartitioned window — the sibling of
@@ -183,7 +184,13 @@ def value_ordered_row_number(
     through an exclusive cumsum over the bucket dim, and the final
     row_number is the broadcast bucket offset plus a
     partitionBy-bucket row_number. Exact for ANY n_buckets ≥ 1;
-    requires value_col >= 0 (``div`` truncates toward zero)."""
+    requires value_col >= 0 (``div`` truncates toward zero).
+
+    ``total_col``: when set, the output also carries the GLOBAL row
+    count under that name, computed on the bucket dimension (a second
+    window over the ≤ n_buckets+1 offset rows, riding the same
+    broadcast) — callers that need n for an ntile cut (lift deciles)
+    get it WITHOUT a third scan of the input."""
     scal = df.agg(F.max(F.col(value_col)).alias("__vmax"))
     base = df.crossJoin(F.broadcast(scal)).withColumn(
         "__bkt", F.expr(f"{value_col} div (__vmax div {n_buckets} + 1)")
@@ -196,8 +203,17 @@ def value_ordered_row_number(
         base.groupBy("__bkt")
         .agg(F.count(F.lit(1)).alias("__bcnt"))
         .withColumn("__boff", F.coalesce(F.sum("__bcnt").over(wbkt), F.lit(0)))
-        .select("__bkt", "__boff")
     )
+    offs_cols = ["__bkt", "__boff"]
+    if total_col is not None:
+        wall = Window.orderBy("__bkt").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        bucket_offsets = bucket_offsets.withColumn(
+            total_col, F.sum("__bcnt").over(wall)
+        )
+        offs_cols.append(total_col)
+    bucket_offsets = bucket_offsets.select(*offs_cols)
     val_order = (
         F.col(value_col).asc() if ascending else F.col(value_col).desc()
     )
