@@ -465,7 +465,8 @@ def test_dim_sized_global_windows_sit_above_aggregates(spark, sf_dir):
     the two-phase bucketed device, so its ONLY unpartitioned window is
     the one over the ~1k bucket rows."""
     for name in ("abc_classification", "rfm_segments", "revenue_gini",
-                 "survival_km", "skyline_parts"):
+                 "survival_km", "skyline_parts", "roc_auc", "pr_curve",
+                 "lift_deciles", "isotonic_calibration"):
         df = entrymod.queries()[name](spark, sf_dir)
         lines = (
             df._jdf.queryExecution().optimizedPlan().toString().splitlines()
@@ -483,7 +484,12 @@ def test_dim_sized_global_windows_sit_above_aggregates(spark, sf_dir):
                     or "LogicalRDD" in below
                     or "FileScan" in below
                 ), f"{name}: unpartitioned window over a raw scan\n{line}"
-        if name != "revenue_gini":  # gini's ranks partition by nation
+        # gini's ranks partition by nation; lift/isotonic eager-checkpoint
+        # their dim aggregates, so the windows ran BEFORE the plan's
+        # ExistingRDD scan and may be absent from the final plan — the
+        # no-raw-scan property above is their pin.
+        if name in ("abc_classification", "rfm_segments", "survival_km",
+                    "skyline_parts", "roc_auc", "pr_curve"):
             assert n_unpart >= 1, f"{name}: expected a dim-sized window"
 
 
