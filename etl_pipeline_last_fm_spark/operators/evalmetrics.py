@@ -86,11 +86,15 @@ def auc_from_census(census: DataFrame) -> DataFrame:
     return agged.select(
         F.col("__n_pos").cast("long").alias("n_pos"),
         F.col("__n_neg").cast("long").alias("n_neg"),
+        # one-class input: AUC undefined — explicit NULL on BOTH engines
+        # (a bare division would be NULL in Spark's non-ANSI div but an
+        # ERROR under DuckDB's //).
         F.expr(
-            "CAST((__r2p - CAST(__n_pos AS DECIMAL(38,0)) * (__n_pos + 1))"
+            "CAST(CASE WHEN __n_pos = 0 OR __n_neg = 0 THEN NULL ELSE"
+            " (__r2p - CAST(__n_pos AS DECIMAL(38,0)) * (__n_pos + 1))"
             " * 1000000"
             " div (2 * CAST(__n_pos AS DECIMAL(38,0)) * __n_neg)"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -146,8 +150,9 @@ def roc_auc_oracle_sql(
         )
         SELECT CAST(n_pos AS BIGINT) AS n_pos,
                CAST(n_neg AS BIGINT) AS n_neg,
-               CAST((r2p - n_pos * (n_pos + 1)) * 1000000
-                    // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+               CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+                    (r2p - n_pos * (n_pos + 1)) * 1000000
+                    // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm
         FROM s
     """
 
@@ -201,10 +206,13 @@ def calibration_bins(
         .agg(
             F.sum("__cnt").cast("long").alias("n"),
             F.sum("__np").cast("long").alias("n_pos"),
+            # vmax = 0 (all-zero scores): the normalized mean is
+            # undefined — explicit NULL on both engines.
             F.expr(
-                "CAST(SUM(__sv) * 1000000"
+                "CAST(CASE WHEN MAX(__vmax) = 0 THEN NULL ELSE"
+                " SUM(__sv) * 1000000"
                 " div (SUM(CAST(__cnt AS DECIMAL(38,0)))"
-                " * MAX(CAST(__vmax AS DECIMAL(38,0)))) AS BIGINT)"
+                " * MAX(CAST(__vmax AS DECIMAL(38,0)))) END AS BIGINT)"
             ).alias("mean_score_ppm"),
             F.expr(
                 "CAST(SUM(CAST(__np AS DECIMAL(38,0))) * 1000000"
@@ -236,9 +244,10 @@ def calibration_bins_oracle_sql(
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_pos,
-               CAST(CAST(SUM(v) AS HUGEINT) * 1000000
+               CAST(CASE WHEN MAX(vmax) = 0 THEN NULL ELSE
+                    CAST(SUM(v) AS HUGEINT) * 1000000
                     // (COUNT(*) * CAST(MAX(vmax) AS HUGEINT))
-                    AS BIGINT) AS mean_score_ppm,
+                    END AS BIGINT) AS mean_score_ppm,
                CAST(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
                     * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
         FROM binned
@@ -274,15 +283,19 @@ def cohens_kappa(
     return agged.select(
         F.col("__n").cast("long").alias("n"),
         F.col("__agree").cast("long").alias("n_agree"),
+        # n = 0 (empty input): every ratio undefined — explicit NULLs so
+        # the DuckDB twin (whose // raises on zero) stays runnable.
         F.expr(
-            "CAST(CAST(__agree AS DECIMAL(38,0)) * 1000000 div __n"
-            " AS BIGINT)"
+            "CAST(CASE WHEN __n = 0 THEN NULL ELSE"
+            " CAST(__agree AS DECIMAL(38,0)) * 1000000 div __n"
+            " END AS BIGINT)"
         ).alias("po_ppm"),
         F.expr(
-            "CAST((CAST(__a1 AS DECIMAL(38,0)) * __b1"
+            "CAST(CASE WHEN __n = 0 THEN NULL ELSE"
+            " (CAST(__a1 AS DECIMAL(38,0)) * __b1"
             " + CAST(__n - __a1 AS DECIMAL(38,0)) * (__n - __b1))"
             " * 1000000 div (CAST(__n AS DECIMAL(38,0)) * __n)"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("pe_ppm"),
         F.expr(
             "CAST(CASE WHEN CAST(__n AS DECIMAL(38,0)) * __n"
@@ -330,9 +343,11 @@ def cohens_kappa_oracle_sql(
         )
         SELECT CAST(n AS BIGINT) AS n,
                CAST(agree AS BIGINT) AS n_agree,
-               CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
-               CAST((a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n)
-                    AS BIGINT) AS pe_ppm,
+               CAST(CASE WHEN n = 0 THEN NULL ELSE
+                    agree * 1000000 // n END AS BIGINT) AS po_ppm,
+               CAST(CASE WHEN n = 0 THEN NULL ELSE
+                    (a1 * b1 + (n - a1) * (n - b1)) * 1000000 // (n * n)
+                    END AS BIGINT) AS pe_ppm,
                CAST(CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) = 0
                     THEN NULL ELSE
                       CASE WHEN agree * n - a1 * b1 - (n - a1) * (n - b1) < 0
@@ -383,9 +398,16 @@ def mann_kendall(
     )
     # both sides are the checkpointed day-dim table (calendar-bounded);
     # broadcasting one side keeps the d² pair generation shuffle-free.
+    # COALESCE: a single-day input has ZERO pairs (empty join), and an
+    # aggregate over no rows sums to NULL — the pair counts are
+    # genuinely 0, on both engines.
     pairs = lo.join(F.broadcast(hi), F.col("__di") < F.col("__dj")).agg(
-        F.sum((F.col("__rj") > F.col("__ri")).cast("long")).alias("__c"),
-        F.sum((F.col("__rj") < F.col("__ri")).cast("long")).alias("__dc"),
+        F.coalesce(
+            F.sum((F.col("__rj") > F.col("__ri")).cast("long")), F.lit(0)
+        ).alias("__c"),
+        F.coalesce(
+            F.sum((F.col("__rj") < F.col("__ri")).cast("long")), F.lit(0)
+        ).alias("__dc"),
     )
     ties = (
         daily.groupBy("__rev")
@@ -429,9 +451,11 @@ def mann_kendall_oracle_sql(table: str = "events") -> str:
             FROM {table} GROUP BY 1
         ),
         pairs AS (
-            SELECT CAST(SUM(CASE WHEN j.rev > i.rev THEN 1 ELSE 0 END)
+            SELECT CAST(COALESCE(SUM(CASE WHEN j.rev > i.rev
+                                     THEN 1 ELSE 0 END), 0)
                         AS HUGEINT) AS c,
-                   CAST(SUM(CASE WHEN j.rev < i.rev THEN 1 ELSE 0 END)
+                   CAST(COALESCE(SUM(CASE WHEN j.rev < i.rev
+                                     THEN 1 ELSE 0 END), 0)
                         AS HUGEINT) AS dc
             FROM daily i JOIN daily j ON i.d < j.d
         ),
@@ -513,9 +537,12 @@ def lift_deciles(
             "decile",
             "n",
             "n_pos",
+            # zero positives in the corpus: base rate undefined — NULL.
             F.expr(
-                "CAST(CAST(n_pos AS DECIMAL(38,0)) * __n_total * 1000000"
-                " div (CAST(n AS DECIMAL(38,0)) * __pos_total) AS BIGINT)"
+                "CAST(CASE WHEN __pos_total = 0 THEN NULL ELSE"
+                " CAST(n_pos AS DECIMAL(38,0)) * __n_total * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * __pos_total)"
+                " END AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy("decile")
@@ -548,9 +575,10 @@ def lift_deciles_oracle_sql(
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_pos,
-               CAST(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
+               CAST(CASE WHEN MAX(pos_total) = 0 THEN NULL ELSE
+                    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)
                     * MAX(n_total) * 1000000
-                    // (COUNT(*) * MAX(pos_total)) AS BIGINT) AS lift_ppm
+                    // (COUNT(*) * MAX(pos_total)) END AS BIGINT) AS lift_ppm
         FROM t, s
         GROUP BY decile
         ORDER BY decile
@@ -589,16 +617,22 @@ def calibration_ece(
     )
     return per_bin.agg(
         F.sum("__n_b").cast("long").alias("n"),
+        # vmax = 0 (all-zero scores): both gaps undefined — NULL.
         F.expr(
-            "CAST(SUM(ABS(CAST(__pos_b AS DECIMAL(38,0)) * __vmax"
+            "CAST(CASE WHEN MAX(__vmax) = 0 THEN NULL ELSE"
+            " SUM(ABS(CAST(__pos_b AS DECIMAL(38,0)) * __vmax"
             " - __sv_b)) * 1000000"
             " div (SUM(CAST(__n_b AS DECIMAL(38,0)))"
-            " * MAX(CAST(__vmax AS DECIMAL(38,0)))) AS BIGINT)"
+            " * MAX(CAST(__vmax AS DECIMAL(38,0)))) END AS BIGINT)"
         ).alias("ece_ppm"),
+        # the guard must sit INSIDE the MAX: the per-row div evaluates
+        # during aggregation, before any outer CASE could short-circuit
+        # (ANSI sessions raise DIVIDE_BY_ZERO otherwise).
         F.expr(
-            "CAST(MAX(ABS(CAST(__pos_b AS DECIMAL(38,0)) * __vmax"
+            "CAST(MAX(CASE WHEN __vmax = 0 THEN NULL ELSE"
+            " ABS(CAST(__pos_b AS DECIMAL(38,0)) * __vmax"
             " - __sv_b) * 1000000"
-            " div (CAST(__n_b AS DECIMAL(38,0)) * __vmax)) AS BIGINT)"
+            " div (CAST(__n_b AS DECIMAL(38,0)) * __vmax) END) AS BIGINT)"
         ).alias("mce_ppm"),
     )
 
@@ -626,10 +660,12 @@ def calibration_ece_oracle_sql(
             GROUP BY 1
         )
         SELECT CAST(SUM(n_b) AS BIGINT) AS n,
-               CAST(SUM(ABS(pos_b * vmax - sv_b)) * 1000000
-                    // (SUM(n_b) * MAX(vmax)) AS BIGINT) AS ece_ppm,
-               CAST(MAX(ABS(pos_b * vmax - sv_b) * 1000000
-                        // (n_b * vmax)) AS BIGINT) AS mce_ppm
+               CAST(CASE WHEN MAX(vmax) = 0 THEN NULL ELSE
+                    SUM(ABS(pos_b * vmax - sv_b)) * 1000000
+                    // (SUM(n_b) * MAX(vmax)) END AS BIGINT) AS ece_ppm,
+               CAST(MAX(CASE WHEN vmax = 0 THEN NULL ELSE
+                    ABS(pos_b * vmax - sv_b) * 1000000
+                    // (n_b * vmax) END) AS BIGINT) AS mce_ppm
         FROM per_bin
     """
 
@@ -669,9 +705,12 @@ def pr_curve(
                 "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000 div n_pred"
                 " AS BIGINT)"
             ).alias("precision_ppm"),
+            # zero positives in the corpus: recall undefined — NULL
+            # (lazy projection CASE, ANSI-safe).
             F.expr(
-                "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000"
-                " div __total_pos AS BIGINT)"
+                "CAST(CASE WHEN __total_pos = 0 THEN NULL ELSE"
+                " CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+                " div __total_pos END AS BIGINT)"
             ).alias("recall_ppm"),
         )
         .orderBy(F.col("threshold_cents").desc())
@@ -712,8 +751,9 @@ def pr_curve_oracle_sql(
         SELECT threshold_cents, n_pred, n_tp,
                CAST(CAST(n_tp AS HUGEINT) * 1000000 // n_pred AS BIGINT)
                    AS precision_ppm,
-               CAST(CAST(n_tp AS HUGEINT) * 1000000 // total_pos AS BIGINT)
-                   AS recall_ppm
+               CAST(CASE WHEN total_pos = 0 THEN NULL ELSE
+                    CAST(n_tp AS HUGEINT) * 1000000 // total_pos
+                    END AS BIGINT) AS recall_ppm
         FROM cum, t
         ORDER BY threshold_cents DESC
     """

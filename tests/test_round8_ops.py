@@ -387,3 +387,75 @@ def test_isotonic_calibration_worst_cases(spark):
     got = isotonic_calibration(_scored(spark, mono), k=2).collect()
     for r in got:
         assert r["iso_rate_ppm"] == r["raw_rate_ppm"]
+
+
+def test_degenerate_inputs_yield_nulls_on_both_engines(spark):
+    """One-class / all-zero / single-day / empty inputs must produce
+    explicit NULLs (never a crash, and never a Spark-NULL-vs-DuckDB-
+    error divergence): run each operator AND its oracle side by side on
+    the degenerate frame and compare."""
+    import duckdb
+
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        calibration_bins,
+        calibration_bins_oracle_sql,
+        calibration_ece,
+        calibration_ece_oracle_sql,
+        cohens_kappa,
+        cohens_kappa_oracle_sql,
+        lift_deciles,
+        lift_deciles_oracle_sql,
+        mann_kendall,
+        mann_kendall_oracle_sql,
+        roc_auc,
+        roc_auc_oracle_sql,
+    )
+
+    def both(df, op, sql):
+        got = sorted(
+            tuple(None if v is None else v for v in r)
+            for r in op(df).collect()
+        )
+        con = duckdb.connect()
+        con.register("events_arrow", df.toPandas())
+        con.execute("CREATE VIEW events AS SELECT * FROM events_arrow")
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        con.close()
+        assert got == want, (got, want)
+        return got
+
+    # one-class: every event positive -> AUC NULL, lift NULL
+    one_class = _scored(spark, [(True, 10), (True, 20), (True, 30)])
+    got = both(one_class, roc_auc, roc_auc_oracle_sql())
+    assert got[0][2] is None
+    all_neg = _scored(spark, [(False, 10), (False, 20)])
+    got = both(all_neg, lift_deciles, lift_deciles_oracle_sql())
+    assert all(r[3] is None for r in got)
+    # all-zero scores -> normalized mean / ECE / MCE NULL
+    zeros = _scored(spark, [(True, 0), (False, 0), (False, 0)])
+    got = both(zeros, calibration_bins, calibration_bins_oracle_sql())
+    assert all(r[3] is None for r in got)
+    got = both(zeros, calibration_ece, calibration_ece_oracle_sql())
+    assert got[0][1] is None and got[0][2] is None
+    # all-negative corpus -> precision defined, recall NULL
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        pr_curve,
+        pr_curve_oracle_sql,
+    )
+
+    got = both(all_neg, pr_curve, pr_curve_oracle_sql())
+    assert all(r[3] == 0 and r[4] is None for r in got)
+    # single-day input -> ZERO pairs (not NULL counts), tau NULL
+    one_day = _scored(spark, [(True, 10)])
+    got = both(one_day, mann_kendall, mann_kendall_oracle_sql())
+    assert got[0][:4] == (1, 0, 0, 0) and got[0][4] is None
+    # empty rater table -> NULL ratios
+    empty = spark.createDataFrame([], "a boolean, b boolean")
+    res = cohens_kappa(empty, "a", "b").first()
+    assert (res["n"], res["po_ppm"], res["pe_ppm"], res["kappa_ppm"]) == (
+        0, None, None, None)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(a boolean, b boolean)")
+    want = con.execute(cohens_kappa_oracle_sql("a", "b")).fetchall()
+    con.close()
+    assert want[0][2] is None and want[0][4] is None
