@@ -274,3 +274,69 @@ def test_chunk_rejects_negative_overlap(spark):
         chunk_documents(docs, chunk_tokens=64, overlap=-10)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=64, overlap=64)
+
+
+def test_rank_devices_hypothesis_sweep(spark):
+    """Randomized reinforcement of the fixed-row sweeps: for random
+    (key, value) multisets (ties guaranteed by a tiny value domain) and
+    random bucket counts, both devices must equal their global-window
+    definitions, and total_col must equal the row count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_pipeline_last_fm_spark.operators.packing import (
+        value_ordered_cumsum,
+        value_ordered_row_number,
+    )
+
+    @given(
+        vals=st.lists(st.integers(0, 6), min_size=1, max_size=25),
+        nb=st.sampled_from([1, 2, 5, 97]),
+        ascending=st.booleans(),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+        derandomize=True,
+    )
+    def check(vals, nb, ascending):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        order = (
+            [F.col("v").asc(), F.col("k").asc()]
+            if ascending
+            else [F.col("v").desc(), F.col("k").asc()]
+        )
+        want_rn = sorted(
+            map(tuple, df.withColumn(
+                "__rn",
+                F.row_number().over(Window.orderBy(*order)).cast("long"),
+            ).collect())
+        )
+        got = value_ordered_row_number(
+            df, "v", "k", ascending=ascending, n_buckets=nb,
+            total_col="__n",
+        )
+        assert sorted(
+            map(tuple, got.select("k", "v", "__rn").collect())
+        ) == want_rn
+        assert got.select("__n").distinct().collect()[0][0] == len(rows)
+        if not ascending:
+            want_cum = sorted(
+                map(tuple, df.withColumn(
+                    "__cum",
+                    F.sum("v").over(
+                        Window.orderBy(*order).rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    ),
+                ).collect())
+            )
+            assert sorted(
+                map(tuple, value_ordered_cumsum(
+                    df, "v", "k", n_buckets=nb
+                ).select("k", "v", "__cum").collect())
+            ) == want_cum
+
+    check()
