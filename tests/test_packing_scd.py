@@ -276,11 +276,86 @@ def test_chunk_rejects_negative_overlap(spark):
         chunk_documents(docs, chunk_tokens=64, overlap=64)
 
 
+def test_rank_devices_signed_domains(spark):
+    """Pinned regressions for VERDICT r8 #1: the round-8 bucket width
+    ``vmax div n_buckets + 1`` was 0 when max(value) ∈ [−2047, −1024]
+    (ANSI DIVIDE_BY_ZERO at the default n_buckets=1024) and NEGATIVE
+    when max(value) ≤ −2048, which silently inverted the global order.
+    The range-shifted width must make both devices equal their global-
+    window definitions on every signed shape, including full-int64
+    extremes (the decimal(38,0) subtraction path — vmax − vmin ≈ 2^64
+    would overflow BIGINT under ANSI)."""
+    from etl_pipeline_last_fm_spark.operators.packing import (
+        value_ordered_cumsum,
+        value_ordered_row_number,
+    )
+
+    shapes = {
+        # was DIVIDE_BY_ZERO: vmax = -1200 in [-2047, -1024]
+        "divzero": [-1200, -1500, -1500, -2047, -3000, -1300],
+        # was inverted order: vmax = -2048 <= -2048
+        "inverted": [-2048, -5000, -5000, -2500, -9999, -2048],
+        # mixed signs straddling zero
+        "mixed": [-5000, -1, 0, 0, 1, 42, -42, 7_000_000, -7_000_000],
+        # full-int64 range: exercises the decimal(38,0) width path
+        "int64": [-(2**63), 2**63 - 1, 0, -1, 1, 2**62, -(2**62)],
+    }
+    for name, vals in shapes.items():
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        for ascending in (True, False):
+            order = (
+                [F.col("v").asc(), F.col("k").asc()]
+                if ascending
+                else [F.col("v").desc(), F.col("k").asc()]
+            )
+            want_rn = sorted(
+                map(tuple, df.withColumn(
+                    "__rn",
+                    F.row_number().over(Window.orderBy(*order)).cast("long"),
+                ).collect())
+            )
+            for nb in (1, 3, 1024):
+                got = sorted(
+                    map(tuple, value_ordered_row_number(
+                        df, "v", "k", ascending=ascending, n_buckets=nb
+                    ).select("k", "v", "__rn").collect())
+                )
+                assert got == want_rn, (name, ascending, nb)
+        # cumsum on the signed-but-bounded shapes (sum of int64 extremes
+        # would itself overflow the naive window, so skip "int64" there)
+        if name == "int64":
+            continue
+        want_cum = sorted(
+            map(tuple, df.withColumn(
+                "__cum",
+                F.sum("v").over(
+                    Window.orderBy(
+                        F.col("v").desc(), F.col("k").asc()
+                    ).rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            ).collect())
+        )
+        for nb in (1, 3, 1024):
+            got = sorted(
+                map(tuple, value_ordered_cumsum(
+                    df, "v", "k", n_buckets=nb
+                ).select("k", "v", "__cum").collect())
+            )
+            assert got == want_cum, (name, nb)
+
+
 def test_rank_devices_hypothesis_sweep(spark):
     """Randomized reinforcement of the fixed-row sweeps: for random
     (key, value) multisets (ties guaranteed by a tiny value domain) and
     random bucket counts, both devices must equal their global-window
-    definitions, and total_col must equal the row count."""
+    definitions, and total_col must equal the row count. The ``base``
+    offset shifts the whole multiset into signed territory, covering
+    both round-8 failure windows (vmax in [-2047, -1024] and
+    vmax <= -2048; VERDICT r8 #1) alongside the original non-negative
+    domain."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -291,17 +366,18 @@ def test_rank_devices_hypothesis_sweep(spark):
 
     @given(
         vals=st.lists(st.integers(0, 6), min_size=1, max_size=25),
-        nb=st.sampled_from([1, 2, 5, 97]),
+        base=st.sampled_from([0, -3, -1500, -2500, -1_000_000]),
+        nb=st.sampled_from([1, 2, 5, 97, 1024]),
         ascending=st.booleans(),
     )
     @settings(
-        max_examples=10,
+        max_examples=16,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
         derandomize=True,
     )
-    def check(vals, nb, ascending):
-        rows = [(i, v) for i, v in enumerate(vals)]
+    def check(vals, base, nb, ascending):
+        rows = [(i, v + base) for i, v in enumerate(vals)]
         df = spark.createDataFrame(rows, "k long, v long")
         order = (
             [F.col("v").asc(), F.col("k").asc()]

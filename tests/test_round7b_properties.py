@@ -15,14 +15,34 @@ from __future__ import annotations
 import math
 from datetime import datetime, timedelta
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=16,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+
+# All-refund corpora pinning the two round-8 rank-device failure modes
+# (VERDICT r8 #1/#2: a fresh hypothesis seed found them, so the known
+# hard shapes are committed as @example pins to keep green claims
+# falsifiable). Monetary totals per user:
+#   DIVZERO:  u1 -1500, u2 -1600, u3 -2047  -> vmax = -1500 in
+#             [-2047, -1024], the old width "vmax div 1024 + 1" == 0
+#             (ANSI DIVIDE_BY_ZERO).
+#   INVERTED: u1 -2500, u2 -3000, u3 -2048  -> vmax = -2048 <= -2048,
+#             the old width was NEGATIVE -> silently inverted ranks.
+REFUNDS_DIVZERO = {
+    1: [(0, -500), (1, -500), (1, -500)],
+    2: [(0, -500), (0, -500), (1, -500), (1, -100)],
+    3: [(0, -500), (1, -500), (1, -500), (2, -500), (2, -47)],
+}
+REFUNDS_INVERTED = {
+    1: [(0, -500), (1, -500), (1, -500), (2, -500), (2, -500)],
+    2: [(0, -500), (0, -500), (1, -500), (1, -500), (2, -500), (2, -500)],
+    3: [(0, -500), (1, -500), (1, -500), (2, -500), (2, -48)],
+}
 
 # per-user lists of (minute_gap, value_cents) — gap 0 keeps same-us ties
 # (tiebreak path) live, negative cents keep the sign semantics honest.
@@ -151,6 +171,8 @@ def _py_ntile(ordered_ids, k):
 
 
 @given(streams=streams_strategy)
+@example(streams=REFUNDS_DIVZERO)
+@example(streams=REFUNDS_INVERTED)
 @settings(**SETTINGS)
 def test_rfm_tiles_match_python_ntile(spark, streams):
     from etl_pipeline_last_fm_spark.operators.segments import rfm_segments
