@@ -81,7 +81,11 @@ def auc_from_census(census: DataFrame) -> DataFrame:
     agged = ranked.agg(
         F.sum("n_pos_v").alias("__n_pos"),
         F.sum("n_neg_v").alias("__n_neg"),
-        F.sum((F.col("n_pos_v") * F.col("__mr2")).cast(D38)).alias("__r2p"),
+        # cast BEFORE the multiply: n_pos_v·__mr2 with __mr2 ≈ 2n wraps
+        # past 2^63 at multi-billion-row scale with heavy ties if the
+        # product is computed in BIGINT first (ADVICE r8; the oracle
+        # multiplies in HUGEINT).
+        F.sum(F.col("n_pos_v").cast(D38) * F.col("__mr2")).alias("__r2p"),
     )
     return agged.select(
         F.col("__n_pos").cast("long").alias("n_pos"),
@@ -162,10 +166,25 @@ def _bin_census(census: DataFrame, k: int) -> DataFrame:
     step of the calibration family): per census row,
     (bin, __cnt, __np, __sv = v·cnt as decimal, __vmax). The vmax
     scalar and the binning both read the CENSUS (value-dim-sized), so a
-    localCheckpoint-ed census costs one corpus pass total."""
-    scal = census.agg(F.max("v").alias("__vmax"))
+    localCheckpoint-ed census costs one corpus pass total.
+
+    Requires score cents >= 0: the calibration family normalizes over
+    [0, max] (mean_score_ppm divides by vmax), so a negative score has
+    no well-defined bin or normalized mean. Negative input FAILS LOUDLY
+    via raise_error instead of silently diverging from the oracle's
+    flooring ``//`` (ADVICE r8; contrast lift_deciles, whose rank
+    device is sign-safe since the round-9 range-shift fix)."""
+    scal = census.agg(
+        F.max("v").alias("__vmax"), F.min("v").alias("__vmin")
+    )
     return census.crossJoin(F.broadcast(scal)).select(
-        F.expr(f"CAST(v AS DECIMAL(38,0)) * {k} div (__vmax + 1)")
+        F.expr(
+            "CASE WHEN __vmin < 0 THEN"
+            " raise_error('calibration family requires score cents >= 0"
+            " (fixed-width bins normalize over [0, max]); got a negative"
+            " score')"
+            f" ELSE CAST(v AS DECIMAL(38,0)) * {k} div (__vmax + 1) END"
+        )
         .cast("long")
         .alias("bin"),
         (F.col("n_pos_v") + F.col("n_neg_v")).alias("__cnt"),
@@ -196,7 +215,9 @@ def calibration_bins(
     ``score_census`` (checkpointed: it feeds the vmax scalar AND the
     binning; value-dim-sized, so the materialization is tiny). It also
     means the reliability diagram is continuously maintainable from the
-    streaming AUC census state."""
+    streaming AUC census state.
+
+    Requires score cents >= 0 (fails loudly otherwise — _bin_census)."""
     census = score_census(
         events, pos_type, type_col, value_col
     ).localCheckpoint()
@@ -381,9 +402,17 @@ def mann_kendall(
     corpus). The tie term reuses the same daily table grouped by value."""
     from etl_pipeline_last_fm_spark.functions.scalar import ts_us
 
-    day = (ts_us(F.col(ts_col)) / F.lit(86_400_000_000)).cast("long")
+    # integer `div` for the day index (ADVICE r8: float `/` then cast
+    # left the one grading boundary in this module resting on
+    # float-rounding analysis) — the recency_days pattern. Post-epoch
+    # timestamps assumed, as everywhere ts_us buckets days (truncating
+    # div == flooring // only for non-negative epoch-µs).
     daily = (
-        events.select(day.alias("__d"), _cents(value_col).alias("__c"))
+        events.select(
+            ts_us(F.col(ts_col)).alias("__us"),
+            _cents(value_col).alias("__c"),
+        )
+        .select(F.expr("__us div 86400000000").alias("__d"), "__c")
         .groupBy("__d")
         .agg(F.sum("__c").alias("__rev"))
         # consumed three times (two self-join sides, tie groups) — the
@@ -495,7 +524,12 @@ def lift_deciles(
     rfm_segments machinery on corpus rows) — and report each tile's
     exact positive-rate lift over the global base rate:
     lift_ppm = (n_pos · n_total · 10⁶) div (n · total_pos).
-    Output: (decile 1..k, n, n_pos, lift_ppm) ordered by decile."""
+    Output: (decile 1..k, n, n_pos, lift_ppm) ordered by decile.
+
+    Sign-safe: the rank device buckets by a range-shifted key since the
+    round-9 fix, so negative scores (logprob-style) cut correctly —
+    unlike the calibration family, which normalizes over [0, max] and
+    requires non-negative scores by definition."""
     from etl_pipeline_last_fm_spark.operators.packing import (
         exact_ntile_expr,
         value_ordered_row_number,
@@ -605,7 +639,9 @@ def calibration_ece(
     by the oracle, so the cross-engine value is exact). One row:
     (n, ece_ppm, mce_ppm). ONE corpus pass — derived from the
     checkpointed ``score_census`` like the rest of the calibration
-    family."""
+    family.
+
+    Requires score cents >= 0 (fails loudly otherwise — _bin_census)."""
     census = score_census(
         events, pos_type, type_col, value_col
     ).localCheckpoint()
@@ -682,8 +718,15 @@ def pr_curve(
     ratios exact truncated ppm. Reuses the roc_auc score census: one
     corpus pass to the VALUE DIMENSION, then a descending dim cumsum —
     the curve is dim-sized, never row-sized. Descending threshold order
-    makes n_pred/recall monotone non-decreasing down the output."""
-    census = score_census(events, pos_type, type_col, value_col)
+    makes n_pred/recall monotone non-decreasing down the output.
+
+    The census is consumed twice (the __total_pos aggregate and the
+    cumsum projection), so it is localCheckpoint-ed like the rest of
+    the calibration family — the Q15 rule; without it the events corpus
+    would be scanned twice (ADVICE r8)."""
+    census = score_census(
+        events, pos_type, type_col, value_col
+    ).localCheckpoint()
     w = Window.orderBy(F.col("v").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -793,7 +836,9 @@ def isotonic_calibration(
     Scale shape: ONE corpus pass (the checkpointed ``score_census``,
     like the rest of the calibration family), then everything runs on a
     <= k-row table. k is a calibration-table width (tens to hundreds),
-    never data-sized."""
+    never data-sized.
+
+    Requires score cents >= 0 (fails loudly otherwise — _bin_census)."""
     census = score_census(
         events, pos_type, type_col, value_col
     ).localCheckpoint()

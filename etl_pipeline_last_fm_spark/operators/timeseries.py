@@ -1225,7 +1225,11 @@ def rank_sum_test(
     agged = ranked.agg(
         F.sum(F.col("__na")).alias("__n_a"),
         F.sum(F.col("__nb")).alias("__n_b"),
-        F.sum((F.col("__na") * F.col("__mr2")).cast(d38)).alias("__r2a"),
+        # cast BEFORE the multiply: __na·__mr2 with __mr2 ≈ 2n wraps
+        # past 2^63 at multi-billion-row scale with heavy ties if the
+        # product is computed in BIGINT first (ADVICE r8; the oracle
+        # multiplies in HUGEINT).
+        F.sum(F.col("__na").cast(d38) * F.col("__mr2")).alias("__r2a"),
     )
     return agged.select(
         F.col("__n_a").cast("long").alias("n_a"),

@@ -240,6 +240,71 @@ def test_lift_deciles_matches_global_ntile(spark):
     assert [(g[0], g[1]) for g in got] == want
 
 
+def test_lift_deciles_negative_scores(spark):
+    """VERDICT r8 #1 caller-level pin: logprob-style ALL-NEGATIVE scores
+    must cut correctly through the sign-fixed rank device. Score cents
+    land in both old failure windows across the two shapes:
+    vmax = -1100 in [-2047, -1024] (was DIVIDE_BY_ZERO) and
+    vmax = -2500 <= -2048 (was silently inverted ranks)."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import lift_deciles
+
+    for top in (-1100, -2500):
+        # 12 rows, descending scores from `top`; 3 positives hold the
+        # top-3 scores -> k=4: tile 1 all-positive at 25% base rate.
+        rows = [(True, top - i) for i in range(3)] + [
+            (False, top - 100 - i) for i in range(9)
+        ]
+        got = sorted(
+            map(tuple, lift_deciles(_scored(spark, rows), k=4).collect())
+        )
+        assert got[0] == (1, 3, 3, 4_000_000), top
+        assert all(g[2] == 0 and g[3] == 0 for g in got[1:]), top
+        naive = (
+            _scored(spark, rows)
+            .select(
+                "event_id",
+                F.ntile(4)
+                .over(
+                    Window.orderBy(
+                        F.expr(
+                            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+                        ).desc(),
+                        F.col("event_id").asc(),
+                    )
+                )
+                .alias("tile"),
+            )
+            .groupBy("tile")
+            .count()
+        )
+        want = sorted(map(tuple, naive.collect()))
+        assert [(g[0], g[1]) for g in got] == want, top
+
+
+def test_calibration_rejects_negative_scores(spark):
+    """ADVICE r8: the calibration family normalizes over [0, max], so a
+    negative score must FAIL LOUDLY (raise_error through _bin_census)
+    instead of silently diverging from the oracle's flooring //."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from etl_pipeline_last_fm_spark.operators.evalmetrics import (
+        calibration_bins,
+        calibration_ece,
+        isotonic_calibration,
+    )
+
+    rows = [(True, 120), (False, -5), (False, 60)]
+    for fn in (calibration_bins, calibration_ece, isotonic_calibration):
+        with pytest.raises(PySparkException, match="score cents >= 0"):
+            fn(_scored(spark, rows)).collect()
+    # non-negative input is untouched by the guard
+    ok = [(True, 120), (False, 0), (False, 60)]
+    assert calibration_bins(_scored(spark, ok)).count() > 0
+
+
 def test_streaming_auc_census_fold(spark, tmp_path):
     """The AUC census fold must equal the one-shot roc_auc after ANY
     batching — including replayed batches (guard no-ops) and
