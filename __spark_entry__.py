@@ -75,14 +75,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # Round-8 rotation (VERDICT r7 item 1): the 32 round-7-queue entries —
-    # the only never-driver-graded queries left — enter behind the 9
-    # rotation-invariant bench headliners (slots 10-41); the remaining 9
-    # slots backfill with the LONGEST-UNEXERCISED green anchors (the head
-    # of the past-the-cap line as ordered at the round-7 close: the
-    # round-4 wave from profile_columns). After this window is graded,
-    # EVERY registry entry has a driver row on record — cumulative driver
-    # coverage 196/196.
+    # Round-9 rotation (VERDICT r8 item 3): the 9 round-8 eval-metrics
+    # queue entries — the ONLY never-driver-graded queries — enter behind
+    # the 9 rotation-invariant bench headliners (slots 10-18); the
+    # remaining 32 slots backfill with the LONGEST-UNEXERCISED green
+    # anchors (the head of the past-the-cap line as ordered at the
+    # round-8 close: the round-4/5 wave from bpe_pair_counts). After this
+    # window is graded, EVERY registry entry has a driver row on record —
+    # cumulative driver coverage 205/205; the book closes.
     # Demoted entries keep their driver rows and still run in
     # tests/test_oracle_parity.py at sf0.001 every pytest run; they rotate
     # back in if their family loses its in-window representative.
@@ -104,67 +104,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ALL["dedup_ngram_jaccard"],
         "dedup_minhash_lsh": _ALL["dedup_minhash_lsh"],
         "sim_bruteforce": _ALL["sim_bruteforce"],
-        # round-7-queue tier, slots 10-41: first driver rows this round
-        # (32 entries, VERDICT r7 item 1) — the order-dependent IVM tier
-        # (EMA / CUSUM / attribution / decay / TWAP / Holt folds plus
-        # their versioned-commit streaming twins), the hub-capped
-        # link-prediction scale path, bigram LM scoring, and the 7b/7c/7d
-        # analytics waves (token entropy, RFM, LOCF TWAP, Benford, HHI,
-        # ABC/Pareto, negative edges, clustering coefficient,
-        # Durbin–Watson, skyline + its fold/stream twins, Kaplan–Meier,
-        # Gini, Zipf, BM25, Mann–Whitney).
-        "streaming_ema": _ALL["streaming_ema"],
-        "link_prediction_capped": _ALL["link_prediction_capped"],
-        "cusum_fold": _ALL["cusum_fold"],
-        "streaming_cusum": _ALL["streaming_cusum"],
-        "attribution_fold": _ALL["attribution_fold"],
-        "streaming_attribution": _ALL["streaming_attribution"],
-        "attribution_decay": _ALL["attribution_decay"],
-        "attribution_decay_fold": _ALL["attribution_decay_fold"],
-        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
-        "lm_score_bigram": _ALL["lm_score_bigram"],
-        "token_entropy": _ALL["token_entropy"],
-        "rfm_segments": _ALL["rfm_segments"],
-        "time_weighted_avg": _ALL["time_weighted_avg"],
-        "benford_profile": _ALL["benford_profile"],
-        "supplier_concentration": _ALL["supplier_concentration"],
-        "twap_fold": _ALL["twap_fold"],
-        "streaming_twap": _ALL["streaming_twap"],
-        "abc_classification": _ALL["abc_classification"],
-        "negative_edges": _ALL["negative_edges"],
-        "holt_smooth": _ALL["holt_smooth"],
-        "holt_fold": _ALL["holt_fold"],
-        "streaming_holt": _ALL["streaming_holt"],
-        "clustering_coefficient": _ALL["clustering_coefficient"],
-        "durbin_watson": _ALL["durbin_watson"],
-        "skyline_parts": _ALL["skyline_parts"],
-        "survival_km": _ALL["survival_km"],
-        "revenue_gini": _ALL["revenue_gini"],
-        "zipf_fit": _ALL["zipf_fit"],
-        "bm25_rank": _ALL["bm25_rank"],
-        "skyline_fold": _ALL["skyline_fold"],
-        "streaming_skyline": _ALL["streaming_skyline"],
-        "rank_sum_test": _ALL["rank_sum_test"],
-        # backfill tier, slots 42-50: the 9 green anchors at the head of
-        # the round-7 past-the-cap line (the round-4 wave head, per the
-        # round-7 contract comment).
-        "profile_columns": _ALL["profile_columns"],
-        "scd2_history": _ALL["scd2_history"],
-        "gapfill_locf": _ALL["gapfill_locf"],
-        "expectations": _ALL["expectations"],
-        "hll_vocab": _ALL["hll_vocab"],
-        "hopping_window": _ALL["hopping_window"],
-        "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
-        "embedding_keep_list": _ALL["embedding_keep_list"],
-        "stratified_sample": _ALL["stratified_sample"],
-        # --- past the 50-entry cap ------------------------------------
-        # Every entry below has a green driver row on record (196/196
-        # cumulative once this window is graded); all of them run in
-        # tests/test_oracle_parity.py at sf0.001 every pytest run.
-        # Line order for the round-9 rotation: the rest of the round-4/5/6
-        # waves (longest unexercised — from bpe_pair_counts), then the 41
-        # entries demoted from the round-6 window, then the 41 demoted
-        # from the round-7 window (most recently graded, last in line).
+        # round-8-queue tier, slots 10-18: first driver rows this round
+        # (9 entries, VERDICT r8 item 3) — the model-evaluation metrics
+        # wave: exact midrank ROC AUC + its additive-census streaming
+        # twin, the calibration family (reliability bins, ECE/MCE,
+        # PAV isotonic fit), the PR curve over the score dimension,
+        # Cohen's kappa label agreement, the Mann–Kendall trend test,
+        # and the targeting lift deciles riding the (round-9 sign-fixed)
+        # two-phase rank device.
+        "roc_auc": _ALL["roc_auc"],
+        "streaming_roc_auc": _ALL["streaming_roc_auc"],
+        "calibration_bins": _ALL["calibration_bins"],
+        "calibration_ece": _ALL["calibration_ece"],
+        "pr_curve": _ALL["pr_curve"],
+        "isotonic_calibration": _ALL["isotonic_calibration"],
+        "label_agreement": _ALL["label_agreement"],
+        "mann_kendall": _ALL["mann_kendall"],
+        "lift_deciles": _ALL["lift_deciles"],
+        # backfill tier, slots 19-50: the 32 green anchors at the head of
+        # the round-8 past-the-cap line (longest unexercised — the rest
+        # of the round-4/5/6 waves from bpe_pair_counts, per the round-8
+        # contract comment).
         "bpe_pair_counts": _ALL["bpe_pair_counts"],
         "vocab_coverage": _ALL["vocab_coverage"],
         "scd2_as_of": _ALL["scd2_as_of"],
@@ -197,6 +157,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _ALL["pagerank"],
         "kcore": _ALL["kcore"],
         "disjunctive_predicates": _ALL["disjunctive_predicates"],
+        # --- past the 50-entry cap ------------------------------------
+        # Every entry below has a green driver row on record (205/205
+        # cumulative once this window is graded); all of them run in
+        # tests/test_oracle_parity.py at sf0.001 every pytest run.
+        # Line order for the round-10 rotation: the rest of the
+        # round-4/5/6 waves (longest unexercised — from
+        # session_window_native), then the 41 entries demoted from the
+        # round-6 window, then the 41 demoted from the round-7 window,
+        # then the 41 demoted from the round-8 window (most recently
+        # graded, last in line).
         "session_window_native": _ALL["session_window_native"],
         "table_checksum": _ALL["table_checksum"],
         "pagerank_weighted": _ALL["pagerank_weighted"],
@@ -316,26 +286,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _ALL["contamination"],
         "token_budget_sample": _ALL["token_budget_sample"],
         "pack_sequences": _ALL["pack_sequences"],
-        # --- round-8 queue tier (never driver-graded) -------------------
-        # New this round, first in line for the round-9 rotation (5
-        # entries, within the 9-slot backfill headroom per VERDICT r7
-        # item 7): the model-evaluation metrics wave — exact ROC AUC
-        # (+ its additive-census streaming twin)
-        # (midrank Mann–Whitney device), calibration reliability bins,
-        # Cohen's kappa label agreement, the Mann–Kendall trend test
-        # (day dim, tie-corrected variance), and the targeting lift
-        # deciles cut by the round-8 two-phase rank device. All
-        # oracle-paired; all run in tests/test_oracle_parity.py at
-        # sf0.001 every pytest run until they earn driver rows.
-        "roc_auc": _ALL["roc_auc"],
-        "streaming_roc_auc": _ALL["streaming_roc_auc"],
-        "calibration_bins": _ALL["calibration_bins"],
-        "calibration_ece": _ALL["calibration_ece"],
-        "pr_curve": _ALL["pr_curve"],
-        "isotonic_calibration": _ALL["isotonic_calibration"],
-        "label_agreement": _ALL["label_agreement"],
-        "mann_kendall": _ALL["mann_kendall"],
-        "lift_deciles": _ALL["lift_deciles"],
+        # Demoted from the round-8 graded window (41 entries — the 32
+        # round-7-queue entries plus the 9 round-8 backfill anchors):
+        # graded most recently, so LAST in line for the round-10
+        # rotation.
+        "streaming_ema": _ALL["streaming_ema"],
+        "link_prediction_capped": _ALL["link_prediction_capped"],
+        "cusum_fold": _ALL["cusum_fold"],
+        "streaming_cusum": _ALL["streaming_cusum"],
+        "attribution_fold": _ALL["attribution_fold"],
+        "streaming_attribution": _ALL["streaming_attribution"],
+        "attribution_decay": _ALL["attribution_decay"],
+        "attribution_decay_fold": _ALL["attribution_decay_fold"],
+        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
+        "lm_score_bigram": _ALL["lm_score_bigram"],
+        "token_entropy": _ALL["token_entropy"],
+        "rfm_segments": _ALL["rfm_segments"],
+        "time_weighted_avg": _ALL["time_weighted_avg"],
+        "benford_profile": _ALL["benford_profile"],
+        "supplier_concentration": _ALL["supplier_concentration"],
+        "twap_fold": _ALL["twap_fold"],
+        "streaming_twap": _ALL["streaming_twap"],
+        "abc_classification": _ALL["abc_classification"],
+        "negative_edges": _ALL["negative_edges"],
+        "holt_smooth": _ALL["holt_smooth"],
+        "holt_fold": _ALL["holt_fold"],
+        "streaming_holt": _ALL["streaming_holt"],
+        "clustering_coefficient": _ALL["clustering_coefficient"],
+        "durbin_watson": _ALL["durbin_watson"],
+        "skyline_parts": _ALL["skyline_parts"],
+        "survival_km": _ALL["survival_km"],
+        "revenue_gini": _ALL["revenue_gini"],
+        "zipf_fit": _ALL["zipf_fit"],
+        "bm25_rank": _ALL["bm25_rank"],
+        "skyline_fold": _ALL["skyline_fold"],
+        "streaming_skyline": _ALL["streaming_skyline"],
+        "rank_sum_test": _ALL["rank_sum_test"],
+        "profile_columns": _ALL["profile_columns"],
+        "scd2_history": _ALL["scd2_history"],
+        "gapfill_locf": _ALL["gapfill_locf"],
+        "expectations": _ALL["expectations"],
+        "hll_vocab": _ALL["hll_vocab"],
+        "hopping_window": _ALL["hopping_window"],
+        "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
+        "embedding_keep_list": _ALL["embedding_keep_list"],
+        "stratified_sample": _ALL["stratified_sample"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree
