@@ -1,0 +1,114 @@
+"""Headline-tier 10x scale smoke (VERDICT r8 item 8): build an
+sf1-equivalent dataset by replicating sf0.1 ten times with disjoint key
+spaces, then run the EXACT bench.py protocol on it (warm + timed noop-sink
+runs of the 9 headliners). The per-round artifact is the printed JSON
+line, recorded as the 10x table in SCALING.md — it catches superlinear
+regressions in the queries the driver actually benches, which the
+per-wave synthetic smokes never touch.
+
+Replication model (what "10x the data" means here):
+- fact/entity keys shift by replica * 2^33 -> ten disjoint universes;
+  every join stays key-valid and result cardinality scales ~10x;
+- nation/region stay single-copy (dims whose cardinality does not grow
+  with corpus size at any SF);
+- documents vary per replica (vowel rotation via translate), because ten
+  VERBATIM copies would hand the dedup headliners ~45 bogus near-dup
+  pairs per original document — a quadratic artifact of the copying,
+  not a property of 10x real data;
+- embeddings rotate their vector by the replica index (norm-preserving,
+  direction-changing) for the same reason;
+- events shift user_id too: 10x users at constant per-user history, the
+  scale model a growing service actually follows.
+
+Usage: python scripts/headline_scale_smoke.py [out_dir]
+(default /tmp/sf1x; the dataset is rebuilt only if out_dir is missing).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_last_fm_spark.session import get_spark
+from etl_pipeline_last_fm_spark.sources.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+OFF = 1 << 33
+N_REP = 10
+
+#: per-table key columns to shift into the replica's universe
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+VOWELS = "aeiou"
+
+
+def _replicate(df, keys: list[str], table: str):
+    rep = df.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(N_REP).select(F.col("id").alias("__r"))
+        )
+    )
+    for k in keys:
+        rep = rep.withColumn(k, F.col(k) + F.col("__r") * F.lit(OFF))
+    if table == "documents":
+        # replica-dependent vowel rotation: distinct shingle space per
+        # replica, so cross-replica Jaccard collapses (see module doc).
+        rep = rep.withColumn(
+            "text",
+            F.expr(
+                f"translate(text, '{VOWELS}',"
+                f" substring('{VOWELS * 2}', CAST(__r % 5 AS INT) + 1, 5))"
+            ),
+        )
+    if table == "embeddings":
+        # rotate the vector by __r positions: norms preserved, directions
+        # changed, so ANN/brute-force cost shapes stay honest.
+        d = F.size("embedding")
+        rep = rep.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", F.col("__r").cast("int") % d + 1, d),
+                F.slice("embedding", F.lit(1), F.col("__r").cast("int") % d),
+            ),
+        )
+    return rep.drop("__r")
+
+
+def build(spark, out_dir: str) -> None:
+    for table in ("region", "nation"):
+        load_table(spark, SRC, table).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+    for table, keys in KEY_SHIFTS.items():
+        _replicate(load_table(spark, SRC, table), keys, table).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{table}.parquet")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
+    spark = get_spark(app_name="headline-scale-smoke")
+    if not os.path.isdir(out_dir):
+        build(spark, out_dir)
+        print(f"built 10x dataset at {out_dir}", flush=True)
+    os.environ["SPARK_GRAFT_SF_DIR"] = out_dir
+    import bench
+
+    bench.main()
+
+
+if __name__ == "__main__":
+    main()
