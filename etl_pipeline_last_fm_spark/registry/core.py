@@ -338,11 +338,31 @@ def q_mart_daily_appearances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 mart analog: AVG per (day, type) — avg duration by country
-    (reference dags/from_dds_to_dm_pg.py:47-52)."""
+    (reference dags/from_dds_to_dm_pg.py:47-52).
+
+    Exact-integer program (the pricing_summary pattern): per-row cent
+    recovery, int64 sums, pure-integer half-up rounding. A float
+    ``ROUND(AVG(double), 2)`` is ORDER-SENSITIVE — partial-aggregation
+    order perturbs the last ulp of the sum, and a group whose true avg
+    sits on a .xx5 boundary flips a cent between runs (found by the
+    round-9 hostile reorder sweep; at 100 TB the combine order is an
+    accident of the scan schedule, so the float form is nondeterministic
+    even within one engine). events.value >= 0 (testdata domain), so the
+    floor-shift rounding needs no sign device; NULLIF guards all-NULL
+    groups (SUM of an empty set is NULL on both engines)."""
     ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
-        .agg(half_up_round(F.avg("value"), 2).alias("avg_value"))
+        .agg(F.sum(cents).alias("__s"), F.count("value").alias("__n"))
+        .select(
+            "day",
+            "event_type",
+            (
+                F.expr("CAST((2 * __s + __n) div NULLIF(2 * __n, 0) AS DOUBLE)")
+                / F.lit(100.0)
+            ).alias("avg_value"),
+        )
     )
 
 
@@ -357,19 +377,41 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot via conditional aggregation (engine-portable pivot form):
-    per-day average value of each event type as columns."""
+    per-day average value of each event type as columns. Exact-integer
+    averages (see q_mart_daily_avg: float AVG is order-sensitive); the
+    absent-type / all-NULL cells stay NULL via the NULLIF'd count."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
-    def avg_of(t: str) -> Column:
-        return half_up_round(F.avg(F.when(F.col("event_type") == t, F.col("value"))), 2)
 
-    return ev.groupBy("day").agg(
-        avg_of("click").alias("avg_click"),
-        avg_of("view").alias("avg_view"),
-        avg_of("purchase").alias("avg_purchase"),
-        avg_of("signup").alias("avg_signup"),
-        avg_of("error").alias("avg_error"),
+    def cents_of(t: str) -> Column:
+        return F.sum(
+            F.when(
+                F.col("event_type") == t,
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+            )
+        )
+
+    def n_of(t: str) -> Column:
+        return F.count(F.when(F.col("event_type") == t, F.col("value")))
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    agg = ev.groupBy("day").agg(
+        *[cents_of(t).alias(f"__s_{t}") for t in types],
+        *[n_of(t).alias(f"__n_{t}") for t in types],
+    )
+    return agg.select(
+        "day",
+        *[
+            (
+                F.expr(
+                    f"CAST((2 * __s_{t} + __n_{t}) div NULLIF(2 * __n_{t}, 0)"
+                    " AS DOUBLE)"
+                )
+                / F.lit(100.0)
+            ).alias(f"avg_{t}")
+            for t in types
+        ],
     )
 
 
@@ -382,14 +424,24 @@ def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
+    types = ["click", "view", "purchase", "signup", "error"]
     out = (
         ev.groupBy("day")
-        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
-        .agg(half_up_round(F.avg("value"), 2))
+        .pivot("event_type", types)
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("s"),
+            F.count("value").alias("n"),
+        )
     )
     return out.select(
         "day",
-        *[F.col(t).alias(f"avg_{t}") for t in ["click", "view", "purchase", "signup", "error"]],
+        *[
+            (
+                F.expr(f"CAST((2 * `{t}_s` + `{t}_n`) div NULLIF(2 * `{t}_n`, 0) AS DOUBLE)")
+                / F.lit(100.0)
+            ).alias(f"avg_{t}")
+            for t in types
+        ],
     )
 
 
@@ -604,6 +656,37 @@ _STAR_SQL = """
     JOIN region   ON n_regionkey = r_regionkey
 """
 
+# Shared oracle for both pivot forms: exact-integer per-type averages
+# (cent recovery, int64 sums, pure-integer half-up) — the float
+# ROUND(AVG(double), 2) it replaces is order-sensitive (round-9 hostile
+# reorder sweep finding; see q_mart_daily_avg).
+_PIVOT_AVG_ORACLE = """
+    WITH cents AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c, value
+        FROM events
+    ),
+    s AS (
+        SELECT day,
+               {sums}
+        FROM cents GROUP BY 1
+    )
+    SELECT day,
+           {avgs}
+    FROM s
+""".format(
+    sums=",\n               ".join(
+        f"CAST(SUM(c) FILTER (event_type = '{t}') AS BIGINT) AS s_{t},"
+        f" COUNT(value) FILTER (event_type = '{t}') AS n_{t}"
+        for t in ("click", "view", "purchase", "signup", "error")
+    ),
+    avgs=",\n           ".join(
+        f"CAST((2 * s_{t} + n_{t}) // NULLIF(2 * n_{t}, 0) AS DOUBLE)"
+        f" / 100.0 AS avg_{t}"
+        for t in ("click", "view", "purchase", "signup", "error")
+    ),
+)
+
 
 def oracles() -> dict[str, str]:
     from etl_pipeline_last_fm_spark.operators.dedup import (
@@ -764,10 +847,20 @@ def oracles() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, COUNT(*) AS cnt_appearance
             FROM events GROUP BY 1, 2
         """,
+        # Exact-integer avg (see q_mart_daily_avg: float AVG is
+        # order-sensitive): cent recovery, int sums, integer half-up.
         "mart_daily_avg": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-                   FLOOR(AVG(value) * 100.0 + 0.5) / 100.0 AS avg_value
-            FROM events GROUP BY 1, 2
+            WITH cents AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                       value
+                FROM events
+            )
+            SELECT day, event_type,
+                   CAST((2 * CAST(SUM(c) AS BIGINT) + COUNT(value))
+                        // NULLIF(2 * COUNT(value), 0) AS DOUBLE) / 100.0
+                       AS avg_value
+            FROM cents GROUP BY 1, 2
         """,
         "explode_tokens": """
             WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
@@ -813,15 +906,8 @@ def oracles() -> dict[str, str]:
             FROM events
             GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
         """,
-        "pivot_conditional": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,
-                   FLOOR(AVG(CASE WHEN event_type = 'view'     THEN value END) * 100.0 + 0.5) / 100.0 AS avg_view,
-                   FLOOR(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 100.0 + 0.5) / 100.0 AS avg_purchase,
-                   FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
-                   FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
-            FROM events GROUP BY 1
-        """,
+        # Exact-integer conditional-pivot avgs (see q_pivot_conditional).
+        "pivot_conditional": _PIVOT_AVG_ORACLE,
         "cdc_compact": """
             WITH ranked AS (
                 SELECT user_id, event_id, event_type,
@@ -864,13 +950,7 @@ def oracles() -> dict[str, str]:
                    FLOOR(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
             FROM events GROUP BY event_type
         """,
-        "pivot_native": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   FLOOR(AVG(CASE WHEN event_type = 'click'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_click,
-                   FLOOR(AVG(CASE WHEN event_type = 'view'     THEN value END) * 100.0 + 0.5) / 100.0 AS avg_view,
-                   FLOOR(AVG(CASE WHEN event_type = 'purchase' THEN value END) * 100.0 + 0.5) / 100.0 AS avg_purchase,
-                   FLOOR(AVG(CASE WHEN event_type = 'signup'   THEN value END) * 100.0 + 0.5) / 100.0 AS avg_signup,
-                   FLOOR(AVG(CASE WHEN event_type = 'error'    THEN value END) * 100.0 + 0.5) / 100.0 AS avg_error
-            FROM events GROUP BY 1
-        """,
+        # Same exact-integer program; the Spark side differs only in using
+        # the native pivot operator (see q_pivot_native docstring).
+        "pivot_native": _PIVOT_AVG_ORACLE,
     }

@@ -23,8 +23,13 @@ def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the hostile
+            # sweep datasets use this layout); glob the parts.
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con.execute(sql).fetchdf()
 
 
