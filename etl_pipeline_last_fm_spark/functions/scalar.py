@@ -25,6 +25,32 @@ def half_up_round(col: Column, scale: int = 0) -> Column:
     return F.floor(col * factor + F.lit(0.5)) / factor
 
 
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of an intended-2-decimal double column.
+
+    ``FLOOR(v * 100 + 0.5)`` recovers the intended cent count exactly for
+    any double that is the nearest-double of an x.yz value (the testdata
+    money/value columns are all in this class — verified in the round-9
+    float-sum audit), and the expression is three exactly-specified IEEE
+    ops, so Spark and DuckDB compute identical values per row.
+
+    WHY: summing raw doubles is ORDER-SENSITIVE — partial-aggregation
+    order perturbs the last ulp, and ``ROUND(SUM(double), 2)`` flips a
+    cent whenever a group's true total sits on a .xx5 boundary. At 100 TB
+    the combine order is an accident of the scan schedule, so a float sum
+    is nondeterministic even within one engine. Integer cent sums are
+    associative: any partitioning, any order, same result. (Found live by
+    the round-9 hostile reorder sweep: mart_daily_avg/pivot_* flipped.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    """DuckDB twin of :func:`cents` for an arbitrary SQL expression."""
+    return f"CAST(FLOOR(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
 def pg_avg_int(col: Column) -> Column:
     """``AVG(x)::INT`` with Postgres semantics (round, don't truncate) —
     reference dags/from_ods_to_dds_pg.py:75; SURVEY.md Appendix A.2."""

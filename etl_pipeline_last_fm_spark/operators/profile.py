@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
+from etl_pipeline_last_fm_spark.functions.scalar import cents, half_up_round
 
 
 def profile_columns(
@@ -41,9 +41,25 @@ def profile_columns(
             nd(c).alias(f"__nd_{c}"),
             F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
             F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
-            half_up_round(F.avg(c), 4).alias(f"__avg_{c}"),
+            # exact cent sum for the mean (order-insensitive; round-9
+            # float-sum audit): profiled columns are intended-<=2-decimal
+            # numerics, so the cent recovery is lossless
+            F.sum(cents(c)).alias(f"__s_{c}"),
         ]
-    wide = df.agg(*aggs)
+    wide = df.agg(*aggs).select(
+        "*",
+        *[
+            (
+                F.expr(
+                    f"CAST(sign(__s_{c}) * ((2 * abs(CAST(__s_{c} AS"
+                    f" DECIMAL(38,0))) * 100 + __nn_{c})"
+                    f" div NULLIF(2 * __nn_{c}, 0)) AS DOUBLE)"
+                )
+                / F.lit(10000.0)
+            ).alias(f"__avg_{c}")
+            for c in cols
+        ],
+    )
     stack_args = ", ".join(
         f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}, __avg_{c}" for c in cols
     )
@@ -65,7 +81,12 @@ def profile_columns_oracle_sql(cols: list[str], table: str = "lineitem") -> str:
                COUNT(DISTINCT {c}) AS n_distinct,
                CAST(MIN({c}) AS DOUBLE) AS min_val,
                CAST(MAX({c}) AS DOUBLE) AS max_val,
-               FLOOR(AVG({c}) * 10000 + 0.5) / 10000 AS avg_val
+               CAST(sign(CAST(SUM(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT))
+                              AS BIGINT))
+                    * ((2 * abs(CAST(SUM(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT))
+                                     AS HUGEINT)) * 100 + COUNT({c}))
+                       // NULLIF(2 * COUNT({c}), 0)) AS DOUBLE) / 10000.0
+                   AS avg_val
         FROM {table}
         """
         for c in cols

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+from etl_pipeline_last_fm_spark.functions.scalar import cents, ts_us
 
 
 def sessionize(
@@ -46,7 +46,12 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum(value_col), 2).alias("session_value"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit):
+            # value_col is intended-2-decimal data, so the cent recovery is
+            # lossless and the session total never depends on combine order
+            (F.sum(cents(value_col)).cast("double") / F.lit(100.0)).alias(
+                "session_value"
+            ),
         )
     )
 
@@ -69,7 +74,8 @@ def sessionize_oracle_sql(gap_minutes: int = 30) -> str:
         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                COUNT(*) AS n_events,
-               FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS session_value
+               CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100.0 AS session_value
         FROM numbered
         GROUP BY user_id, session_seq
     """

@@ -23,13 +23,15 @@ from pyspark.sql import functions as F
 
 _PHASE1 = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    "count": lambda c: F.count(F.lit(1)),  # COUNT(*) — rows
+    "count_col": F.count,  # COUNT(col) — non-null values (SQL AVG's n)
     "min": F.min,
     "max": F.max,
 }
 _PHASE2 = {
     "sum": F.sum,
     "count": F.sum,  # counts combine by summation
+    "count_col": F.sum,
     "min": F.min,
     "max": F.max,
 }
@@ -51,7 +53,8 @@ def salted_aggregate(
     phase1_cols, phase2_cols, final_cols = [], [], []
     for out, (fn, col) in aggs.items():
         if fn == "avg":
-            phase1_cols += [F.sum(col).alias(f"__{out}_s"), F.count(F.lit(1)).alias(f"__{out}_c")]
+            # COUNT(col), not COUNT(*): SQL AVG skips NULLs in both legs
+            phase1_cols += [F.sum(col).alias(f"__{out}_s"), F.count(col).alias(f"__{out}_c")]
             phase2_cols += [F.sum(f"__{out}_s").alias(f"__{out}_s"), F.sum(f"__{out}_c").alias(f"__{out}_c")]
             final_cols.append((F.col(f"__{out}_s") / F.col(f"__{out}_c")).alias(out))
         else:

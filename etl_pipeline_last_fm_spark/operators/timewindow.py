@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+from etl_pipeline_last_fm_spark.functions.scalar import cents, ts_us
 
 
 def tumbling_window_agg(
@@ -46,7 +46,10 @@ def tumbling_window_agg(
         .groupBy(key_col, "win_start_us")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum(value_col), 2).alias("value_sum"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit)
+            (F.sum(cents(value_col)).cast("double") / F.lit(100.0)).alias(
+                "value_sum"
+            ),
         )
     )
 
@@ -66,7 +69,8 @@ def tumbling_window_oracle_sql(
                     - ((epoch_us(ts) % {w_us}) + {w_us}) % {w_us}
                     AS BIGINT) AS win_start_us,
                COUNT(*) AS n_events,
-               FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS value_sum
+               CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100.0 AS value_sum
         FROM {table}
         GROUP BY {key_col}, win_start_us
     """
@@ -104,7 +108,10 @@ def hopping_window_agg(
         .groupBy(key_col, "win_start_us")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum(value_col), 2).alias("value_sum"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit)
+            (F.sum(cents(value_col)).cast("double") / F.lit(100.0)).alias(
+                "value_sum"
+            ),
         )
     )
 
@@ -132,7 +139,8 @@ def hopping_window_oracle_sql(
             FROM e, unnest(range(0, {n})) AS s(j)
         )
         SELECT {key_col}, win_start_us, COUNT(*) AS n_events,
-               FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS value_sum
+               CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) / 100.0 AS value_sum
         FROM expanded
         GROUP BY {key_col}, win_start_us
     """
@@ -175,7 +183,10 @@ def streaming_hopping_window(
         .groupBy(key_col, "__win")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum(value_col), 2).alias("value_sum"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit)
+            (F.sum(cents(value_col)).cast("double") / F.lit(100.0)).alias(
+                "value_sum"
+            ),
         )
         .select(
             key_col,
@@ -219,7 +230,10 @@ def streaming_tumbling_window(
         .groupBy(key_col, "__win")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum(value_col), 2).alias("value_sum"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit)
+            (F.sum(cents(value_col)).cast("double") / F.lit(100.0)).alias(
+                "value_sum"
+            ),
         )
         .select(
             key_col,

@@ -25,7 +25,20 @@ def mart_avg_duration_by_country(fact: DataFrame, dim_song: DataFrame, dim_count
         fact.join(F.broadcast(dim_song), "song_id")
         .join(F.broadcast(dim_country), "country_id")
         .groupBy("date", "country_name")
-        .agg(F.avg("duration_sec").alias("avg_duration_sec"))
+        # Exact integer sum + ONE final IEEE division (round-9 float-sum
+        # audit): Spark's avg(int) accumulates in double, which stays exact
+        # only while the partial sums fit 2^53; the long sum is exact at
+        # any scale and the single division is deterministic. Values are
+        # bit-identical to the float path inside the 2^53 envelope.
+        .agg(
+            F.sum(F.col("duration_sec").cast("long")).alias("__s"),
+            F.count("duration_sec").alias("__n"),
+        )
+        .select(
+            "date",
+            "country_name",
+            (F.col("__s").cast("double") / F.col("__n")).alias("avg_duration_sec"),
+        )
     )
 
 

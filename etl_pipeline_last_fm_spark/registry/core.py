@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+from etl_pipeline_last_fm_spark.functions.scalar import cents, half_up_round, ts_us
 from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
@@ -189,7 +189,22 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance. Compiled as agg -> broadcast cross-join, evaluating the scalar
     once (the reference gets the same via a Postgres InitPlan)."""
     customer = load_table(spark, sf_dir, "customer")
-    threshold = customer.agg(half_up_round(F.avg("c_acctbal"), 2).alias("__thr"))
+    # Exact-integer half-up avg (round-9 float-sum audit): a float
+    # AVG threshold is order-sensitive in its last ulp, and here it picks
+    # WHICH ROWS SURVIVE the filter. acctbal may be negative, so the
+    # ABS+sign device keeps the half-away-from-zero tie rule portable.
+    threshold = customer.agg(
+        F.sum(cents("c_acctbal")).alias("__s"),
+        F.count("c_acctbal").alias("__n"),
+    ).select(
+        (
+            F.expr(
+                "CAST(sign(__s) * ((2 * abs(__s) + __n) div NULLIF(2 * __n, 0))"
+                " AS DOUBLE)"
+            )
+            / F.lit(100.0)
+        ).alias("__thr")
+    )
     return (
         customer.crossJoin(F.broadcast(threshold))
         .filter(F.col("c_acctbal") > F.col("__thr"))
@@ -281,11 +296,25 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ev.select(
+    # Exact-integer window aggregates (round-9 float-sum audit): cent
+    # sums are associative, so neither the partition-wide avg nor the
+    # running sum depends on partial-aggregation order. value >= 0
+    # (testdata domain), so plain truncating div is half-up here.
+    staged = ev.select(
         "event_id",
         "event_type",
-        half_up_round(F.avg("value").over(w_type), 2).alias("type_avg"),
-        half_up_round(F.sum("value").over(w_run), 2).alias("user_running_sum"),
+        F.sum(cents("value")).over(w_type).alias("__s"),
+        F.count("value").over(w_type).alias("__n"),
+        F.sum(cents("value")).over(w_run).alias("__rs"),
+    )
+    return staged.select(
+        "event_id",
+        "event_type",
+        (
+            F.expr("CAST((2 * __s + __n) div NULLIF(2 * __n, 0) AS DOUBLE)")
+            / F.lit(100.0)
+        ).alias("type_avg"),
+        (F.col("__rs").cast("double") / F.lit(100.0)).alias("user_running_sum"),
     )
 
 
@@ -321,7 +350,10 @@ def q_date_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            half_up_round(F.sum("value"), 2).alias("total_value"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit)
+            (F.sum(cents("value")).cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            ),
         )
     )
 
@@ -371,7 +403,8 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.cube("event_type", F.date_format("ts", "yyyy-MM").alias("month")).agg(
         F.count(F.lit(1)).alias("n"),
-        half_up_round(F.sum("value"), 2).alias("total_value"),
+        # exact cent sum (order-insensitive; round-9 float-sum audit)
+        (F.sum(cents("value")).cast("double") / F.lit(100.0)).alias("total_value"),
     )
 
 
@@ -474,22 +507,44 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     type's total (ratio-to-report). Windows partition on event_type — the
     tiny daily aggregate, never raw events, flows through them."""
     ev = load_table(spark, sf_dir, "events")
+    # Exact-integer program (round-9 float-sum audit): daily totals as
+    # cent sums; the moving average and ratio-to-report round half-up in
+    # pure integer arithmetic (decimal(38,0) for the scaled numerators so
+    # the 1e6 ratio scaling can't wrap at production volumes). value >= 0.
     daily = ev.groupBy(
         F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(
-        F.sum("value").alias("__total"),
+        F.sum(cents("value")).alias("__tc"),
     ).withColumn("__daynum", F.datediff(F.to_date("day"), F.lit("1970-01-01")))
     w_ma = (
         Window.partitionBy("event_type").orderBy("__daynum").rangeBetween(-6, 0)
     )
     w_all = Window.partitionBy("event_type")
-    return daily.select(
+    staged = daily.select(
         "event_type",
         "day",
-        half_up_round(F.col("__total"), 2).alias("day_total"),
-        half_up_round(F.avg("__total").over(w_ma), 4).alias("ma7"),
-        half_up_round(
-            F.col("__total") / F.sum("__total").over(w_all) * F.lit(100.0), 4
+        "__tc",
+        F.sum("__tc").over(w_ma).alias("__S"),
+        F.count("__tc").over(w_ma).alias("__k"),
+        F.sum("__tc").over(w_all).alias("__T"),
+    )
+    return staged.select(
+        "event_type",
+        "day",
+        (F.col("__tc").cast("double") / F.lit(100.0)).alias("day_total"),
+        (
+            F.expr(
+                "CAST((2 * CAST(__S AS DECIMAL(38,0)) * 100 + __k)"
+                " div (2 * __k) AS DOUBLE)"
+            )
+            / F.lit(10000.0)
+        ).alias("ma7"),
+        (
+            F.expr(
+                "CAST((2 * CAST(__tc AS DECIMAL(38,0)) * 1000000 + __T)"
+                " div NULLIF(2 * __T, 0) AS DOUBLE)"
+            )
+            / F.lit(10000.0)
         ).alias("pct_of_type"),
     )
 
@@ -523,22 +578,32 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY, which is exactly what the oracle checks (operators/skew.py)."""
     from etl_pipeline_last_fm_spark.operators.skew import salted_aggregate
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn("__vc", cents("value"))
+    # Exact-integer measures (round-9 float-sum audit): with float
+    # partials, the SALT SPLIT ITSELF changes the combine order, so the
+    # salted result could differ from the plain GROUP BY it must equal.
+    # Cent partials compose exactly for any split.
     out = salted_aggregate(
         ev,
         ["event_type"],
         {
             "n_events": ("count", "value"),
-            "total_value": ("sum", "value"),
-            "mean_value": ("avg", "value"),
+            "__tc": ("sum", "__vc"),
+            "__nv": ("count_col", "value"),
         },
         buckets=16,
     )
     return out.select(
         "event_type",
         F.col("n_events"),
-        half_up_round(F.col("total_value"), 2).alias("total_value"),
-        half_up_round(F.col("mean_value"), 4).alias("mean_value"),
+        (F.col("__tc").cast("double") / F.lit(100.0)).alias("total_value"),
+        (
+            F.expr(
+                "CAST((2 * CAST(__tc AS DECIMAL(38,0)) * 100 + __nv)"
+                " div NULLIF(2 * __nv, 0) AS DOUBLE)"
+            )
+            / F.lit(10000.0)
+        ).alias("mean_value"),
     )
 
 
@@ -583,7 +648,10 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            half_up_round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit)
+            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
         )
     )
 
@@ -769,10 +837,20 @@ def oracles() -> dict[str, str]:
                              ELSE l_quantity END AS INTEGER) AS qty_filled
             FROM lineitem
         """,
+        # Exact-integer threshold (see q_scalar_subquery): the float AVG's
+        # last ulp picks which rows survive, so both engines compute the
+        # same integer half-away-from-zero cent average.
         "scalar_subquery": """
             SELECT c_custkey, c_name, c_acctbal
             FROM customer
-            WHERE c_acctbal > (SELECT FLOOR(AVG(c_acctbal) * 100.0 + 0.5) / 100.0 FROM customer)
+            WHERE c_acctbal > (
+                SELECT CAST(sign(s) * ((2 * abs(s) + n) // NULLIF(2 * n, 0))
+                            AS DOUBLE) / 100.0
+                FROM (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                                  AS BIGINT) AS s,
+                             COUNT(c_acctbal) AS n
+                      FROM customer)
+            )
         """,
         "star_join": f"""
             SELECT l_orderkey, l_linenumber, o_orderdate, c_custkey,
@@ -821,13 +899,26 @@ def oracles() -> dict[str, str]:
                 FROM events
             ) WHERE rnk <= 3
         """,
+        # Exact-integer window aggregates (see q_window_analytic).
         "window_analytic": """
-            SELECT event_id, event_type,
-                   FLOOR(AVG(value) OVER (PARTITION BY event_type) * 100.0 + 0.5) / 100.0 AS type_avg,
-                   FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            WITH c AS (
+                SELECT event_id, event_type, user_id, ts,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc, value
+                FROM events
+            ),
+            staged AS (
+                SELECT event_id, event_type,
+                       CAST(SUM(vc) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                       COUNT(value) OVER (PARTITION BY event_type) AS n,
+                       CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                         * 100.0 + 0.5) / 100.0 AS user_running_sum
-            FROM events
+                            AS BIGINT) AS rs
+                FROM c
+            )
+            SELECT event_id, event_type,
+                   CAST((2 * s + n) // NULLIF(2 * n, 0) AS DOUBLE) / 100.0 AS type_avg,
+                   CAST(rs AS DOUBLE) / 100.0 AS user_running_sum
+            FROM staged
         """,
         "union_all": """
             SELECT event_id, user_id, 'buy' AS kind FROM events WHERE event_type = 'purchase'
@@ -840,7 +931,8 @@ def oracles() -> dict[str, str]:
         """,
         "date_partition_agg": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
-                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+                   CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / 100.0 AS total_value
             FROM events GROUP BY 1
         """,
         "mart_daily_appearances": """
@@ -889,20 +981,28 @@ def oracles() -> dict[str, str]:
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_price
+                   CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                             AS BIGINT) AS DOUBLE) / 100.0 AS total_price
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "sessionize": sessionize_oracle_sql(30),
+        # Exact-integer measures (see q_salted_agg): the salted two-phase
+        # aggregate must equal the plain GROUP BY for ANY salt split.
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_events,
-                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value,
-                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS mean_value
+                   CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / 100.0 AS total_value,
+                   CAST((2 * CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                                  AS HUGEINT) * 100 + COUNT(value))
+                        // NULLIF(2 * COUNT(value), 0) AS DOUBLE) / 10000.0
+                       AS mean_value
             FROM events GROUP BY event_type
         """,
         "cube_agg": """
             SELECT event_type, strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
-                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+                   CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / 100.0 AS total_value
             FROM events
             GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
         """,
@@ -919,22 +1019,33 @@ def oracles() -> dict[str, str]:
             SELECT user_id, event_id, event_type, last_value
             FROM ranked WHERE rn = 1
         """,
+        # Exact-integer program (see q_rolling_stats): cent daily totals,
+        # integer half-up for the moving average and ratio-to-report.
         "rolling_stats": """
             WITH daily AS (
                 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                       SUM(value) AS total
+                       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS tc
                 FROM events GROUP BY 1, 2
+            ),
+            staged AS (
+                SELECT event_type, day, tc,
+                       CAST(SUM(tc) OVER w7 AS BIGINT) AS S,
+                       COUNT(tc) OVER w7 AS k,
+                       CAST(SUM(tc) OVER (PARTITION BY event_type) AS BIGINT) AS T
+                FROM daily
+                WINDOW w7 AS (PARTITION BY event_type
+                              ORDER BY datediff('day', DATE '1970-01-01',
+                                                CAST(day AS DATE))
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
             )
             SELECT event_type, day,
-                   FLOOR(total * 100.0 + 0.5) / 100.0 AS day_total,
-                   FLOOR(AVG(total) OVER (PARTITION BY event_type
-                                          ORDER BY datediff('day', DATE '1970-01-01',
-                                                            CAST(day AS DATE))
-                                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-                         * 10000.0 + 0.5) / 10000.0 AS ma7,
-                   FLOOR(total / SUM(total) OVER (PARTITION BY event_type) * 100.0
-                         * 10000.0 + 0.5) / 10000.0 AS pct_of_type
-            FROM daily
+                   CAST(tc AS DOUBLE) / 100.0 AS day_total,
+                   CAST((2 * CAST(S AS HUGEINT) * 100 + k) // (2 * k) AS DOUBLE)
+                       / 10000.0 AS ma7,
+                   CAST((2 * CAST(tc AS HUGEINT) * 1000000 + T)
+                        // NULLIF(2 * T, 0) AS DOUBLE) / 10000.0 AS pct_of_type
+            FROM staged
         """,
         "lead_lag": """
             SELECT event_id, user_id,

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
+from etl_pipeline_last_fm_spark.functions.scalar import cents, half_up_round, ts_us
 from etl_pipeline_last_fm_spark.operators.idempotent import first_writer_wins
 from etl_pipeline_last_fm_spark.operators.surrogate import assign_surrogate_keys
 from etl_pipeline_last_fm_spark.operators.topk import windowed_top_k
@@ -187,7 +187,9 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("user_id"), F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        half_up_round(F.sum("value"), 2).alias("val_sum"),
+        # exact cent sum (order-insensitive; round-9 float-sum audit) —
+        # the carried-forward double is the exact cents/100 on both engines
+        (F.sum(cents("value")).cast("double") / F.lit(100.0)).alias("val_sum"),
     )
     filled = ts_ops.gapfill_daily(
         daily, "user_id", "day", zero_cols=["n_events"], locf_cols=["val_sum"]
@@ -206,7 +208,8 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAPFILL_OBS_SQL = """
     SELECT user_id, CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
-           FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS val_sum
+           CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS val_sum
     FROM events GROUP BY user_id, CAST(ts AS DATE)
 """
 
@@ -733,7 +736,23 @@ def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            half_up_round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+            F.sum(cents("s_acctbal")).alias("__s"),
+            F.count("s_acctbal").alias("__n"),
+        )
+        # Exact-integer avg (round-9 float-sum audit). acctbal is SIGNED
+        # (testdata min -976.02), so the ABS+sign device pins the
+        # half-away-from-zero tie rule identically on both engines.
+        .select(
+            "region",
+            "nation",
+            "n_suppliers",
+            (
+                F.expr(
+                    "CAST(sign(__s) * ((2 * abs(__s) + __n)"
+                    " div NULLIF(2 * __n, 0)) AS DOUBLE)"
+                )
+                / F.lit(100.0)
+            ).alias("avg_acctbal"),
         )
     )
 
@@ -1207,14 +1226,23 @@ def oracles() -> dict[str, str]:
                    COUNT(*)
             FROM lineitem
         """,
+        # Exact-integer signed avg (see q_supplier_balance).
         "supplier_balance": """
-            SELECT r_name AS region, n_name AS nation,
-                   COUNT(*) AS n_suppliers,
-                   FLOOR(AVG(s_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal
-            FROM supplier
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name, n_name
+            WITH g AS (
+                SELECT r_name AS region, n_name AS nation,
+                       COUNT(*) AS n_suppliers,
+                       CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS s,
+                       COUNT(s_acctbal) AS n
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name
+            )
+            SELECT region, nation, n_suppliers,
+                   CAST(sign(s) * ((2 * abs(s) + n) // NULLIF(2 * n, 0))
+                        AS DOUBLE) / 100.0 AS avg_acctbal
+            FROM g
         """,
         "mart_incremental": """
             WITH cents AS (

@@ -101,7 +101,16 @@ def windowed_event_stats(
         .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # exact cent sum (order-insensitive; round-9 float-sum audit):
+            # with float partials the STREAMING STATE MERGE ORDER (batch
+            # arrival order) could perturb the emitted total vs a batch
+            # backfill — exactly the lambda-equivalence this operator
+            # promises. Cent partials compose exactly for any merge order.
+            (
+                F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

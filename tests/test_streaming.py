@@ -62,7 +62,15 @@ def test_windowed_event_stats_batch_parity(spark, sf_dir):
         for r in ev.groupBy(
             F.date_trunc("day", "ts").alias("day"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # mirror the operator's exact cent sum (round-9 float-sum audit)
+            (
+                F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("tv"),
+        )
         .collect()
     }
     assert got == want
