@@ -14,9 +14,13 @@ implementation artifact, never a data artifact):
   tie-break, a first()/head() over an unordered frame). At 100 TB input
   order is an accident of the scan schedule, so order-dependence is a
   latent wrong-answer bug even when today's single-file read hides it.
-- ``dupes``: exact duplicate rows appended to every fact table (keys kept
-  valid). A failure means DISTINCT/aggregation/anti-join paths disagree
-  between the implementation and its oracle under multiplicity.
+- ``dupes``: duplicate CONTENT appended to every fact table under FRESH
+  primary keys (the realistic adversary: real corpora repeat text,
+  vectors and event payloads, but key columns stay keys — an early
+  version of this variant duplicated the PKs verbatim and mostly
+  measured violations of the tables' own key contracts). A failure
+  means dedup/aggregation/ranking paths disagree between the
+  implementation and its oracle under content multiplicity.
 - ``nulls``: NULLs injected into non-key attribute columns on a
   deterministic stride. A failure means the implementation's null
   semantics (null-safe equality, null ordering at a LIMIT boundary,
@@ -65,8 +69,19 @@ KEYS = {
     "embeddings": ["vec_id"],
 }
 
-#: fact tables that receive duplicate rows in the ``dupes`` variant
-DUPE_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+#: ``dupes``: per-table PK remap for the duplicated copy — content is
+#: copied verbatim, the key column(s) move to a fresh universe so key
+#: contracts hold. lineitem keeps l_orderkey (join integrity to orders)
+#: and shifts only l_linenumber; orders' duplicates become childless
+#: orders (legal). OFF = 1 << 33 clears every testdata key range.
+DUPE_OFF = 1 << 33
+DUPE_PK_SHIFT = {
+    "orders": ("o_orderkey", DUPE_OFF),
+    "lineitem": ("l_linenumber", 1000),
+    "events": ("event_id", DUPE_OFF),
+    "documents": ("doc_id", DUPE_OFF),
+    "embeddings": ("vec_id", DUPE_OFF),
+}
 
 #: per-table non-key attribute columns NULLed (key % 11 == 3) in ``nulls``.
 #: Timestamps and text are included: a 100 TB corpus HAS null timestamps
@@ -105,9 +120,13 @@ def build(spark, variant: str, out_dir: str) -> None:
                 .sortWithinPartitions("__h")
                 .drop("__h")
             )
-        elif variant == "dupes" and table in DUPE_TABLES:
+        elif variant == "dupes" and table in DUPE_PK_SHIFT:
             key = KEYS[table][0]
-            df = df.unionAll(df.where(F.col(key) % 13 == 0))
+            pk, off = DUPE_PK_SHIFT[table]
+            dup = df.where(F.col(key) % 13 == 0).withColumn(
+                pk, F.col(pk) + F.lit(off)
+            )
+            df = df.unionAll(dup)
         elif variant == "nulls" and table in NULL_COLS:
             cond = _null_stride_cond(table)
             for c in NULL_COLS[table]:
