@@ -144,22 +144,21 @@ def bloom_prune_join_stats(
     # share a name (self-referential dims), the raw equality predicate is
     # AMBIGUOUS_REFERENCE.
     dim_side = dim_keys.select(F.col(dim_key).alias("__bloom_key")).distinct()
-    matched = passed.join(
+    # ONE aggregate over the match-flagged pruned fact — NOT two grouped
+    # counts re-joined on group_col: a join key never matches NULL while
+    # groupBy treats NULL as a group, so the re-join silently zeroed the
+    # NULL group's true-match count (round-9 hostile nulls sweep). The
+    # left join + flag also costs one shuffle instead of two plus a join.
+    flagged = passed.join(
         F.broadcast(dim_side),
         passed[fact_key] == F.col("__bloom_key"),
-        "left_semi",
+        "left",
     )
-    a = passed.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-    b = matched.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_true_match"))
-    return (
-        a.join(b, group_col, "left")
-        .select(
-            group_col,
-            "n_bloom_pass",
-            F.coalesce("n_true_match", F.lit(0).cast("long")).alias(
-                "n_true_match"
-            ),
-        )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.col("__bloom_key").isNotNull().cast("long")).alias(
+            "n_true_match"
+        ),
     )
 
 

@@ -215,6 +215,13 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
+    # NULL-text docs are duplicates of nothing: every NULL doc gets the
+    # IDENTICAL all-NULL signature, so left in, they all land in one
+    # band bucket and emit a quadratic blob of bogus "pairs" (round-9
+    # hostile nulls sweep measured 1035 of them on a 9%-null corpus).
+    # The shingle-based oracle drops them naturally; drop them here too.
+    docs = docs.where(F.col("text").isNotNull())
+
     # Bands from the PERSISTED signature: minhash_signature is now a pure
     # projection (no agg-buffer barrier), and a generator whose input
     # derives from a computed array re-evaluates that computation per
@@ -310,7 +317,11 @@ def minhash_lsh_pairs_oracle_sql(shingle_len: int = 3, verify_threshold: float =
                  SELECT doc_id,
                         list_distinct(list_transform(range(greatest(len(t) - {s}, 0) + 1),
                                        i -> concat_ws(' ', {cols}))) AS shingles
-                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)),
+                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+                       FROM documents
+                       -- explicit (round-9 nulls sweep): NULL text docs
+                       -- shingle to nothing on both engines
+                       WHERE text IS NOT NULL)),
              sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
              rows_ AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
              -- sparse intersection: only doc pairs sharing >=1 shingle ever
@@ -619,7 +630,13 @@ def dedup_keep_list(
     representative per distinct content enters LSH — the cap then only ever
     sees content-distinct near-dup buckets. Exact-dup edges are a subset of
     the Jaccard>=threshold truth set (identical text has Jaccard 1.0), so
-    the transitive closure — and the DuckDB oracle — is unchanged."""
+    the transitive closure — and the DuckDB oracle — is unchanged.
+
+    NULL-text docs are excluded explicitly: a doc with no body is a
+    duplicate of nothing (round-9 hostile nulls sweep — left implicit,
+    the md5 pre-pass grouped every NULL text into one bogus 'exact'
+    cluster while the oracle's shingle path dropped them)."""
+    docs = docs.where(F.col("text").isNotNull())
     fp = docs.select("doc_id", F.md5(F.col("text")).alias("__fp"))
     # reps is corpus-sized (one row per distinct content) — equi-join on
     # the fingerprint key, never broadcast. Persisted (spill-to-disk): it

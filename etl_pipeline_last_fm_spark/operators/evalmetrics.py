@@ -52,7 +52,16 @@ def score_census(
     merge by per-value count sum, order-free, so ROC AUC is
     continuously maintainable (streaming/drift.py's additive-fold
     recipe; the AUC itself is computed at READ time by
-    ``auc_from_census``)."""
+    ``auc_from_census``).
+
+    Rows with a NULL score or NULL label are NOT observations and are
+    excluded EXPLICITLY on both engines (round-9 hostile nulls sweep:
+    left implicit, the engines' null propagation through the census
+    diverged — Spark grouped the NULL score while the oracle's CASE
+    dropped the label differently)."""
+    events = events.where(
+        F.col(value_col).isNotNull() & F.col(type_col).isNotNull()
+    )
     labeled = events.select(
         (F.col(type_col) == pos_type).alias("__pos"),
         _cents(value_col).alias("v"),
@@ -131,6 +140,7 @@ def roc_auc_oracle_sql(
             SELECT event_type = '{pos_type}' AS pos,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         per_v AS (
             SELECT v,
@@ -253,6 +263,7 @@ def calibration_bins_oracle_sql(
             SELECT event_type = '{pos_type}' AS pos,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         m AS (SELECT MAX(v) AS vmax FROM labeled),
         binned AS (
@@ -535,7 +546,11 @@ def lift_deciles(
         value_ordered_row_number,
     )
 
-    labeled = events.select(
+    # NULL score/label rows are not observations — excluded explicitly
+    # on both engines (round-9 hostile nulls sweep).
+    labeled = events.where(
+        F.col(value_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(
         F.col(tie_col).alias("__tie"),
         (F.col(type_col) == pos_type).alias("__pos"),
         _cents(value_col).alias("__v"),
@@ -593,6 +608,7 @@ def lift_deciles_oracle_sql(
                    event_type = '{pos_type}' AS pos,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         t AS (
             SELECT pos,
@@ -682,6 +698,7 @@ def calibration_ece_oracle_sql(
             SELECT event_type = '{pos_type}' AS pos,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         m AS (SELECT CAST(MAX(v) AS HUGEINT) AS vmax FROM labeled),
         per_bin AS (
@@ -769,6 +786,7 @@ def pr_curve_oracle_sql(
             SELECT event_type = '{pos_type}' AS pos,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         census AS (
             SELECT v,
@@ -939,6 +957,7 @@ def isotonic_calibration_oracle_sql(
             SELECT event_type = '{pos_type}' AS pos,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
             FROM {table}
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         m AS (SELECT CAST(MAX(v) AS HUGEINT) AS vmax FROM labeled),
         nb AS (

@@ -355,7 +355,10 @@ def chunk_documents(
         # consecutive chunks would silently appear in NO chunk
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = docs.select(
+    # A NULL text is an absent document body — zero chunks, excluded
+    # explicitly on both engines (round-9 hostile nulls sweep). An EMPTY
+    # string still yields its one degenerate chunk (unchanged).
+    toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.split(F.trim(F.col("text")), " ").alias("__t"),
     ).withColumn("__n", F.size("__t"))
@@ -396,6 +399,7 @@ def chunk_documents_oracle_sql(
             SELECT doc_id, string_split(trim(text), ' ') AS toks,
                    len(string_split(trim(text), ' ')) AS n
             FROM {table}
+            WHERE text IS NOT NULL
         ),
         idx AS (
             SELECT doc_id, toks,
@@ -516,7 +520,10 @@ def bpe_train(
     # just-merged tail can never equal `left` and re-trigger — the
     # precondition both the fold's greedy argument and the oracle's
     # run-parity replay rely on.
-    toks = docs.select(
+    # NULL text docs contribute no symbols — excluded explicitly on both
+    # engines (round-9 hostile nulls sweep: a NULL token array poisoned
+    # the driver-side argmax row into Nones).
+    toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.filter(
             F.split(F.trim(F.col(text_col)), " "), lambda t: t != F.lit("")
@@ -641,7 +648,7 @@ def bpe_train_oracle_sql(n_merges: int = 6, doc_pred: str = "doc_id < 500") -> s
             FROM (SELECT doc_id,
                          list_filter(string_split(trim(text), ' '),
                                      x -> x <> '') AS t
-                  FROM documents WHERE {doc_pred})
+                  FROM documents WHERE ({doc_pred}) AND text IS NOT NULL)
         )
         """
     ]

@@ -121,7 +121,9 @@ def quantile_buckets(
     identical, edge placement is approximate — the variant a real corpus
     runs, not oracle-paired because sketches are engine-specific.
     """
-    toks = docs.select(
+    # A NULL text has no length to bucket — excluded explicitly on both
+    # engines (round-9 hostile nulls sweep).
+    toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
     )
@@ -160,6 +162,7 @@ def quantile_buckets_oracle_sql(n_buckets: int = 10, table: str = "documents") -
             SELECT doc_id,
                    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
             FROM {table}
+            WHERE text IS NOT NULL
         ),
         e AS (SELECT {edge_cols} FROM t)
         SELECT doc_id, n_tokens, CAST({bucket} AS INTEGER) AS bucket

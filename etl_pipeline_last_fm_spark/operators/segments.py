@@ -155,7 +155,15 @@ def time_weighted_avg(
     both engines.
 
     Scale shape: one lead() window per key (the single key shuffle),
-    then a partial+final aggregate — no self-join, no global window."""
+    then a partial+final aggregate — no self-join, no global window.
+
+    NULL value/key/ts rows are not observations (round-9 hostile nulls
+    sweep; same rule as the ordered-fold scaffold's batch state)."""
+    events = events.where(
+        F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
     base = events.select(
         F.col(key_col).alias("user_id"),
         ts_us(F.col(ts_col)).alias("__us"),
@@ -202,6 +210,8 @@ def time_weighted_avg_oracle_sql(table: str = "events") -> str:
                        ORDER BY epoch_us(ts), event_id
                    ) AS next_us
             FROM {table}
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL
         )
         SELECT user_id,
                CAST(COUNT(*) + 1 AS BIGINT) AS n_events,

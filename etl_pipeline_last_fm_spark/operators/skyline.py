@@ -43,7 +43,15 @@ def skyline_2d(
     columns unchanged for the surviving rows.
 
     ``bucket_width`` controls parallelism only, never semantics: any
-    width yields the same frontier (asserted by the property tests)."""
+    width yields the same frontier (asserted by the property tests).
+
+    A point with a NULL coordinate is not comparable on that dimension
+    and is excluded explicitly on both engines (round-9 hostile nulls
+    sweep: left implicit, SQL's 3-valued NOT EXISTS kept incomparable
+    rows the window path dropped)."""
+    points = points.where(
+        F.col(cost_col).isNotNull() & F.col(gain_col).isNotNull()
+    )
     pts = points.select(
         F.col(id_col).alias("__id"),
         F.col(cost_col).cast("long").alias("__cost"),
@@ -98,7 +106,11 @@ def skyline_2d_oracle_sql(
     """DuckDB twin: the dominance DEFINITION as a NOT EXISTS anti-join —
     quadratic, which is exactly why it is the oracle and not the plan."""
     return f"""
-        WITH pts AS MATERIALIZED ({points_sql})
+        WITH pts0 AS MATERIALIZED ({points_sql}),
+        pts AS (
+            SELECT * FROM pts0
+            WHERE {cost_col} IS NOT NULL AND {gain_col} IS NOT NULL
+        )
         SELECT {id_col}, {cost_col}, {gain_col}
         FROM pts p
         WHERE NOT EXISTS (

@@ -155,6 +155,8 @@ def ema_halflife_oracle_sql(table: str = "events") -> str:
                    list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                         ORDER BY epoch_us(ts), event_id) AS l
             FROM {table}
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL
             GROUP BY user_id
         )
     """
@@ -176,9 +178,21 @@ def _ema_batch_state(
     value_col: str,
     tiebreak_col: str,
 ) -> DataFrame:
-    """Per-key sorted value array + order boundaries for one batch."""
+    """Per-key sorted value array + order boundaries for one batch.
+
+    Rows with a NULL value are NOT observations of the trajectory and
+    are excluded explicitly (round-9 hostile nulls sweep: left implicit,
+    a NULL would poison the fold accumulator into NaN on Spark while the
+    oracle's recursion skipped it differently). NULL keys/timestamps are
+    excluded by the same rule: an unkeyed or untimed sample cannot be
+    placed in any ordered per-key trajectory."""
     from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
 
+    events = events.where(
+        F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
     cents = half_up_round(F.col(value_col) * 100).cast("long")
     arr = F.array_sort(
         F.collect_list(
@@ -638,6 +652,13 @@ def cusum_alarms(
 
     from etl_pipeline_last_fm_spark.functions.scalar import half_up_round, ts_us
 
+    # NULL value/key/ts rows are not observations (round-9 hostile nulls
+    # sweep; same rule as the ordered-fold scaffold's batch state).
+    events = events.where(
+        F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
     dev = half_up_round(F.col(value_col) * 100).cast("long") - F.lit(drift_cents)
     us = ts_us(F.col(ts_col))
     w_run = (
@@ -854,6 +875,8 @@ def cusum_alarms_oracle_sql(
                        CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                          - {drift_cents} AS dev
                 FROM {table}
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
             )
             WINDOW w_row AS (PARTITION BY user_id ORDER BY us, event_id),
                    w_run AS (PARTITION BY user_id ORDER BY us, event_id
@@ -960,6 +983,8 @@ def holt_linear_oracle_sql(table: str = "events") -> str:
                    list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                         ORDER BY epoch_us(ts), event_id) AS l
             FROM {table}
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL
             GROUP BY user_id
         ),
         steps AS (

@@ -513,7 +513,11 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["sum_qty", "sum_price_cents", "n_rows"],
         variableColumnName="metric",
         valueColumnName="value",
-    )
+        # an absent metric (all-NULL measure in the group) emits no row —
+        # SQL UNPIVOT's standard null-exclusion; Spark's unpivot keeps
+        # NULL cells, so pin the long-form contract explicitly (round-9
+        # hostile nulls sweep)
+    ).where(F.col("value").isNotNull())
 
 
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,8 +648,16 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ratios not covered by rank/dense_rank/ntile elsewhere. Both are
     exact rationals of integer ranks ((rk-1)/(n-1), cum/n); each engine
     divides the same int64s, so the doubles agree bit-for-bit without a
-    rounding pin. Keyed per customer over order totals (cents)."""
-    orders = load_table(spark, sf_dir, "orders")
+    rounding pin. Keyed per customer over order totals (cents).
+
+    Unpriced (NULL-total) orders cannot be ranked by total and are
+    excluded explicitly on both engines — left implicit, the engines'
+    DEFAULT null sort order diverges (Spark asc = NULLS FIRST, DuckDB
+    = NULLS LAST), shifting every rank in the partition (round-9
+    hostile nulls sweep)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     w = Window.partitionBy("o_custkey").orderBy(cents, F.col("o_orderkey"))
     return orders.select(
@@ -1025,6 +1037,7 @@ def oracles() -> dict[str, str]:
                                 o_orderkey
                    ) AS cume
             FROM orders
+            WHERE o_totalprice IS NOT NULL
         """,
         "except_all": f"""
             SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty

@@ -56,6 +56,9 @@ def q_streaming_mart_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("date"),
             (_rev4_col().cast("double") / F.lit(100.0)).alias("rev_cents"),
         )
+        # a line with unknown (NULL) revenue is not an observation of the
+        # mart — excluded explicitly on both engines (round-9 nulls sweep)
+        .where(F.col("rev_cents").isNotNull())
     )
     tmp = tempfile.mkdtemp(prefix="sgraft_streamfold_")
     try:
@@ -629,6 +632,7 @@ def oracles() -> dict[str, str]:
                          * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
                          AS rev4
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
             ),
             st AS (
                 SELECT date,

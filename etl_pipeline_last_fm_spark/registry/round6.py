@@ -200,7 +200,13 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the exchange)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # COALESCE pins the TPC-H Q12 CASE..ELSE convention: an order of
+    # UNKNOWN (NULL) priority is "other", not dropped — a bare isin()
+    # yields NULL, and NULL.cast(long) silently vanishes from BOTH
+    # counters on the Spark side only (round-9 hostile nulls sweep).
+    high = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(False)
+    )
     return (
         li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
