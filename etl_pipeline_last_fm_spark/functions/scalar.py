@@ -41,6 +41,13 @@ def cents(col: Column | str) -> Column:
     is nondeterministic even within one engine. Integer cent sums are
     associative: any partitioning, any order, same result. (Found live by
     the round-9 hostile reorder sweep: mart_daily_avg/pivot_* flipped.)
+
+    Domain bound (property-pinned in tests/test_cents_properties.py):
+    recovery is lossless for |value| <= 2^50 cents (~$11 trillion per
+    ROW). Past ~2e15 cents the double's ulp approaches a cent, so the
+    carrier type itself can no longer name the cent — values that large
+    never faithfully existed in a double column to begin with. SUMS are
+    unbounded: they ride int64/decimal(38,0), never doubles.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("long")
