@@ -185,7 +185,15 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
 
     cents = half_up_round(F.col("o_totalprice") * 100).cast("long")
-    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    # Unpriced (NULL-total) orders are not revenue observations, and a
+    # NULL rev_cents would rank NULLS FIRST on Spark vs NULLS LAST on
+    # DuckDB — excluded explicitly on both engines (round-9 hostile
+    # nulls sweep at sf0.01; the same rule as rank_metrics).
+    per_cust = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
     j = per_cust.join(
         F.broadcast(customer.select("c_custkey", "c_nationkey")),
         per_cust.o_custkey == F.col("c_custkey"),
@@ -224,7 +232,9 @@ _REVENUE_GINI_SQL = """
         SELECT o_custkey,
                CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS rev_cents
-        FROM orders GROUP BY 1
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
     ),
     j AS (
         SELECT n_name AS nation, c_custkey, rev_cents

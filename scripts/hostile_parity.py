@@ -53,7 +53,9 @@ from pyspark.sql import functions as F
 from etl_pipeline_last_fm_spark.session import get_spark
 from etl_pipeline_last_fm_spark.schemas import TESTDATA_TABLES
 
-SRC = "/root/testdata/sf0.001"
+#: source fixture; override with HOSTILE_SRC_DIR (e.g. sf0.01 for a
+#: 10x-denser boundary-collision sweep)
+SRC = os.environ.get("HOSTILE_SRC_DIR", "/root/testdata/sf0.001")
 
 #: key columns that must never be perturbed (join validity)
 KEYS = {
@@ -150,7 +152,8 @@ def main() -> None:
     only = None
     if "--names" in sys.argv:
         only = set(sys.argv[sys.argv.index("--names") + 1].split(","))
-    out_dir = f"/tmp/hostile_{variant}"
+    tag = SRC.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = f"/tmp/hostile_{tag}_{variant}"
     spark = get_spark(app_name=f"hostile-parity-{variant}")
     marker = os.path.join(out_dir, "_BUILT")
     if not os.path.exists(marker):
