@@ -33,7 +33,7 @@ exact-duplicate-free contract of nothing — fact multiplicity is legal).
 Every skip must cite the docstring that states the contract.
 
 Usage:
-    python scripts/hostile_parity.py reorder|dupes|nulls [--names a,b,c]
+    python scripts/hostile_parity.py reorder|dupes|nulls|gauntlet [--names ...]
 
 Prints one JSON summary line and a per-query table; non-zero exit if any
 non-skipped query fails parity or errors on one engine only.
@@ -111,7 +111,35 @@ def build(spark, variant: str, out_dir: str) -> None:
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src)
-        if variant == "reorder":
+        if variant == "gauntlet":
+            # all three adversaries composed: NULL stride first (so the
+            # duplicated copies carry NULLs too), then content dupes
+            # under fresh keys, then the scramble — interaction bugs
+            # (e.g. a null-row duplicate crossing a tie-break) only
+            # show up here
+            if table in NULL_COLS:
+                cond = _null_stride_cond(table)
+                for c in NULL_COLS[table]:
+                    df = df.withColumn(
+                        c, F.when(cond, F.lit(None)).otherwise(F.col(c))
+                    )
+            if table in DUPE_PK_SHIFT:
+                key = KEYS[table][0]
+                pk, off = DUPE_PK_SHIFT[table]
+                df = df.unionAll(
+                    df.where(F.col(key) % 13 == 0).withColumn(
+                        pk, F.col(pk) + F.lit(off)
+                    )
+                )
+            scrambled = df.withColumn(
+                "__h", F.xxhash64(*[F.col(c) for c in df.columns])
+            )
+            df = (
+                scrambled.repartition(7, "__h")
+                .sortWithinPartitions("__h")
+                .drop("__h")
+            )
+        elif variant == "reorder":
             # deterministic scramble: hash-partition + hash-sort on all
             # columns -> same multiset, adversarial order, 7-file layout
             scrambled = df.withColumn(
@@ -143,12 +171,13 @@ SKIPS: dict[str, dict[str, str]] = {
     "reorder": {},
     "dupes": {},
     "nulls": {},
+    "gauntlet": {},
 }
 
 
 def main() -> None:
     variant = sys.argv[1] if len(sys.argv) > 1 else "reorder"
-    assert variant in ("reorder", "dupes", "nulls"), variant
+    assert variant in ("reorder", "dupes", "nulls", "gauntlet"), variant
     only = None
     if "--names" in sys.argv:
         only = set(sys.argv[sys.argv.index("--names") + 1].split(","))
