@@ -75,14 +75,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # Round-9 rotation (VERDICT r8 item 3): the 9 round-8 eval-metrics
-    # queue entries — the ONLY never-driver-graded queries — enter behind
-    # the 9 rotation-invariant bench headliners (slots 10-18); the
-    # remaining 32 slots backfill with the LONGEST-UNEXERCISED green
-    # anchors (the head of the past-the-cap line as ordered at the
-    # round-8 close: the round-4/5 wave from bpe_pair_counts). After this
-    # window is graded, EVERY registry entry has a driver row on record —
-    # cumulative driver coverage 205/205; the book closes.
+    # Round-10 rotation (VERDICT r9 item 1): re-attest the audit-touched
+    # entries with hard driver rows. The round-9 float-sum and
+    # null-semantics audits changed the behavior of ~37 queries whose
+    # newest CORRECTNESS row predates them; those 37 fill slots 10-46,
+    # ordered by row staleness, so the hard driver signal describes
+    # current code. The last 4 slots backfill with the
+    # LONGEST-UNEXERCISED non-audit green anchors. Cumulative driver
+    # coverage stays 205/205 (closed in round 9).
     # Demoted entries keep their driver rows and still run in
     # tests/test_oracle_parity.py at sf0.001 every pytest run; they rotate
     # back in if their family loses its in-window representative.
@@ -104,14 +104,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ALL["dedup_ngram_jaccard"],
         "dedup_minhash_lsh": _ALL["dedup_minhash_lsh"],
         "sim_bruteforce": _ALL["sim_bruteforce"],
-        # round-8-queue tier, slots 10-18: first driver rows this round
-        # (9 entries, VERDICT r8 item 3) — the model-evaluation metrics
-        # wave: exact midrank ROC AUC + its additive-census streaming
-        # twin, the calibration family (reliability bins, ECE/MCE,
-        # PAV isotonic fit), the PR curve over the score dimension,
-        # Cohen's kappa label agreement, the Mann–Kendall trend test,
-        # and the targeting lift deciles riding the (round-9 sign-fixed)
-        # two-phase rank device.
+        # audit-re-attestation tier, slots 10-46 (VERDICT r9 item 1):
+        # the 37 entries whose behavior the round-9 float-sum audit
+        # (50bd0e1), null-semantics audit (ca48e8d), reorder fixes
+        # (3b04f66), revenue_gini null-rank fix (b726099) or rank-device
+        # sign fix (7b15e52) changed, and whose newest CORRECTNESS row
+        # predates those commits — ordered by staleness (oldest driver
+        # row first; within a vintage, past-the-cap line order). After
+        # this window is graded, the hard driver signal describes
+        # current code for every audit-touched entry: staleness burn-down
+        # complete in one round.
+        # r3/r5-vintage rows (4):
+        "rank_metrics": _ALL["rank_metrics"],
+        "unpivot_metrics": _ALL["unpivot_metrics"],
+        "bpe_train": _ALL["bpe_train"],
+        "streaming_mart_fold": _ALL["streaming_mart_fold"],
+        # r6-vintage rows (10):
+        "mart_daily_avg": _ALL["mart_daily_avg"],
+        "salted_agg": _ALL["salted_agg"],
+        "cube_agg": _ALL["cube_agg"],
+        "pivot_conditional": _ALL["pivot_conditional"],
+        "rolling_stats": _ALL["rolling_stats"],
+        "scalar_subquery": _ALL["scalar_subquery"],
+        "window_analytic": _ALL["window_analytic"],
+        "date_partition_agg": _ALL["date_partition_agg"],
+        "rollup_agg": _ALL["rollup_agg"],
+        "pivot_native": _ALL["pivot_native"],
+        # r7-vintage rows (6):
+        "shipmode_priority": _ALL["shipmode_priority"],
+        "ema_decay": _ALL["ema_decay"],
+        "ema_fold": _ALL["ema_fold"],
+        "cusum": _ALL["cusum"],
+        "tumbling_window": _ALL["tumbling_window"],
+        "dedup_keep_list": _ALL["dedup_keep_list"],
+        # r8-vintage rows (17):
+        "streaming_ema": _ALL["streaming_ema"],
+        "cusum_fold": _ALL["cusum_fold"],
+        "streaming_cusum": _ALL["streaming_cusum"],
+        "rfm_segments": _ALL["rfm_segments"],
+        "time_weighted_avg": _ALL["time_weighted_avg"],
+        "twap_fold": _ALL["twap_fold"],
+        "streaming_twap": _ALL["streaming_twap"],
+        "holt_smooth": _ALL["holt_smooth"],
+        "holt_fold": _ALL["holt_fold"],
+        "streaming_holt": _ALL["streaming_holt"],
+        "skyline_parts": _ALL["skyline_parts"],
+        "revenue_gini": _ALL["revenue_gini"],
+        "skyline_fold": _ALL["skyline_fold"],
+        "streaming_skyline": _ALL["streaming_skyline"],
+        "profile_columns": _ALL["profile_columns"],
+        "gapfill_locf": _ALL["gapfill_locf"],
+        "hopping_window": _ALL["hopping_window"],
+        # backfill tier, slots 47-50: longest-unexercised non-audit
+        # green anchors (head of the round-9 past-the-cap line).
+        "session_window_native": _ALL["session_window_native"],
+        "table_checksum": _ALL["table_checksum"],
+        "pagerank_weighted": _ALL["pagerank_weighted"],
+        "except_all": _ALL["except_all"],
+        # --- past the 50-entry cap ------------------------------------
+        # Every entry below has a green driver row on record (205/205
+        # cumulative since round 9); all of them run in
+        # tests/test_oracle_parity.py at sf0.001 every pytest run.
+        # Line order for the round-11 rotation: longest unexercised
+        # first — the rest of the round-5 wave, then the entries demoted
+        # from the round-6/7/8 windows (audit-touched ones promoted
+        # above), then the 41 demoted from the round-9 window (most
+        # recently graded, last in line).
+        "mode_per_group": _ALL["mode_per_group"],
+        "relational_division": _ALL["relational_division"],
+        "order_distribution": _ALL["order_distribution"],
+        "small_qty_revenue": _ALL["small_qty_revenue"],
+        "top_volume_orders": _ALL["top_volume_orders"],
+        "corpus_drift": _ALL["corpus_drift"],
+        "inverted_index": _ALL["inverted_index"],
+        "merge_upsert": _ALL["merge_upsert"],
+        "set_ops": _ALL["set_ops"],
+        "session_transitions": _ALL["session_transitions"],
+        "label_centroids": _ALL["label_centroids"],
+        "key_skew_profile": _ALL["key_skew_profile"],
+        "nation_trade_volume": _ALL["nation_trade_volume"],
+        "market_share": _ALL["market_share"],
+        "epoch_shuffle": _ALL["epoch_shuffle"],
+        "render_packs": _ALL["render_packs"],
+        "market_basket": _ALL["market_basket"],
+        "sim_ann_ivfpq": _ALL["sim_ann_ivfpq"],
+        "sim_ann_ivfpq_residual": _ALL["sim_ann_ivfpq_residual"],
+        "label_propagation": _ALL["label_propagation"],
+        "bfs_hops": _ALL["bfs_hops"],
+        "kmv_expr": _ALL["kmv_expr"],
+        "kmeans_train": _ALL["kmeans_train"],
+        "sole_late_supplier": _ALL["sole_late_supplier"],
+        # Demoted from the round-6 graded window (non-audit remainder).
+        "priority_promises": _ALL["priority_promises"],
+        "important_parts": _ALL["important_parts"],
+        "supplier_part_counts": _ALL["supplier_part_counts"],
+        "idle_customers": _ALL["idle_customers"],
+        "sssp": _ALL["sssp"],
+        "event_pattern": _ALL["event_pattern"],
+        "incremental_join": _ALL["incremental_join"],
+        "streaming_join": _ALL["streaming_join"],
+        "order_limit": _ALL["order_limit"],
+        "dedup_passages": _ALL["dedup_passages"],
+        "cdc_compact": _ALL["cdc_compact"],
+        "lang_id": _ALL["lang_id"],
+        "snapshot_diff": _ALL["snapshot_diff"],
+        "surrogate_keys_incremental": _ALL["surrogate_keys_incremental"],
+        "percentiles": _ALL["percentiles"],
+        "semi_join": _ALL["semi_join"],
+        "outer_join_agg": _ALL["outer_join_agg"],
+        "token_count": _ALL["token_count"],
+        "text_fingerprint": _ALL["text_fingerprint"],
+        "sim_ann_lsh_multiprobe": _ALL["sim_ann_lsh_multiprobe"],
+        "sim_ann_ivf": _ALL["sim_ann_ivf"],
+        "surrogate_keys": _ALL["surrogate_keys"],
+        "dedup_exact": _ALL["dedup_exact"],
+        "text_quality": _ALL["text_quality"],
+        "pii_scrub": _ALL["pii_scrub"],
+        "distinct_project": _ALL["distinct_project"],
+        "case_impute": _ALL["case_impute"],
+        "union_all": _ALL["union_all"],
+        "json_extract": _ALL["json_extract"],
+        "mart_daily_appearances": _ALL["mart_daily_appearances"],
+        "explode_tokens": _ALL["explode_tokens"],
+        # Demoted from the round-7 graded window (non-audit remainder).
+        "event_pattern_measures": _ALL["event_pattern_measures"],
+        "forecast_revenue": _ALL["forecast_revenue"],
+        "top_supplier": _ALL["top_supplier"],
+        "returned_revenue": _ALL["returned_revenue"],
+        "promo_revenue": _ALL["promo_revenue"],
+        "min_cost_supplier": _ALL["min_cost_supplier"],
+        "product_profit": _ALL["product_profit"],
+        "dominant_suppliers": _ALL["dominant_suppliers"],
+        "link_prediction": _ALL["link_prediction"],
+        "attribution": _ALL["attribution"],
+        "trend_fit": _ALL["trend_fit"],
+        "collocations": _ALL["collocations"],
+        "session_concurrency": _ALL["session_concurrency"],
+        "contingency_chi2": _ALL["contingency_chi2"],
+        "hashed_features": _ALL["hashed_features"],
+        "lead_lag": _ALL["lead_lag"],
+        "range_join": _ALL["range_join"],
+        "funnel": _ALL["funnel"],
+        "hll_distinct": _ALL["hll_distinct"],
+        "dedup_simhash": _ALL["dedup_simhash"],
+        "dedup_rolling_fp": _ALL["dedup_rolling_fp"],
+        "embedding_cosine_dedup": _ALL["embedding_cosine_dedup"],
+        "sim_ann_lsh": _ALL["sim_ann_lsh"],
+        "tfidf": _ALL["tfidf"],
+        "top_ngrams": _ALL["top_ngrams"],
+        "split_assign": _ALL["split_assign"],
+        "mixture_sample": _ALL["mixture_sample"],
+        "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],
+        "fuzzy_name_pairs": _ALL["fuzzy_name_pairs"],
+        "multimodal_meta": _ALL["multimodal_meta"],
+        "asof_join": _ALL["asof_join"],
+        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
+        "contamination": _ALL["contamination"],
+        "token_budget_sample": _ALL["token_budget_sample"],
+        "pack_sequences": _ALL["pack_sequences"],
+        # Demoted from the round-8 graded window (non-audit remainder).
+        "link_prediction_capped": _ALL["link_prediction_capped"],
+        "attribution_fold": _ALL["attribution_fold"],
+        "streaming_attribution": _ALL["streaming_attribution"],
+        "attribution_decay": _ALL["attribution_decay"],
+        "attribution_decay_fold": _ALL["attribution_decay_fold"],
+        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
+        "lm_score_bigram": _ALL["lm_score_bigram"],
+        "token_entropy": _ALL["token_entropy"],
+        "benford_profile": _ALL["benford_profile"],
+        "supplier_concentration": _ALL["supplier_concentration"],
+        "abc_classification": _ALL["abc_classification"],
+        "negative_edges": _ALL["negative_edges"],
+        "clustering_coefficient": _ALL["clustering_coefficient"],
+        "durbin_watson": _ALL["durbin_watson"],
+        "survival_km": _ALL["survival_km"],
+        "zipf_fit": _ALL["zipf_fit"],
+        "bm25_rank": _ALL["bm25_rank"],
+        "rank_sum_test": _ALL["rank_sum_test"],
+        "scd2_history": _ALL["scd2_history"],
+        "expectations": _ALL["expectations"],
+        "hll_vocab": _ALL["hll_vocab"],
+        "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
+        "embedding_keep_list": _ALL["embedding_keep_list"],
+        "stratified_sample": _ALL["stratified_sample"],
+        # Demoted from the round-9 graded window (41 non-headliner
+        # entries): graded most recently, so LAST in line.
         "roc_auc": _ALL["roc_auc"],
         "streaming_roc_auc": _ALL["streaming_roc_auc"],
         "calibration_bins": _ALL["calibration_bins"],
@@ -121,10 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": _ALL["label_agreement"],
         "mann_kendall": _ALL["mann_kendall"],
         "lift_deciles": _ALL["lift_deciles"],
-        # backfill tier, slots 19-50: the 32 green anchors at the head of
-        # the round-8 past-the-cap line (longest unexercised — the rest
-        # of the round-4/5/6 waves from bpe_pair_counts, per the round-8
-        # contract comment).
         "bpe_pair_counts": _ALL["bpe_pair_counts"],
         "vocab_coverage": _ALL["vocab_coverage"],
         "scd2_as_of": _ALL["scd2_as_of"],
@@ -157,180 +330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _ALL["pagerank"],
         "kcore": _ALL["kcore"],
         "disjunctive_predicates": _ALL["disjunctive_predicates"],
-        # --- past the 50-entry cap ------------------------------------
-        # Every entry below has a green driver row on record (205/205
-        # cumulative once this window is graded); all of them run in
-        # tests/test_oracle_parity.py at sf0.001 every pytest run.
-        # Line order for the round-10 rotation: the rest of the
-        # round-4/5/6 waves (longest unexercised — from
-        # session_window_native), then the 41 entries demoted from the
-        # round-6 window, then the 41 demoted from the round-7 window,
-        # then the 41 demoted from the round-8 window (most recently
-        # graded, last in line).
-        "session_window_native": _ALL["session_window_native"],
-        "table_checksum": _ALL["table_checksum"],
-        "pagerank_weighted": _ALL["pagerank_weighted"],
-        "rank_metrics": _ALL["rank_metrics"],
-        "except_all": _ALL["except_all"],
-        "mode_per_group": _ALL["mode_per_group"],
-        "relational_division": _ALL["relational_division"],
-        "order_distribution": _ALL["order_distribution"],
-        "small_qty_revenue": _ALL["small_qty_revenue"],
-        "top_volume_orders": _ALL["top_volume_orders"],
-        "corpus_drift": _ALL["corpus_drift"],
-        "inverted_index": _ALL["inverted_index"],
-        "merge_upsert": _ALL["merge_upsert"],
-        "set_ops": _ALL["set_ops"],
-        "session_transitions": _ALL["session_transitions"],
-        "label_centroids": _ALL["label_centroids"],
-        "unpivot_metrics": _ALL["unpivot_metrics"],
-        "key_skew_profile": _ALL["key_skew_profile"],
-        "nation_trade_volume": _ALL["nation_trade_volume"],
-        "market_share": _ALL["market_share"],
-        "epoch_shuffle": _ALL["epoch_shuffle"],
-        "render_packs": _ALL["render_packs"],
-        "market_basket": _ALL["market_basket"],
-        "sim_ann_ivfpq": _ALL["sim_ann_ivfpq"],
-        "sim_ann_ivfpq_residual": _ALL["sim_ann_ivfpq_residual"],
-        "bpe_train": _ALL["bpe_train"],
-        "streaming_mart_fold": _ALL["streaming_mart_fold"],
-        "label_propagation": _ALL["label_propagation"],
-        "bfs_hops": _ALL["bfs_hops"],
-        "kmv_expr": _ALL["kmv_expr"],
-        "kmeans_train": _ALL["kmeans_train"],
-        "sole_late_supplier": _ALL["sole_late_supplier"],
-        # Demoted from the round-6 graded window (41 entries — the 8
-        # round-5-queue entries plus the 33 round-6 backfill anchors).
-        "priority_promises": _ALL["priority_promises"],
-        "important_parts": _ALL["important_parts"],
-        "supplier_part_counts": _ALL["supplier_part_counts"],
-        "idle_customers": _ALL["idle_customers"],
-        "sssp": _ALL["sssp"],
-        "event_pattern": _ALL["event_pattern"],
-        "incremental_join": _ALL["incremental_join"],
-        "streaming_join": _ALL["streaming_join"],
-        "order_limit": _ALL["order_limit"],
-        "mart_daily_avg": _ALL["mart_daily_avg"],
-        "dedup_passages": _ALL["dedup_passages"],
-        "cdc_compact": _ALL["cdc_compact"],
-        "lang_id": _ALL["lang_id"],
-        "snapshot_diff": _ALL["snapshot_diff"],
-        "surrogate_keys_incremental": _ALL["surrogate_keys_incremental"],
-        "salted_agg": _ALL["salted_agg"],
-        "cube_agg": _ALL["cube_agg"],
-        "pivot_conditional": _ALL["pivot_conditional"],
-        "rolling_stats": _ALL["rolling_stats"],
-        "percentiles": _ALL["percentiles"],
-        "semi_join": _ALL["semi_join"],
-        "outer_join_agg": _ALL["outer_join_agg"],
-        "token_count": _ALL["token_count"],
-        "text_fingerprint": _ALL["text_fingerprint"],
-        "sim_ann_lsh_multiprobe": _ALL["sim_ann_lsh_multiprobe"],
-        "sim_ann_ivf": _ALL["sim_ann_ivf"],
-        "surrogate_keys": _ALL["surrogate_keys"],
-        "dedup_exact": _ALL["dedup_exact"],
-        "text_quality": _ALL["text_quality"],
-        "pii_scrub": _ALL["pii_scrub"],
-        "distinct_project": _ALL["distinct_project"],
-        "case_impute": _ALL["case_impute"],
-        "scalar_subquery": _ALL["scalar_subquery"],
-        "window_analytic": _ALL["window_analytic"],
-        "union_all": _ALL["union_all"],
-        "json_extract": _ALL["json_extract"],
-        "date_partition_agg": _ALL["date_partition_agg"],
-        "mart_daily_appearances": _ALL["mart_daily_appearances"],
-        "explode_tokens": _ALL["explode_tokens"],
-        "rollup_agg": _ALL["rollup_agg"],
-        "pivot_native": _ALL["pivot_native"],
-        # Demoted from the round-7 graded window (41 entries — the 19
-        # round-6-queue entries plus the 22 round-7 backfill anchors):
-        # graded most recently, so LAST in line for the round-9 rotation.
-        "event_pattern_measures": _ALL["event_pattern_measures"],
-        "forecast_revenue": _ALL["forecast_revenue"],
-        "top_supplier": _ALL["top_supplier"],
-        "returned_revenue": _ALL["returned_revenue"],
-        "shipmode_priority": _ALL["shipmode_priority"],
-        "promo_revenue": _ALL["promo_revenue"],
-        "min_cost_supplier": _ALL["min_cost_supplier"],
-        "product_profit": _ALL["product_profit"],
-        "dominant_suppliers": _ALL["dominant_suppliers"],
-        "link_prediction": _ALL["link_prediction"],
-        "ema_decay": _ALL["ema_decay"],
-        "ema_fold": _ALL["ema_fold"],
-        "attribution": _ALL["attribution"],
-        "trend_fit": _ALL["trend_fit"],
-        "collocations": _ALL["collocations"],
-        "session_concurrency": _ALL["session_concurrency"],
-        "contingency_chi2": _ALL["contingency_chi2"],
-        "cusum": _ALL["cusum"],
-        "hashed_features": _ALL["hashed_features"],
-        "lead_lag": _ALL["lead_lag"],
-        "range_join": _ALL["range_join"],
-        "funnel": _ALL["funnel"],
-        "hll_distinct": _ALL["hll_distinct"],
-        "tumbling_window": _ALL["tumbling_window"],
-        "dedup_simhash": _ALL["dedup_simhash"],
-        "dedup_rolling_fp": _ALL["dedup_rolling_fp"],
-        "embedding_cosine_dedup": _ALL["embedding_cosine_dedup"],
-        "sim_ann_lsh": _ALL["sim_ann_lsh"],
-        "tfidf": _ALL["tfidf"],
-        "top_ngrams": _ALL["top_ngrams"],
-        "split_assign": _ALL["split_assign"],
-        "mixture_sample": _ALL["mixture_sample"],
-        "sim_ann_ivf_seeded": _ALL["sim_ann_ivf_seeded"],
-        "fuzzy_name_pairs": _ALL["fuzzy_name_pairs"],
-        "multimodal_meta": _ALL["multimodal_meta"],
-        "asof_join": _ALL["asof_join"],
-        "cms_heavy_hitters": _ALL["cms_heavy_hitters"],
-        "dedup_keep_list": _ALL["dedup_keep_list"],
-        "contamination": _ALL["contamination"],
-        "token_budget_sample": _ALL["token_budget_sample"],
-        "pack_sequences": _ALL["pack_sequences"],
-        # Demoted from the round-8 graded window (41 entries — the 32
-        # round-7-queue entries plus the 9 round-8 backfill anchors):
-        # graded most recently, so LAST in line for the round-10
-        # rotation.
-        "streaming_ema": _ALL["streaming_ema"],
-        "link_prediction_capped": _ALL["link_prediction_capped"],
-        "cusum_fold": _ALL["cusum_fold"],
-        "streaming_cusum": _ALL["streaming_cusum"],
-        "attribution_fold": _ALL["attribution_fold"],
-        "streaming_attribution": _ALL["streaming_attribution"],
-        "attribution_decay": _ALL["attribution_decay"],
-        "attribution_decay_fold": _ALL["attribution_decay_fold"],
-        "streaming_attribution_decay": _ALL["streaming_attribution_decay"],
-        "lm_score_bigram": _ALL["lm_score_bigram"],
-        "token_entropy": _ALL["token_entropy"],
-        "rfm_segments": _ALL["rfm_segments"],
-        "time_weighted_avg": _ALL["time_weighted_avg"],
-        "benford_profile": _ALL["benford_profile"],
-        "supplier_concentration": _ALL["supplier_concentration"],
-        "twap_fold": _ALL["twap_fold"],
-        "streaming_twap": _ALL["streaming_twap"],
-        "abc_classification": _ALL["abc_classification"],
-        "negative_edges": _ALL["negative_edges"],
-        "holt_smooth": _ALL["holt_smooth"],
-        "holt_fold": _ALL["holt_fold"],
-        "streaming_holt": _ALL["streaming_holt"],
-        "clustering_coefficient": _ALL["clustering_coefficient"],
-        "durbin_watson": _ALL["durbin_watson"],
-        "skyline_parts": _ALL["skyline_parts"],
-        "survival_km": _ALL["survival_km"],
-        "revenue_gini": _ALL["revenue_gini"],
-        "zipf_fit": _ALL["zipf_fit"],
-        "bm25_rank": _ALL["bm25_rank"],
-        "skyline_fold": _ALL["skyline_fold"],
-        "streaming_skyline": _ALL["streaming_skyline"],
-        "rank_sum_test": _ALL["rank_sum_test"],
-        "profile_columns": _ALL["profile_columns"],
-        "scd2_history": _ALL["scd2_history"],
-        "gapfill_locf": _ALL["gapfill_locf"],
-        "expectations": _ALL["expectations"],
-        "hll_vocab": _ALL["hll_vocab"],
-        "hopping_window": _ALL["hopping_window"],
-        "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
-        "embedding_keep_list": _ALL["embedding_keep_list"],
-        "stratified_sample": _ALL["stratified_sample"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_last_fm_spark.functions.scalar import cents, half_up_round
+from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
 
 
 def profile_columns(
@@ -25,6 +25,12 @@ def profile_columns(
 ) -> DataFrame:
     """Profile numeric columns: one output row per column with
     (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val, avg_val).
+
+    ``avg_val`` is reported at 4 decimals and each value is quantized to
+    1e-4 units before the (order-insensitive, exact-integer) sum, so the
+    mean is exact for any input column with <= 4 decimal places; beyond
+    that the 5th+ decimals are rounded per row, never silently truncated
+    below the output precision.
 
     ``approximate=True`` swaps the exact count-distincts for HyperLogLog
     sketches (``approx_count_distinct``): N exact distincts in one agg make
@@ -41,10 +47,15 @@ def profile_columns(
             nd(c).alias(f"__nd_{c}"),
             F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
             F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
-            # exact cent sum for the mean (order-insensitive; round-9
-            # float-sum audit): profiled columns are intended-<=2-decimal
-            # numerics, so the cent recovery is lossless
-            F.sum(cents(c)).alias(f"__s_{c}"),
+            # exact 1e-4-unit sum for the mean (order-insensitive; round-9
+            # float-sum audit). Quantization matches the 4-decimal output
+            # precision of avg_val, so a >2-decimal input column (a rate or
+            # ratio) loses nothing the report could have shown; recovery is
+            # lossless for |v| <= 2^50 e-4 units (~$110 billion/row).
+            F.sum(
+                F.floor(F.col(c).cast("double") * F.lit(10000.0) + F.lit(0.5))
+                .cast("long")
+            ).alias(f"__s_{c}"),
         ]
     wide = df.agg(*aggs).select(
         "*",
@@ -52,7 +63,7 @@ def profile_columns(
             (
                 F.expr(
                     f"CAST(sign(__s_{c}) * ((2 * abs(CAST(__s_{c} AS"
-                    f" DECIMAL(38,0))) * 100 + __nn_{c})"
+                    f" DECIMAL(38,0))) + __nn_{c})"
                     f" div NULLIF(2 * __nn_{c}, 0)) AS DOUBLE)"
                 )
                 / F.lit(10000.0)
@@ -81,10 +92,10 @@ def profile_columns_oracle_sql(cols: list[str], table: str = "lineitem") -> str:
                COUNT(DISTINCT {c}) AS n_distinct,
                CAST(MIN({c}) AS DOUBLE) AS min_val,
                CAST(MAX({c}) AS DOUBLE) AS max_val,
-               CAST(sign(CAST(SUM(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT))
+               CAST(sign(CAST(SUM(CAST(FLOOR({c} * 10000 + 0.5) AS BIGINT))
                               AS BIGINT))
-                    * ((2 * abs(CAST(SUM(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT))
-                                     AS HUGEINT)) * 100 + COUNT({c}))
+                    * ((2 * abs(CAST(SUM(CAST(FLOOR({c} * 10000 + 0.5) AS BIGINT))
+                                     AS HUGEINT)) + COUNT({c}))
                        // NULLIF(2 * COUNT({c}), 0)) AS DOUBLE) / 10000.0
                    AS avg_val
         FROM {table}

@@ -138,17 +138,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_charge"
         ),
         (
-            F.expr("(2 * __sq * 100 + count_order) div (2 * count_order)").cast(
+            F.expr("(2 * CAST(__sq AS DECIMAL(38,0)) * 100 + count_order)"
+                " div (2 * count_order)").cast(
                 "double"
             )
             / F.lit(100.0)
         ).alias("avg_qty"),
         (
-            F.expr("(2 * __se2 + count_order) div (2 * count_order)").cast("double")
+            F.expr("(2 * CAST(__se2 AS DECIMAL(38,0)) + count_order)"
+                " div (2 * count_order)").cast("double")
             / F.lit(100.0)
         ).alias("avg_price"),
         (
-            F.expr("(2 * __sd2 * 100 + count_order) div (2 * count_order)").cast(
+            F.expr("(2 * CAST(__sd2 AS DECIMAL(38,0)) * 100 + count_order)"
+                " div (2 * count_order)").cast(
                 "double"
             )
             / F.lit(10000.0)
@@ -199,8 +202,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (
             F.expr(
-                "CAST(sign(__s) * ((2 * abs(__s) + __n) div NULLIF(2 * __n, 0))"
-                " AS DOUBLE)"
+                "CAST(sign(__s) * ((2 * abs(CAST(__s AS DECIMAL(38,0))) + __n)"
+                " div NULLIF(2 * __n, 0)) AS DOUBLE)"
             )
             / F.lit(100.0)
         ).alias("__thr")
@@ -311,7 +314,10 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         (
-            F.expr("CAST((2 * __s + __n) div NULLIF(2 * __n, 0) AS DOUBLE)")
+            F.expr(
+                "CAST((2 * CAST(__s AS DECIMAL(38,0)) + __n)"
+                " div NULLIF(2 * __n, 0) AS DOUBLE)"
+            )
             / F.lit(100.0)
         ).alias("type_avg"),
         (F.col("__rs").cast("double") / F.lit(100.0)).alias("user_running_sum"),
@@ -383,15 +389,17 @@ def q_mart_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-shift rounding needs no sign device; NULLIF guards all-NULL
     groups (SUM of an empty set is NULL on both engines)."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
-        .agg(F.sum(cents).alias("__s"), F.count("value").alias("__n"))
+        .agg(F.sum(cents("value")).alias("__s"), F.count("value").alias("__n"))
         .select(
             "day",
             "event_type",
             (
-                F.expr("CAST((2 * __s + __n) div NULLIF(2 * __n, 0) AS DOUBLE)")
+                F.expr(
+                    "CAST((2 * CAST(__s AS DECIMAL(38,0)) + __n)"
+                    " div NULLIF(2 * __n, 0) AS DOUBLE)"
+                )
                 / F.lit(100.0)
             ).alias("avg_value"),
         )
@@ -438,8 +446,8 @@ def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             (
                 F.expr(
-                    f"CAST((2 * __s_{t} + __n_{t}) div NULLIF(2 * __n_{t}, 0)"
-                    " AS DOUBLE)"
+                    f"CAST((2 * CAST(__s_{t} AS DECIMAL(38,0)) + __n_{t})"
+                    f" div NULLIF(2 * __n_{t}, 0) AS DOUBLE)"
                 )
                 / F.lit(100.0)
             ).alias(f"avg_{t}")
@@ -470,7 +478,8 @@ def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         *[
             (
-                F.expr(f"CAST((2 * `{t}_s` + `{t}_n`) div NULLIF(2 * `{t}_n`, 0) AS DOUBLE)")
+                F.expr(f"CAST((2 * CAST(`{t}_s` AS DECIMAL(38,0)) + `{t}_n`)"
+                    f" div NULLIF(2 * `{t}_n`, 0) AS DOUBLE)")
                 / F.lit(100.0)
             ).alias(f"avg_{t}")
             for t in types
@@ -949,7 +958,7 @@ def oracles() -> dict[str, str]:
                 FROM events
             )
             SELECT day, event_type,
-                   CAST((2 * CAST(SUM(c) AS BIGINT) + COUNT(value))
+                   CAST((2 * CAST(SUM(c) AS HUGEINT) + COUNT(value))
                         // NULLIF(2 * COUNT(value), 0) AS DOUBLE) / 100.0
                        AS avg_value
             FROM cents GROUP BY 1, 2

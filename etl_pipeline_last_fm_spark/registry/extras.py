@@ -883,7 +883,10 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(qty * F.lit(5) * F.col("__cnt") < F.col("__sq"))
         .agg(F.sum(e2).alias("__se2"))
         .select(
-            (F.expr("(2 * coalesce(__se2, 0L) * 100 + 700) div 1400").cast("double")
+            (F.expr(
+                "(2 * CAST(coalesce(__se2, 0L) AS DECIMAL(38,0)) * 100 + 700)"
+                " div 1400"
+            ).cast("double")
              / F.lit(100.0)).alias("avg_weekly_loss")
         )
     )
@@ -1357,7 +1360,7 @@ def oracles() -> dict[str, str]:
                        COUNT(*) AS cnt
                 FROM q GROUP BY l_partkey
             )
-            SELECT CAST((2 * COALESCE(CAST(SUM(e2) AS BIGINT), 0) * 100 + 700)
+            SELECT CAST((2 * COALESCE(CAST(SUM(e2) AS HUGEINT), 0) * 100 + 700)
                         // 1400 AS DOUBLE) / 100.0 AS avg_weekly_loss
             FROM q
             JOIN part ON q.l_partkey = p_partkey AND p_brand = 'Brand#11'

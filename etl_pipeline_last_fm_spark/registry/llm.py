@@ -748,7 +748,7 @@ def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
             (
                 F.expr(
-                    "CAST(sign(__s) * ((2 * abs(__s) + __n)"
+                    "CAST(sign(__s) * ((2 * abs(CAST(__s AS DECIMAL(38,0))) + __n)"
                     " div NULLIF(2 * __n, 0)) AS DOUBLE)"
                 )
                 / F.lit(100.0)
@@ -1232,7 +1232,7 @@ def oracles() -> dict[str, str]:
                 SELECT r_name AS region, n_name AS nation,
                        COUNT(*) AS n_suppliers,
                        CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
-                            AS BIGINT) AS s,
+                            AS HUGEINT) AS s,
                        COUNT(s_acctbal) AS n
                 FROM supplier
                 JOIN nation ON s_nationkey = n_nationkey

@@ -178,7 +178,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__s4") * F.lit(10_000) > F.col("__t4"))
         .select(
             "l_partkey",
-            (F.expr("(2 * __s4 + 100) div 200").cast("double") / F.lit(100.0)).alias(
+            (F.expr("(2 * CAST(__s4 AS DECIMAL(38,0)) + 100) div 200").cast("double") / F.lit(100.0)).alias(
                 "revenue"
             ),
         )
@@ -564,7 +564,7 @@ def oracles() -> dict[str, str]:
             ),
             t AS (SELECT CAST(SUM(s4) AS BIGINT) AS t4 FROM pp)
             SELECT l_partkey,
-                   CAST((2 * s4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+                   CAST((2 * CAST(s4 AS HUGEINT) + 100) // 200 AS DOUBLE) / 100.0 AS revenue
             FROM pp, t
             WHERE s4 * 10000 > t4
         """,

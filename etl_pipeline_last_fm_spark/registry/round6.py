@@ -115,7 +115,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pct.between(5, 7))
         .agg(F.sum(cents * pct).alias("__s4"))
         .select(
-            (F.expr("(2 * __s4 + 100) div 200").cast("double") / F.lit(100.0))
+            (F.expr("(2 * CAST(__s4 AS DECIMAL(38,0)) + 100) div 200").cast("double") / F.lit(100.0))
             .alias("revenue")
         )
     )
@@ -149,7 +149,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            (F.expr("(2 * __s4 + 100) div 200").cast("double") / F.lit(100.0))
+            (F.expr("(2 * CAST(__s4 AS DECIMAL(38,0)) + 100) div 200").cast("double") / F.lit(100.0))
             .alias("total_revenue"),
         )
     )
@@ -185,7 +185,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "n_name",
-            (F.expr("(2 * __s4 + 100) div 200").cast("double") / F.lit(100.0))
+            (F.expr("(2 * CAST(__s4 AS DECIMAL(38,0)) + 100) div 200").cast("double") / F.lit(100.0))
             .alias("revenue"),
         )
     )
@@ -343,7 +343,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             "epoch_year_bucket",
-            (F.expr("(2 * __s4 + 100) div 200").cast("double") / F.lit(100.0))
+            (F.expr("(2 * CAST(__s4 AS DECIMAL(38,0)) + 100) div 200").cast("double") / F.lit(100.0))
             .alias("profit"),
         )
     )
@@ -632,7 +632,7 @@ def oracles() -> dict[str, str]:
                   AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)
                       BETWEEN 5 AND 7
             )
-            SELECT CAST((2 * s4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+            SELECT CAST((2 * CAST(s4 AS HUGEINT) + 100) // 200 AS DOUBLE) / 100.0 AS revenue
             FROM s
         """,
         "top_supplier": f"""
@@ -644,7 +644,7 @@ def oracles() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT s_suppkey, s_name,
-                   CAST((2 * s4 + 100) // 200 AS DOUBLE) / 100.0
+                   CAST((2 * CAST(s4 AS HUGEINT) + 100) // 200 AS DOUBLE) / 100.0
                        AS total_revenue
             FROM r JOIN supplier ON l_suppkey = s_suppkey
             WHERE s4 = (SELECT MAX(s4) FROM r)
@@ -659,7 +659,7 @@ def oracles() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT c_custkey, c_name, n_name,
-                   CAST((2 * s4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+                   CAST((2 * CAST(s4 AS HUGEINT) + 100) // 200 AS DOUBLE) / 100.0 AS revenue
             FROM per
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -689,7 +689,8 @@ def oracles() -> dict[str, str]:
                 WHERE epoch_us(l_shipdate) >= {_US_1996}
                   AND epoch_us(l_shipdate) < {_US_1996_07}
             )
-            SELECT CAST(CAST((20000 * p4 + t4) // (2 * t4) AS BIGINT)
+            SELECT CAST(CAST((20000 * CAST(p4 AS HUGEINT) + t4)
+                      // (2 * CAST(t4 AS HUGEINT)) AS BIGINT)
                         AS DOUBLE) / 100.0 AS promo_pct
             FROM s
         """,

@@ -184,11 +184,29 @@ def main() -> None:
     tag = SRC.rstrip("/").rsplit("/", 1)[-1]
     out_dir = f"/tmp/hostile_{tag}_{variant}"
     spark = get_spark(app_name=f"hostile-parity-{variant}")
+    # The cached dataset is keyed by the BUILD PARAMETERS, not just the
+    # (sf, variant) pair: if the adversary definition changes (NULL_COLS,
+    # the dupe shift, the stride, the build logic itself), a stale /tmp
+    # dataset must be rebuilt, or the sweep certifies against an outdated
+    # adversary (ADVICE r9).
+    import hashlib
+    import inspect
+
+    fingerprint = hashlib.sha256(
+        repr((NULL_COLS, DUPE_PK_SHIFT, DUPE_OFF, KEYS,
+              inspect.getsource(build), inspect.getsource(_null_stride_cond))
+             ).encode()
+    ).hexdigest()
     marker = os.path.join(out_dir, "_BUILT")
-    if not os.path.exists(marker):
+    stale = (
+        not os.path.exists(marker)
+        or open(marker).read().strip() != fingerprint
+    )
+    if stale:
         shutil.rmtree(out_dir, ignore_errors=True)
         build(spark, variant, out_dir)
-        open(marker, "w").close()
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
         print(f"built {variant} dataset at {out_dir}", flush=True)
 
     import __spark_entry__ as entrymod

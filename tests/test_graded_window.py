@@ -8,13 +8,12 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-#: Round-9 window: 9 rotation-invariant headliners, the 9 round-8-queue
-#: eval-metrics entries earning their first driver rows (the last
-#: never-graded entries — this window closes the book: 205/205 cumulative
-#: driver coverage), then 32 backfill slots with the longest-unexercised
-#: green anchors (the head of the round-8 past-the-cap line: the
-#: round-4/5/6 waves from bpe_pair_counts).
-GRADED_WINDOW_R9 = [
+#: Round-10 window: 9 rotation-invariant headliners, then the 37
+#: audit-re-attestation entries (VERDICT r9 item 1: every query whose
+#: behavior the round-9 float-sum/null-semantics/rank-device commits
+#: changed and whose newest CORRECTNESS row predates them, ordered by
+#: staleness), then 4 longest-unexercised non-audit backfill anchors.
+GRADED_WINDOW_R10 = [
     "flagship_royalties",
     "pricing_summary",
     "star_join",
@@ -24,70 +23,67 @@ GRADED_WINDOW_R9 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce",
-    "roc_auc",
-    "streaming_roc_auc",
-    "calibration_bins",
-    "calibration_ece",
-    "pr_curve",
-    "isotonic_calibration",
-    "label_agreement",
-    "mann_kendall",
-    "lift_deciles",
-    "bpe_pair_counts",
-    "vocab_coverage",
-    "scd2_as_of",
-    "group_split",
-    "curation_funnel",
-    "quantile_buckets",
-    "histogram",
-    "chunk_documents",
-    "repetition",
-    "zorder_key",
-    "weighted_sample",
-    "mart_incremental",
-    "supplier_balance",
-    "lm_score",
-    "sim_ann_pq",
-    "sim_ann_ivf_recall",
-    "sim_ann_pq_recall",
-    "grouping_sets",
-    "kmv_quantiles",
-    "dedup_prefix_filter",
-    "bloom_prune_join",
-    "outlier_mad",
-    "kmv_set_ops",
-    "dedup_sorted_neighborhood",
-    "dedup_snm_multipass",
-    "cohort_retention",
-    "regional_revenue",
-    "shipping_priority",
-    "triangle_count",
-    "pagerank",
-    "kcore",
-    "disjunctive_predicates",
+    "rank_metrics",
+    "unpivot_metrics",
+    "bpe_train",
+    "streaming_mart_fold",
+    "mart_daily_avg",
+    "salted_agg",
+    "cube_agg",
+    "pivot_conditional",
+    "rolling_stats",
+    "scalar_subquery",
+    "window_analytic",
+    "date_partition_agg",
+    "rollup_agg",
+    "pivot_native",
+    "shipmode_priority",
+    "ema_decay",
+    "ema_fold",
+    "cusum",
+    "tumbling_window",
+    "dedup_keep_list",
+    "streaming_ema",
+    "cusum_fold",
+    "streaming_cusum",
+    "rfm_segments",
+    "time_weighted_avg",
+    "twap_fold",
+    "streaming_twap",
+    "holt_smooth",
+    "holt_fold",
+    "streaming_holt",
+    "skyline_parts",
+    "revenue_gini",
+    "skyline_fold",
+    "streaming_skyline",
+    "profile_columns",
+    "gapfill_locf",
+    "hopping_window",
+    "session_window_native",
+    "table_checksum",
+    "pagerank_weighted",
+    "except_all",
 ]
 
-ROUND8_QUEUE = [
-    "roc_auc", "streaming_roc_auc", "calibration_bins", "calibration_ece",
-    "pr_curve", "isotonic_calibration", "label_agreement", "mann_kendall",
-    "lift_deciles",
-]
+#: slots 10-46: the audit-touched re-attestation tier (37 entries)
+AUDIT_REATTEST = GRADED_WINDOW_R10[9:46]
 
 
 def test_graded_prefix_is_pinned():
     names = list(entrymod.queries())
-    assert names[:50] == GRADED_WINDOW_R9
+    assert names[:50] == GRADED_WINDOW_R10
 
 
-def test_round8_queue_is_in_window():
-    assert len(ROUND8_QUEUE) == 9
-    assert set(ROUND8_QUEUE) <= set(GRADED_WINDOW_R9)
+def test_audit_reattest_tier_size():
+    assert len(AUDIT_REATTEST) == 37
+    assert len(GRADED_WINDOW_R10) == 50
 
 
 def test_headliners_lead_the_window():
     from bench import HEADLINE
 
-    assert set(GRADED_WINDOW_R9[:9]) == set(HEADLINE)
+    assert set(GRADED_WINDOW_R10[:9]) == set(HEADLINE)
 
 
 def test_every_graded_entry_is_oracle_paired():
