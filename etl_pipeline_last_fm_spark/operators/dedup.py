@@ -275,18 +275,31 @@ def minhash_lsh_pairs(
 
     # Exact verification only re-tokenizes CANDIDATE docs (semi-join first):
     # verification cost scales with duplicate density, not corpus size.
+    # cand_shingles is persisted for the same reason as cands: it feeds
+    # BOTH sides of the pair join, and unpersisted each side re-runs the
+    # tokenize+shingle pass over every candidate doc (the round-10 10x
+    # phase attribution measured the verify stage at ~10 s of the ~23 s
+    # job on a 100%-duplicate-density corpus, the worst case — re-shingling
+    # twice is the avoidable half of its setup). Footprint = candidate
+    # docs' shingle arrays (duplicate-density-proportional, spills to
+    # disk); same cache-ownership note as cands above.
     cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
         cands.select(F.col("doc_b").alias("doc_id"))
     ).distinct()
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
     cand_shingles = cand_docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
-    ).select("doc_id", _shingles("__toks", shingle_len).alias("shingles"))
+    ).select("doc_id", _shingles("__toks", shingle_len).alias("shingles")).persist()
     sh_a = cand_shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = cand_shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: one array_intersect per pair and the
+    # union NEVER materializes (array_union allocated an Sa+Sb array per
+    # pair — the verify stage's largest per-row allocation). Same value
+    # by the identity, so oracle parity is by construction.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
     return (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
