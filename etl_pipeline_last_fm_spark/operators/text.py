@@ -763,8 +763,14 @@ def tv_from_census(census: DataFrame) -> DataFrame:
     return pairs.join(shared, ["src_a", "src_b"], "left").select(
         "src_a", "src_b",
         F.col("ta").alias("tok_a"), F.col("tb").alias("tok_b"),
+        # The cross-multiply 1e6*2*ta*tb wraps int64 once per-source token
+        # totals pass ~2M — realistic corpus scale, not an edge case — so
+        # the scaling is widened to DECIMAL(38,0) unconditionally (HUGEINT
+        # on the oracle side); the quotient is <= 1e6, BIGINT-safe.
         F.expr(
-            "(1000000 * (2 * ta * tb + coalesce(__s, 0L))) div (2 * ta * tb)"
+            "(1000000 * (2 * CAST(ta AS DECIMAL(38,0)) * tb"
+            " + coalesce(__s, 0L)))"
+            " div (2 * CAST(ta AS DECIMAL(38,0)) * tb)"
         ).cast("long").alias("tv_micro"),
     )
 
@@ -793,8 +799,9 @@ def corpus_drift_oracle_sql(table: str = "documents") -> str:
         )
         SELECT ta.source AS src_a, tb.source AS src_b,
                ta.t AS tok_a, tb.t AS tok_b,
-               CAST((1000000 * (2 * ta.t * tb.t + COALESCE(s, 0)))
-                    // (2 * ta.t * tb.t) AS BIGINT) AS tv_micro
+               CAST((1000000 * (2 * CAST(ta.t AS HUGEINT) * tb.t + COALESCE(s, 0)))
+                    // (2 * CAST(ta.t AS HUGEINT) * tb.t) AS BIGINT)
+                   AS tv_micro
         FROM tot ta
         JOIN tot tb ON ta.source < tb.source
         LEFT JOIN shared ON src_a = ta.source AND src_b = tb.source

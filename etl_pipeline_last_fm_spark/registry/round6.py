@@ -726,7 +726,7 @@ def oracles() -> dict[str, str]:
                         - CAST(l_quantity AS BIGINT)
                           * CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
                           * 10
-                   ) AS BIGINT) + 100) // 200 AS DOUBLE) / 100.0 AS profit
+                   ) AS HUGEINT) + 100) // 200 AS DOUBLE) / 100.0 AS profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN orders ON l_orderkey = o_orderkey
