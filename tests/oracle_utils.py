@@ -60,8 +60,14 @@ def _canon_value(v: Any) -> Any:
 
 def canon_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
+    # itertuples, not per-cell .iloc: .iloc[i][c] costs ~30us per CELL in
+    # pandas, which turned the sf0.1 sweeps' million-row frames into
+    # ~half-hour canonicalizations (round-10 find: the sf0.1 gauntlet
+    # spent 30 min inside ONE query's compare). Same values — itertuples
+    # yields the same numpy scalars _canon_value already normalizes.
     rows = [
-        tuple(_canon_value(df.iloc[i][c]) for c in cols) for i in range(len(df))
+        tuple(_canon_value(v) for v in t)
+        for t in df[cols].itertuples(index=False, name=None)
     ]
     return sorted(rows, key=repr)
 
