@@ -19,10 +19,11 @@ Profiles (``--profile``, default ``plan``):
   every broadcast-hash join degrades to sort-merge). Results are
   canonicalized and compared Spark-vs-Spark within one session.
 - ``spill``: config A vs config B + forced operator spills: the
-  window / sort-merge-join / cartesian buffers spill to disk after ONE
-  row (their ``*.buffer.in.memory.threshold`` / ``*.buffer.spill.
-  threshold`` SQL confs), and ObjectHashAggregate falls back to
-  sort-based aggregation immediately. This is the memory-starved
+  window / sort-merge-join / cartesian buffers spill to disk after a
+  few dozen rows (their ``*.buffer.in.memory.threshold`` / ``*.buffer.
+  spill.threshold`` SQL confs — see CONFIG_SPILL for why not 1), and
+  ObjectHashAggregate falls back to sort-based aggregation after 16
+  hash-map entries. This is the memory-starved
   executor reality (VERDICT r9 item 4b): at 100 TB the spill path is
   the COMMON path, and a result that changes when a buffer spills is a
   latent wrong answer no fixed-size fixture run can see.
@@ -57,16 +58,29 @@ CONFIG_B = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
 }
 #: forced-spill deltas on top of CONFIG_B: every buffering operator
-#: takes its spill path after one in-memory row.
+#: takes its spill path after a handful of in-memory rows. NOT 1:
+#: spill.threshold=1 writes one spill FILE per buffered row, and every
+#: spill-file reader allocates a ~1 MB read-ahead buffer
+#: (UnsafeSorterSpillReader), so a 60k-row buffer at sf0.001 tried to
+#: allocate tens of GB of read-ahead buffers and OOM-killed the JVM —
+#: a harness-parameter pathology, not an engine result divergence
+#: (round-10 find, documented in SCALING.md). Second find, same class:
+#: a sort-merge join RE-READS its buffered group once per left-side
+#: rematch, and each re-read allocates fresh 1 MB read-ahead buffers
+#: PER SPILL FILE — hot join keys multiply (rematches x files x 1 MB)
+#: into an allocation storm that outruns GC. Thresholds below force the
+#: spill path on every genuinely large buffer while keeping file counts
+#: (and the rematch product) bounded; the spill session also gets a
+#: bigger heap (extra_conf at session build).
 CONFIG_SPILL = {
     **CONFIG_B,
-    "spark.sql.windowExec.buffer.in.memory.threshold": "1",
-    "spark.sql.windowExec.buffer.spill.threshold": "1",
-    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "1",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1",
-    "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "1",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold": "1",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1",
+    "spark.sql.windowExec.buffer.in.memory.threshold": "64",
+    "spark.sql.windowExec.buffer.spill.threshold": "256",
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1024",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "16",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold": "64",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
 }
 #: static (context-start) confs for the speculation profile: speculate
 #: nearly every task, check results against the DuckDB oracle.
@@ -112,7 +126,12 @@ def main() -> None:
         _run_vs_oracle(spark, sf_dir, only, profile)
         return
 
-    spark = get_spark(app_name=f"config-invariance-{profile}")
+    extra = (
+        {"spark.driver.memory": os.environ.get("SPILL_DRIVER_MEM", "16g")}
+        if profile == "spill"
+        else None
+    )
+    spark = get_spark(app_name=f"config-invariance-{profile}", extra_conf=extra)
     _run_a_vs_b(
         spark, sf_dir, only, profile,
         CONFIG_SPILL if profile == "spill" else CONFIG_B,

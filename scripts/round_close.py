@@ -16,6 +16,9 @@ Usage:
     python scripts/round_close.py [--out ROUND_CLOSE_rN.json] [--skip leg,...]
     legs: pytest, hostile, config, scale10x
     --sfs a,b  (default /root/testdata/sf0.001,/root/testdata/sf0.01)
+    --only substr[,substr...]: run only legs whose name contains a
+      substring (e.g. --only config_spill) — for re-certifying a fixed
+      leg into a supplemental artifact without re-running the world
 
 Runtime is hours, not minutes (the pytest leg alone is ~35 min; the
 hostile legs run 205 oracle pairs x 4 variants x 2 SFs) — run it once at
@@ -73,10 +76,18 @@ def main() -> None:
         if "--sfs" in sys.argv
         else ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     )
+    only = (
+        sys.argv[sys.argv.index("--only") + 1].split(",")
+        if "--only" in sys.argv
+        else None
+    )
     py = sys.executable
     legs: dict[str, dict] = {}
 
-    if "pytest" not in skip:
+    def wanted(leg_name: str) -> bool:
+        return only is None or any(s in leg_name for s in only)
+
+    if "pytest" not in skip and wanted("pytest"):
         legs["pytest"] = run_leg(
             "pytest", [py, "-m", "pytest", "tests/", "-q", "--tb=line"]
         )
@@ -85,8 +96,11 @@ def main() -> None:
         for variant in ("reorder", "dupes", "nulls", "gauntlet"):
             for sf in sfs:
                 tag = sf.rstrip("/").rsplit("/", 1)[-1]
-                legs[f"hostile_{variant}@{tag}"] = run_leg(
-                    f"hostile_{variant}@{tag}",
+                name = f"hostile_{variant}@{tag}"
+                if not wanted(name):
+                    continue
+                legs[name] = run_leg(
+                    name,
                     [py, "scripts/hostile_parity.py", variant],
                     {"HOSTILE_SRC_DIR": sf},
                 )
@@ -95,13 +109,16 @@ def main() -> None:
         for profile in ("plan", "spill", "speculation"):
             for sf in sfs:
                 tag = sf.rstrip("/").rsplit("/", 1)[-1]
-                legs[f"config_{profile}@{tag}"] = run_leg(
-                    f"config_{profile}@{tag}",
+                name = f"config_{profile}@{tag}"
+                if not wanted(name):
+                    continue
+                legs[name] = run_leg(
+                    name,
                     [py, "scripts/config_invariance.py", "--profile", profile],
                     {"SPARK_GRAFT_SF_DIR": sf},
                 )
 
-    if "scale10x" not in skip:
+    if "scale10x" not in skip and wanted("scale10x"):
         legs["scale10x"] = run_leg(
             "scale10x", [py, "scripts/headline_scale_smoke.py"]
         )
