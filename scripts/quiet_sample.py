@@ -29,8 +29,12 @@ from etl_pipeline_last_fm_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 7
+    args = sys.argv[1:]
+    n = int(args[args.index("--n") + 1]) if "--n" in args else 7
+    if "--n" in args:
+        i = args.index("--n")
+        args = args[:i] + args[i + 2 :]
+    names = [a for a in args if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="quiet-sample")
 
