@@ -85,14 +85,20 @@ def assign_surrogate_keys_distributed(
         prefix[pid] = running
         running += counts[pid]
 
-    mapping = F.create_map(
-        *[F.lit(x) for kv in prefix.items() for x in kv]
-    )
+    if prefix:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in prefix.items() for x in kv]
+        )[F.col("__pid")]
+    else:
+        # Empty batch: create_map() with no entries types as map<void,void>
+        # and map()[int] fails analysis — there are no rows to number, so
+        # any well-typed offset expression is correct (never evaluated).
+        mapping = F.lit(offset)
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in natural_order])
     return (
         with_pid.withColumn(
             key_col,
-            (F.row_number().over(w) + mapping[F.col("__pid")]).cast("long"),
+            (F.row_number().over(w) + mapping).cast("long"),
         )
         .drop("__pid")
     )

@@ -55,3 +55,33 @@ def write_compacted(
     n_files = max(1, math.ceil(n / target_rows_per_file))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def write_compacted_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    dynamic_overwrite: bool = True,
+) -> int:
+    """``write_compacted`` for hive-partitioned sinks (the daily marts):
+    spread the rows across ``ceil(n/target)`` round-robin tasks BEFORE the
+    ``partitionBy`` write, so a single-date run (where hash-repartitioning
+    on the partition column would collapse back to one task — the exact
+    ``coalesce(1)`` bottleneck this replaces) still writes in parallel.
+    File-count bound: tasks × dates-per-task, i.e. ``n_files`` per date
+    directory for the daily single-date case. The frame is persisted around
+    the count+write pair so the plan (an aggregate at mart scale) is not
+    computed twice; returns the task count used."""
+    df = df.persist()
+    try:
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        writer = df.repartition(n_files).write.mode(mode)
+        if dynamic_overwrite:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.partitionBy(*partition_cols).parquet(path)
+    finally:
+        df.unpersist()
+    return n_files

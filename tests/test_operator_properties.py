@@ -277,3 +277,16 @@ def test_kmv_set_ops_exact_when_small(spark, a_vals, b_vals):
     sa_, sb_ = set(a_vals), set(b_vals)
     assert row.n_union_est == len(sa_ | sb_)
     assert row.n_inter_est == len(sa_ & sb_)
+
+
+def test_surrogate_distributed_empty_batch(spark):
+    """Empty delta (the pipeline's empty-day path): zero new rows means
+    zero per-partition counts — the prefix map is empty, and building
+    create_map() with no entries types as map<void,void>, which fails
+    analysis when indexed by the int partition id (round-11 find, hit by
+    build_dds's switch to the distributed variant). Must return an empty
+    frame with the key column present, not raise."""
+    df = spark.createDataFrame([], "name string")
+    out = assign_surrogate_keys_distributed(df, "id", ["name"], num_partitions=4)
+    assert out.columns == ["name", "id"]
+    assert out.count() == 0

@@ -546,3 +546,60 @@ def test_abc_classification_two_phase_shape(spark, sf_dir):
     assert re.search(
         r"windowspecdefinition\(__bkt#\d+L, rev4#\d+L DESC", logical
     ), logical  # the part-dim window is bucket-partitioned
+
+
+def test_build_dds_fact_window_is_partitioned(spark):
+    """Extends the dim-window invariant to the PIPELINE module (VERDICT
+    r10 item 1): prior rounds' plan invariants cover the 205 registry
+    queries, not build_dds — which is how a single-partition global
+    window survived ten rounds on the fact path. The fact delta (the
+    table that scales to billions of rows/day) must be numbered by the
+    distributed twin: its row_number window is partitioned by the
+    range-repartition partition id, and NO unpartitioned window in any
+    DDS output plan sits over a raw scan (the dim builds' global windows
+    are legal — they sit above the dim-producing Aggregate)."""
+    import datetime
+
+    from etl_pipeline_last_fm_spark.plans.star_build import build_dds
+    from etl_pipeline_last_fm_spark.schemas import ODS_SCHEMA
+
+    rows = [
+        (f"song{i % 40}", f"artist{i % 17}", 120 + (i % 60), 1000 + i,
+         (i % 100) + 1, datetime.date(2021, 4, 1), f"country{i % 5}")
+        for i in range(300)
+    ]
+    ods = spark.createDataFrame(rows, ODS_SCHEMA)
+    result = build_dds(ods)
+
+    # Positive: the fact numbering window is __pid-partitioned.
+    fact_plan = result.new_fact._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"windowspecdefinition\(__pid#\d+", fact_plan), fact_plan
+    # Negative: no unpartitioned window anywhere in the DDS outputs sits
+    # over a raw scan/relation. Same walk as the registry-wide invariant,
+    # but matcher-widened: new_fact's plan embeds the persisted
+    # range-repartition as an InMemoryRelation whose CACHED section prints
+    # physical nodes — the dim-producing aggregate renders as
+    # `HashAggregate(`, not `Aggregate [`, and `HashedRelationBroadcastMode`
+    # must not be mistaken for a relation scan.
+    good = re.compile(r"Aggregate \[|HashAggregate\(|GlobalLimit|LocalLimit")
+    bad = re.compile(
+        r"LogicalRDD|FileScan|Scan ExistingRDD|InMemoryRelation|Relation \["
+    )
+    offenders = []
+    for name, df in [
+        ("new_fact", result.new_fact),
+        ("dim_country", result.dim_country),
+        ("dim_artist", result.dim_artist),
+        ("dim_song", result.dim_song),
+    ]:
+        lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        for i, line in enumerate(lines):
+            if "Window [" not in line or not _UNPARTITIONED_SPEC.search(line):
+                continue
+            for below in lines[i + 1:]:
+                if good.search(below):
+                    break  # dim-sized input: OK
+                if bad.search(below):
+                    offenders.append((name, line.strip()[:120]))
+                    break
+    assert not offenders, offenders
