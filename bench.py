@@ -3,8 +3,15 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line for the driver.
 
 Protocol: steady-state measurement. Each query gets one untimed warm run at
 the TARGET scale factor (absorbs JVM JIT, whole-stage-codegen compilation,
-AQE plan adaptation and OS page cache for the input files), then one timed
-run. The timed action is a write to the ``noop`` sink — every output row is
+AQE plan adaptation and OS page cache for the input files), then
+MIN-OF-N timed runs (N = $SPARK_GRAFT_BENCH_N, default 3; recorded as
+``n_samples`` in the JSON line). Min, not mean: this host is shared, and a
+single-sample artifact moved 1.72x round-over-round from external load
+alone (BENCH_r10, disproved by a quiet re-run on identical code — VERDICT
+r10 item 3). A real plan regression shifts the minimum; host noise only
+widens the spread upward — the same methodology scripts/quiet_sample.py
+uses for A/B attribution, promoted here into the driver-facing artifact.
+The timed action is a write to the ``noop`` sink — every output row is
 fully produced and handed to the data source (unlike ``count()``, where
 Catalyst prunes final projection expressions a real consumer would pay for).
 """
@@ -81,12 +88,15 @@ def main() -> None:
     # "errors" and a null timing; the JSON line is ALWAYS emitted.
     errors: dict[str, str] = {}
 
+    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+
     def timed_run(name: str) -> float:
         """ONE timed execution after a cache drop: any operator-internal
         Spark caches are cleared so the run pays the query's full cost
         (JVM warmup and OS page cache are steady-state; a warm-run
         InMemoryRelation is not — a real scheduled job never starts with
-        its intermediates pre-cached)."""
+        its intermediates pre-cached). The query is REBUILT each sample,
+        so every run repays plan construction like a scheduled job would."""
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         _run(qs[name](spark, sf_dir))
@@ -97,7 +107,9 @@ def main() -> None:
         for name in names:
             try:
                 _run(qs[name](spark, sf_dir))  # untimed warm run at target SF
-                timings[name] = round(timed_run(name), 3)
+                timings[name] = round(
+                    min(timed_run(name) for _ in range(n_samples)), 3
+                )
             except Exception as exc:  # noqa: BLE001 — isolate, record, go on
                 timings[name] = None
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -132,13 +144,21 @@ def main() -> None:
         for name in names:
             try:
                 _run(qs[name](spark, sf_dir))  # untimed warm run
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                df = qs[name](spark, sf_dir)
-                _run(df)
-                cold[name] = round(time.perf_counter() - t0, 3)
+                # min-of-n cold samples: each rebuilds the DataFrame, so
+                # every sample repays plan construction + Janino (fresh
+                # expression ids defeat the codegen cache) — identical
+                # protocol per sample, min drops host noise only.
+                colds = []
+                df = None
+                for _ in range(n_samples):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    df = qs[name](spark, sf_dir)
+                    _run(df)
+                    colds.append(time.perf_counter() - t0)
+                cold[name] = round(min(colds), 3)
                 reruns = []
-                for _ in range(2):
+                for _ in range(max(2, n_samples)):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     _run(df)
@@ -163,6 +183,7 @@ def main() -> None:
         "extended_warm_metric": "extended_queries_warm_total_sec",
         "extended_warm_value": tier_total(ext_warm),
         "extended_queries_warm": ext_warm,
+        "n_samples": n_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

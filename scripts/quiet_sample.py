@@ -30,17 +30,29 @@ from etl_pipeline_last_fm_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     args = sys.argv[1:]
-    n = int(args[args.index("--n") + 1]) if "--n" in args else 7
+    n = 7
     if "--n" in args:
         i = args.index("--n")
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: quiet_sample.py <query> [more...] [--n N] — "
+                     "'--n' needs an integer value")
+        n = int(args[i + 1])
         args = args[:i] + args[i + 2 :]
     names = [a for a in args if not a.startswith("--")]
+    if not names:
+        sys.exit("usage: quiet_sample.py <query> [more...] [--n N]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="quiet-sample")
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    unknown = [x for x in names if x not in qs]
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {', '.join(unknown)}\n"
+            f"available: {', '.join(sorted(qs))}"
+        )
+    spark = get_spark(app_name="quiet-sample")
     out: dict[str, dict] = {}
     for name in names:
         df_factory = qs[name]
