@@ -75,13 +75,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries only.
-    # Round-10 rotation (VERDICT r9 item 1): re-attest the audit-touched
-    # entries with hard driver rows. The round-9 float-sum and
-    # null-semantics audits changed the behavior of ~37 queries whose
-    # newest CORRECTNESS row predates them; those 37 fill slots 10-46,
-    # ordered by row staleness, so the hard driver signal describes
-    # current code. The last 4 slots backfill with the
-    # LONGEST-UNEXERCISED non-audit green anchors. Cumulative driver
+    # Round-11 rotation (VERDICT r10 item 4): freshness burn-down of the
+    # OLDEST driver rows. After the r10 staleness rotation, 55 entries'
+    # newest CORRECTNESS row was r5/r6-vintage; slots 10-50 take all 24
+    # r5-vintage entries plus 17 r6-vintage ones (oldest-first, with the
+    # surrogate-key pair deliberately included — VERDICT r10 item 1),
+    # leaving a 14-entry r6 backlog for round 12. Cumulative driver
     # coverage stays 205/205 (closed in round 9).
     # Demoted entries keep their driver rows and still run in
     # tests/test_oracle_parity.py at sf0.001 every pytest run; they rotate
@@ -104,72 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ALL["dedup_ngram_jaccard"],
         "dedup_minhash_lsh": _ALL["dedup_minhash_lsh"],
         "sim_bruteforce": _ALL["sim_bruteforce"],
-        # audit-re-attestation tier, slots 10-46 (VERDICT r9 item 1):
-        # the 37 entries whose behavior the round-9 float-sum audit
-        # (50bd0e1), null-semantics audit (ca48e8d), reorder fixes
-        # (3b04f66), revenue_gini null-rank fix (b726099) or rank-device
-        # sign fix (7b15e52) changed, and whose newest CORRECTNESS row
-        # predates those commits — ordered by staleness (oldest driver
-        # row first; within a vintage, past-the-cap line order). After
-        # this window is graded, the hard driver signal describes
-        # current code for every audit-touched entry: staleness burn-down
-        # complete in one round.
-        # r3/r5-vintage rows (4):
-        "rank_metrics": _ALL["rank_metrics"],
-        "unpivot_metrics": _ALL["unpivot_metrics"],
-        "bpe_train": _ALL["bpe_train"],
-        "streaming_mart_fold": _ALL["streaming_mart_fold"],
-        # r6-vintage rows (10):
-        "mart_daily_avg": _ALL["mart_daily_avg"],
-        "salted_agg": _ALL["salted_agg"],
-        "cube_agg": _ALL["cube_agg"],
-        "pivot_conditional": _ALL["pivot_conditional"],
-        "rolling_stats": _ALL["rolling_stats"],
-        "scalar_subquery": _ALL["scalar_subquery"],
-        "window_analytic": _ALL["window_analytic"],
-        "date_partition_agg": _ALL["date_partition_agg"],
-        "rollup_agg": _ALL["rollup_agg"],
-        "pivot_native": _ALL["pivot_native"],
-        # r7-vintage rows (6):
-        "shipmode_priority": _ALL["shipmode_priority"],
-        "ema_decay": _ALL["ema_decay"],
-        "ema_fold": _ALL["ema_fold"],
-        "cusum": _ALL["cusum"],
-        "tumbling_window": _ALL["tumbling_window"],
-        "dedup_keep_list": _ALL["dedup_keep_list"],
-        # r8-vintage rows (17):
-        "streaming_ema": _ALL["streaming_ema"],
-        "cusum_fold": _ALL["cusum_fold"],
-        "streaming_cusum": _ALL["streaming_cusum"],
-        "rfm_segments": _ALL["rfm_segments"],
-        "time_weighted_avg": _ALL["time_weighted_avg"],
-        "twap_fold": _ALL["twap_fold"],
-        "streaming_twap": _ALL["streaming_twap"],
-        "holt_smooth": _ALL["holt_smooth"],
-        "holt_fold": _ALL["holt_fold"],
-        "streaming_holt": _ALL["streaming_holt"],
-        "skyline_parts": _ALL["skyline_parts"],
-        "revenue_gini": _ALL["revenue_gini"],
-        "skyline_fold": _ALL["skyline_fold"],
-        "streaming_skyline": _ALL["streaming_skyline"],
-        "profile_columns": _ALL["profile_columns"],
-        "gapfill_locf": _ALL["gapfill_locf"],
-        "hopping_window": _ALL["hopping_window"],
-        # backfill tier, slots 47-50: longest-unexercised non-audit
-        # green anchors (head of the round-9 past-the-cap line).
-        "session_window_native": _ALL["session_window_native"],
-        "table_checksum": _ALL["table_checksum"],
-        "pagerank_weighted": _ALL["pagerank_weighted"],
-        "except_all": _ALL["except_all"],
-        # --- past the 50-entry cap ------------------------------------
-        # Every entry below has a green driver row on record (205/205
-        # cumulative since round 9); all of them run in
-        # tests/test_oracle_parity.py at sf0.001 every pytest run.
-        # Line order for the round-11 rotation: longest unexercised
-        # first — the rest of the round-5 wave, then the entries demoted
-        # from the round-6/7/8 windows (audit-touched ones promoted
-        # above), then the 41 demoted from the round-9 window (most
-        # recently graded, last in line).
+        # freshness-rotation tier, slots 10-33 (VERDICT r10 item 4): the
+        # 24 r5-vintage entries — the oldest driver rows in the registry
+        # (newest CORRECTNESS row r5) — promoted oldest-first so the hard
+        # driver signal describes current code for the whole r5 wave.
         "mode_per_group": _ALL["mode_per_group"],
         "relational_division": _ALL["relational_division"],
         "order_distribution": _ALL["order_distribution"],
@@ -194,7 +131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_expr": _ALL["kmv_expr"],
         "kmeans_train": _ALL["kmeans_train"],
         "sole_late_supplier": _ALL["sole_late_supplier"],
-        # Demoted from the round-6 graded window (non-audit remainder).
+        # slots 34-50: 17 of the 31 r6-vintage entries, oldest-first in
+        # the past-the-cap line — with ONE deliberate swap: surrogate_keys
+        # replaces outer_join_agg (line position 17) because VERDICT r10
+        # item 1 requires re-attested surrogate_keys AND
+        # surrogate_keys_incremental driver rows in the round-11 window
+        # (build_dds's fact path switched to the distributed twin this
+        # round). outer_join_agg heads the r12 backlog instead.
         "priority_promises": _ALL["priority_promises"],
         "important_parts": _ALL["important_parts"],
         "supplier_part_counts": _ALL["supplier_part_counts"],
@@ -211,12 +154,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surrogate_keys_incremental": _ALL["surrogate_keys_incremental"],
         "percentiles": _ALL["percentiles"],
         "semi_join": _ALL["semi_join"],
+        "surrogate_keys": _ALL["surrogate_keys"],
+        # --- past the 50-entry cap ------------------------------------
+        # Every entry below has a green driver row on record (205/205
+        # cumulative since round 9); all of them run in
+        # tests/test_oracle_parity.py at sf0.001 every pytest run.
+        # Line order for the round-12 rotation: longest unexercised
+        # first — the 14 remaining r6-vintage entries, then the demoted
+        # r7/r8/r9 tiers, then the 41 demoted from the round-10 window
+        # (most recently graded, last in line).
+        # r6-vintage remainder (14 — the r12 freshness backlog):
         "outer_join_agg": _ALL["outer_join_agg"],
         "token_count": _ALL["token_count"],
         "text_fingerprint": _ALL["text_fingerprint"],
         "sim_ann_lsh_multiprobe": _ALL["sim_ann_lsh_multiprobe"],
         "sim_ann_ivf": _ALL["sim_ann_ivf"],
-        "surrogate_keys": _ALL["surrogate_keys"],
         "dedup_exact": _ALL["dedup_exact"],
         "text_quality": _ALL["text_quality"],
         "pii_scrub": _ALL["pii_scrub"],
@@ -226,7 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _ALL["json_extract"],
         "mart_daily_appearances": _ALL["mart_daily_appearances"],
         "explode_tokens": _ALL["explode_tokens"],
-        # Demoted from the round-7 graded window (non-audit remainder).
+        # Demoted from the round-7 graded window (non-audit remainder),
+        # then round-8, then the 41 demoted from the round-9 window —
+        # same relative order as round 10.
         "event_pattern_measures": _ALL["event_pattern_measures"],
         "forecast_revenue": _ALL["forecast_revenue"],
         "top_supplier": _ALL["top_supplier"],
@@ -262,7 +216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _ALL["contamination"],
         "token_budget_sample": _ALL["token_budget_sample"],
         "pack_sequences": _ALL["pack_sequences"],
-        # Demoted from the round-8 graded window (non-audit remainder).
         "link_prediction_capped": _ALL["link_prediction_capped"],
         "attribution_fold": _ALL["attribution_fold"],
         "streaming_attribution": _ALL["streaming_attribution"],
@@ -287,8 +240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _ALL["embedding_cosine_pairs"],
         "embedding_keep_list": _ALL["embedding_keep_list"],
         "stratified_sample": _ALL["stratified_sample"],
-        # Demoted from the round-9 graded window (41 non-headliner
-        # entries): graded most recently, so LAST in line.
         "roc_auc": _ALL["roc_auc"],
         "streaming_roc_auc": _ALL["streaming_roc_auc"],
         "calibration_bins": _ALL["calibration_bins"],
@@ -330,6 +281,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _ALL["pagerank"],
         "kcore": _ALL["kcore"],
         "disjunctive_predicates": _ALL["disjunctive_predicates"],
+        # Demoted from the round-10 graded window (41 non-headliner
+        # entries): graded most recently, so LAST in line.
+        "rank_metrics": _ALL["rank_metrics"],
+        "unpivot_metrics": _ALL["unpivot_metrics"],
+        "bpe_train": _ALL["bpe_train"],
+        "streaming_mart_fold": _ALL["streaming_mart_fold"],
+        "mart_daily_avg": _ALL["mart_daily_avg"],
+        "salted_agg": _ALL["salted_agg"],
+        "cube_agg": _ALL["cube_agg"],
+        "pivot_conditional": _ALL["pivot_conditional"],
+        "rolling_stats": _ALL["rolling_stats"],
+        "scalar_subquery": _ALL["scalar_subquery"],
+        "window_analytic": _ALL["window_analytic"],
+        "date_partition_agg": _ALL["date_partition_agg"],
+        "rollup_agg": _ALL["rollup_agg"],
+        "pivot_native": _ALL["pivot_native"],
+        "shipmode_priority": _ALL["shipmode_priority"],
+        "ema_decay": _ALL["ema_decay"],
+        "ema_fold": _ALL["ema_fold"],
+        "cusum": _ALL["cusum"],
+        "tumbling_window": _ALL["tumbling_window"],
+        "dedup_keep_list": _ALL["dedup_keep_list"],
+        "streaming_ema": _ALL["streaming_ema"],
+        "cusum_fold": _ALL["cusum_fold"],
+        "streaming_cusum": _ALL["streaming_cusum"],
+        "rfm_segments": _ALL["rfm_segments"],
+        "time_weighted_avg": _ALL["time_weighted_avg"],
+        "twap_fold": _ALL["twap_fold"],
+        "streaming_twap": _ALL["streaming_twap"],
+        "holt_smooth": _ALL["holt_smooth"],
+        "holt_fold": _ALL["holt_fold"],
+        "streaming_holt": _ALL["streaming_holt"],
+        "skyline_parts": _ALL["skyline_parts"],
+        "revenue_gini": _ALL["revenue_gini"],
+        "skyline_fold": _ALL["skyline_fold"],
+        "streaming_skyline": _ALL["streaming_skyline"],
+        "profile_columns": _ALL["profile_columns"],
+        "gapfill_locf": _ALL["gapfill_locf"],
+        "hopping_window": _ALL["hopping_window"],
+        "session_window_native": _ALL["session_window_native"],
+        "table_checksum": _ALL["table_checksum"],
+        "pagerank_weighted": _ALL["pagerank_weighted"],
+        "except_all": _ALL["except_all"],
     }
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering list and tier modules agree

@@ -8,12 +8,14 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-#: Round-10 window: 9 rotation-invariant headliners, then the 37
-#: audit-re-attestation entries (VERDICT r9 item 1: every query whose
-#: behavior the round-9 float-sum/null-semantics/rank-device commits
-#: changed and whose newest CORRECTNESS row predates them, ordered by
-#: staleness), then 4 longest-unexercised non-audit backfill anchors.
-GRADED_WINDOW_R10 = [
+#: Round-11 window (VERDICT r10 item 4): 9 rotation-invariant headliners,
+#: then the 24 r5-vintage entries (the registry's oldest driver rows),
+#: then 17 r6-vintage entries oldest-first — with surrogate_keys swapped
+#: in for outer_join_agg so BOTH surrogate-key entries re-attest in the
+#: round that switched build_dds's fact path to the distributed variant
+#: (VERDICT r10 item 1). Remaining r6 backlog for round 12: 14 entries,
+#: outer_join_agg first.
+GRADED_WINDOW_R11 = [
     "flagship_royalties",
     "pricing_summary",
     "star_join",
@@ -23,67 +25,81 @@ GRADED_WINDOW_R10 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce",
-    "rank_metrics",
-    "unpivot_metrics",
-    "bpe_train",
-    "streaming_mart_fold",
-    "mart_daily_avg",
-    "salted_agg",
-    "cube_agg",
-    "pivot_conditional",
-    "rolling_stats",
-    "scalar_subquery",
-    "window_analytic",
-    "date_partition_agg",
-    "rollup_agg",
-    "pivot_native",
-    "shipmode_priority",
-    "ema_decay",
-    "ema_fold",
-    "cusum",
-    "tumbling_window",
-    "dedup_keep_list",
-    "streaming_ema",
-    "cusum_fold",
-    "streaming_cusum",
-    "rfm_segments",
-    "time_weighted_avg",
-    "twap_fold",
-    "streaming_twap",
-    "holt_smooth",
-    "holt_fold",
-    "streaming_holt",
-    "skyline_parts",
-    "revenue_gini",
-    "skyline_fold",
-    "streaming_skyline",
-    "profile_columns",
-    "gapfill_locf",
-    "hopping_window",
-    "session_window_native",
-    "table_checksum",
-    "pagerank_weighted",
-    "except_all",
+    "mode_per_group",
+    "relational_division",
+    "order_distribution",
+    "small_qty_revenue",
+    "top_volume_orders",
+    "corpus_drift",
+    "inverted_index",
+    "merge_upsert",
+    "set_ops",
+    "session_transitions",
+    "label_centroids",
+    "key_skew_profile",
+    "nation_trade_volume",
+    "market_share",
+    "epoch_shuffle",
+    "render_packs",
+    "market_basket",
+    "sim_ann_ivfpq",
+    "sim_ann_ivfpq_residual",
+    "label_propagation",
+    "bfs_hops",
+    "kmv_expr",
+    "kmeans_train",
+    "sole_late_supplier",
+    "priority_promises",
+    "important_parts",
+    "supplier_part_counts",
+    "idle_customers",
+    "sssp",
+    "event_pattern",
+    "incremental_join",
+    "streaming_join",
+    "order_limit",
+    "dedup_passages",
+    "cdc_compact",
+    "lang_id",
+    "snapshot_diff",
+    "surrogate_keys_incremental",
+    "percentiles",
+    "semi_join",
+    "surrogate_keys",
 ]
 
-#: slots 10-46: the audit-touched re-attestation tier (37 entries)
-AUDIT_REATTEST = GRADED_WINDOW_R10[9:46]
+#: slots 10-33: the r5-vintage freshness tier (24 entries)
+R5_VINTAGE_TIER = GRADED_WINDOW_R11[9:33]
+#: slots 34-50: the r6-vintage freshness tier (17 entries)
+R6_VINTAGE_TIER = GRADED_WINDOW_R11[33:50]
 
 
 def test_graded_prefix_is_pinned():
     names = list(entrymod.queries())
-    assert names[:50] == GRADED_WINDOW_R10
+    assert names[:50] == GRADED_WINDOW_R11
 
 
-def test_audit_reattest_tier_size():
-    assert len(AUDIT_REATTEST) == 37
-    assert len(GRADED_WINDOW_R10) == 50
+def test_freshness_tier_sizes():
+    assert len(R5_VINTAGE_TIER) == 24
+    assert len(R6_VINTAGE_TIER) == 17
+    assert len(GRADED_WINDOW_R11) == 50
+    assert "surrogate_keys" in R6_VINTAGE_TIER
+    assert "surrogate_keys_incremental" in R6_VINTAGE_TIER
 
 
 def test_headliners_lead_the_window():
     from bench import HEADLINE
 
-    assert set(GRADED_WINDOW_R10[:9]) == set(HEADLINE)
+    assert set(GRADED_WINDOW_R11[:9]) == set(HEADLINE)
+
+
+def test_r12_backlog_heads_the_past_cap_line():
+    """The 14 r6-vintage entries left out of this window must head the
+    past-the-cap line so the round-12 rotation picks them up first."""
+    names = list(entrymod.queries())
+    assert names[50] == "outer_join_agg"
+    backlog = set(names[50:64])
+    assert "explode_tokens" in backlog and "dedup_exact" in backlog
 
 
 def test_every_graded_entry_is_oracle_paired():
