@@ -56,6 +56,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def memory_starved_conf() -> dict[str, str]:
+    """The certified-green forced-spill profile for memory-starved clusters
+    (VERDICT r10 item 6) — pass to ``get_spark(extra_conf=...)`` or set at
+    runtime (all are SQL confs). Every buffering operator takes its
+    disk-spill path after a few dozen in-memory rows: window / sort-merge
+    join / cartesian buffers at (in-memory, spill) thresholds (64, 256) /
+    (256, 1024) / (16, 64), and ObjectHashAggregate falls back to
+    sort-based aggregation after 16 hash-map entries. These exact values
+    are what the round-10 spill-axis sweep certified 205/205 at both SFs
+    (ROUND_CLOSE_r10_spillfix.json).
+
+    Why these numbers and not 1 (the operational lesson): spill.threshold=1
+    writes one spill FILE per buffered row, and every spill-file reader
+    allocates a ~1 MB read-ahead buffer (UnsafeSorterSpillReader) — a
+    60k-row buffer tried to allocate tens of GB of read-ahead and
+    OOM-killed the JVM; a sort-merge join additionally RE-READS its
+    buffered group once per left-side rematch, multiplying the allocation
+    by (rematches × files). The thresholds below force the spill path on
+    every genuinely large buffer while keeping the file count (and the
+    rematch product) bounded. scripts/config_invariance.py's CONFIG_SPILL
+    layers these on top of its plan-hostile config B."""
+    return {
+        "spark.sql.windowExec.buffer.in.memory.threshold": "64",
+        "spark.sql.windowExec.buffer.spill.threshold": "256",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1024",
+        "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "16",
+        "spark.sql.cartesianProductExec.buffer.spill.threshold": "64",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
+    }
+
+
 def s3a_conf(
     endpoint: str | None = None,
     access_key: str | None = None,

@@ -72,15 +72,14 @@ CONFIG_B = {
 #: spill path on every genuinely large buffer while keeping file counts
 #: (and the rematch product) bounded; the spill session also gets a
 #: bigger heap (extra_conf at session build).
+#: the threshold values live in session.memory_starved_conf() (VERDICT r10
+#: item 6: the certified spill profile is a deployable preset, not a
+#: harness-only constant) — this sweep layers them on the plan-hostile B.
+from etl_pipeline_last_fm_spark.session import memory_starved_conf  # noqa: E402
+
 CONFIG_SPILL = {
     **CONFIG_B,
-    "spark.sql.windowExec.buffer.in.memory.threshold": "64",
-    "spark.sql.windowExec.buffer.spill.threshold": "256",
-    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "256",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "1024",
-    "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "16",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold": "64",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "16",
+    **memory_starved_conf(),
 }
 #: static (context-start) confs for the speculation profile: speculate
 #: nearly every task, check results against the DuckDB oracle.
