@@ -63,8 +63,14 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
     # itertuples, not per-cell .iloc: .iloc[i][c] costs ~30us per CELL in
     # pandas, which turned the sf0.1 sweeps' million-row frames into
     # ~half-hour canonicalizations (round-10 find: the sf0.1 gauntlet
-    # spent 30 min inside ONE query's compare). Same values — itertuples
-    # yields the same numpy scalars _canon_value already normalizes.
+    # spent 30 min inside ONE query's compare). itertuples is also
+    # STRICTER, deliberately (ADVICE r10): .iloc row extraction built a
+    # common-dtype Series, upcasting ints to float64 in any frame that
+    # also has a float column — so an int column canonicalized as
+    # ('f', 3.0) and int-vs-float divergence between engines was MASKED.
+    # itertuples preserves per-column dtypes; the int stays an untagged 3,
+    # exactly like the driver's type-tagged hash sees it
+    # (pinned: tests/test_canon_pins.py mixed int+float frame).
     rows = [
         tuple(_canon_value(v) for v in t)
         for t in df[cols].itertuples(index=False, name=None)

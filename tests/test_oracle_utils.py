@@ -2,9 +2,14 @@
 
 canon_rows moved from per-cell ``.iloc[i][c]`` to ``itertuples`` in
 round 10 (the old form cost ~30 us per CELL — a million-row sf0.1 frame
-took half an hour to canonicalize). The rewrite must stay
-value-equivalent: these pins hold the exact canonical forms the driver's
-value-hash depends on, across every cell type the 205 queries emit."""
+took half an hour to canonicalize). The rewrite is NOT value-equivalent
+(ADVICE r10): .iloc row extraction upcast ints to float64 in any frame
+containing a float column, so an int cell canonicalized as ('f', 3.0)
+and int-vs-float divergence between engines was silently masked;
+itertuples preserves per-column dtypes, which is stricter and mirrors
+the driver's type-tagged hash. These pins hold the exact canonical forms
+the driver's value-hash depends on, across every cell type the 205
+queries emit — including the strictness pin below."""
 
 from __future__ import annotations
 
@@ -50,3 +55,17 @@ def test_canon_rows_is_order_insensitive():
     a = pd.DataFrame({"x": [2, 1], "y": ["b", "a"]})
     b = pd.DataFrame({"y": ["a", "b"], "x": [1, 2]})
     assert canon_rows(a) == canon_rows(b)
+
+
+def test_canon_int_stays_untagged_beside_float_column():
+    """Strictness pin (ADVICE r10): in a mixed int+float frame the int
+    column must canonicalize as a bare int, NOT the ('f', x) float tag the
+    old per-cell .iloc path produced via its common-dtype upcast. If this
+    ever regresses to the lenient form, an engine pair returning 3 (BIGINT)
+    vs 3.0 (float64) would wrongly compare equal here while the driver's
+    type-tagged hash fails it."""
+    df = pd.DataFrame({"i": [3], "f": [1.5]})
+    assert canon_rows(df) == [(("f", 1.5), 3)]
+    # and the upcast really was the old behavior: a common-dtype row
+    # extraction loses the int dtype
+    assert _canon_value(df.iloc[0]["i"]) == ("f", 3.0)
