@@ -95,11 +95,13 @@ def run_ods(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
         tiebreaker=["song_name", "artist_name"],
         prune_on=["source_date"],
     )
-    (
-        delta.repartition("source_date")
-        .write.mode("append")
-        .partitionBy("source_date")
-        .parquet(wh.ods)
+    # Round-robin compaction, NOT repartition("source_date"): hashing on the
+    # partition column sends a single-date daily delta — the common case —
+    # to ONE task, the same funnel class as the coalesce(1) writes fixed in
+    # round 11 (SCALING.md file-count policy).
+    write_compacted_partitioned(
+        delta, wh.ods, partition_cols=["source_date"],
+        mode="append", dynamic_overwrite=False,
     )
 
 
@@ -184,11 +186,12 @@ def run_dds(
         f.write(str(run_date))
 
     fact_path = wh.dds("fact_daily_top_100")
-    (
-        result.new_fact.repartition("date")
-        .write.mode("append")
-        .partitionBy("date")
-        .parquet(fact_path)
+    # The fact delta is the table that scales to billions of rows/day —
+    # repartition("date") would funnel the whole single-date delta through
+    # ONE write task (SCALING.md file-count policy, round 11).
+    write_compacted_partitioned(
+        result.new_fact, fact_path, partition_cols=["date"],
+        mode="append", dynamic_overwrite=False,
     )
 
     # Retire old snapshots (keep a short history for readers mid-flight).

@@ -51,9 +51,13 @@ def write_compacted(
     layout — for append-mode streams prefer maxRecordsPerFile, which caps
     file size without the extra action but can still emit tiny tail files
     per task."""
-    n = df.count()
-    n_files = max(1, math.ceil(n / target_rows_per_file))
-    df.repartition(n_files).write.mode(mode).parquet(path)
+    df = df.persist()
+    try:
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        df.repartition(n_files).write.mode(mode).parquet(path)
+    finally:
+        df.unpersist()
     return n_files
 
 

@@ -70,11 +70,16 @@ def stream_raw_to_ods(
             tiebreaker=["song_name", "artist_name"],
             prune_on=["source_date"],
         )
-        (
-            delta.repartition("source_date")
-            .write.mode("append")
-            .partitionBy("source_date")
-            .parquet(ods_path)
+        # Round-robin compaction, not repartition on the partition column:
+        # a single-date micro-batch would collapse to one write task
+        # (SCALING.md file-count policy, round 11).
+        from etl_pipeline_last_fm_spark.sources.layout import (
+            write_compacted_partitioned,
+        )
+
+        write_compacted_partitioned(
+            delta, ods_path, partition_cols=["source_date"],
+            mode="append", dynamic_overwrite=False,
         )
 
     writer = (
