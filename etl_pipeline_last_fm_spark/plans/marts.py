@@ -5,8 +5,10 @@ whose mart INSERTs are NOT idempotent (no ON CONFLICT,
 dags/from_dds_to_dm_pg.py:46-79; Appendix A.4), the engine recomputes or
 overwrite-by-date-partitions and re-runs are no-ops by construction.
 
-Physical shape of all three: broadcast-join fact x dim, then a partial+final
-hash aggregate on (date, dim attribute) — one shuffle each, on the group key.
+Physical shape of all three: join fact x dim (bounded dims hint-broadcast;
+the corpus-scaled dim_song is left to size-based planning + AQE), then a
+partial+final hash aggregate on (date, dim attribute) — one shuffle each,
+on the group key.
 """
 
 from __future__ import annotations
@@ -22,7 +24,10 @@ def mart_avg_duration_by_country(fact: DataFrame, dim_song: DataFrame, dim_count
     """AVG(duration_sec) per (date, country) — reference
     dags/from_dds_to_dm_pg.py:47-52, scripts/ddl_dm.sql:2-7 (A1/J4/J5)."""
     return (
-        fact.join(F.broadcast(dim_song), "song_id")
+        # dim_song UNHINTED (corpus-scaled — a forced broadcast OOMs at
+        # 100 TB; AQE broadcasts it at runtime when it actually fits);
+        # dim_country stays hinted (bounded by countries on Earth).
+        fact.join(dim_song, "song_id")
         .join(F.broadcast(dim_country), "country_id")
         .groupBy("date", "country_name")
         # Exact integer sum + ONE final IEEE division (round-9 float-sum

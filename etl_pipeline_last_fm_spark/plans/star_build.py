@@ -101,7 +101,11 @@ def build_dds(
         ).distinct(),
         ex_song,
         keys=["song_name", "duration_sec"],
-        broadcast_existing=True,
+        # NOT broadcast_existing: dim_song is corpus-scaled (unlike the
+        # bounded country/artist dims above) — a forced broadcast of its
+        # key projection OOMs at 100 TB. No hint = AQE still broadcasts
+        # at runtime when the side is actually small.
+        broadcast_existing=False,
     )
     new_songs = assign_surrogate_keys(
         new_songs, "song_id", ["song_name", "duration_sec"], existing=ex_song
@@ -128,7 +132,10 @@ def build_dds(
         # J2 composite key; null-safe on duration so an all-sentinel day
         # (imputed duration NULL, FIXTURES.md A5.2) still reaches the fact —
         # the engine's documented fix over the reference's row loss.
-        F.broadcast(song_side),
+        # UNHINTED: dim_song is corpus-scaled, so a forced broadcast OOMs
+        # at 100 TB; size-based planning (plus AQE) broadcasts it exactly
+        # when it actually fits.
+        song_side,
         (F.col("song_name") == F.col("__song_name"))
         & F.col("join_duration").eqNullSafe(F.col("__song_duration")),
         "inner",
