@@ -44,6 +44,7 @@ from etl_pipeline_last_fm_spark.schemas import (
     ODS_CONFLICT_KEY,
     ODS_SCHEMA,
 )
+from etl_pipeline_last_fm_spark.sources import fs
 from etl_pipeline_last_fm_spark.sources.layout import (
     write_compacted,
     write_compacted_partitioned,
@@ -113,13 +114,16 @@ def _snapshot_root(wh: Warehouse) -> str:
     return wh.dds("dim_snapshots")
 
 
-def _committed_versions(wh: Warehouse) -> list[int]:
+def _committed_versions(spark: SparkSession, wh: Warehouse) -> list[int]:
+    # Hadoop FileSystem API, not os.listdir: warehouse roots may be
+    # object-store URIs (s3a://...) — see sources/fs.py (round 11; closes
+    # the driver-local-bookkeeping caveat documented since round 2).
     root = _snapshot_root(wh)
-    if not os.path.isdir(root):
-        return []
     out = []
-    for d in os.listdir(root):
-        if d.startswith("v=") and os.path.exists(os.path.join(root, d, _COMMIT_MARKER)):
+    for d in fs.list_dir(spark, root):
+        if d.startswith("v=") and fs.exists(
+            spark, os.path.join(root, d, _COMMIT_MARKER)
+        ):
             out.append(int(d[2:]))
     return sorted(out)
 
@@ -144,9 +148,10 @@ def run_dds(
     live with the day's fact rows at worst absent (re-run appends them —
     the delta is an anti-join against the existing fact). The
     snapshot-pointer pattern (Iceberg-style) instead of the reference's
-    in-place UPSERTs. Note the version/commit-marker bookkeeping uses
-    driver-local filesystem ops (os/open/shutil); on an object store it
-    needs the Hadoop FileSystem API instead — see ``s3a_conf``. This stays O(executor) however large dim_song grows
+    in-place UPSERTs. The version/commit-marker bookkeeping goes through
+    the Hadoop FileSystem API (sources/fs.py), so warehouse roots may be
+    object-store URIs (``s3a://...``, see ``s3a_conf``) — the marker
+    write is a single-object PUT, atomic on S3. This stays O(executor) however large dim_song grows
     (it is ~distinct(song, duration) and scales with the corpus, unlike the
     genuinely bounded country dim)."""
     # _read_or_empty: a day-one run whose ingest landed zero rows leaves the
@@ -165,7 +170,7 @@ def run_dds(
     # appends it. The reverse order would leave live fact rows referencing
     # surrogate ids that exist only in an uncommitted snapshot, silently
     # dropped by every star join until the day is re-run.
-    versions = _committed_versions(wh)
+    versions = _committed_versions(spark, wh)
     new_v = (versions[-1] + 1) if versions else 1
     snap = _snapshot_dir(wh, new_v)
     # File-count policy per table class (VERDICT r10 item 2): the genuinely
@@ -182,8 +187,7 @@ def run_dds(
     ]:
         full.coalesce(1).write.mode("overwrite").parquet(os.path.join(snap, name))
     write_compacted(result.dim_song, os.path.join(snap, "dim_song"))
-    with open(os.path.join(snap, _COMMIT_MARKER), "w") as f:
-        f.write(str(run_date))
+    fs.write_text(spark, os.path.join(snap, _COMMIT_MARKER), str(run_date))
 
     fact_path = wh.dds("fact_daily_top_100")
     # The fact delta is the table that scales to billions of rows/day —
@@ -195,10 +199,8 @@ def run_dds(
     )
 
     # Retire old snapshots (keep a short history for readers mid-flight).
-    import shutil
-
     for v in versions[:-keep_snapshots] if keep_snapshots else versions:
-        shutil.rmtree(_snapshot_dir(wh, v), ignore_errors=True)
+        fs.delete_recursive(spark, _snapshot_dir(wh, v))
 
 
 def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
@@ -207,7 +209,7 @@ def load_dds(spark: SparkSession, wh: Warehouse) -> DdsTables | None:
     its partitioned path. Returns None when no snapshot exists yet; raises
     if the warehouse is inconsistent (a committed snapshot missing a dim, or
     dims without a fact) rather than failing later with a cryptic error."""
-    versions = _committed_versions(wh)
+    versions = _committed_versions(spark, wh)
     if not versions:
         return None
     snap = _snapshot_dir(wh, versions[-1])

@@ -100,11 +100,10 @@ def s3a_conf(
     docker-compose.yaml:53-63, dags/raw_from_api_to_s3.py:47-54); the Spark
     equivalent is the s3a Hadoop filesystem — pass this dict at session build
     time and every path in the engine (warehouse root, raw zone, testdata)
-    can be an ``s3a://bucket/...`` URI for every SPARK read/write path.
-    Exception: the dim-snapshot commit-marker bookkeeping in pipeline.py
-    (``_committed_versions`` / ``_COMMITTED`` / snapshot retirement) uses
-    driver-local ``os``/``open``/``shutil`` calls and would need the Hadoop
-    FileSystem API on an object store — documented there.
+    can be an ``s3a://bucket/...`` URI. That includes the dim-snapshot
+    commit-marker bookkeeping: since round 11 it goes through the Hadoop
+    FileSystem API (sources/fs.py), which resolves the right filesystem
+    per scheme from this same configuration.
 
     Credentials default to the provider chain (env vars / instance profile);
     pass explicit keys only for MinIO-style local stacks.

@@ -54,14 +54,14 @@ def stream_raw_to_ods(
     raw = raw.withColumn("country", F.url_decode("country"))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from etl_pipeline_last_fm_spark.sources.fs import has_files_with_suffix
 
         spark_b = batch_df.sparkSession
         ods_batch = flatten_raw_chart(batch_df)
         existing = None
-        if os.path.exists(ods_path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(ods_path) for f in fs
-        ):
+        # Hadoop FS probe, not os.walk: the ODS path may be an
+        # object-store URI (sources/fs.py, round 11).
+        if has_files_with_suffix(spark_b, ods_path, ".parquet"):
             existing = spark_b.read.parquet(ods_path)
         delta = idempotent_append(
             ods_batch,

@@ -59,7 +59,7 @@ def test_dims_are_file_backed_not_driver_materialized(spark, warehouse):
 
 
 def test_snapshot_per_run_latest_committed_wins(spark, warehouse):
-    versions = _committed_versions(warehouse)
+    versions = _committed_versions(spark, warehouse)
     assert len(versions) >= 2  # one per pipeline run
     # Day-2 songs only exist in the latest snapshot.
     songs = {r.song_name for r in load_dds(spark, warehouse).dim_song.collect()}
@@ -70,7 +70,7 @@ def test_uncommitted_snapshot_is_invisible(spark, warehouse):
     stale = _snapshot_dir(warehouse, 999999)
     os.makedirs(os.path.join(stale, "dim_country"), exist_ok=True)
     try:
-        versions = _committed_versions(warehouse)
+        versions = _committed_versions(spark, warehouse)
         assert 999999 not in versions
         assert load_dds(spark, warehouse) is not None
     finally:
