@@ -37,12 +37,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_leg(name: str, cmd: list[str], env_extra: dict | None = None) -> dict:
+    import time
+
     env = dict(os.environ)
     env.update(env_extra or {})
     print(f"=== [{name}] {' '.join(cmd)}", flush=True)
+    t0 = time.perf_counter()
     proc = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True
     )
+    duration_s = round(time.perf_counter() - t0, 1)
     tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
     # sweep scripts print a one-line JSON summary last — keep it parsed
     summary = None
@@ -53,10 +57,15 @@ def run_leg(name: str, cmd: list[str], env_extra: dict | None = None) -> dict:
             except ValueError:
                 pass
             break
-    result = {"rc": proc.returncode, "tail": tail[-2000:], "summary": summary}
+    result = {
+        "rc": proc.returncode,
+        "duration_s": duration_s,
+        "tail": tail[-2000:],
+        "summary": summary,
+    }
     if proc.returncode != 0 and not tail:
         result["stderr_tail"] = proc.stderr[-2000:]
-    print(f"=== [{name}] rc={proc.returncode}", flush=True)
+    print(f"=== [{name}] rc={proc.returncode} ({duration_s}s)", flush=True)
     return result
 
 
