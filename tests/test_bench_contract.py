@@ -16,9 +16,14 @@ def test_bench_emits_one_json_line_with_contract_keys():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
+    # N=1: the contract under test is the JSON shape and crash isolation,
+    # not the timing protocol — min-of-3 (the default since round 11)
+    # would triple the subprocess wall for no added contract coverage,
+    # and exercising the knob here keeps the env override itself tested.
+    env["SPARK_GRAFT_BENCH_N"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
-        capture_output=True, text=True, timeout=420, env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [
@@ -29,6 +34,7 @@ def test_bench_emits_one_json_line_with_contract_keys():
     assert rec["metric"] == "headline_queries_total_sec"
     assert rec["unit"] == "sec" and isinstance(rec["value"], (int, float))
     assert rec["sf"] == 0.001
+    assert rec["n_samples"] == 1  # the env knob reached the artifact
     import bench
 
     assert set(rec["queries"]) == set(bench.HEADLINE)
