@@ -89,3 +89,22 @@ def test_partial_committed_snapshot_raises_descriptive_error(spark, tmp_path):
         f.write("x")
     with pytest.raises(RuntimeError, match="dim_country"):
         load_dds(spark, wh)
+
+
+def test_fact_date_slice_is_partition_pruned(spark, warehouse):
+    """Pipeline-module plan invariant (round 11, extending the r10 lesson
+    that registry plan tests never covered this module): run_dm's daily
+    fact slice must reach the parquet scan as a PARTITION filter — the
+    fact is written partitionBy(date), so the scan of a 100 TB history
+    must list one date directory, not filter post-read."""
+    from pyspark.sql import functions as F
+
+    dds = load_dds(spark, warehouse)
+    day = dds.fact.filter(F.col("date") == F.lit(D2))
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", scan).group(1)
+    assert "date" in pf and "2024-04-02" in pf, scan
