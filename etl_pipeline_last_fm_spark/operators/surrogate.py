@@ -50,6 +50,7 @@ def assign_surrogate_keys_distributed(
     natural_order: list[str],
     existing: DataFrame | None = None,
     num_partitions: int | None = None,
+    cache_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Scalable variant: same ids as ``assign_surrogate_keys`` (dense,
     natural-key-ordered, max-offset) without a global single-partition sort.
@@ -57,6 +58,14 @@ def assign_surrogate_keys_distributed(
     spark_partition_id + per-partition counts -> driver prefix sum (one int
     per partition) -> partition-local row_number. The only global step moves
     #partitions integers, not rows.
+
+    ``cache_out``: the numbering pins a persisted intermediate (see the
+    persist() comment below). Pass a list to receive that handle and
+    ``unpersist()`` it once the result has been materialized (ADVICE r11:
+    without release, a long-running multi-day driver accumulates one
+    cached fact delta per day) — ``build_dds`` threads it to the pipeline,
+    which releases after the fact write. Without ``cache_out`` the cache
+    lives until session eviction (fine for one-shot registry queries).
     """
     offset = 0
     if existing is not None:
@@ -70,10 +79,13 @@ def assign_surrogate_keys_distributed(
     # its boundaries by sampling, so an unpersisted re-execution could
     # land rows in different partitions than the counts were taken from,
     # producing duplicate/gapped ids. Materializing the ranged frame pins
-    # both reads to the same partitioning. Cache ownership: lives until
-    # session eviction, spills to disk (same note as dedup's candidate
-    # persists).
+    # both reads to the same partitioning. Cache ownership: the caller
+    # releases via ``cache_out`` after materializing the numbering;
+    # otherwise lives until session eviction, spills to disk (same note
+    # as dedup's candidate persists).
     with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    if cache_out is not None:
+        cache_out.append(with_pid)
 
     counts = {
         r["__pid"]: r["cnt"]

@@ -42,6 +42,17 @@ class DdsTables:
     # full). The pipeline appends fact deltas and overwrites dims, so both
     # views are returned explicitly rather than recomputed by anti-join.
     new_fact: DataFrame | None = None
+    # Persisted intermediate pinned by the distributed fact-id assignment
+    # (operators/surrogate.py); the caller unpersist()s it after the fact
+    # write materializes the numbering (ADVICE r11 — without release, a
+    # multi-day driver leaks one cached fact delta per day).
+    fact_cache: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the fact-numbering cache (no-op if already released
+        or never pinned). Call after the action that consumes new_fact."""
+        if self.fact_cache is not None:
+            self.fact_cache.unpersist()
 
 
 def build_dds(
@@ -171,8 +182,10 @@ def build_dds(
     # (equivalence-tested, tests/test_operator_properties.py) via
     # range-repartition + per-partition counts + a driver prefix sum over
     # #partitions integers; no single-partition stage anywhere.
+    fact_cache: list[DataFrame] = []
     new_fact = assign_surrogate_keys_distributed(
-        new_fact, "fact_id", ["date", "country_id", "song_rank"], existing=ex_fact
+        new_fact, "fact_id", ["date", "country_id", "song_rank"],
+        existing=ex_fact, cache_out=fact_cache,
     ).select(
         "fact_id", "date", "country_id", "song_id", "artist_id", "song_rank", "listeners_count"
     )
@@ -184,6 +197,7 @@ def build_dds(
         dim_song=dim_song,
         fact=fact,
         new_fact=new_fact,
+        fact_cache=fact_cache[0] if fact_cache else None,
     )
 
 

@@ -51,13 +51,19 @@ def write_compacted(
     layout — for append-mode streams prefer maxRecordsPerFile, which caps
     file size without the extra action but can still emit tiny tail files
     per task."""
-    df = df.persist()
+    owned = not df.is_cached
+    if owned:
+        df = df.persist()
     try:
         n = df.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
         df.repartition(n_files).write.mode(mode).parquet(path)
     finally:
-        df.unpersist()
+        # Only release a cache WE took (ADVICE r11): Spark persistence is
+        # not refcounted, so unpersisting a caller-persisted frame would
+        # silently evict the caller's cache.
+        if owned:
+            df.unpersist()
     return n_files
 
 
@@ -78,7 +84,9 @@ def write_compacted_partitioned(
     directory for the daily single-date case. The frame is persisted around
     the count+write pair so the plan (an aggregate at mart scale) is not
     computed twice; returns the task count used."""
-    df = df.persist()
+    owned = not df.is_cached
+    if owned:
+        df = df.persist()
     try:
         n = df.count()
         n_files = max(1, math.ceil(n / target_rows_per_file))
@@ -87,5 +95,7 @@ def write_compacted_partitioned(
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.partitionBy(*partition_cols).parquet(path)
     finally:
-        df.unpersist()
+        # Cache-ownership rule as in write_compacted (ADVICE r11).
+        if owned:
+            df.unpersist()
     return n_files

@@ -37,6 +37,11 @@ def main() -> None:
             sys.exit("usage: quiet_sample.py <query> [more...] [--n N] — "
                      "'--n' needs an integer value")
         n = int(args[i + 1])
+        if n < 1:
+            # ADVICE r11: '--n 0' / '--n -3' passed the digit check and
+            # blew up as min([]) only after the Spark session started.
+            sys.exit("usage: quiet_sample.py <query> [more...] [--n N] — "
+                     "N must be >= 1")
         args = args[:i] + args[i + 2 :]
     names = [a for a in args if not a.startswith("--")]
     if not names:
