@@ -72,3 +72,52 @@ def test_jdbc_append_and_connection_cap(spark, derby_url):
                      num_partitions=4)
     assert part.rdd.getNumPartitions() == 4
     assert part.count() == 200
+
+
+def test_jdbc_staged_swap_round_trip(spark, derby_url):
+    """VERDICT r11 item 4: write_jdbc_staged writes <table>__stage then
+    swaps server-side in one transaction — target flips old -> new
+    wholesale, and the stage table is gone after the swap."""
+    from etl_pipeline_last_fm_spark.sources.jdbc import (
+        _jdbc_table_exists,
+        write_jdbc_staged,
+    )
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v2 = spark.createDataFrame([(3, "c"), (4, "d"), (5, "e")], "id int, v string")
+    write_jdbc_staged(v1, derby_url, "bi_mart", driver=DERBY)
+    back = read_jdbc(spark, derby_url, "bi_mart", driver=DERBY)
+    assert _rows(back.select("id", "v")) == [(1, "a"), (2, "b")]
+    # refresh: target existed — drop + rename happen in one transaction
+    write_jdbc_staged(v2, derby_url, "bi_mart", driver=DERBY)
+    back = read_jdbc(spark, derby_url, "bi_mart", driver=DERBY)
+    assert _rows(back.select("id", "v")) == [(3, "c"), (4, "d"), (5, "e")]
+    assert not _jdbc_table_exists(spark, derby_url, "bi_mart__stage", DERBY)
+
+
+def test_jdbc_staged_mid_write_failure_never_corrupts_target(spark, derby_url):
+    """The reason the helper exists: a failure DURING the parallel stage
+    write (simulated with a task-level raise_error half-way through the
+    rows) must leave the live target byte-identical to its pre-refresh
+    content — the failed run touched only the stage table. A plain
+    write_jdbc overwrite would have already dropped the target."""
+    from etl_pipeline_last_fm_spark.sources.jdbc import write_jdbc_staged
+
+    good = spark.createDataFrame([(1, "keep"), (2, "keep")], "id int, v string")
+    write_jdbc_staged(good, derby_url, "bi_guard", driver=DERBY)
+
+    poison = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("id"),
+        F.when(F.col("id") < 50, F.lit("r")).otherwise(
+            F.raise_error(F.lit("mid-write failure"))
+        ).alias("v"),
+    )
+    with pytest.raises(Exception, match="mid-write failure"):
+        write_jdbc_staged(poison, derby_url, "bi_guard", driver=DERBY)
+    back = read_jdbc(spark, derby_url, "bi_guard", driver=DERBY)
+    assert _rows(back.select("id", "v")) == [(1, "keep"), (2, "keep")]
+    # and the next successful refresh replaces the leftover stage cleanly
+    v2 = spark.createDataFrame([(9, "new")], "id int, v string")
+    write_jdbc_staged(v2, derby_url, "bi_guard", driver=DERBY)
+    back = read_jdbc(spark, derby_url, "bi_guard", driver=DERBY)
+    assert _rows(back.select("id", "v")) == [(9, "new")]
