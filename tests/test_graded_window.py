@@ -2,20 +2,21 @@
 50 queries() entries only, and dict order IS the contract — the membership
 assert in __spark_entry__.py cannot catch an accidental reorder that
 silently regrades a different window. This list is edited together with
-the ordering dict, deliberately, once per rotation."""
+the ordering list in __spark_entry__.py, deliberately, once per rotation.
+(An import of entrymod.GRADED_WINDOW_R12 would be circular — the pin is an
+independent literal copy by design.)"""
 
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
-#: Round-11 window (VERDICT r10 item 4): 9 rotation-invariant headliners,
-#: then the 24 r5-vintage entries (the registry's oldest driver rows),
-#: then 17 r6-vintage entries oldest-first — with surrogate_keys swapped
-#: in for outer_join_agg so BOTH surrogate-key entries re-attest in the
-#: round that switched build_dds's fact path to the distributed variant
-#: (VERDICT r10 item 1). Remaining r6 backlog for round 12: 14 entries,
-#: outer_join_agg first.
-GRADED_WINDOW_R11 = [
+#: Round-12 window (VERDICT r11 item 2): 9 rotation-invariant headliners,
+#: the complete 14-entry r6-vintage backlog (outer_join_agg first, as the
+#: r11 pin required), the 26 oldest r7-vintage entries, and ONE deliberate
+#: swap in slot 50: streaming_mart_fold re-attests in the round that
+#: dropped the forced dim_song broadcast from the streaming DM join
+#: (VERDICT r11 item 1). Oldest driver row after this rotation: r7.
+GRADED_WINDOW_R12 = [
     "flagship_royalties",
     "pricing_summary",
     "star_join",
@@ -25,81 +26,81 @@ GRADED_WINDOW_R11 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce",
-    "mode_per_group",
-    "relational_division",
-    "order_distribution",
-    "small_qty_revenue",
-    "top_volume_orders",
-    "corpus_drift",
-    "inverted_index",
-    "merge_upsert",
-    "set_ops",
-    "session_transitions",
-    "label_centroids",
-    "key_skew_profile",
-    "nation_trade_volume",
-    "market_share",
-    "epoch_shuffle",
-    "render_packs",
-    "market_basket",
-    "sim_ann_ivfpq",
-    "sim_ann_ivfpq_residual",
-    "label_propagation",
-    "bfs_hops",
-    "kmv_expr",
-    "kmeans_train",
-    "sole_late_supplier",
-    "priority_promises",
-    "important_parts",
-    "supplier_part_counts",
-    "idle_customers",
-    "sssp",
-    "event_pattern",
-    "incremental_join",
-    "streaming_join",
-    "order_limit",
-    "dedup_passages",
-    "cdc_compact",
-    "lang_id",
-    "snapshot_diff",
-    "surrogate_keys_incremental",
-    "percentiles",
-    "semi_join",
-    "surrogate_keys",
+    "outer_join_agg",
+    "token_count",
+    "text_fingerprint",
+    "sim_ann_lsh_multiprobe",
+    "sim_ann_ivf",
+    "dedup_exact",
+    "text_quality",
+    "pii_scrub",
+    "distinct_project",
+    "case_impute",
+    "union_all",
+    "json_extract",
+    "mart_daily_appearances",
+    "explode_tokens",
+    "event_pattern_measures",
+    "forecast_revenue",
+    "top_supplier",
+    "returned_revenue",
+    "promo_revenue",
+    "min_cost_supplier",
+    "product_profit",
+    "dominant_suppliers",
+    "link_prediction",
+    "attribution",
+    "trend_fit",
+    "collocations",
+    "session_concurrency",
+    "contingency_chi2",
+    "hashed_features",
+    "lead_lag",
+    "range_join",
+    "funnel",
+    "hll_distinct",
+    "dedup_simhash",
+    "dedup_rolling_fp",
+    "embedding_cosine_dedup",
+    "sim_ann_lsh",
+    "tfidf",
+    "top_ngrams",
+    "split_assign",
+    "streaming_mart_fold",
 ]
 
-#: slots 10-33: the r5-vintage freshness tier (24 entries)
-R5_VINTAGE_TIER = GRADED_WINDOW_R11[9:33]
-#: slots 34-50: the r6-vintage freshness tier (17 entries)
-R6_VINTAGE_TIER = GRADED_WINDOW_R11[33:50]
+#: slots 10-23: the retired r6-vintage backlog (14 entries)
+R6_BACKLOG_TIER = GRADED_WINDOW_R12[9:23]
+#: slots 24-49: the r7-vintage freshness tier (26 entries)
+R7_VINTAGE_TIER = GRADED_WINDOW_R12[23:49]
 
 
 def test_graded_prefix_is_pinned():
     names = list(entrymod.queries())
-    assert names[:50] == GRADED_WINDOW_R11
+    assert names[:50] == GRADED_WINDOW_R12
 
 
 def test_freshness_tier_sizes():
-    assert len(R5_VINTAGE_TIER) == 24
-    assert len(R6_VINTAGE_TIER) == 17
-    assert len(GRADED_WINDOW_R11) == 50
-    assert "surrogate_keys" in R6_VINTAGE_TIER
-    assert "surrogate_keys_incremental" in R6_VINTAGE_TIER
+    assert len(R6_BACKLOG_TIER) == 14
+    assert len(R7_VINTAGE_TIER) == 26
+    assert len(GRADED_WINDOW_R12) == 50
+    assert GRADED_WINDOW_R12[9] == "outer_join_agg"  # the r11-pinned head
+    assert GRADED_WINDOW_R12[49] == "streaming_mart_fold"  # VERDICT r11 #1
 
 
 def test_headliners_lead_the_window():
     from bench import HEADLINE
 
-    assert set(GRADED_WINDOW_R11[:9]) == set(HEADLINE)
+    assert set(GRADED_WINDOW_R12[:9]) == set(HEADLINE)
 
 
-def test_r12_backlog_heads_the_past_cap_line():
-    """The 14 r6-vintage entries left out of this window must head the
-    past-the-cap line so the round-12 rotation picks them up first."""
+def test_r13_backlog_heads_the_past_cap_line():
+    """The 9 r7-vintage entries left out of this window must head the
+    past-the-cap line so the round-13 rotation picks them up first."""
     names = list(entrymod.queries())
-    assert names[50] == "outer_join_agg"
-    backlog = set(names[50:64])
-    assert "explode_tokens" in backlog and "dedup_exact" in backlog
+    assert names[50] == "mixture_sample"
+    backlog = set(names[50:59])
+    assert "asof_join" in backlog and "pack_sequences" in backlog
 
 
 def test_every_graded_entry_is_oracle_paired():
