@@ -20,8 +20,20 @@ Replication model (what "10x the data" means here):
 - events shift user_id too: 10x users at constant per-user history, the
   scale model a growing service actually follows.
 
-Usage: python scripts/headline_scale_smoke.py [out_dir]
-(default /tmp/sf1x; the dataset is rebuilt only if out_dir is missing).
+Usage: python scripts/headline_scale_smoke.py [out_dir] [--mult N]
+(default /tmp/sf1x at N=10; the dataset is rebuilt only if out_dir is
+missing).
+
+--mult N (VERDICT r11 item 5, the 100x-class certification): same
+replication model at N replicas. Above 10 replicas the text perturbation
+upgrades from the 5-way vowel rotation to a full 26-way alphabet rotation
+(__r % 26): with 100 replicas the vowel scheme would give every document
+~19 VERBATIM twins (20 copies per rotation class) — a quadratic
+dedup-candidate artifact of the copying, not a property of 100x real
+data. 26 rotations leave ~3 same-rotation copies per doc (~3 bogus
+near-dup pairs, constant per doc => linear overall), which is recorded
+with the artifact. N=10 keeps the historical perturbation byte-identical
+so the per-round 10x band (36.6-39.9 s, r10) stays comparable.
 """
 
 from __future__ import annotations
@@ -55,15 +67,18 @@ KEY_SHIFTS = {
 VOWELS = "aeiou"
 
 
-def _replicate(df, keys: list[str], table: str):
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _replicate(df, keys: list[str], table: str, n_rep: int = N_REP):
     rep = df.crossJoin(
         F.broadcast(
-            df.sparkSession.range(N_REP).select(F.col("id").alias("__r"))
+            df.sparkSession.range(n_rep).select(F.col("id").alias("__r"))
         )
     )
     for k in keys:
         rep = rep.withColumn(k, F.col(k) + F.col("__r") * F.lit(OFF))
-    if table == "documents":
+    if table == "documents" and n_rep <= 10:
         # replica-dependent vowel rotation: distinct shingle space per
         # replica, so cross-replica Jaccard collapses (see module doc).
         rep = rep.withColumn(
@@ -71,6 +86,16 @@ def _replicate(df, keys: list[str], table: str):
             F.expr(
                 f"translate(text, '{VOWELS}',"
                 f" substring('{VOWELS * 2}', CAST(__r % 5 AS INT) + 1, 5))"
+            ),
+        )
+    elif table == "documents":
+        # 100x-class: 26-way full-alphabet rotation (module doc) — the
+        # 5-way vowel scheme would mint ~n_rep/5 verbatim twins per doc.
+        rep = rep.withColumn(
+            "text",
+            F.expr(
+                f"translate(text, '{ALPHA}',"
+                f" substring('{ALPHA * 2}', CAST(__r % 26 AS INT) + 1, 26))"
             ),
         )
     if table == "embeddings":
@@ -87,23 +112,33 @@ def _replicate(df, keys: list[str], table: str):
     return rep.drop("__r")
 
 
-def build(spark, out_dir: str) -> None:
+def build(spark, out_dir: str, n_rep: int = N_REP) -> None:
     for table in ("region", "nation"):
         load_table(spark, SRC, table).write.mode("overwrite").parquet(
             f"{out_dir}/{table}.parquet"
         )
     for table, keys in KEY_SHIFTS.items():
-        _replicate(load_table(spark, SRC, table), keys, table).write.mode(
+        _replicate(load_table(spark, SRC, table), keys, table, n_rep).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{table}.parquet")
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
+    args = sys.argv[1:]
+    n_rep = N_REP
+    if "--mult" in args:
+        i = args.index("--mult")
+        if i + 1 >= len(args) or not args[i + 1].isdigit() or int(args[i + 1]) < 1:
+            sys.exit("--mult needs a positive integer")
+        n_rep = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    out_dir = args[0] if args else (
+        "/tmp/sf1x" if n_rep == N_REP else f"/tmp/sf{n_rep}x"
+    )
     spark = get_spark(app_name="headline-scale-smoke")
     if not os.path.isdir(out_dir):
-        build(spark, out_dir)
-        print(f"built 10x dataset at {out_dir}", flush=True)
+        build(spark, out_dir, n_rep)
+        print(f"built {n_rep}x dataset at {out_dir}", flush=True)
     os.environ["SPARK_GRAFT_SF_DIR"] = out_dir
     import bench
 
