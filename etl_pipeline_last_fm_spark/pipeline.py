@@ -304,6 +304,75 @@ def run_dm(spark: SparkSession, wh: Warehouse, run_date: str | Date) -> None:
         )
 
 
+_DM_MART_NAMES = (
+    "avg_song_duration_by_country",
+    "artist_appearances_by_date",
+    "expected_artist_royalties_by_date",
+)
+
+
+def publish_dm_to_bi(
+    spark: SparkSession,
+    wh: Warehouse,
+    url: str,
+    run_date: str | Date | None = None,
+    driver: str | None = None,
+    num_partitions: int | None = 8,
+) -> None:
+    """Publish the DM marts to a BI database over JDBC — the reference's
+    Metabase handoff (its DM DAG loads Postgres and Metabase reads those
+    tables, reference dags/from_dds_to_dm_pg.py + docker-compose.yaml:66-68;
+    SURVEY.md §2.1 S9). The parquet marts remain the primary layout; this
+    mirrors them out.
+
+    Two refresh modes, matching the two failure postures:
+
+    - ``run_date`` given (the daily path): reference-parity incremental
+      refresh — server-side ``DELETE WHERE date = <d>`` in its own
+      transaction, then a parallel JDBC append of that date's rows (the
+      reference's delete-then-insert, dags/from_dds_to_dm_pg.py). Retry-
+      idempotent (the delete re-runs), but NOT atomic for readers: a BI
+      query between delete and append-commit sees the date missing. At
+      scale this is the right trade — it ships O(day) rows, not O(history).
+    - ``run_date=None``: full-history mirror through ``write_jdbc_staged``
+      — stage write + one-transaction swap, atomic for readers. The first
+      publish, backfills, and schema changes go through this path.
+    """
+    from etl_pipeline_last_fm_spark.sources.jdbc import (
+        _jdbc_execute,
+        _jdbc_table_exists,
+        write_jdbc,
+        write_jdbc_staged,
+    )
+
+    for name in _DM_MART_NAMES:
+        mart = spark.read.parquet(wh.dm(name))
+        if run_date is None:
+            write_jdbc_staged(
+                mart, url, name, driver=driver, num_partitions=num_partitions
+            )
+            continue
+        day = str(run_date)
+        # The date is interpolated into server-side SQL — pin the shape so
+        # a malformed caller value cannot smuggle SQL into the BI database.
+        import re as _re
+
+        if not _re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
+            raise ValueError(f"run_date must be ISO yyyy-mm-dd, got {day!r}")
+        delta = mart.filter(F.col("date") == F.lit(day))
+        if _jdbc_table_exists(spark, url, name, driver):
+            # "date" quoted: Spark's JDBC writer creates case-preserved
+            # quoted columns, and unquoted identifiers case-fold (Derby up,
+            # Postgres down) to a name that then does not exist.
+            _jdbc_execute(
+                spark, url, [f'DELETE FROM {name} WHERE "date" = \'{day}\''], driver
+            )
+        write_jdbc(
+            delta, url, name, mode="append", driver=driver,
+            num_partitions=num_partitions,
+        )
+
+
 def run_pipeline(spark: SparkSession, warehouse_root: str, run_date: str | Date) -> Warehouse:
     """Full daily run (entry points 2+3 of SURVEY.md §3). The raw zone must
     already contain ``ingest_date=<run_date>`` (entry point 1: see

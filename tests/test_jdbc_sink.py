@@ -121,3 +121,55 @@ def test_jdbc_staged_mid_write_failure_never_corrupts_target(spark, derby_url):
     write_jdbc_staged(v2, derby_url, "bi_guard", driver=DERBY)
     back = read_jdbc(spark, derby_url, "bi_guard", driver=DERBY)
     assert _rows(back.select("id", "v")) == [(9, "new")]
+
+
+def test_publish_dm_to_bi_daily_and_full(spark, derby_url, tmp_path):
+    """End-to-end S9 (round 12): the DM marts flow to the BI database via
+    publish_dm_to_bi — full-history mirror through the staged swap, then a
+    reference-parity per-date refresh (delete+append) that is
+    retry-idempotent and leaves other dates untouched."""
+    from etl_pipeline_last_fm_spark.pipeline import (
+        Warehouse,
+        publish_dm_to_bi,
+        run_pipeline,
+    )
+    from etl_pipeline_last_fm_spark.sources.lastfm_api import fetch_charts
+    from etl_pipeline_last_fm_spark.sources.raw_json import write_raw_chart
+
+    def _track(i, country):
+        return {
+            "name": f"s{i}_{country}",
+            "artist": {"name": f"a{i}_{country}"},
+            "duration": str(60 + i),
+            "listeners": str(100 + i),
+            "@attr": {"rank": str(i + 1)},
+        }
+
+    def fetch(country):
+        return {"tracks": {"track": [_track(i, country) for i in range(4)],
+                           "@attr": {"country": country}}}
+
+    root = str(tmp_path / "wh_bi")
+    wh = Warehouse(root)
+    for d in ("2024-06-01", "2024-06-02"):
+        raw = fetch_charts(spark, d, countries=["X"], fetch_fn=fetch)
+        write_raw_chart(raw, wh.raw)
+        run_pipeline(spark, root, d)
+
+    mart = "artist_appearances_by_date"
+    # full mirror: staged swap, atomic
+    publish_dm_to_bi(spark, wh, derby_url, driver=DERBY)
+    bi = read_jdbc(spark, derby_url, mart, driver=DERBY)
+    pq = spark.read.parquet(wh.dm(mart))
+    assert _rows(bi.select(*sorted(pq.columns))) == _rows(pq.select(*sorted(pq.columns)))
+
+    # daily refresh of ONE date: re-publishing is idempotent (delete+append)
+    # and the other date is untouched
+    publish_dm_to_bi(spark, wh, derby_url, run_date="2024-06-02", driver=DERBY)
+    bi2 = read_jdbc(spark, derby_url, mart, driver=DERBY)
+    assert _rows(bi2.select(*sorted(pq.columns))) == _rows(pq.select(*sorted(pq.columns)))
+
+    # malformed date cannot reach the server-side SQL
+    with pytest.raises(ValueError, match="ISO"):
+        publish_dm_to_bi(spark, wh, derby_url,
+                         run_date="2024-06-02' OR '1'='1", driver=DERBY)
