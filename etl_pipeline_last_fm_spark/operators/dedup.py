@@ -167,13 +167,15 @@ def minhash_signature(docs: DataFrame, shingle_len: int = 3, num_hashes: int = 3
                                     {_MERSENNE_P}L))"""
         ).alias("__hs"),
     )
-    mins = [
-        F.expr(
-            f"array_min(transform(__hs, h -> pmod({a[j]}L * h + {b[j]}L, {_MERSENNE_P}L)))"
-        ).alias(f"__s{j}")
+    # ONE parsed expression for the whole signature array (OPTIMIZATION
+    # r13): num_hashes separate F.expr columns paid one py4j round trip
+    # per permutation; the array() text form parses the identical tree in
+    # a single call. Same expressions, same output bit-for-bit.
+    mins = ", ".join(
+        f"array_min(transform(__hs, h -> pmod({a[j]}L * h + {b[j]}L, {_MERSENNE_P}L)))"
         for j in range(num_hashes)
-    ]
-    return hashed.select("doc_id", F.array(*mins).alias("sig"))
+    )
+    return hashed.select("doc_id", F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -70,17 +70,46 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = integer of sign bits of plane·vec, pure expression."""
-    bucket = F.lit(0).cast("long")
+def _sql_double(x: float) -> str:
+    """Exact double literal as Spark SQL text: ``repr`` emits the shortest
+    decimal that round-trips to the identical double, and both Python's
+    ``float()`` and the JVM's ``Double.parseDouble`` are correctly rounded,
+    so parsing reproduces the same bits ``F.lit(x)`` would carry.
+    (OPTIMIZATION r13: SQL-text construction replaces per-literal Column
+    ops — one py4j round trip per EXPRESSION instead of per LITERAL; the
+    parsed tree, and therefore every computed value, is unchanged.)"""
+    return f"{float(x)!r}D"
+
+
+def _sql_double_array(vals: list[float]) -> str:
+    return "array(" + ", ".join(_sql_double(x) for x in vals) + ")"
+
+
+def _dot_literal_sql(vec_sql: str, lit_vec: list[float]) -> str:
+    """SQL-text twin of ``_dot_literal`` — same zip_with/aggregate fold,
+    built in O(1) py4j calls instead of O(dim)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_double_array(lit_vec)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _self_dot_sql(vec_sql: str) -> str:
+    return f"aggregate({vec_sql}, 0.0D, (acc, x) -> acc + x * x)"
+
+
+def lsh_bucket_expr(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Bucket id = integer of sign bits of plane·vec, pure expression.
+    ``vec_sql`` is the vector column as SQL text (e.g. ``"e"``): the
+    n_planes x dim literal tree is built as ONE parsed expression."""
+    terms = ["CAST(0 AS BIGINT)"]
     for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        dot = _dot_literal_sql(vec_sql, plane)
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    return F.expr(" + ".join(terms))
 
 
 def lsh_buckets(
@@ -97,7 +126,7 @@ def lsh_buckets(
         dim = int(first["d"]) if first else 0
     planes = hyperplanes(dim, n_planes, seed)
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
-    return v.withColumn("bucket", lsh_bucket_expr(F.col("e"), planes))
+    return v.withColumn("bucket", lsh_bucket_expr("e", planes))
 
 
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
@@ -329,15 +358,17 @@ def ivf_ann_topk_trained_oracle_sql(
     """
 
 
-def _packed_assign_score(sim: Column, cid: int) -> Column:
+def _packed_assign_score_sql(sim_sql: str, cid: int) -> str:
     """Pack (1e-6-rounded similarity, centroid id) into one BIGINT whose
     natural MAX order is (similarity desc, centroid id asc):
     ``(floor(sim*1e6+0.5) + 2_000_000) * 1024 + (1023 - cid)``.
     Pure integer arithmetic after the single rounding step, so Spark and
     DuckDB agree bit-for-bit on every argmax decision — cross-engine float
     summation noise (~1e-15) cannot reorder centroids."""
-    s6 = F.floor(sim * F.lit(1e6) + F.lit(0.5)).cast("long") + F.lit(2_000_000)
-    return s6 * F.lit(1024) + F.lit(1023 - cid)
+    return (
+        f"(CAST(FLOOR(({sim_sql}) * 1000000.0D + 0.5D) AS BIGINT) + 2000000)"
+        f" * 1024 + {1023 - cid}"
+    )
 
 
 # Shared building blocks for the seeded ANN family (IVF / PQ / IVF-PQ /
@@ -345,37 +376,46 @@ def _packed_assign_score(sim: Column, cid: int) -> Column:
 # encoding or the L2 evaluation order lands in ONE place per engine —
 # a per-operator copy missing a fix would silently break only that
 # operator's cross-engine parity.
+#
+# OPTIMIZATION r13 (guide §5, driver overhead): these builders emit SQL
+# TEXT and the operators parse each output column with ONE ``F.expr`` —
+# the previous per-literal Column composition paid one py4j round trip
+# per centroid/codebook element (~25k round trips for the IVF-PQ plan;
+# measured 11.3 s of the 13.1 s cold build at sf0.1). The parsed
+# expression trees — and therefore every computed double and every packed
+# integer decision — are identical; only the construction path changed.
 
 
-def _centroid_packed_scores(cents: list[tuple[int, list[float]]]):
+def _centroid_packed_scores_sql(cents: list[tuple[int, list[float]]]):
     """Factory: per-centroid packed cosine scores against literal
-    centroids (argmax-ready, see _packed_assign_score)."""
+    centroids (argmax-ready, see _packed_assign_score_sql), as SQL text
+    over a vector column named by ``vec_sql``."""
     import math
 
-    def packed_scores(vec: Column) -> list[Column]:
-        norm_v = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    def packed_scores(vec_sql: str) -> list[str]:
+        norm_v = f"SQRT({_self_dot_sql(vec_sql)})"
         out = []
         for cid, ce in cents:
             norm_c = math.sqrt(sum(x * x for x in ce))
-            sim = _dot_literal(vec, ce) / (norm_v * F.lit(norm_c))
-            out.append(_packed_assign_score(sim, cid))
+            sim = (
+                f"({_dot_literal_sql(vec_sql, ce)})"
+                f" / ({norm_v} * {_sql_double(norm_c)})"
+            )
+            out.append(_packed_assign_score_sql(sim, cid))
         return out
 
     return packed_scores
 
 
-def _self_dot(col: Column) -> Column:
-    return F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+def _sub_vec_sql(vec_sql: str, m: int, sub: int) -> str:
+    return f"slice({vec_sql}, {m * sub + 1}, {sub})"
 
 
-def _sub_vec_factory(sub: int):
-    return lambda col, m: F.slice(col, m * sub + 1, sub)
-
-
-def _l2_from_vv(vv: Column, sv: Column, ce: list[float]) -> Column:
+def _l2_from_vv_sql(vv_sql: str, sv_sql: str, ce: list[float]) -> str:
     """Squared L2 to a literal code given the hoisted self-dot vv:
     vv - 2*dot(sv, ce) + cc — fixed evaluation order on both engines."""
-    return vv - F.lit(2.0) * _dot_literal(sv, ce) + F.lit(sum(x * x for x in ce))
+    cc = sum(x * x for x in ce)
+    return f"({vv_sql} - 2.0D * ({_dot_literal_sql(sv_sql, ce)}) + {_sql_double(cc)})"
 
 
 # DuckDB twins of the same two building blocks (format with {v} / {a},{b}).
@@ -426,26 +466,28 @@ def ivf_ann_topk_seeded(
     the 'centroids' are just corpus points).
 
     Every argmax (corpus assignment, query probe ranking, final top-k) is
-    taken on the packed rounded score (``_packed_assign_score``), so the
+    taken on the packed rounded score (``_packed_assign_score_sql``), so the
     DuckDB oracle (``ivf_ann_topk_seeded_oracle_sql``) reproduces the exact
     candidate sets and ranks."""
     cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
-    packed_scores = _centroid_packed_scores(cents)
+    packed_scores = _centroid_packed_scores_sql(cents)
 
     # Corpus assignment: greatest() over the packed per-centroid scores —
     # a pure map (no join, no shuffle, no corpus x centroids expansion).
-    cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast("int")
+    cluster = F.expr(
+        f"CAST(1023 - (greatest({', '.join(packed_scores('e'))}) % 1024) AS INT)"
+    )
     corpus = v.withColumn("cluster", cluster)
 
     # Queries probe their nprobe best clusters: sort the packed array desc,
     # decode cluster ids from the low bits.
     q = v.filter(F.col("id") < n_queries).select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
-    packed_arr = F.array(*packed_scores(F.col("qe")))
-    probes = F.transform(
-        F.slice(F.sort_array(packed_arr, asc=False), 1, nprobe),
-        lambda p: (F.lit(1023) - p % F.lit(1024)).cast("int"),
+    packed_arr = f"array({', '.join(packed_scores('qe'))})"
+    probes = F.expr(
+        f"transform(slice(sort_array({packed_arr}, false), 1, {nprobe}),"
+        f" p -> CAST(1023 - (p % 1024) AS INT))"
     )
     q = q.withColumn("cluster", F.explode(probes))
 
@@ -662,51 +704,47 @@ def pq_ann_topk_seeded(
     # so leaving it inline multiplies the dominant cost by n_codes —
     # measured 9.9 s -> ~1.5 s at sf0.1. Same doubles (hoisting an
     # identical expression), so the oracle is unchanged.
-    sub_vec = _sub_vec_factory(sub)
-    self_dot = _self_dot
-    l2_from_vv = _l2_from_vv
-
     vx = v.select(
         "id",
         "e",
-        *[sub_vec(F.col("e"), m).alias(f"sv{m}") for m in range(n_subspaces)],
+        *[F.expr(_sub_vec_sql("e", m, sub)).alias(f"sv{m}") for m in range(n_subspaces)],
     ).select(
         "id",
         "e",
-        *[F.col(f"sv{m}") for m in range(n_subspaces)],
-        *[self_dot(F.col(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
+        *[f"sv{m}" for m in range(n_subspaces)],
+        *[F.expr(_self_dot_sql(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
     )
     enc_cols = []
     for m, book in enumerate(books):
         packed = [
-            F.floor(
-                l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce) * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long") * F.lit(1024) + F.lit(cid)
+            f"CAST(FLOOR(({_l2_from_vv_sql(f'vv{m}', f'sv{m}', ce)})"
+            f" * 1000000.0D + 0.5D) AS BIGINT) * 1024 + {cid}"
             for cid, ce in book
         ]
-        enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
+        enc_cols.append(
+            F.expr(f"CAST(least({', '.join(packed)}) % 1024 AS INT)").alias(f"c{m}")
+        )
     corpus = vx.select("id", *enc_cols)
 
     # Queries carry one distance table per subspace (array over code ids).
     q = vx.filter(F.col("id") < n_queries).select(
         F.col("id").alias("q_id"),
         *[
-            F.array(
-                *[
-                    l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce)
-                    for _, ce in book
-                ]
+            F.expr(
+                "array("
+                + ", ".join(
+                    _l2_from_vv_sql(f"vv{m}", f"sv{m}", ce) for _, ce in book
+                )
+                + ")"
             ).alias(f"dt{m}")
             for m, book in enumerate(books)
         ],
     )
 
     # ADC: approx distance = sum of table lookups (fixed-order 4-term sum).
-    adc = None
-    for m in range(n_subspaces):
-        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
-        adc = term if adc is None else adc + term
+    adc = F.expr(
+        " + ".join(f"element_at(dt{m}, c{m} + 1)" for m in range(n_subspaces))
+    )
     scored = (
         corpus.join(F.broadcast(q), corpus["id"] != q["q_id"])
         .select(
@@ -871,45 +909,40 @@ def ivfpq_ann_topk_seeded(
     sub = dim // n_subspaces
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
-    packed_scores = _centroid_packed_scores(cents)
-    sub_vec = _sub_vec_factory(sub)
-    self_dot = _self_dot
-    l2_from_vv = _l2_from_vv
+    packed_scores = _centroid_packed_scores_sql(cents)
 
     # Shared per-row precompute: subvectors + their self-dots (hoisted once,
     # same reasoning as pq_ann_topk_seeded's measured 9.9->1.5 s note).
     vx = v.select(
         "id",
         "e",
-        *[sub_vec(F.col("e"), m).alias(f"sv{m}") for m in range(n_subspaces)],
+        *[F.expr(_sub_vec_sql("e", m, sub)).alias(f"sv{m}") for m in range(n_subspaces)],
     ).select(
         "id",
         "e",
-        *[F.col(f"sv{m}") for m in range(n_subspaces)],
-        *[self_dot(F.col(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
+        *[f"sv{m}" for m in range(n_subspaces)],
+        *[F.expr(_self_dot_sql(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
     )
 
-    cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast(
-        "int"
+    cluster = F.expr(
+        f"CAST(1023 - (greatest({', '.join(packed_scores('e'))}) % 1024) AS INT)"
     )
     enc_cols = []
     for m, book in enumerate(books):
         packed = [
-            F.floor(
-                l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce) * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long")
-            * F.lit(1024)
-            + F.lit(cid)
+            f"CAST(FLOOR(({_l2_from_vv_sql(f'vv{m}', f'sv{m}', ce)})"
+            f" * 1000000.0D + 0.5D) AS BIGINT) * 1024 + {cid}"
             for cid, ce in book
         ]
-        enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
+        enc_cols.append(
+            F.expr(f"CAST(least({', '.join(packed)}) % 1024 AS INT)").alias(f"c{m}")
+        )
     corpus = vx.select("id", cluster.alias("cluster"), *enc_cols)
 
-    packed_arr = F.array(*packed_scores(F.col("e")))
-    probes = F.transform(
-        F.slice(F.sort_array(packed_arr, asc=False), 1, nprobe),
-        lambda p: (F.lit(1023) - p % F.lit(1024)).cast("int"),
+    packed_arr = f"array({', '.join(packed_scores('e'))})"
+    probes = F.expr(
+        f"transform(slice(sort_array({packed_arr}, false), 1, {nprobe}),"
+        f" p -> CAST(1023 - (p % 1024) AS INT))"
     )
     q = (
         vx.filter(F.col("id") < n_queries)
@@ -917,21 +950,21 @@ def ivfpq_ann_topk_seeded(
             F.col("id").alias("q_id"),
             F.explode(probes).alias("cluster"),
             *[
-                F.array(
-                    *[
-                        l2_from_vv(F.col(f"vv{m}"), F.col(f"sv{m}"), ce)
-                        for _, ce in book
-                    ]
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        _l2_from_vv_sql(f"vv{m}", f"sv{m}", ce) for _, ce in book
+                    )
+                    + ")"
                 ).alias(f"dt{m}")
                 for m, book in enumerate(books)
             ],
         )
     )
 
-    adc = None
-    for m in range(n_subspaces):
-        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
-        adc = term if adc is None else adc + term
+    adc = F.expr(
+        " + ".join(f"element_at(dt{m}, c{m} + 1)" for m in range(n_subspaces))
+    )
     scored = (
         corpus.join(F.broadcast(q), "cluster")
         .filter(F.col("id") != F.col("q_id"))
@@ -1077,10 +1110,10 @@ def ivfpq_residual_ann_topk_seeded(
     sub = dim // n_subspaces
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
-    packed_scores = _centroid_packed_scores(cents)
+    packed_scores = _centroid_packed_scores_sql(cents)
 
-    cluster = (F.lit(1023) - F.greatest(*packed_scores(F.col("e"))) % F.lit(1024)).cast(
-        "int"
+    cluster = F.expr(
+        f"CAST(1023 - (greatest({', '.join(packed_scores('e'))}) % 1024) AS INT)"
     )
     # Literal centroid subvector lookup tables, POSITIONAL in `cents`
     # order. The cluster column carries the centroid ID (a raw seed
@@ -1090,44 +1123,38 @@ def ivfpq_residual_ann_topk_seeded(
     # positional read would silently subtract the WRONG centroid (and
     # NULL out on the largest id). Same hazard class pq_seed_codebooks'
     # positional-code comment documents.
-    csub = [
-        F.array(
-            *[
-                F.array(*[F.lit(x) for x in ce[m * sub : (m + 1) * sub]])
-                for _, ce in cents
-            ]
-        )
+    csub_sql = [
+        "array("
+        + ", ".join(_sql_double_array(ce[m * sub : (m + 1) * sub]) for _, ce in cents)
+        + ")"
         for m in range(n_subspaces)
     ]
-    cid_to_pos = F.create_map(
-        *[
-            F.lit(x)
-            for pos, (cid, _) in enumerate(cents)
-            for x in (cid, pos)
-        ]
-    )
+    cid_to_pos_sql = "map(" + ", ".join(
+        f"{cid}, {pos}" for pos, (cid, _) in enumerate(cents)
+    ) + ")"
 
-    def residual_sub(vec: Column, cluster_col: Column, m: int) -> Column:
-        return F.zip_with(
-            F.slice(vec, m * sub + 1, sub),
-            F.element_at(csub[m], F.element_at(cid_to_pos, cluster_col) + 1),
-            lambda x, y: x - y,
+    def residual_sub_sql(vec_sql: str, cluster_sql: str, m: int) -> str:
+        return (
+            f"zip_with(slice({vec_sql}, {m * sub + 1}, {sub}),"
+            f" element_at({csub_sql[m]},"
+            f" element_at({cid_to_pos_sql}, {cluster_sql}) + 1),"
+            f" (x, y) -> x - y)"
         )
-
-    self_dot = _self_dot
-    l2_from_vv = _l2_from_vv
 
     rx = v.withColumn("cluster", cluster).select(
         "id",
         "e",
         "cluster",
-        *[residual_sub(F.col("e"), F.col("cluster"), m).alias(f"rsv{m}") for m in range(n_subspaces)],
+        *[
+            F.expr(residual_sub_sql("e", "cluster", m)).alias(f"rsv{m}")
+            for m in range(n_subspaces)
+        ],
     ).select(
         "id",
         "e",
         "cluster",
-        *[F.col(f"rsv{m}") for m in range(n_subspaces)],
-        *[self_dot(F.col(f"rsv{m}")).alias(f"rvv{m}") for m in range(n_subspaces)],
+        *[f"rsv{m}" for m in range(n_subspaces)],
+        *[F.expr(_self_dot_sql(f"rsv{m}")).alias(f"rvv{m}") for m in range(n_subspaces)],
     )
 
     # Residual codebooks: the residual subvectors of the n_codes lowest-id
@@ -1150,21 +1177,19 @@ def ivfpq_residual_ann_topk_seeded(
     enc_cols = []
     for m, book in enumerate(books):
         packed = [
-            F.floor(
-                l2_from_vv(F.col(f"rvv{m}"), F.col(f"rsv{m}"), ce) * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long")
-            * F.lit(1024)
-            + F.lit(cid)
+            f"CAST(FLOOR(({_l2_from_vv_sql(f'rvv{m}', f'rsv{m}', ce)})"
+            f" * 1000000.0D + 0.5D) AS BIGINT) * 1024 + {cid}"
             for cid, ce in book
         ]
-        enc_cols.append((F.least(*packed) % F.lit(1024)).cast("int").alias(f"c{m}"))
+        enc_cols.append(
+            F.expr(f"CAST(least({', '.join(packed)}) % 1024 AS INT)").alias(f"c{m}")
+        )
     corpus = rx.select("id", "cluster", *enc_cols)
 
-    packed_arr = F.array(*packed_scores(F.col("e")))
-    probes = F.transform(
-        F.slice(F.sort_array(packed_arr, asc=False), 1, nprobe),
-        lambda p: (F.lit(1023) - p % F.lit(1024)).cast("int"),
+    packed_arr = f"array({', '.join(packed_scores('e'))})"
+    probes = F.expr(
+        f"transform(slice(sort_array({packed_arr}, false), 1, {nprobe}),"
+        f" p -> CAST(1023 - (p % 1024) AS INT))"
     )
     # Per (query, probe): residual vs the PROBED centroid, then its tables.
     qbase = (
@@ -1174,33 +1199,36 @@ def ivfpq_residual_ann_topk_seeded(
         .select(
             "q_id",
             "cluster",
-            *[residual_sub(F.col("qe"), F.col("cluster"), m).alias(f"qr{m}") for m in range(n_subspaces)],
+            *[
+                F.expr(residual_sub_sql("qe", "cluster", m)).alias(f"qr{m}")
+                for m in range(n_subspaces)
+            ],
         )
         .select(
             "q_id",
             "cluster",
-            *[F.col(f"qr{m}") for m in range(n_subspaces)],
-            *[self_dot(F.col(f"qr{m}")).alias(f"qv{m}") for m in range(n_subspaces)],
+            *[f"qr{m}" for m in range(n_subspaces)],
+            *[F.expr(_self_dot_sql(f"qr{m}")).alias(f"qv{m}") for m in range(n_subspaces)],
         )
     )
     q = qbase.select(
         "q_id",
         "cluster",
         *[
-            F.array(
-                *[
-                    l2_from_vv(F.col(f"qv{m}"), F.col(f"qr{m}"), ce)
-                    for _, ce in book
-                ]
+            F.expr(
+                "array("
+                + ", ".join(
+                    _l2_from_vv_sql(f"qv{m}", f"qr{m}", ce) for _, ce in book
+                )
+                + ")"
             ).alias(f"dt{m}")
             for m, book in enumerate(books)
         ],
     )
 
-    adc = None
-    for m in range(n_subspaces):
-        term = F.element_at(F.col(f"dt{m}"), F.col(f"c{m}") + 1)
-        adc = term if adc is None else adc + term
+    adc = F.expr(
+        " + ".join(f"element_at(dt{m}, c{m} + 1)" for m in range(n_subspaces))
+    )
     scored = (
         corpus.join(F.broadcast(q), "cluster")
         .filter(F.col("id") != F.col("q_id"))

@@ -10,12 +10,22 @@ has no code here at all — listing happens inside the scan node.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.sql.utils import AnalysisException
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _catalog_view_name(sf_dir: str, name: str) -> str:
+    """Deterministic per-(dir, table) temp-view name — the session-scoped
+    catalog key. Keyed on the ABSOLUTE path so two scale factors used in
+    one session (the oracle-parity tests do this) never collide."""
+    safe = re.sub(r"[^A-Za-z0-9]", "_", os.path.abspath(sf_dir))
+    return f"__sg_cat_{safe}__{name}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -26,19 +36,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's reader rejects
     unless nanos are surfaced as long — so that conf is enabled here and the
     ``ts`` column is normalized back to a (microsecond) timestamp, keeping
-    every downstream expression engine-portable."""
-    # Runtime-settable SQL confs; required before the scan is analyzed.
+    every downstream expression engine-portable.
+
+    Catalog caching (OPTIMIZATION r13, guide §5 "the driver should do
+    almost no data work"): a bare ``spark.read.parquet(path)`` re-infers
+    the schema from parquet footers on EVERY call — ~200 ms of driver-side
+    metadata work per table per query build (measured at sf0.1; a 5-table
+    star query paid ~1 s per build). A real deployment reads schemas from
+    a catalog (HMS/Iceberg) exactly once, so the engine now does the same:
+    the first load of a (dir, table) registers a session-scoped temp view
+    and every later call resolves it (~7 ms). This caches METADATA only —
+    the view body is the unmodified scan plan, every execution still reads
+    the parquet input (physical plans are bit-identical; plan-pinned tests
+    unchanged), and data caches are untouched (``clearCache`` in the bench
+    protocol does not drop views — there is nothing materialized to drop).
+    The testdata dirs are immutable; engine warehouse paths do NOT go
+    through this function (sources/layout.py re-lists per read)."""
+    # Runtime-settable SQL confs; required before the scan is analyzed
+    # (and re-asserted per call: callers may run hostile-config sessions
+    # that perturb the timezone between queries).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The rebuilt events.ts below is an instant; rendering (date_format etc.)
     # must agree with the timezone-naive DuckDB oracle regardless of the
     # caller session's default timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    view = _catalog_view_name(sf_dir, name)
+    try:
+        return spark.table(view)
+    except AnalysisException:
+        pass  # first load in this session — register below
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # Integer div (not /1000.0): double rounding at 1e18 ns would shift
         # timestamps by whole microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    df.createOrReplaceTempView(view)
+    return spark.table(view)
 
 
 def register_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
