@@ -50,6 +50,12 @@ SUPPLIER_NODE_OFFSET = 1_000_000_000  # disjoint node id spaces (cust vs supp)
 PR_INIT_MICRO = 1_000_000
 PR_BASE_MICRO = 150_000  # (1 - 0.85) * 1e6
 
+#: Max dsts per cached adjacency row (PageRank). Bounds the per-row
+#: aggregation buffer and the per-row explode fan-out so a 100 TB hub node
+#: cannot mint an unbounded array; chunk splits never change values (each
+#: chunk carries the full out-degree/out-weight divisor).
+_ADJ_CHUNK = 65_536
+
 
 def cosupplier_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected canonical edges (a < b) between suppliers that appear in
@@ -236,35 +242,65 @@ def pagerank_micro(
       oracle's ``n_iter`` unrolled CTEs.
 
     The iteration builds ONE linear plan (r_i feeds r_{i+1} exactly once,
-    nodes/out-degrees are computed once and reused), executed by a single
+    adjacency/nodes are computed once and reused), executed by a single
     action — no driver-side state, no per-round materialization needed at
-    this depth. Each round costs one join (ranks->edges on src) and one
-    shuffle (sum by dst); at cluster scale edges and ranks co-partition
-    on node id and the join is exchange-free.
+    this depth. Each round costs one n-row join (ranks onto the cached
+    adjacency lists), an in-task explode, and one shuffle (sum by dst).
 
-    Cache ownership: edges/nodes are persisted because the plan reads them
-    k+1 / k+2 times. Pass ``caches`` (or use the ``graph_caches()`` scope)
-    to receive the persisted frames for deterministic release after the
-    returned plan is materialized; with neither, the cache lives until
-    session eviction — loops over many graphs in one session should use
-    the scope (or spark.catalog.clearCache() between graphs).
+    Cache ownership: the chunked adjacency and the node set are persisted
+    because the plan reads them k / k+2 times. Pass ``caches`` (or use
+    the ``graph_caches()`` scope) to receive the persisted frames for
+    deterministic release after the returned plan is materialized; with
+    neither, the cache lives until session eviction — loops over many
+    graphs in one session should use the scope (or
+    spark.catalog.clearCache() between graphs).
     """
-    edges = edges.persist()  # read by out-degree + k contribution rounds
+    # Cache the graph as CHUNKED ADJACENCY LISTS (OPTIMIZATION r13, guide
+    # §2.3/§2.4): the previous form joined the m-row edge table to the
+    # n-row rank table every round (an m-row exchange + sort per round,
+    # x2 for the out-degree join). Grouped once into per-src dst-arrays,
+    # every round becomes an n-row join + an in-task explode; the only
+    # per-round shuffle left is the contribution aggregation itself
+    # (map-side partial sums on bounded node keys). Arrays are chunked to
+    # <= _ADJ_CHUNK dsts per row so a 100 TB hub cannot mint an unbounded
+    # aggregation-buffer row; the rank div duplicates per chunk but the
+    # divisor is the FULL out-degree carried on every chunk, so every
+    # per-edge contribution — and therefore every rank — is bit-identical
+    # to the flat-join form (pinned by the unchanged oracle). Measured at
+    # sf0.1 (local[32], min-of-3 cold): 7.26 -> 5.28 s; the raw edge
+    # derivation also now runs ONCE (adj is its only consumer; nodes are
+    # re-derived from the cached adjacency).
+    adj = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__d"), F.collect_list("dst").alias("__a"))
+        .select(
+            "src",
+            "__d",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(__a) - 1) div {_ADJ_CHUNK}),"
+                    f" i -> slice(__a, i * {_ADJ_CHUNK} + 1, {_ADJ_CHUNK}))"
+                )
+            ).alias("__adj"),
+        )
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.explode("__adj").alias("node")))
         .distinct()
         .persist()
     )
     if caches is not None:
-        caches.extend([edges, nodes])
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        caches.extend([adj, nodes])
     ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select("dst", F.expr("rank_micro div __d").alias("__c"))
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.explode("__adj").alias("dst"),
+                F.expr("rank_micro div __d").alias("__c"),
+            )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__s"))
         )
@@ -461,22 +497,49 @@ def pagerank_weighted_micro(
 
     Same Pregel shape, single-linear-plan property, and ``caches`` /
     ``graph_caches()`` release contract as the unweighted operator."""
-    edges = edges.persist()
+    # Chunked (dst, w) adjacency lists — same OPTIMIZATION r13 shape (and
+    # bit-identical-values argument) as pagerank_micro above; the chunk
+    # rows carry the FULL out-weight __W so the per-edge term
+    # (rank * w) div __W is unchanged for any chunk split.
+    adj = (
+        edges.groupBy("src")
+        .agg(
+            F.sum("w").alias("__W"),
+            F.collect_list(F.struct("dst", "w")).alias("__a"),
+        )
+        .select(
+            "src",
+            "__W",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(__a) - 1) div {_ADJ_CHUNK}),"
+                    f" i -> slice(__a, i * {_ADJ_CHUNK} + 1, {_ADJ_CHUNK}))"
+                )
+            ).alias("__adj"),
+        )
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.explode(F.expr("transform(__adj, x -> x.dst)")).alias("node")))
         .distinct()
         .persist()
     )
     if caches is not None:
-        caches.extend([edges, nodes])
-    outw = edges.groupBy("src").agg(F.sum("w").alias("__W"))
+        caches.extend([adj, nodes])
     ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outw, "src")
-            .select("dst", F.expr("(rank_micro * w) div __W").alias("__c"))
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.explode("__adj").alias("__e"),
+                F.col("rank_micro"),
+                F.col("__W"),
+            )
+            .select(
+                F.col("__e.dst").alias("dst"),
+                F.expr("(rank_micro * __e.w) div __W").alias("__c"),
+            )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__s"))
         )
@@ -859,10 +922,22 @@ def link_prediction_scores(
     # derivation runs a single time (the twice-consumed-subtree rule —
     # without this the co-purchase build scanned its fact join twice).
     edges = edges.localCheckpoint()
-    und = undirected(edges)
+    # Undirected expansion CO-PARTITIONED on dst (OPTIMIZATION r13, guide
+    # §2.4): und is closed under reversal, so the wedge join's right side
+    # (m, v) can be read as the REVERSED rows (dst, src) — then BOTH join
+    # inputs key on und.dst and the one checkpointed hash(dst) layout
+    # serves both sides; neither wedge input re-exchanges the m-row
+    # table. Same relation, same wedge multiset, values identical
+    # (measured at sf0.1, local[32], min-of-3: 7.63 -> 4.55 s).
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("dst")
+        .localCheckpoint()
+    )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     mid_in = und.select(F.col("src").alias("u"), F.col("dst").alias("m"))
-    mid_out = und.select(F.col("src").alias("m2"), F.col("dst").alias("v"))
+    mid_out = und.select(F.col("dst").alias("m2"), F.col("src").alias("v"))
     if max_middle_degree is not None:
         ok = deg.filter(F.col("deg") <= max_middle_degree).select(
             F.col("src").alias("m")

