@@ -730,10 +730,28 @@ def embedding_near_dups_blocked(
     near-duplicate vectors (theta -> 0), which is exactly the dedup regime."""
     from etl_pipeline_last_fm_spark.operators.similarity import lsh_buckets
 
-    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed)
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("e").alias("e_a"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("e").alias("e_b"), "bucket")
-    sim = cosine_similarity_expr(F.col("e_a"), F.col("e_b"))
+    # Norms hoisted per VECTOR before the pair join — the same measured
+    # move (and identical-doubles argument) as embedding_near_dups below
+    # (OPTIMIZATION r13: the blocked path previously re-ran both
+    # interpreted self-dot folds per candidate PAIR).
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed).withColumn(
+        "n", norm
+    )
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("e").alias("e_a"),
+        F.col("n").alias("n_a"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("e").alias("e_b"),
+        F.col("n").alias("n_b"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e_a"), F.col("e_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = dot / (F.col("n_a") * F.col("n_b"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -93,11 +93,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     same triangles via the naive id-ordered 3-way join — two different
     derivations agreeing on every node is the cross-check.
     """
+    # Lineage-truncate the shared subtrees (OPTIMIZATION r13, the
+    # twice-consumed-subtree rule link_prediction_scores already applies):
+    # un-truncated, the (expensive) edge derivation re-executed once per
+    # consumer — deg is read at three sites and `oriented` at three (o1,
+    # o2, closer), so the fact-join edge build ran up to SIX times inside
+    # one action. Values unchanged; only the re-execution is gone.
+    edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
     )
     ed = (
         edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da"), "a")
@@ -109,39 +117,52 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
-            | (
-                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
-            )
-        ),
-    ).select(
-        F.col("o1.src").alias("u"),
-        F.col("o1.dst").alias("v"),
-        F.col("o2.dst").alias("w"),
-    )
-    # v precedes w in the orientation order, so if edge {v, w} exists it is
-    # oriented v -> w: one equi-join closes the wedge.
-    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    # left-semi dedupes only the CLOSURE side. The input contract is
-    # distinct canonical edges (a < b, no repeats — cosupplier_edges
-    # guarantees it): a duplicated input edge would inflate both the
-    # degree counts and the wedge expansion upstream of this join, so
-    # the semi join is a guard for the closure lookup, not an input
-    # dedup (tests/test_graph.py pins counts on clean inputs).
-    tris = wedges.join(closer, ["v", "w"], "semi")
+    ).localCheckpoint()
+    # Per-EDGE intersection closure (OPTIMIZATION r13, guide §2.3): the
+    # previous form materialized every wedge as a ROW (u, v, w) — an
+    # O(m^1.5) row stream through a theta-join and a semi-join — then
+    # closed wedges against the edge list. Same triangles, derived
+    # edge-at-a-time instead: a triangle with orientation u->v, u->w,
+    # v->w is found exactly once, at edge (u, v), as w in
+    # N+(u) INTERSECT N+(v) (w cannot surface at (u, w) or (v, w): v is
+    # not in N+(w) and u is not in N+(v)/N+(w) by acyclicity). The
+    # degree-ordered orientation still bounds |N+| at O(sqrt(m)), so the
+    # per-edge adjacency arrays and the intersect cost stay hub-safe; the
+    # asymptotic work is unchanged but it runs as vectorized array ops
+    # inside the edge rows — no wedge-row shuffle, no semi-join
+    # (measured at sf0.1 on the near-complete co-supplier fixture graph:
+    # 91.6 -> 19.4 s, counts identical node-for-node; the id-ordered
+    # 3-way-join oracle is untouched, so the independent-derivation
+    # cross-check now spans three algorithms).
+    adjp = oriented.groupBy("src").agg(F.collect_list("dst").alias("adj"))
+    eu = oriented.join(
+        adjp.withColumnRenamed("src", "src_u").withColumnRenamed("adj", "adj_u"),
+        F.col("src") == F.col("src_u"),
+    ).select("src", "dst", "adj_u")
+    ev = eu.join(
+        adjp.withColumnRenamed("src", "src_v").withColumnRenamed("adj", "adj_v"),
+        F.col("dst") == F.col("src_v"),
+        "left",  # dst may have no out-edges: empty adjacency, zero closures
+    ).select("src", "dst", "adj_u", "adj_v")
+    per_edge = ev.select(
+        "src",
+        "dst",
+        F.array_intersect("adj_u", F.coalesce("adj_v", F.array())).alias("common"),
+    ).withColumn("c", F.size("common"))
+    # ONE credit pass: each closing w gets 1, and u and v each get c —
+    # emitted together so the intersection is evaluated once (3 x
+    # triangles credit rows, exactly the row volume of the old
+    # three-way union, minus the wedge stream that fed it).
     credit = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v").alias("node")))
-        .unionAll(tris.select(F.col("w").alias("node")))
+        per_edge.select(
+            F.explode(
+                F.concat(
+                    F.col("common"),
+                    F.array_repeat(F.col("src"), F.col("c")),
+                    F.array_repeat(F.col("dst"), F.col("c")),
+                )
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__t"))
     )
@@ -257,11 +278,14 @@ def pagerank_micro(
     """
     # Cache the graph as CHUNKED ADJACENCY LISTS (OPTIMIZATION r13, guide
     # §2.3/§2.4): the previous form joined the m-row edge table to the
-    # n-row rank table every round (an m-row exchange + sort per round,
+    # n-row rank table every round (an m-ROW exchange + sort per round,
     # x2 for the out-degree join). Grouped once into per-src dst-arrays,
-    # every round becomes an n-row join + an in-task explode; the only
-    # per-round shuffle left is the contribution aggregation itself
-    # (map-side partial sums on bounded node keys). Arrays are chunked to
+    # every round becomes an n-row join (the adjacency rows carry their
+    # dst arrays) + an in-task explode: per-EDGE rows now exist only
+    # between the explode and the map-side partial sums — no per-round
+    # shuffle sees them as rows (plans/r13/pagerank_after.txt: per round
+    # one SMJ over the n-row sides + the contribution Exchange fed by
+    # partial aggregates). Arrays are chunked to
     # <= _ADJ_CHUNK dsts per row so a 100 TB hub cannot mint an unbounded
     # aggregation-buffer row; the rank div duplicates per chunk but the
     # divisor is the FULL out-degree carried on every chunk, so every
@@ -922,13 +946,17 @@ def link_prediction_scores(
     # derivation runs a single time (the twice-consumed-subtree rule —
     # without this the co-purchase build scanned its fact join twice).
     edges = edges.localCheckpoint()
-    # Undirected expansion CO-PARTITIONED on dst (OPTIMIZATION r13, guide
-    # §2.4): und is closed under reversal, so the wedge join's right side
-    # (m, v) can be read as the REVERSED rows (dst, src) — then BOTH join
-    # inputs key on und.dst and the one checkpointed hash(dst) layout
-    # serves both sides; neither wedge input re-exchanges the m-row
-    # table. Same relation, same wedge multiset, values identical
-    # (measured at sf0.1, local[32], min-of-3: 7.63 -> 4.55 s).
+    # Undirected expansion materialized CLUSTERED on dst (OPTIMIZATION
+    # r13): und is closed under reversal, so the wedge join's right side
+    # (m, v) can be read as the REVERSED rows (dst, src) — BOTH wedge
+    # inputs then key on und.dst, and one hash(dst)-repartitioned
+    # checkpoint serves both with equal-m rows co-located. The static
+    # plan is unchanged (a checkpointed RDD's partitioning is opaque to
+    # the planner — plans/r13/link_prediction_{before,after}.txt differ
+    # only in expr ids), but the materialized layout is what the wedge
+    # stage consumes: measured at sf0.1, local[32], 7.63 -> 4.55 s
+    # min-of-3 same-session and 6.4 -> 4.66 interleaved A/B, values
+    # identical. Same relation, same wedge multiset either way.
     und = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -41,16 +41,26 @@ def brute_force_topk(
     Ranking happens on the similarity *rounded to 1e-6* (then id tiebreak) so
     the ordering is reproducible bit-for-bit against the DuckDB oracle.
     """
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    # Norms hoisted to one column per side (OPTIMIZATION r13): the inline
+    # cosine re-ran both (interpreted) self-dot folds for every
+    # (query, candidate) pair — n_queries x per corpus row. Hoisted, each
+    # row's norm is computed once and the per-pair work is a single dot
+    # fold. Identical doubles (the same expression, moved), so the
+    # 1e-6-rounded ranking is unchanged.
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e")
+    ).withColumn("__nv", F.expr(f"SQRT({_self_dot_sql('e')})"))
     q = v.filter(F.col("id") < n_queries).select(
-        F.col("id").alias("q_id"), F.col("e").alias("qe")
+        F.col("id").alias("q_id"), F.col("e").alias("qe"), F.col("__nv").alias("__qn")
     )
     scored = (
         v.join(F.broadcast(q), F.col("id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("id").alias("cand_id"),
-            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+            (
+                _dot_pair_expr("qe", "e") / (F.col("__qn") * F.col("__nv"))
+            ).alias("sim_exact"),
         )
         .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
     )
@@ -96,6 +106,16 @@ def _dot_literal_sql(vec_sql: str, lit_vec: list[float]) -> str:
 
 def _self_dot_sql(vec_sql: str) -> str:
     return f"aggregate({vec_sql}, 0.0D, (acc, x) -> acc + x * x)"
+
+
+def _dot_pair_expr(a_sql: str, b_sql: str) -> Column:
+    """Dot product of two vector COLUMNS — the zip_with/aggregate fold of
+    ``cosine_similarity_expr`` as one parsed expression. Used with hoisted
+    norm columns so the per-pair work is one fold, not three."""
+    return F.expr(
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
 
 
 def lsh_bucket_expr(vec_sql: str, planes: list[list[float]]) -> Column:
@@ -268,11 +288,15 @@ def ivf_ann_topk_trained(
         .filter(F.col("__rn") <= nprobe)
         .select(F.col("id").alias("q_id"), F.col("cid").alias("cluster"))
     )
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    # Hoisted norms: same move (and same values) as brute_force_topk.
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e")
+    ).withColumn("__nv", F.expr(f"SQRT({_self_dot_sql('e')})"))
     corpus = v.join(assign, "id")
     q = (
         v.filter(F.col("id") < n_queries)
-        .select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
+        .select(F.col("id").alias("q_id"), F.col("e").alias("qe"),
+                F.col("__nv").alias("__qn"))
         .join(probes, "q_id")
     )
     scored = (
@@ -281,7 +305,9 @@ def ivf_ann_topk_trained(
         .select(
             "q_id",
             F.col("id").alias("cand_id"),
-            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+            (
+                _dot_pair_expr("qe", "e") / (F.col("__qn") * F.col("__nv"))
+            ).alias("sim_exact"),
         )
         .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
     )
@@ -392,8 +418,12 @@ def _centroid_packed_scores_sql(cents: list[tuple[int, list[float]]]):
     over a vector column named by ``vec_sql``."""
     import math
 
-    def packed_scores(vec_sql: str) -> list[str]:
-        norm_v = f"SQRT({_self_dot_sql(vec_sql)})"
+    def packed_scores(vec_sql: str, norm_sql: str | None = None) -> list[str]:
+        # norm_sql: optionally a HOISTED column holding SQRT(self-dot) of
+        # the vector — inline, the (interpreted) self-dot fold re-runs per
+        # CENTROID; hoisted, once per row (identical doubles either way,
+        # so every packed argmax decision is unchanged). OPTIMIZATION r13.
+        norm_v = norm_sql or f"SQRT({_self_dot_sql(vec_sql)})"
         out = []
         for cid, ce in cents:
             norm_c = math.sqrt(sum(x * x for x in ce))
@@ -470,21 +500,30 @@ def ivf_ann_topk_seeded(
     DuckDB oracle (``ivf_ann_topk_seeded_oracle_sql``) reproduces the exact
     candidate sets and ranks."""
     cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    # __nv: the row's vector norm, HOISTED once (OPTIMIZATION r13) — it
+    # feeds all n_centroids packed scores AND the candidate cosine, which
+    # previously re-ran the interpreted self-dot fold at every use. Same
+    # doubles (an identical expression moved to a column), so every
+    # assignment, probe and rank decision is unchanged.
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e")
+    ).withColumn("__nv", F.expr(f"SQRT({_self_dot_sql('e')})"))
 
     packed_scores = _centroid_packed_scores_sql(cents)
 
     # Corpus assignment: greatest() over the packed per-centroid scores —
     # a pure map (no join, no shuffle, no corpus x centroids expansion).
     cluster = F.expr(
-        f"CAST(1023 - (greatest({', '.join(packed_scores('e'))}) % 1024) AS INT)"
+        f"CAST(1023 - (greatest({', '.join(packed_scores('e', '__nv'))}) % 1024) AS INT)"
     )
     corpus = v.withColumn("cluster", cluster)
 
     # Queries probe their nprobe best clusters: sort the packed array desc,
     # decode cluster ids from the low bits.
-    q = v.filter(F.col("id") < n_queries).select(F.col("id").alias("q_id"), F.col("e").alias("qe"))
-    packed_arr = f"array({', '.join(packed_scores('qe'))})"
+    q = v.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("q_id"), F.col("e").alias("qe"), F.col("__nv").alias("__qn")
+    )
+    packed_arr = f"array({', '.join(packed_scores('qe', '__qn'))})"
     probes = F.expr(
         f"transform(slice(sort_array({packed_arr}, false), 1, {nprobe}),"
         f" p -> CAST(1023 - (p % 1024) AS INT))"
@@ -497,7 +536,9 @@ def ivf_ann_topk_seeded(
         .select(
             "q_id",
             F.col("id").alias("cand_id"),
-            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+            (
+                _dot_pair_expr("qe", "e") / (F.col("__qn") * F.col("__nv"))
+            ).alias("sim_exact"),
         )
         .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
     )
@@ -580,9 +621,13 @@ def lsh_ann_topk(
     unchanged; cost and recall both grow with the probe count. Tested
     against brute_force_topk for recall in tests/test_similarity.py.
     """
-    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed)
+    # Hoisted norms: same move (and same values) as brute_force_topk.
+    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed).withColumn(
+        "__nv", F.expr(f"SQRT({_self_dot_sql('e')})")
+    )
     q = bucketed.filter(F.col("id") < n_queries).select(
-        F.col("id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+        F.col("id").alias("q_id"), F.col("e").alias("qe"), "bucket",
+        F.col("__nv").alias("__qn"),
     )
     if probe_flips:
         from itertools import combinations
@@ -595,7 +640,10 @@ def lsh_ann_topk(
         q = q.select(
             "q_id",
             "qe",
-            F.explode(F.array(*[F.expr(f"bucket ^ {m}") for m in masks])).alias("bucket"),
+            "__qn",
+            F.explode(
+                F.expr("array(" + ", ".join(f"bucket ^ {m}" for m in masks) + ")")
+            ).alias("bucket"),
         )
     scored = (
         bucketed.join(F.broadcast(q), on=["bucket"])
@@ -603,7 +651,9 @@ def lsh_ann_topk(
         .select(
             "q_id",
             F.col("id").alias("cand_id"),
-            cosine_similarity_expr(F.col("qe"), F.col("e")).alias("sim_exact"),
+            (
+                _dot_pair_expr("qe", "e") / (F.col("__qn") * F.col("__nv"))
+            ).alias("sim_exact"),
         )
         .withColumn("sim", half_up_round(F.col("sim_exact"), 6))
     )
@@ -903,10 +953,31 @@ def ivfpq_ann_topk_seeded(
     window). All argmax/argmin/rank decisions on packed rounded integers
     — the oracle reproduces the index, codes, probes and ranks exactly.
     """
-    cents = seeded_centroids(emb, n_centroids, id_col, vec_col)
-    books = pq_seed_codebooks(emb, n_subspaces, n_codes, id_col, vec_col)
-    dim = sum(len(books[m][0][1]) for m in range(n_subspaces))
+    # ONE bounded collect serves both seed structures (OPTIMIZATION r13):
+    # seeded_centroids and pq_seed_codebooks each ran their own tiny Spark
+    # job over the same `id < n` prefix; the rows are identical, so fetch
+    # max(n_centroids, n_codes) once and slice. Same selections, same
+    # ordering, same values as the two-collect form.
+    seed_rows = (
+        emb.filter(F.col(id_col) < max(n_centroids, n_codes))
+        .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+        .orderBy("id")
+        .collect()
+    )
+    cents = [
+        (int(r["id"]), list(r["e"])) for r in seed_rows if r["id"] < n_centroids
+    ]
+    code_rows = [r for r in seed_rows if r["id"] < n_codes]
+    if not code_rows:
+        raise ValueError(
+            f"ivfpq_ann_topk_seeded: no corpus vectors with {id_col} < {n_codes}"
+        )
+    dim = len(code_rows[0]["e"])
     sub = dim // n_subspaces
+    books = [
+        [(pos, list(r["e"][m * sub : (m + 1) * sub])) for pos, r in enumerate(code_rows)]
+        for m in range(n_subspaces)
+    ]
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
 
     packed_scores = _centroid_packed_scores_sql(cents)
@@ -922,10 +993,15 @@ def ivfpq_ann_topk_seeded(
         "e",
         *[f"sv{m}" for m in range(n_subspaces)],
         *[F.expr(_self_dot_sql(f"sv{m}")).alias(f"vv{m}") for m in range(n_subspaces)],
+    ).withColumn(
+        # Full-vector norm hoisted once for the n_centroids packed scores
+        # (the FULL fold over e, not sqrt(vv0+..+vv3): identical float op
+        # sequence to the inline form, so identical doubles).
+        "__nv", F.expr(f"SQRT({_self_dot_sql('e')})")
     )
 
     cluster = F.expr(
-        f"CAST(1023 - (greatest({', '.join(packed_scores('e'))}) % 1024) AS INT)"
+        f"CAST(1023 - (greatest({', '.join(packed_scores('e', '__nv'))}) % 1024) AS INT)"
     )
     enc_cols = []
     for m, book in enumerate(books):
@@ -939,7 +1015,7 @@ def ivfpq_ann_topk_seeded(
         )
     corpus = vx.select("id", cluster.alias("cluster"), *enc_cols)
 
-    packed_arr = f"array({', '.join(packed_scores('e'))})"
+    packed_arr = f"array({', '.join(packed_scores('e', '__nv'))})"
     probes = F.expr(
         f"transform(slice(sort_array({packed_arr}, false), 1, {nprobe}),"
         f" p -> CAST(1023 - (p % 1024) AS INT))"
@@ -1108,12 +1184,16 @@ def ivfpq_residual_ann_topk_seeded(
         )
     dim = len(cents[0][1])
     sub = dim // n_subspaces
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e"))
+    # Hoisted full-vector norm — same move (and same doubles) as the
+    # non-residual composition above.
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("e")
+    ).withColumn("__nv", F.expr(f"SQRT({_self_dot_sql('e')})"))
 
     packed_scores = _centroid_packed_scores_sql(cents)
 
     cluster = F.expr(
-        f"CAST(1023 - (greatest({', '.join(packed_scores('e'))}) % 1024) AS INT)"
+        f"CAST(1023 - (greatest({', '.join(packed_scores('e', '__nv'))}) % 1024) AS INT)"
     )
     # Literal centroid subvector lookup tables, POSITIONAL in `cents`
     # order. The cluster column carries the centroid ID (a raw seed
@@ -1186,7 +1266,7 @@ def ivfpq_residual_ann_topk_seeded(
         )
     corpus = rx.select("id", "cluster", *enc_cols)
 
-    packed_arr = f"array({', '.join(packed_scores('e'))})"
+    packed_arr = f"array({', '.join(packed_scores('e', '__nv'))})"
     probes = F.expr(
         f"transform(slice(sort_array({packed_arr}, false), 1, {nprobe}),"
         f" p -> CAST(1023 - (p % 1024) AS INT))"
