@@ -123,10 +123,13 @@ def main() -> None:
     ) -> tuple[dict[str, float | None], dict[str, float | None]]:
         """Extended-tier protocol (VERDICT r6 item 4): the first timed run
         after the untimed warm-up still pays fixed per-session protocol
-        costs that the headliners don't expose — Janino/JIT compilation of
-        the unrolled literal codegen (sim_ann_ivfpq: ~7.5 s of its ~9 s)
-        and per-round job submission (pagerank) — because each invocation
-        rebuilds the plan. That cost is FIXED per plan, so it amortizes
+        costs that the headliners don't expose — plan construction of the
+        literal-heavy ANN queries and per-round job submission (pagerank)
+        — because each invocation rebuilds the plan. (r13 phase-split
+        correction: the sim_ann_ivfpq cold-warm gap attributed here to
+        Janino was ~85% py4j Column construction, since cut ~9x by the
+        SQL-text builders — OPTIMIZATION_r13.md; the protocol and the
+        series are unchanged.) That cost is FIXED per plan, so it amortizes
         to zero at 100 TB; the round-over-round comparable is the warm
         data term. cold = the r6-comparable number (warm-up, clearCache,
         then build + execute timed). warm = min of two further
