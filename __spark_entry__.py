@@ -73,18 +73,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return core.q_flagship_royalties(spark, SF001)
 
 
-#: Round-12 graded window (VERDICT r11 item 2): 9 rotation-invariant
-#: headliners, then the ENTIRE 14-entry r6-vintage freshness backlog
-#: (outer_join_agg first, as pinned by last round's
-#: test_r12_backlog_heads_the_past_cap_line), then the 26 oldest
-#: r7-vintage entries, then ONE deliberate swap: streaming_mart_fold
-#: (r10-vintage) re-attests in the round that dropped the forced
-#: dim_song broadcast from the streaming DM join (VERDICT r11 item 1).
-#: After this rotation the oldest driver row anywhere in the registry is
-#: r7-vintage — the vintage tail named in round 10 is retired and
-#: freshness becomes a pure rolling rotation.
-GRADED_WINDOW_R12 = [
-    # flagship tier: the 9 bench headliners (rotation-invariant)
+#: Round-14 graded window (VERDICT r13 item 1 — certify the r13/r14
+#: rewrites through the driver): 9 rotation-invariant headliners; the
+#: complete 9-entry r7-vintage freshness backlog (mixture_sample first,
+#: as the r12 past-cap line pinned); the 7 operators whose r13 rewrites
+#: were outside the r13 window (pagerank, pagerank_weighted,
+#: triangle_count, the seeded PQ/IVF-PQ family) plus
+#: embedding_cosine_dedup (kept in-window — its blocked scorer changed in
+#: r13 and changes again follow the same shared hoists); the 5 operators
+#: this round's optimization targets touch (the dedup mid-tier +
+#: link_prediction, whose r13 wedge clustering re-attests here); and the
+#: 20 oldest r8-vintage entries in line order. After this rotation the
+#: oldest ungraded driver row is r8-vintage.
+GRADED_WINDOW_R14 = [
     "flagship_royalties",
     "pricing_summary",
     "star_join",
@@ -94,62 +95,6 @@ GRADED_WINDOW_R12 = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_bruteforce",
-    # slots 10-23: the complete r6-vintage backlog (oldest driver rows)
-    "outer_join_agg",
-    "token_count",
-    "text_fingerprint",
-    "sim_ann_lsh_multiprobe",
-    "sim_ann_ivf",
-    "dedup_exact",
-    "text_quality",
-    "pii_scrub",
-    "distinct_project",
-    "case_impute",
-    "union_all",
-    "json_extract",
-    "mart_daily_appearances",
-    "explode_tokens",
-    # slots 24-49: the 26 oldest r7-vintage entries, line order preserved
-    "event_pattern_measures",
-    "forecast_revenue",
-    "top_supplier",
-    "returned_revenue",
-    "promo_revenue",
-    "min_cost_supplier",
-    "product_profit",
-    "dominant_suppliers",
-    "link_prediction",
-    "attribution",
-    "trend_fit",
-    "collocations",
-    "session_concurrency",
-    "contingency_chi2",
-    "hashed_features",
-    "lead_lag",
-    "range_join",
-    "funnel",
-    "hll_distinct",
-    "dedup_simhash",
-    "dedup_rolling_fp",
-    "embedding_cosine_dedup",
-    "sim_ann_lsh",
-    "tfidf",
-    "top_ngrams",
-    "split_assign",
-    # slot 50: deliberate swap (VERDICT r11 item 1) — the streaming DM
-    # fold whose dim_song join hint was dropped this round
-    "streaming_mart_fold",
-]
-
-#: Past the 50-entry cap: every entry keeps its green driver row (205/205
-#: cumulative since round 9) and runs in tests/test_oracle_parity.py at
-#: sf0.001 every pytest run. Line order for the round-13 rotation:
-#: longest-unexercised first — the 9 remaining r7-vintage entries
-#: (mixture_sample heads the r13 backlog), then the r8 tier, the r9 tier,
-#: the r10 tier (minus streaming_mart_fold, promoted above), and LAST the
-#: 41 entries demoted from the round-11 window (graded most recently).
-PAST_CAP_LINE_R12 = [
-    # r7-vintage remainder (9 — the r13 freshness backlog)
     "mixture_sample",
     "sim_ann_ivf_seeded",
     "fuzzy_name_pairs",
@@ -159,7 +104,18 @@ PAST_CAP_LINE_R12 = [
     "contamination",
     "token_budget_sample",
     "pack_sequences",
-    # r8-vintage tier (24)
+    "pagerank",
+    "pagerank_weighted",
+    "triangle_count",
+    "sim_ann_pq",
+    "sim_ann_ivfpq",
+    "sim_ann_ivfpq_residual",
+    "embedding_cosine_dedup",
+    "dedup_rolling_fp",
+    "dedup_snm_multipass",
+    "dedup_keep_list",
+    "dedup_prefix_filter",
+    "link_prediction",
     "link_prediction_capped",
     "attribution_fold",
     "streaming_attribution",
@@ -180,11 +136,20 @@ PAST_CAP_LINE_R12 = [
     "rank_sum_test",
     "scd2_history",
     "expectations",
+]
+
+#: Past the 50-entry cap: every entry keeps its green driver row and runs
+#: in tests/test_oracle_parity.py at sf0.001 every pytest run. Line order
+#: for the round-15 rotation: longest-unexercised first — the 4 remaining
+#: r8-vintage entries, the r9 tier, the r10 tier, the round-11 demotions
+#: (each minus the entries promoted into the r14 window above), and LAST
+#: the 38 entries demoted from the round-12 window (graded most
+#: recently, r13).
+PAST_CAP_LINE_R14 = [
     "hll_vocab",
     "embedding_cosine_pairs",
     "embedding_keep_list",
     "stratified_sample",
-    # r9-vintage tier (41)
     "roc_auc",
     "streaming_roc_auc",
     "calibration_bins",
@@ -208,25 +173,19 @@ PAST_CAP_LINE_R12 = [
     "mart_incremental",
     "supplier_balance",
     "lm_score",
-    "sim_ann_pq",
     "sim_ann_ivf_recall",
     "sim_ann_pq_recall",
     "grouping_sets",
     "kmv_quantiles",
-    "dedup_prefix_filter",
     "bloom_prune_join",
     "outlier_mad",
     "kmv_set_ops",
     "dedup_sorted_neighborhood",
-    "dedup_snm_multipass",
     "cohort_retention",
     "regional_revenue",
     "shipping_priority",
-    "triangle_count",
-    "pagerank",
     "kcore",
     "disjunctive_predicates",
-    # r10-vintage tier (40; streaming_mart_fold promoted to slot 50)
     "rank_metrics",
     "unpivot_metrics",
     "bpe_train",
@@ -245,7 +204,6 @@ PAST_CAP_LINE_R12 = [
     "ema_fold",
     "cusum",
     "tumbling_window",
-    "dedup_keep_list",
     "streaming_ema",
     "cusum_fold",
     "streaming_cusum",
@@ -265,9 +223,7 @@ PAST_CAP_LINE_R12 = [
     "hopping_window",
     "session_window_native",
     "table_checksum",
-    "pagerank_weighted",
     "except_all",
-    # demoted from the round-11 graded window (41 non-headliners)
     "mode_per_group",
     "relational_division",
     "order_distribution",
@@ -285,8 +241,6 @@ PAST_CAP_LINE_R12 = [
     "epoch_shuffle",
     "render_packs",
     "market_basket",
-    "sim_ann_ivfpq",
-    "sim_ann_ivfpq_residual",
     "label_propagation",
     "bfs_hops",
     "kmv_expr",
@@ -309,20 +263,58 @@ PAST_CAP_LINE_R12 = [
     "percentiles",
     "semi_join",
     "surrogate_keys",
+    "outer_join_agg",
+    "token_count",
+    "text_fingerprint",
+    "sim_ann_lsh_multiprobe",
+    "sim_ann_ivf",
+    "dedup_exact",
+    "text_quality",
+    "pii_scrub",
+    "distinct_project",
+    "case_impute",
+    "union_all",
+    "json_extract",
+    "mart_daily_appearances",
+    "explode_tokens",
+    "event_pattern_measures",
+    "forecast_revenue",
+    "top_supplier",
+    "returned_revenue",
+    "promo_revenue",
+    "min_cost_supplier",
+    "product_profit",
+    "dominant_suppliers",
+    "attribution",
+    "trend_fit",
+    "collocations",
+    "session_concurrency",
+    "contingency_chi2",
+    "hashed_features",
+    "lead_lag",
+    "range_join",
+    "funnel",
+    "hll_distinct",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "tfidf",
+    "top_ngrams",
+    "split_assign",
+    "streaming_mart_fold",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the grading driver checks the FIRST 50 entries
     # only, and dict order IS the contract. The graded prefix is PINNED by
-    # tests/test_graded_window.py — edit GRADED_WINDOW_R12 and that list
+    # tests/test_graded_window.py — edit GRADED_WINDOW_R14 and that list
     # together, deliberately, once per rotation.
     # Rotation-invariant set (must stay resolvable by name for bench.py
     # and stays in-window as the flagship tier): pricing_summary,
     # flagship_royalties, star_join, windowed_top_k, idempotent_append,
     # dedup_ngram_jaccard, sim_bruteforce, dedup_minhash_lsh, sessionize.
-    out = {n: _ALL[n] for n in GRADED_WINDOW_R12 + PAST_CAP_LINE_R12}
-    assert len(out) == len(GRADED_WINDOW_R12) + len(PAST_CAP_LINE_R12)
+    out = {n: _ALL[n] for n in GRADED_WINDOW_R14 + PAST_CAP_LINE_R14}
+    assert len(out) == len(GRADED_WINDOW_R14) + len(PAST_CAP_LINE_R14)
     assert set(out) == set(_ALL), (
         sorted(set(out) ^ set(_ALL))  # ordering lists and tier modules agree
     )

@@ -175,9 +175,23 @@ def main() -> None:
 
     timings = time_tier(HEADLINE)
     ext_cold, ext_warm = time_tier_cold_warm(EXTENDED)
+    headline_total = tier_total(timings)  # the 9-query series, r01-stable
+    # VERDICT r13 item 8 (additions-only harness change, r14): the two
+    # checkpoint-per-round extended entries have warm numbers that cover
+    # only the post-checkpoint tail (kmeans_train 0.021 s / twap_fold
+    # 0.036 s warm in BENCH_r13), so a cold drift like r13's +29%/+23% on
+    # them gets no per-query status ink. Mirror their COLD numbers into
+    # the per-query map under *_cold names so the driver's comparison
+    # tracks them automatically. They are NOT summed into "value" — the
+    # headline total remains the identical 9-query series (computed above,
+    # before these keys are added); no existing entry is removed, renamed
+    # or re-measured.
+    for _n in ("kmeans_train", "twap_fold"):
+        if ext_cold.get(_n) is not None:
+            timings[f"{_n}_cold"] = ext_cold[_n]
     out = {
         "metric": "headline_queries_total_sec",
-        "value": tier_total(timings),
+        "value": headline_total,
         "unit": "sec",
         "queries": timings,
         "extended_metric": "extended_queries_total_sec",

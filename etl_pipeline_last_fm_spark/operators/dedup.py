@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipeline_last_fm_spark.operators.spread import spread_scan
 from etl_pipeline_last_fm_spark.functions.scalar import (
     cosine_similarity_expr,
     half_up_round,
@@ -222,7 +223,14 @@ def minhash_lsh_pairs(
     # band bucket and emit a quadratic blob of bogus "pairs" (round-9
     # hostile nulls sweep measured 1035 of them on a 9%-null corpus).
     # The shingle-based oracle drops them naturally; drop them here too.
-    docs = docs.where(F.col("text").isNotNull())
+    #
+    # spread_scan (OPTIMIZATION r14, guide §2.5): the signature's 32
+    # interpreted HOF folds and the verify stage's shingling both run at
+    # the SCAN's parallelism — one task on a single-row-group corpus file
+    # (the r13 scaling block measured c8/c32 = 1.04, i.e. serial). The
+    # spread is a no-op when the scan is already parallel; results are
+    # partitioning-insensitive (hostile reorder sweep + unchanged oracle).
+    docs = spread_scan(docs.where(F.col("text").isNotNull()), "doc_id")
 
     # Bands from the PERSISTED signature: minhash_signature is now a pure
     # projection (no agg-buffer barrier), and a generator whose input

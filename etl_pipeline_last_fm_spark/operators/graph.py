@@ -262,19 +262,20 @@ def pagerank_micro(
     * No convergence test: exactly ``n_iter`` rounds, same as the
       oracle's ``n_iter`` unrolled CTEs.
 
-    The iteration builds ONE linear plan (r_i feeds r_{i+1} exactly once,
-    adjacency/nodes are computed once and reused), executed by a single
-    action — no driver-side state, no per-round materialization needed at
-    this depth. Each round costs one n-row join (ranks onto the cached
-    adjacency lists), an in-task explode, and one shuffle (sum by dst).
+    The iteration builds ONE linear plan (contrib_i feeds contrib_{i+1}
+    exactly once, the adjacency is computed once and reused), executed by
+    a single action — no driver-side state, no per-round materialization
+    needed at this depth. Each round costs one n-row join (previous
+    contributions onto the cached adjacency lists), an in-task explode,
+    and one shuffle (sum by dst); the first round needs no join at all
+    (every rank is the INIT literal).
 
-    Cache ownership: the chunked adjacency and the node set are persisted
-    because the plan reads them k / k+2 times. Pass ``caches`` (or use
-    the ``graph_caches()`` scope) to receive the persisted frames for
-    deterministic release after the returned plan is materialized; with
-    neither, the cache lives until session eviction — loops over many
-    graphs in one session should use the scope (or
-    spark.catalog.clearCache() between graphs).
+    Cache ownership: the chunked adjacency is persisted because the plan
+    reads it k+2 times. Pass ``caches`` (or use the ``graph_caches()``
+    scope) to receive the persisted frame for deterministic release after
+    the returned plan is materialized; with neither, the cache lives
+    until session eviction — loops over many graphs in one session
+    should use the scope (or spark.catalog.clearCache() between graphs).
     """
     # Cache the graph as CHUNKED ADJACENCY LISTS (OPTIMIZATION r13, guide
     # §2.3/§2.4): the previous form joined the m-row edge table to the
@@ -309,35 +310,49 @@ def pagerank_micro(
         )
         .persist()
     )
-    nodes = (
-        adj.select(F.col("src").alias("node"))
-        .union(adj.select(F.explode("__adj").alias("node")))
-        .distinct()
-        .persist()
-    )
     if caches is not None:
-        caches.extend([adj, nodes])
-    ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
+        caches.append(adj)
+    # OPTIMIZATION r14: the per-round all-nodes left join is gone. A
+    # round only ever READS ranks keyed by src, and every src rank is a
+    # pure function of the previous round's contribution sum
+    # (base + (85 * coalesce(s, 0)) div 100 — null when the src received
+    # nothing), so the rank formula is fused into the next round's
+    # contribution computation via ONE adj <- contrib left join; the
+    # first round needs no join at all (rank = INIT for every node). The
+    # all-nodes materialization is paid exactly once, at the end, for the
+    # output rows. Per round: 2 joins + 1 agg -> 1 join + 1 agg (round 1:
+    # 0 joins); values bit-identical — same per-src rank expression over
+    # the same order-insensitive integer sums (unchanged oracle + the
+    # chunk-split invariance pin both re-certify this).
+    _rank = (
+        F.lit(PR_BASE_MICRO) + F.expr("(85 * coalesce(__s, 0L)) div 100")
+    ).cast("long")
+    contrib = None
     for _ in range(n_iter):
+        if contrib is None:
+            ranked = adj.select(
+                "__d", "__adj", F.lit(PR_INIT_MICRO).cast("long").alias("__r")
+            )
+        else:
+            ranked = adj.join(
+                contrib.withColumnRenamed("dst", "src"), "src", "left"
+            ).select("__d", "__adj", _rank.alias("__r"))
         contrib = (
-            adj.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
+            ranked.select(
                 F.explode("__adj").alias("dst"),
-                F.expr("rank_micro div __d").alias("__c"),
+                F.expr("__r div __d").alias("__c"),
             )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit(PR_BASE_MICRO)
-                + F.expr("(85 * coalesce(__s, 0L)) div 100")
-            ).cast("long").alias("rank_micro"),
-        )
-    return ranks
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.explode("__adj").alias("node")))
+        .distinct()
+    )
+    return nodes.join(
+        contrib.withColumnRenamed("dst", "node"), "node", "left"
+    ).select("node", _rank.alias("rank_micro"))
 
 
 # Shared oracle edge derivation (weighted base; the unweighted graph is
@@ -543,40 +558,48 @@ def pagerank_weighted_micro(
         )
         .persist()
     )
-    nodes = (
-        adj.select(F.col("src").alias("node"))
-        .union(adj.select(F.explode(F.expr("transform(__adj, x -> x.dst)")).alias("node")))
-        .distinct()
-        .persist()
-    )
     if caches is not None:
-        caches.extend([adj, nodes])
-    ranks = nodes.select("node", F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"))
+        caches.append(adj)
+    # Same OPTIMIZATION r14 fusion as pagerank_micro (and the same
+    # bit-identity argument): the per-round all-nodes join is replaced by
+    # computing each src's rank inline from the previous round's
+    # contribution sum; the all-nodes frame is consumed once, at the end.
+    _rank = (
+        F.lit(PR_BASE_MICRO) + F.expr("(85 * coalesce(__s, 0L)) div 100")
+    ).cast("long")
+    contrib = None
     for _ in range(n_iter):
+        if contrib is None:
+            ranked = adj.select(
+                "__W", "__adj", F.lit(PR_INIT_MICRO).cast("long").alias("__r")
+            )
+        else:
+            ranked = adj.join(
+                contrib.withColumnRenamed("dst", "src"), "src", "left"
+            ).select("__W", "__adj", _rank.alias("__r"))
         contrib = (
-            adj.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.explode("__adj").alias("__e"),
-                F.col("rank_micro"),
-                F.col("__W"),
+            ranked.select(
+                F.explode("__adj").alias("__e"), F.col("__r"), F.col("__W")
             )
             .select(
                 F.col("__e.dst").alias("dst"),
-                F.expr("(rank_micro * __e.w) div __W").alias("__c"),
+                F.expr("(__r * __e.w) div __W").alias("__c"),
             )
             .groupBy("dst")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit(PR_BASE_MICRO)
-                + F.expr("(85 * coalesce(__s, 0L)) div 100")
-            ).cast("long").alias("rank_micro"),
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .union(
+            adj.select(
+                F.explode(F.expr("transform(__adj, x -> x.dst)")).alias("node")
+            )
         )
-    return ranks
+        .distinct()
+    )
+    return nodes.join(
+        contrib.withColumnRenamed("dst", "node"), "node", "left"
+    ).select("node", _rank.alias("rank_micro"))
 
 
 def pagerank_weighted_oracle_sql(n_iter: int = 4) -> str:

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_last_fm_spark.functions.scalar import half_up_round
 from etl_pipeline_last_fm_spark.operators.dedup import _shingles
+from etl_pipeline_last_fm_spark.operators.spread import spread_scan
 
 
 def _distinct_shingle_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
@@ -128,6 +129,12 @@ def prefix_filter_pairs(
     same threshold, the same rows — a useful cross-check: one exact, one
     probabilistic, one truth set in the oracle).
     """
+    # spread_scan (OPTIMIZATION r14, guide §2.5): the shingling explode
+    # and the verify stage's re-shingling both run at the scan's
+    # parallelism — one task on a single-row-group corpus file. No-op on
+    # already-parallel input; outputs are partitioning-insensitive
+    # (hostile reorder sweep + unchanged all-pairs oracle).
+    docs = spread_scan(docs, "doc_id")
     # persist(): rows feeds BOTH the df groupBy and the order join below —
     # unpersisted, the explode+distinct subtree (the corpus-proportional
     # stage) executes twice per action. Same cache-ownership note as cands.
@@ -322,10 +329,19 @@ def _verify_pairs(
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # persist() (OPTIMIZATION r14): cand_shingles feeds BOTH pair sides —
+    # unpersisted, each side re-runs the tokenize+shingle pass over every
+    # candidate doc (the same 2x minhash_lsh_pairs' verify stage fixed in
+    # r10; measured here: SNM-multipass 6.0 -> 3.5 s min-of-4 interleaved
+    # at sf0.1). Footprint = candidate docs' shingle arrays — duplicate-
+    # density-proportional, spills to disk; same cache-ownership note as
+    # the callers' cands persists (lives until session eviction;
+    # bench.py clearCaches between samples).
     cand_shingles = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks"))
         .select("doc_id", _shingles("__toks", shingle_len).alias("shingles"))
+        .persist()
     )
     sh_a = cand_shingles.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")

@@ -18,6 +18,8 @@ better; at 64-1024 dims the expression form wins by skipping Arrow transfer.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -87,8 +89,18 @@ def _sql_double(x: float) -> str:
     so parsing reproduces the same bits ``F.lit(x)`` would carry.
     (OPTIMIZATION r13: SQL-text construction replaces per-literal Column
     ops — one py4j round trip per EXPRESSION instead of per LITERAL; the
-    parsed tree, and therefore every computed value, is unchanged.)"""
-    return f"{float(x)!r}D"
+    parsed tree, and therefore every computed value, is unchanged.)
+
+    Non-finite doubles have no SQL literal spelling (repr gives 'nan'/
+    'inf', which parse as column names) — the F.lit path this replaced
+    accepted them silently, so fail loudly instead (ADVICE r13)."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite double {x!r} cannot be spelled as a SQL literal — "
+            "seed/centroid/plane data must be finite"
+        )
+    return f"{x!r}D"
 
 
 def _sql_double_array(vals: list[float]) -> str:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_last_fm_spark.operators.spread import spread_scan
 from etl_pipeline_last_fm_spark.functions.scalar import (
     half_up_round,
     portable_hash60,
@@ -84,6 +85,13 @@ def rolling_fingerprint_rows(
     (fingerprint_overlap_oracle_sql); algorithm unchanged."""
     from pyspark.sql import Window
 
+    # spread_scan (OPTIMIZATION r14, guide §2.5): the per-gram explode and
+    # the gram hash — length(text) md5/xxhash evaluations per doc, the
+    # operator's dominant CPU — run at the scan's parallelism, one task on
+    # a single-row-group corpus file. No-op on already-parallel input;
+    # per-doc results are independent of partitioning (same window
+    # partitioned by doc_id, unchanged oracle).
+    docs = spread_scan(docs, "doc_id")
     gram = F.expr(f"substring(text, pos, {k})")
     gh = portable_hash60(gram) if portable else F.xxhash64(gram)
     grams = docs.select(

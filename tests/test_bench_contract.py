@@ -37,7 +37,17 @@ def test_bench_emits_one_json_line_with_contract_keys():
     assert rec["n_samples"] == 1  # the env knob reached the artifact
     import bench
 
-    assert set(rec["queries"]) == set(bench.HEADLINE)
+    # r14 (VERDICT r13 item 8): the per-query map carries the 9 headliners
+    # plus mirrored *_cold entries for the checkpoint-heavy extended pair;
+    # "value" stays the sum of the 9 headliners only.
+    assert set(rec["queries"]) == set(bench.HEADLINE) | {
+        "kmeans_train_cold",
+        "twap_fold_cold",
+    }
+    assert (
+        abs(rec["value"] - sum(rec["queries"][n] for n in bench.HEADLINE))
+        < 1e-6
+    )
     # Crash isolation contract: every query key maps to a number (no query
     # failed) and, had one failed, it would be null with an errors map —
     # not a missing JSON line.

@@ -379,16 +379,17 @@ def test_rank_devices_hypothesis_sweep(spark):
     def check(vals, base, nb, ascending):
         rows = [(i, v + base) for i, v in enumerate(vals)]
         df = spark.createDataFrame(rows, "k long, v long")
-        order = (
-            [F.col("v").asc(), F.col("k").asc()]
-            if ascending
-            else [F.col("v").desc(), F.col("k").asc()]
+        # Reference computed in PURE PYTHON (r14, VERDICT r13 item 2 —
+        # pytest-budget): the global-window *definition* of both devices
+        # is a plain sort + enumerate/prefix-sum, so an in-process oracle
+        # is equally exact, independent of Spark (strictly a stronger
+        # check than the previous Spark-window reference), and halves the
+        # sweep's Spark-job count (~50 s of the suite).
+        ordered = sorted(
+            rows, key=lambda r: ((r[1] if ascending else -r[1]), r[0])
         )
         want_rn = sorted(
-            map(tuple, df.withColumn(
-                "__rn",
-                F.row_number().over(Window.orderBy(*order)).cast("long"),
-            ).collect())
+            (k, v, rn) for rn, (k, v) in enumerate(ordered, start=1)
         )
         got = value_ordered_row_number(
             df, "v", "k", ascending=ascending, n_buckets=nb,
@@ -399,16 +400,12 @@ def test_rank_devices_hypothesis_sweep(spark):
         ) == want_rn
         assert got.select("__n").distinct().collect()[0][0] == len(rows)
         if not ascending:
-            want_cum = sorted(
-                map(tuple, df.withColumn(
-                    "__cum",
-                    F.sum("v").over(
-                        Window.orderBy(*order).rowsBetween(
-                            Window.unboundedPreceding, Window.currentRow
-                        )
-                    ),
-                ).collect())
-            )
+            cum = 0
+            cums = []
+            for k, v in ordered:
+                cum += v
+                cums.append((k, v, cum))
+            want_cum = sorted(cums)
             assert sorted(
                 map(tuple, value_ordered_cumsum(
                     df, "v", "k", n_buckets=nb

@@ -23,6 +23,27 @@ def formatted_plan(df) -> str:
     )
 
 
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """EVERY queries() entry built ONCE per module, caching both plan
+    flavors the whole-registry loops need. r14 (VERDICT r13 item 2 —
+    fit the suite in the driver's pytest budget): the two registry-wide
+    invariants each rebuilt all 205 query plans, ~115 s apiece; one
+    shared build pass halves the suite's largest single cost without
+    weakening either assertion."""
+    plans = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        formatted = qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        plans[name] = (formatted, qe.optimizedPlan().toString())
+    return plans
+
+
 def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
     df = (
         load_table(spark, sf_dir, "lineitem")
@@ -181,13 +202,12 @@ def test_cdc_compact_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_every_query_stays_jvm_side(spark, sf_dir):
+def test_every_query_stays_jvm_side(registry_plans):
     """Comprehensive guard: EVERY graded entry compiles without Python
     eval nodes (the §2.12 policy) — no curated list to forget to extend.
     The multimodal pandas path is exercised separately (test_multimodal)
     and is not a queries() entry."""
-    for name, fn in sorted(entrymod.queries().items()):
-        plan = formatted_plan(fn(spark, sf_dir))
+    for name, (plan, _) in registry_plans.items():
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
@@ -469,7 +489,7 @@ _DIM_WINDOW_ALLOW: dict[str, str] = {
 }
 
 
-def test_dim_sized_global_windows_sit_above_aggregates(spark, sf_dir):
+def test_dim_sized_global_windows_sit_above_aggregates(registry_plans):
     """House structural invariant, generalized to the WHOLE registry
     (VERDICT r8 item 4; previously a hand-picked 9-plan list):
     unpartitioned windows are allowed ONLY on dimension-sized inputs.
@@ -481,13 +501,10 @@ def test_dim_sized_global_windows_sit_above_aggregates(spark, sf_dir):
     test_every_query_stays_jvm_side, so new waves cannot silently
     violate the rule."""
     offenders = []
-    for name, fn in sorted(entrymod.queries().items()):
+    for name, (_, optimized) in registry_plans.items():
         if name in _DIM_WINDOW_ALLOW:
             continue
-        df = fn(spark, sf_dir)
-        lines = (
-            df._jdf.queryExecution().optimizedPlan().toString().splitlines()
-        )
+        lines = optimized.splitlines()
         for i, line in enumerate(lines):
             if "Window [" not in line or not _UNPARTITIONED_SPEC.search(line):
                 continue

@@ -66,7 +66,10 @@ def test_graph_caches_scope_releases_persists(spark):
     )
     with graph_caches() as handle:
         ranks = pagerank_micro(edges, n_iter=2, caches=handle)
-        assert len(handle) == 2
+        # r14: only the chunked adjacency is persisted — the node set is
+        # consumed exactly once (final output join) since the per-round
+        # all-nodes join was fused away.
+        assert len(handle) == 1
         ranks.collect()
         assert all(df.storageLevel.useMemory for df in handle)
     assert all(not df.storageLevel.useMemory for df in handle) or not handle
@@ -74,7 +77,7 @@ def test_graph_caches_scope_releases_persists(spark):
     wedges = edges.withColumn("w", F.lit(2).cast("long"))
     with graph_caches() as handle:
         pagerank_weighted_micro(wedges, n_iter=2, caches=handle).collect()
-        assert len(handle) == 2
+        assert len(handle) == 1
         kept = list(handle)
     assert all(not df.storageLevel.useMemory for df in kept)
 
