@@ -743,9 +743,15 @@ def embedding_near_dups_blocked(
     # (OPTIMIZATION r13: the blocked path previously re-ran both
     # interpreted self-dot folds per candidate PAIR).
     norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    bucketed = lsh_buckets(emb, n_planes, id_col, vec_col, seed=seed).withColumn(
-        "n", norm
-    )
+    # spread_scan (OPTIMIZATION r14, guide §2.5): the bucket signature and
+    # the per-pair cosines downstream inherit the scan's partitioning —
+    # one task on a single-row-group file (measured 0.92 -> 0.70 s
+    # interleaved at sf0.1). Applied HERE on the raw scan, not inside
+    # lsh_buckets: the ANN queries that share lsh_buckets are
+    # collect/checkpoint-bound and measured slower with it.
+    bucketed = lsh_buckets(
+        spread_scan(emb, id_col), n_planes, id_col, vec_col, seed=seed
+    ).withColumn("n", norm)
     a = bucketed.select(
         F.col("id").alias("id_a"), F.col("e").alias("e_a"),
         F.col("n").alias("n_a"), "bucket",
@@ -785,7 +791,12 @@ def embedding_near_dups(
     # 12.5M pairs). Same doubles, same oracle: hoisting an identical
     # expression cannot change its value.
     norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = emb.select(
+    # spread_scan (OPTIMIZATION r14, guide §2.5): the id_a < id_b theta
+    # join plans as a broadcast nested-loop whose STREAM side keeps the
+    # scan's partitioning — one task on a single-row-group corpus file, so
+    # the O(n^2) interpreted dot folds ran serially. No-op on
+    # already-parallel input; per-pair values unchanged.
+    v = spread_scan(emb, id_col).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     ).withColumn("n", norm)
